@@ -1,0 +1,676 @@
+"""Relational query suite — every operator family from SURVEY §2 mapped
+onto the driver's star schema + ``events`` stream table.
+
+The reference's health-metric tables map as: ``events`` plays the
+time-series role (user_id ≈ device_id, value ≈ metric reading), the
+event types stand in for metric kinds ('click' ≈ steps, 'view' ≈
+heart-rate bpm, 'purchase' ≈ sleeps); ``customer``/``orders`` exercise
+the user/device join shapes.  Each docstring cites the reference
+construct (file:line under /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import age_group, day_key, month_key, week_bucket
+from ..operators.joins import parent_child_join
+from .registry import query, table
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (grouped multi-agg scan).
+# Operators: P1 projection, P4 filter, A1 SUM, A2 AVG, multi-agg.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                          AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                     AS avg_price,
+           ROUND(AVG(l_discount), 4)                                          AS avg_disc,
+           COUNT(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage layer — P1/P2/P3/P7 scalar projections (models/stage/heart_rates.sql:8-14)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stage_events",
+    oracle="""
+    SELECT user_id AS device_id,
+           ts AS created_at,
+           strftime(ts, '%Y%m')   AS month,
+           strftime(ts, '%Y%m%d') AS day,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS epoch_s,
+           value AS reading
+    FROM events
+    """,
+)
+def stage_events(spark, sf_dir):
+    """Stage projection: epoch casts + date-string keys
+    (reference models/stage/heart_rates.sql:8-14, P2/P3/P7)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        F.col("user_id").alias("device_id"),
+        F.col("ts").alias("created_at"),
+        month_key("ts").alias("month"),
+        day_key("ts").alias("day"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.col("value").alias("reading"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregate layer — daily/weekly/monthly steps (A1 grouped SUM + A6 buckets)
+# reference models/agg/{daily,weekly,monthly}_steps.sql
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_steps",
+    oracle="""
+    SELECT strftime(ts, '%Y%m%d') AS day, user_id AS device_id,
+           ROUND(SUM(value), 2) AS step_count
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+    """,
+)
+def daily_steps(spark, sf_dir):
+    """A1 — SUM(step_count) GROUP BY day, device (daily_steps.sql:7-17)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(day_key("ts").alias("day"), F.col("user_id").alias("device_id"))
+        .agg(F.round(F.sum("value"), 2).alias("step_count"))
+    )
+
+
+@query(
+    "weekly_steps",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, user_id AS device_id,
+           ROUND(SUM(value), 2) AS step_count
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+    """,
+)
+def weekly_steps(spark, sf_dir):
+    """A6 — time_bucket('1 week', ts) tumbling week (weekly_steps.sql:9-17).
+    Spark date_trunc('week') is Monday-aligned = TimescaleDB origin 2000-01-03."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(week_bucket("ts").alias("week"), F.col("user_id").alias("device_id"))
+        .agg(F.round(F.sum("value"), 2).alias("step_count"))
+    )
+
+
+@query(
+    "monthly_steps",
+    oracle="""
+    SELECT strftime(ts, '%Y%m') AS month, user_id AS device_id,
+           ROUND(SUM(value), 2) AS step_count
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+    """,
+)
+def monthly_steps(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(month_key("ts").alias("month"), F.col("user_id").alias("device_id"))
+        .agg(F.round(F.sum("value"), 2).alias("step_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# daily/monthly sleeps — J3 join-as-existence-filter + A2 AVG
+# (models/agg/daily_sleeps.sql:11-20; quirk SURVEY §2.9.3 for weekly)
+# --------------------------------------------------------------------------
+
+
+def _sleeps_grouped(spark, sf_dir, bucket_fn, bucket_name):
+    """Literal reference shape: inner join 'view' readings against the
+    'purchase' table on (device, day); the uniform row multiplication is
+    invisible to AVG (daily_sleeps.sql:11-20)."""
+    e = table(spark, sf_dir, "events")
+    cols = [
+        F.col("user_id").alias("device_id"),
+        day_key("ts").alias("day"),
+        F.col("value").alias("bpm"),
+    ]
+    if bucket_name != "day":
+        cols.insert(2, bucket_fn("ts").alias(bucket_name))
+    hr = e.filter(F.col("event_type") == "view").select(*cols)
+    sl = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("device_id"), day_key("ts").alias("day"))
+    )
+    joined = hr.join(sl, ["device_id", "day"], "inner")
+    return joined.groupBy(bucket_name, "device_id").agg(
+        F.round(F.avg("bpm"), 4).alias("avg_sleep_bpm")
+    )
+
+
+_SLEEPS_ORACLE = """
+    SELECT {bucket} AS {name}, hr.device_id AS device_id,
+           ROUND(AVG(hr.bpm), 4) AS avg_sleep_bpm
+    FROM (SELECT user_id AS device_id, ts, value AS bpm,
+                 strftime(ts, '%Y%m%d') AS day
+          FROM events WHERE event_type = 'view') hr
+    JOIN (SELECT user_id AS device_id, strftime(ts, '%Y%m%d') AS day
+          FROM events WHERE event_type = 'purchase') s
+      ON s.device_id = hr.device_id AND s.day = hr.day
+    GROUP BY 1, 2
+"""
+
+
+@query("daily_sleeps", oracle=_SLEEPS_ORACLE.format(bucket="hr.day", name="day"))
+def daily_sleeps(spark, sf_dir):
+    return _sleeps_grouped(spark, sf_dir, day_key, "day")
+
+
+@query(
+    "monthly_sleeps",
+    oracle=_SLEEPS_ORACLE.format(bucket="strftime(hr.ts, '%Y%m')", name="month"),
+)
+def monthly_sleeps(spark, sf_dir):
+    return _sleeps_grouped(spark, sf_dir, month_key, "month")
+
+
+@query(
+    "weekly_sleeps",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, user_id AS device_id,
+           ROUND(AVG(value), 4) AS avg_sleep_bpm
+    FROM events WHERE event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
+def weekly_sleeps(spark, sf_dir):
+    """Quirk §2.9.3 preserved: weekly_sleeps has NO existence join —
+    it averages all readings (reference weekly_sleeps.sql:8-17)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(week_bucket("ts").alias("week"), F.col("user_id").alias("device_id"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_sleep_bpm"))
+    )
+
+
+# --------------------------------------------------------------------------
+# summaries — J4 two-key equi inner join (daily_summary.sql:12-20); inner
+# join drops (device, day) present on only one side (quirk §2.9.5).
+# --------------------------------------------------------------------------
+
+
+def _summary(spark, sf_dir, sleeps_fn, steps_fn, bucket_name):
+    s = sleeps_fn(spark, sf_dir)
+    st = steps_fn(spark, sf_dir)
+    return s.join(st, [bucket_name, "device_id"], "inner").select(
+        bucket_name, "device_id", "avg_sleep_bpm", "step_count"
+    )
+
+
+_SUMMARY_ORACLE = """
+    WITH sleeps AS ({sleeps}), steps AS ({steps})
+    SELECT s.{name} AS {name}, s.device_id AS device_id,
+           s.avg_sleep_bpm AS avg_sleep_bpm, st.step_count AS step_count
+    FROM sleeps s JOIN steps st
+      ON s.device_id = st.device_id AND s.{name} = st.{name}
+"""
+
+
+@query(
+    "daily_summary",
+    oracle=_SUMMARY_ORACLE.format(
+        sleeps=_SLEEPS_ORACLE.format(bucket="hr.day", name="day"),
+        steps="""SELECT strftime(ts, '%Y%m%d') AS day, user_id AS device_id,
+                        ROUND(SUM(value), 2) AS step_count
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2""",
+        name="day",
+    ),
+)
+def daily_summary(spark, sf_dir):
+    return _summary(spark, sf_dir, daily_sleeps, daily_steps, "day")
+
+
+@query(
+    "weekly_summary",
+    oracle=_SUMMARY_ORACLE.format(
+        sleeps="""SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, user_id AS device_id,
+                         ROUND(AVG(value), 4) AS avg_sleep_bpm
+                  FROM events WHERE event_type = 'view' GROUP BY 1, 2""",
+        steps="""SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, user_id AS device_id,
+                        ROUND(SUM(value), 2) AS step_count
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2""",
+        name="week",
+    ),
+)
+def weekly_summary(spark, sf_dir):
+    return _summary(spark, sf_dir, weekly_sleeps, weekly_steps, "week")
+
+
+@query(
+    "monthly_summary",
+    oracle=_SUMMARY_ORACLE.format(
+        sleeps=_SLEEPS_ORACLE.format(bucket="strftime(hr.ts, '%Y%m')", name="month"),
+        steps="""SELECT strftime(ts, '%Y%m') AS month, user_id AS device_id,
+                        ROUND(SUM(value), 2) AS step_count
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2""",
+        name="month",
+    ),
+)
+def monthly_summary(spark, sf_dir):
+    return _summary(spark, sf_dir, monthly_sleeps, monthly_steps, "month")
+
+
+# --------------------------------------------------------------------------
+# stage users — J2 left join + A3 ARRAY_AGG (models/stage/users.sql:16-27)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stage_users",
+    oracle="""
+    SELECT c.c_custkey AS user_id, c.c_name AS name,
+           c.c_mktsegment AS segment, c.c_acctbal AS acctbal,
+           COALESCE(LIST_SORT(LIST(o.o_orderkey) FILTER (WHERE o.o_orderkey IS NOT NULL)), [])
+             AS orderkeys
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def stage_users(spark, sf_dir):
+    """J2/A3 — users LEFT JOIN devices then ARRAY_AGG, keeping users with
+    no matches (users.sql:17-27).  collect_list drops the left-join NULLs
+    (→ empty array); sorted for cross-engine determinism."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return joined.groupBy(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    ).agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"))
+
+
+# --------------------------------------------------------------------------
+# P5 BETWEEN + P6 CASE WHEN bucketing
+# (examples/daily_health_metrics_per_age_grp.sql:5-15)
+# --------------------------------------------------------------------------
+
+_AGE_CASE_SQL = """CASE WHEN age < 18 THEN '<18'
+         WHEN age BETWEEN 18 AND 24 THEN '18-24'
+         WHEN age BETWEEN 25 AND 34 THEN '25-34'
+         WHEN age BETWEEN 35 AND 44 THEN '35-44'
+         WHEN age BETWEEN 45 AND 54 THEN '45-54'
+         WHEN age BETWEEN 55 AND 64 THEN '55-64'
+         WHEN age > 64 THEN '>64' END"""
+
+
+@query(
+    "age_group_buckets",
+    oracle=f"""
+    WITH aged AS (SELECT c_custkey % 90 AS age, c_acctbal FROM customer)
+    SELECT {_AGE_CASE_SQL} AS age_group,
+           COUNT(*) AS n_users, ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+    FROM aged WHERE age BETWEEN 5 AND 130
+    GROUP BY 1
+    """,
+)
+def age_group_buckets(spark, sf_dir):
+    """P5/P6 — BETWEEN range filter + 7-bucket CASE classifier (no ELSE →
+    NULL group, exactly like the reference)."""
+    c = table(spark, sf_dir, "customer").withColumn("age", F.col("c_custkey") % 90)
+    return (
+        c.filter(F.col("age").between(5, 130))
+        .groupBy(age_group("age").alias("age_group"))
+        .agg(F.count("*").alias("n_users"), F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+    )
+
+
+@query(
+    "health_metrics_per_age_grp",
+    oracle=f"""
+    WITH user_age_grps AS (
+      SELECT c_custkey, {_AGE_CASE_SQL} AS age_group
+      FROM (SELECT c_custkey, c_custkey % 90 AS age FROM customer)
+      WHERE age BETWEEN 5 AND 130
+    ),
+    daily_spend AS (
+      SELECT o_custkey, strftime(o_orderdate, '%Y%m%d') AS day,
+             SUM(o_totalprice) AS spend, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT d.day AS day, u.age_group AS age_group,
+           ROUND(AVG(d.spend), 4) AS avg_spend,
+           ROUND(AVG(d.n_orders), 4) AS avg_orders
+    FROM daily_spend d JOIN user_age_grps u ON d.o_custkey = u.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def health_metrics_per_age_grp(spark, sf_dir):
+    """O4 CTE + P6 bucketing + A2 avg-of-aggregate (quirk §2.9.4: the
+    reference's unweighted avg-of-avg is preserved as avg-of-per-user-agg).
+    Reference: examples/daily_health_metrics_per_age_grp.sql."""
+    c = table(spark, sf_dir, "customer").withColumn("age", F.col("c_custkey") % 90)
+    user_age_grps = c.filter(F.col("age").between(5, 130)).select(
+        "c_custkey", age_group("age").alias("age_group")
+    )
+    o = table(spark, sf_dir, "orders")
+    daily_spend = o.groupBy(
+        F.col("o_custkey"), day_key("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("spend"), F.count("*").alias("n_orders"))
+    return (
+        daily_spend.join(user_age_grps, daily_spend.o_custkey == user_age_grps.c_custkey)
+        .groupBy("day", "age_group")
+        .agg(
+            F.round(F.avg("spend"), 4).alias("avg_spend"),
+            F.round(F.avg("n_orders"), 4).alias("avg_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# user_steps_for_last_month — A4 max-lookup pre-query + filter on max month
+# (examples/daily_user_steps_for_last_month.sql; quirk §2.9.2: intended
+# semantics = month key of day = MAX(month))
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_steps_last_month",
+    oracle="""
+    WITH user_spend AS (
+      SELECT strftime(o.o_orderdate, '%Y%m%d') AS day,
+             c.c_custkey AS user_id, c.c_name AS name, c.c_mktsegment AS segment,
+             o.o_totalprice AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT day, user_id, name, segment, ROUND(SUM(price), 2) AS spend
+    FROM user_spend
+    WHERE substr(day, 1, 6) = (SELECT MAX(substr(day, 1, 6)) FROM user_spend)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def user_steps_last_month(spark, sf_dir):
+    """A4 — scalar MAX lookup run as a pre-query (like the dbt macro's
+    run_query, macros/get_max_insert_date_string.sql:4-15), spliced into
+    the main filter as a literal."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    user_spend = o.join(c, o.o_custkey == c.c_custkey).select(
+        day_key("o_orderdate").alias("day"),
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("price"),
+    )
+    max_month = user_spend.agg(
+        F.max(F.substring("day", 1, 6)).alias("m")
+    ).first()["m"]
+    return (
+        user_spend.filter(F.substring("day", 1, 6) == F.lit(max_month))
+        .groupBy("day", "user_id", "name", "segment")
+        .agg(F.round(F.sum("price"), 2).alias("spend"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 array-membership join (= ANY(devices)) — literal array_contains form;
+# the scale rewrite lives in operators.joins.array_membership_join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "array_membership_region",
+    oracle="""
+    WITH region_arr AS (
+      SELECT n_regionkey, LIST_SORT(LIST(n_nationkey)) AS nations
+      FROM nation GROUP BY 1
+    )
+    SELECT r.n_regionkey AS regionkey, COUNT(*) AS n_customers,
+           ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c JOIN region_arr r ON LIST_CONTAINS(r.nations, c.c_nationkey)
+    GROUP BY 1
+    """,
+)
+def array_membership_region(spark, sf_dir):
+    """J5 — ``device_id = ANY(u.devices)`` membership join
+    (examples/daily_health_metrics_per_age_grp.sql:24-25).  The dim side
+    here is 5 rows → Spark broadcasts the nested-loop join, the right
+    physical choice; at scale use operators.joins.array_membership_join
+    (explode → equi-join)."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    region_arr = n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_nationkey")).alias("nations")
+    )
+    joined = c.join(
+        F.broadcast(region_arr),
+        F.array_contains(region_arr.nations, c.c_nationkey),
+        "inner",
+    )
+    return joined.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S10 flattener round-trip + J1 parent/child reassembly.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "parent_child_roundtrip",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1
+             AS list_idx,
+           o_totalprice AS totalprice
+    FROM orders
+    """,
+)
+def parent_child_roundtrip(spark, sf_dir):
+    """S10 + J1 — nest orders into per-customer array-of-struct documents,
+    flatten with posexplode into parent/child frames (the dlt normalize
+    step, dags/iot_mongo_extract_to_dwh.py:85-105), then reassemble via
+    the parent/child equi join (models/stage/heart_rates.sql:15-22).
+    Flatten∘nest = identity, so the oracle is the flat equivalent."""
+    o = table(spark, sf_dir, "orders")
+    nested = o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("o_orderkey", "o_totalprice"))
+        ).alias("orders_doc")
+    )
+    parent = nested.select(F.col("o_custkey").alias("_dlt_id"))
+    child = nested.select(
+        F.col("o_custkey").alias("_dlt_parent_id"),
+        F.posexplode("orders_doc").alias("_dlt_list_idx", "order_struct"),
+    ).select(
+        "_dlt_parent_id",
+        "_dlt_list_idx",
+        F.col("order_struct.o_orderkey").alias("orderkey"),
+        F.col("order_struct.o_totalprice").alias("totalprice"),
+    )
+    reassembled = parent_child_join(parent, child)
+    return reassembled.select(
+        F.col("_dlt_id").alias("custkey"),
+        F.col("orderkey"),
+        F.col("_dlt_list_idx").alias("list_idx"),
+        F.col("totalprice"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M1/A4/P4/P8 — incremental watermark protocol as a query.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "watermark_incremental",
+    oracle="""
+    WITH wm AS (
+      SELECT COALESCE(MAX(o_orderdate), TIMESTAMP '1970-01-01 00:00:00') AS w
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT strftime(o_orderdate, '%Y%m%d') AS day,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders, wm WHERE o_orderdate > wm.w
+    GROUP BY 1
+    """,
+)
+def watermark_incremental(spark, sf_dir):
+    """M1 incremental protocol: scalar MAX-watermark pre-query (A4), then
+    a strictly-greater filter (quirk §2.9.8 — late rows that share the
+    max watermark are dropped, like the reference's transforms)."""
+    o = table(spark, sf_dir, "orders")
+    row = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .agg(F.coalesce(F.max("o_orderdate"), F.lit("1970-01-01").cast("timestamp")).alias("w"))
+        .first()
+    )
+    return (
+        o.filter(F.col("o_orderdate") > F.lit(row["w"]))
+        .groupBy(day_key("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (J3 scalable form + completeness beyond reference).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "semi_join_urgent",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def semi_join_urgent(spark, sf_dir):
+    """J3 scalable form — left-semi join as existence filter."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        l.join(o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@query(
+    "anti_join_orderless",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def anti_join_orderless(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — needed by the M2 upsert fallback."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON extraction from the events.props payload (document-source parity:
+# the reference's raw layer is JSON documents).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_props_stats(spark, sf_dir):
+    """JSON path extraction (S13 document parsing surface)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 4).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window function — top-K per group (beyond-reference completeness; the
+# pattern the reference's ORDER BY ... DESC presentation tables suggest).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def topk_orders_per_customer(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
