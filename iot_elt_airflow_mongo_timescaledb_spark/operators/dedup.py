@@ -1,0 +1,184 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame compositions (JVM-side, codegen'd) and
+shuffle only on bounded keys:
+
+- exact:    one hash-agg on a text fingerprint (map-side partial agg).
+- minhash:  one shingle explode + one hash-agg with k min()s — the
+            signature never materializes the O(n²) pair space.
+- LSH:      banded self-join; bucket sizes are bounded by signature
+            collisions, and AQE skew-join handles hot buckets.
+- jaccard:  exact verification on *candidate pairs only* (inverted-
+            index join on shared shingles), never all-pairs.
+
+Hashing uses md5 hex strings so an external SQL oracle (DuckDB,
+Postgres) reproduces results bit-for-bit; lexicographic min over hex
+digests is a valid min-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NORM_PATTERN = r"\s+"
+
+
+def normalize_text(text_col) -> F.Column:
+    """Whitespace-collapsed, lower-cased canonical form for exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(text_col), NORM_PATTERN, " "))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text.
+
+    Returns one row per distinct content: (fingerprint, n_docs, keeper_id).
+    Single shuffle on the fingerprint; partial aggregation map-side.
+    """
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, sh).
+
+    Built with array transforms over a single split — no UDFs.  Documents
+    shorter than ``n`` words produce no shingles.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx_terms = [f"element_at(__words, CAST(i + {j} AS INT))" for j in range(n)]
+    sh_expr = (
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> concat_ws(' ', {', '.join(idx_terms)}))"
+    )
+    return (
+        df.select(F.col(id_col), words.alias("__words"))
+        .filter(F.size("__words") >= n)
+        .select(F.col(id_col), F.explode(F.expr(sh_expr)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signature(shingles: DataFrame, id_col: str, k: int = 8) -> DataFrame:
+    """k-permutation MinHash signature as one hash-agg pass.
+
+    Permutation ``i`` is simulated by re-hashing each shingle with a seed
+    prefix; the minimum md5 hex digest per seed is the signature slot.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signature: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any full band of the signature become a
+    candidate pair.  (id_a, id_b) with id_a < id_b, distinct.
+
+    The unpivot keeps one row per (doc, band); the self-join shuffles on
+    (band, key) so each bucket joins locally.
+    """
+    rows = k // bands
+    band_cols = []
+    for b in range(bands):
+        key = F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    banded = signature.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs only.
+
+    Intersection via double equi-join against the distinct-shingle table
+    (an inverted-index probe, not an all-pairs scan); union by
+    inclusion-exclusion on per-doc shingle counts.
+    """
+    sa = shingles.select(F.col(id_col).alias("id_a"), "sh")
+    sb = shingles.select(F.col(id_col).alias("__id_b"), F.col("sh").alias("__sh_b"))
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("__id_b")) & (F.col("sh") == F.col("__sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 64-bit signature from per-word md5 bits (bit-majority vote).
+# Expressed as 64 conditional aggregates generated programmatically; the
+# whole thing is one explode + one hash-agg, same scale profile as minhash.
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word unigrams (with multiplicity).
+
+    Each word hashes to 64 bits (16 hex chars of md5); per bit position
+    the signed occurrence counts vote, and the sign becomes the output
+    bit.  Emitted as a 16-hex-char string for cross-engine comparability.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn("h", F.md5(F.col("w")))
+    # per hex-char digit value (hex->int via conv), then 4 sign-vote
+    # aggregates per char
+    digit_cols = [
+        F.conv(F.substring("h", c + 1, 1), 16, 10).cast("int").alias(f"d{c}")
+        for c in range(16)
+    ]
+    dw = words.select(id_col, *digit_cols)
+    aggs = []
+    for c in range(16):
+        for b in range(4):
+            bit = F.shiftright(F.col(f"d{c}"), 3 - b).bitwiseAND(F.lit(1))
+            aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{c}_{b}"))
+    votes = dw.groupBy(id_col).agg(*aggs)
+    # reassemble: 4 vote signs per hex char -> digit -> hex char
+    char_exprs = []
+    for c in range(16):
+        digit = sum(
+            F.when(F.col(f"v{c}_{b}") > 0, F.lit(1 << (3 - b))).otherwise(F.lit(0))
+            for b in range(4)
+        )
+        char_exprs.append(F.lower(F.conv(digit.cast("string"), 10, 16)))
+    return votes.select(F.col(id_col), F.concat(*char_exprs).alias("simhash"))

@@ -1,0 +1,79 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed in Arrow-batched Pandas UDFs.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_image_stub`` raises ``NotImplementedError`` unless
+``fake=True``, in which case it produces a deterministic fake feature
+vector from the blob's digest.  Everything *around* the stub — schema,
+``mapInPandas`` batch shape, partition sizing — is real and tested, so
+swapping in a real decoder (PIL / torchaudio / ffmpeg) is a one-function
+change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 4
+
+FEATURE_SCHEMA = (
+    "id long, byte_len long, checksum string, "
+    "feature array<double>"
+)
+
+
+def decode_image_stub(blob: bytes, fake: bool = True) -> list[float]:
+    """Placeholder for a real image/audio decode + feature extraction.
+
+    With ``fake=True`` returns a deterministic FEATURE_DIM-vector derived
+    from the md5 digest (first FEATURE_DIM bytes / 255).  With
+    ``fake=False`` raises — the container has no decode libraries.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image/audio decoding requires PIL/torchaudio — not in this image"
+        )
+    digest = hashlib.md5(blob).digest()
+    return [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]]
+
+
+def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Simulate a multimodal table: utf-8 blob column + typed metadata."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.encode(F.col(text_col), "UTF-8").alias("blob"),
+        F.lit("image/fake").alias("mime"),
+    )
+
+
+def extract_features(blobs: DataFrame, batch_fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas`` streams record batches through Python once — no
+    per-row serde, no driver collect; partitioning is whatever the
+    upstream scan produced, so at scale this rides the file splits.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs_col = pdf["blob"]
+            out = pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "byte_len": blobs_col.map(len),
+                    "checksum": blobs_col.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "feature": blobs_col.map(
+                        lambda b: decode_image_stub(bytes(b), fake=batch_fake)
+                    ),
+                }
+            )
+            yield out
+
+    return blobs.mapInPandas(op, schema=FEATURE_SCHEMA)

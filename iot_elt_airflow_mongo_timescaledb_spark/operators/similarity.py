@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- ``cosine_topk``   — exact brute force: one pass over the corpus per
+  query batch, dot products computed JVM-side with ``zip_with`` +
+  ``aggregate`` (sequential fold → deterministic, oracle-comparable),
+  top-k via a per-query window.  The right baseline, and fine whenever
+  |queries| × |corpus| rows fit a shuffle.
+- ``ivf_topk``      — IVF-style scale path: corpus is coarse-clustered
+  (here: by a partition key, e.g. a precomputed label or an LSH sign
+  bucket), each query probes only its nearest cluster(s).  Cuts the
+  candidate set by the cluster fan-out instead of scanning everything.
+
+Embeddings are cast float→double *before* any arithmetic so results are
+reproducible across engines (float32 accumulation is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec) -> F.Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(vec) -> F.Column:
+    return F.sqrt(dot(vec, vec))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = as_double(F.col(vec_col))
+    return df.withColumn("__vec", v).withColumn("__norm", l2_norm(F.col("__vec")))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query vector.
+
+    Queries are broadcast (small side); the corpus streams through one
+    projection — no shuffle until the per-query top-k window, which
+    shuffles only (n_queries × corpus) scored rows.  Ranking uses the
+    rounded score with the id as tie-break so results are deterministic.
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("__qvec"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "__vec", "__norm"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__vec"), F.col("__qvec"))
+                / (F.col("__norm") * F.col("__qnorm")),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """IVF-bucketed ANN: centroids from an existing coarse partition
+    (``cluster_col``), queries probe their single nearest centroid.
+
+    Scale shape: centroid table is tiny (n_clusters rows → broadcast);
+    the candidate join is an equi-join on the cluster id, so the probe
+    cost is |cluster| not |corpus|.  Recall < 1.0 by design — that is
+    the ANN trade; the brute-force path is the correctness baseline.
+    """
+    c = with_norm(corpus, vec_col)
+    # centroids: positional mean via posexplode + re-collect (all JVM ops)
+    dims = (
+        c.select(cluster_col, F.posexplode("__vec").alias("i", "x"))
+        .groupBy(cluster_col, "i")
+        .agg(F.avg("x").alias("m"))
+    )
+    centroids = (
+        dims.groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+        .select(
+            F.col(cluster_col).alias("__cluster"),
+            F.transform("im", lambda s: s.getField("m")).alias("__cvec"),
+        )
+        .withColumn("__cnorm", l2_norm(F.col("__cvec")))
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("__qvec"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    # assign each query to its nearest centroid (broadcast nested loop over
+    # n_clusters rows, then keep the argmax)
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "__qvec",
+        "__qnorm",
+        "__cluster",
+        (
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm"))
+        ).alias("__csim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("__cluster").asc()
+    )
+    assigned = qc.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    ).select("query_id", "__qvec", "__qnorm", "__cluster")
+    # probe only the assigned cluster
+    cand = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cluster_col).alias("__cluster"),
+        "__vec",
+        "__norm",
+    )
+    scored = (
+        cand.join(assigned, "__cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__vec"), F.col("__qvec"))
+                / (F.col("__norm") * F.col("__qnorm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)

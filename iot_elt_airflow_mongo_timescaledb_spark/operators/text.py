@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data curation.
+
+Language-ID (stopword-marker heuristic), quality scoring, token
+counting (whitespace + BPE-ish pre-tokenizer regex), and document
+fingerprinting.  All pure ``pyspark.sql.functions`` expressions —
+regex patterns are kept to constructs with identical semantics in
+Java regex (Spark) and RE2 (DuckDB/oracle): character classes,
+alternation, ``\\b`` word boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# deterministic per-language marker words for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|a|of|and|to)\b",
+    "fr": r"\b(le|la|les|et|des)\b",
+    "es": r"\b(el|los|las|y|que)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+}
+
+STOPWORDS_PATTERN = r"\b(the|a|of|and|to|in|is|it)\b"
+
+
+def _count(pattern: str, col) -> F.Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish sub-token count + char length."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        _count(r"\S+", t).alias("n_ws_tokens"),
+        _count(BPE_PATTERN, t).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars_measured"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword quality heuristics.
+
+    All ratios rounded to 6 dp (they are small-int rationals; rounding
+    only guards the float division).
+    """
+    t = F.col(text_col)
+    n_words = _count(r"\S+", t)
+    n_alpha = _count(r"[a-zA-Z]", t)
+    n_punct = _count(r"[^a-zA-Z0-9\s]", t)
+    n_stop = _count(STOPWORDS_PATTERN, t)
+    avg_word_len = F.round(n_alpha / n_words, 6)
+    punct_ratio = F.round(n_punct / F.length(t), 6)
+    stopword_ratio = F.round(n_stop / n_words, 6)
+    score = F.round(
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.4
+        + stopword_ratio * 0.4
+        + (1 - punct_ratio) * 0.2,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str, actual_col: str | None = None) -> DataFrame:
+    """Marker-stopword language classifier (argmax of per-language marker
+    hits, alphabetical tie-break, 'und' when no marker fires)."""
+    t = F.lower(F.col(text_col))
+    scores = {lang: _count(pat, t) for lang, pat in LANG_MARKERS.items()}
+    # argmax with deterministic tie-break: compare (score, reversed-lang)
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        s = scores[lang]
+        pred = F.when(s >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    cols = [F.col(id_col)]
+    cols += [scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)]
+    cols.append(pred.alias("pred_lang"))
+    if actual_col:
+        cols.append(F.col(actual_col).alias("actual_lang"))
+        cols.append((pred == F.col(actual_col)).alias("is_match"))
+    return df.select(*cols)
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprints: full md5 of normalized text, a 64-bit hex
+    prefix, and a coarse length bucket (for banded near-dup blocking)."""
+    norm = normalize_text(F.col(text_col))
+    fp = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        fp.alias("fp_md5"),
+        F.substring(fp, 1, 16).alias("fp_prefix64"),
+        F.floor(F.length(norm) / 100).cast("long").alias("len_bucket"),
+    )

@@ -1,0 +1,346 @@
+"""Training-data pipeline queries — dedup / similarity / text analysis /
+multimodal over the ``documents`` and ``embeddings`` tables.
+
+Oracle strategy: every hash is an md5 hex string (identical in Spark and
+DuckDB), minima over digests are lexicographic, embeddings are cast
+float→double before arithmetic, and ratios are rounded — so even the
+MinHash-LSH chain is reproduced exactly by the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from ..operators.multimodal import attach_binary, extract_features
+from .registry import query, table
+
+# ---------------------------------------------------------------------------
+# shared oracle-SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+_WORDS = r"SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents"
+
+_SHINGLES = rf"""SELECT DISTINCT doc_id,
+       unnest(list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+    FROM ({_WORDS}) WHERE len(ws) >= 3"""
+
+_K = 8
+_BANDS_N = 4
+
+_SIG = (
+    "SELECT doc_id, "
+    + ", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(_K))
+    + f" FROM ({_SHINGLES}) GROUP BY doc_id"
+)
+
+_BAND_KEY_CASE = (
+    "CASE b.band "
+    + " ".join(
+        f"WHEN {b} THEN mh{2 * b} || mh{2 * b + 1}" for b in range(_BANDS_N)
+    )
+    + " END"
+)
+
+_BANDS = f"""SELECT doc_id, b.band AS band, {_BAND_KEY_CASE} AS key
+    FROM ({_SIG}), (SELECT unnest([0,1,2,3]) AS band) b"""
+
+_PAIRS = f"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ({_BANDS}) a JOIN ({_BANDS}) b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup + fingerprints
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized-content md5."""
+    return D.exact_dedup_groups(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp_md5,
+           substr(md5({_NORM_SQL}), 1, 16) AS fp_prefix64,
+           CAST(floor(length({_NORM_SQL}) / 100) AS BIGINT) AS len_bucket
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    return X.fingerprints(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH + verified Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query("minhash_signatures", oracle=_SIG)
+def minhash_signatures(spark, sf_dir):
+    """k=8 MinHash signature per doc over word 3-gram shingles."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    return D.minhash_signature(sh, "doc_id", k=_K)
+
+
+@query("lsh_candidate_pairs", oracle=_PAIRS)
+def lsh_candidate_pairs(spark, sf_dir):
+    """Banded LSH (4 bands × 2 rows) near-dup candidate pairs."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sig = D.minhash_signature(sh, "doc_id", k=_K)
+    return D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES}), pairs AS ({_PAIRS}),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN shingles sa ON sa.doc_id = p.id_a
+      JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1)
+    SELECT i.id_a AS id_a, i.id_b AS id_b,
+           ROUND(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard, verified on LSH candidates only (the
+    scalable shape: inverted-index probe, never all-pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sig = D.minhash_signature(sh, "doc_id", k=_K)
+    pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
+    return D.jaccard_on_pairs(pairs, sh, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (programmatically generated 64-bit vote SQL)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    digits = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {c + 1}, 1)) - 1 AS d{c}"
+        for c in range(16)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (d{c} >> {3 - b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{c}_{b}"
+        for c in range(16)
+        for b in range(4)
+    )
+    chars = " || ".join(
+        "substr('0123456789abcdef', 1 + "
+        + " + ".join(
+            f"(CASE WHEN v{c}_{b} > 0 THEN {1 << (3 - b)} ELSE 0 END)"
+            for b in range(4)
+        )
+        + ", 1)"
+        for c in range(16)
+    )
+    return rf"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents),
+    hashes AS (SELECT doc_id, md5(w) AS h FROM words),
+    digits AS (SELECT doc_id, {digits} FROM hashes),
+    votes AS (SELECT doc_id, {votes} FROM digits GROUP BY doc_id)
+    SELECT doc_id, {chars} AS simhash FROM votes
+    """
+
+
+@query("simhash_signatures", oracle=_simhash_oracle())
+def simhash_signatures(spark, sf_dir):
+    """64-bit SimHash per doc (bit-majority of word md5 bits)."""
+    return D.simhash_signature(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{X.BPE_PATTERN}')) AS n_bpe_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    return X.token_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "quality_scores",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\S+')) AS n_words,
+             len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+             len(regexp_extract_all(text, '{X.STOPWORDS_PATTERN}')) AS n_stop,
+             length(text) AS n_chars
+      FROM documents)
+    SELECT doc_id, n_words,
+           ROUND(n_alpha / n_words, 6) AS avg_word_len,
+           ROUND(n_punct / n_chars, 6) AS punct_ratio,
+           ROUND(n_stop / n_words, 6) AS stopword_ratio,
+           ROUND(LEAST(n_words / 200.0, 1.0) * 0.4
+                 + ROUND(n_stop / n_words, 6) * 0.4
+                 + (1 - ROUND(n_punct / n_chars, 6)) * 0.2, 6) AS quality_score
+    FROM m
+    """,
+)
+def quality_scores(spark, sf_dir):
+    return X.quality_scores(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in X.LANG_MARKERS.items()
+    }
+    langs = sorted(X.LANG_MARKERS)  # de, en, es, fr
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{l2}" for l2 in langs[i + 1 :]] + ["1"]
+        cases.append(f"WHEN s_{lang} >= GREATEST({', '.join(rest)}) THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {', '.join(f"{score[lang]} AS s_{lang}" for lang in langs)}
+      FROM documents)
+    SELECT doc_id,
+           {', '.join(f"s_{lang} AS score_{lang}" for lang in langs)},
+           {case} AS pred_lang,
+           lang AS actual_lang,
+           ({case}) = lang AS is_match
+    FROM scored
+    """
+
+
+@query("lang_id", oracle=_langid_oracle())
+def lang_id(spark, sf_dir):
+    """Marker-stopword language-ID heuristic (argmax, alphabetical
+    tie-break, 'und' when nothing fires)."""
+    return X.lang_id(table(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# embeddings: norms, brute-force cosine top-k, IVF ANN
+# ---------------------------------------------------------------------------
+
+_VECS = """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings"""
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label, len(e) AS dim, ROUND(nrm, 6) AS norm
+    FROM ({_VECS})
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Vector plumbing: dims + L2 norm via zip_with/aggregate fold."""
+    e = table(spark, sf_dir, "embeddings")
+    v = S.as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(S.l2_norm(v), 6).alias("norm"),
+    )
+
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH v AS ({_VECS}), q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS score
+      FROM q JOIN v c ON c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-3 for query vectors vec_id < 5."""
+    e = table(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+    return out.select("query_id", "neighbor_id", "score", "rk")
+
+
+@query("ann_ivf_topk")  # no SQL oracle: iterative/argmax ANN — rows-only check
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (label = coarse cluster): probe nearest centroid
+    only.  Approximate by design → no SQL oracle; correctness baseline is
+    ``cosine_topk``."""
+    e = table(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+    return out.select("query_id", "neighbor_id", "score", "rk")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (Arrow-batched mapInPandas with a deterministic
+# fake decode — see operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+_HEXVAL = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+
+
+def _byte_expr(i: int) -> str:
+    hi = _HEXVAL.format(p=2 * i + 1)
+    lo = _HEXVAL.format(p=2 * i + 2)
+    return f"ROUND(({hi} * 16 + {lo}) / 255.0, 6)"
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS checksum,
+           [{', '.join(_byte_expr(i) for i in range(4))}] AS feature
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Binary-column pipeline: blob + metadata -> mapInPandas feature
+    extraction (deterministic fake decode over the md5 digest)."""
+    docs = table(spark, sf_dir, "documents")
+    blobs = attach_binary(docs, "text", "doc_id")
+    return extract_features(blobs)
