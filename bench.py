@@ -1,0 +1,78 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.  Each query is timed end-to-end
+(plan + execute + collect) after a one-query JVM warm-up so codegen /
+classloading costs don't land on the first measured entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import spark_queries
+from iot_elt_airflow_mongo_timescaledb_spark.session import get_spark
+
+# Headline set: one per operator family (SURVEY §2) + the training-data
+# pipeline ops + the streaming rollup.
+HEADLINE = [
+    "pricing_summary",          # grouped multi-agg scan (A1/A2)
+    "daily_steps",              # time-keyed rollup (A1/P3)
+    "weekly_summary",           # two-key join of two aggs (J4/A6)
+    "stage_users",              # left join + collect_list (J2/A3)
+    "health_metrics_per_age_grp",  # CTE + CASE buckets + join + avg-of-avg
+    "semi_join_urgent",         # left-semi existence filter (J3)
+    "topk_orders_per_customer", # window top-k
+    "parent_child_roundtrip",   # flatten + reassemble (S10/J1)
+    "dedup_exact",              # hash-groupBy dedup
+    "lsh_candidate_pairs",      # MinHash + banded LSH
+    "ngram_jaccard_pairs",      # verified Jaccard on candidates
+    "simhash_signatures",       # bitwise SimHash
+    "quality_scores",           # text quality scoring
+    "lang_id",                  # n-gram language id
+    "cosine_topk",              # brute-force ANN baseline
+    "multimodal_features",      # Arrow mapInPandas binary pipeline
+    "streaming_hourly_rollup",  # Structured Streaming drain
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    queries = spark_queries()
+
+    # warm-up: JVM + parquet footer caches + codegen paths
+    queries["pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Pipeline orchestration — the Airflow DAGs collapsed into one engine.
+
+Reference lifecycle (SURVEY §3): a 15-minute master DAG triggers
+extract→load (dlt) then stage transforms (dbt), with daily/weekly/
+monthly aggregate DAGs fanning out [sleeps, steps] >> summary
+(iot_master_dag.py:42-71, iot_dwh_agg_transform_daily.py:84-88).
+
+Here the DAG is plain function composition: ``sync()`` is one
+micro-batch (extract → raw → stage), ``aggregate(freq)`` runs the
+fan-out/fan-in trio, ``build_views()`` registers the examples layer.
+Within one Spark action the "fan-out" is free — lazy evaluation shares
+the stage scans; across runs, incremental materialization keeps each
+step a delta."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.flatten import flatten_document_table
+from ..sources.ingest import IncrementalCursor, dedup_by_pk, read_documents
+from .materialize import Warehouse
+from .models import AGG_MODELS, EXAMPLE_VIEWS, STAGE_MODELS
+
+COLLECTIONS = ("users", "heart_rates", "sleeps", "steps")
+
+
+class HealthPipeline:
+    """End-to-end equivalent of the reference deployment."""
+
+    def __init__(self, spark: SparkSession, warehouse_root: str):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+
+    # -- extract + normalize -> raw (§3.1) ------------------------------
+
+    def sync(self, source_paths: dict[str, str]) -> None:
+        """One micro-batch: per collection (T3 parallel in the reference;
+        here independent lazy plans), incremental-filter (S9), pk-dedup
+        (T8), flatten (S10), append to raw, commit cursor (T7)."""
+        for coll, path in source_paths.items():
+            docs = read_documents(self.spark, path)
+            cursor = IncrementalCursor(
+                self.spark, self.wh.root, coll, "created_at"
+            )
+            fresh = dedup_by_pk(cursor.filter(docs), pk="_id")
+            tables = flatten_document_table(fresh, coll, primary_key="_id")
+            for name, df in tables.items():
+                # raw layer upserts on the deterministic _dlt_id so the
+                # >= cursor boundary re-read stays idempotent
+                self.wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
+            cursor.commit(fresh)
+
+    # -- stage transforms (§3.2) ----------------------------------------
+
+    def run_stage(self) -> None:
+        raw = {
+            name: self.wh.read(f"raw.{name}")
+            for name in self._raw_tables()
+        }
+        for name, (builder, cfg) in STAGE_MODELS.items():
+            df = builder(raw)
+            if cfg.get("mode") == "upsert":
+                self.wh.materialize_upsert(name, df, cfg["unique_key"])
+            else:
+                self.wh.materialize_incremental(
+                    name, df, watermark_col=cfg.get("watermark")
+                )
+
+    # -- aggregate DAGs (§3.3) ------------------------------------------
+
+    def aggregate(self, freq: str) -> None:
+        """[sleeps, steps] >> summary (T4 fan-out/fan-in)."""
+        models = AGG_MODELS[freq]
+        ctx = {
+            f"stage.{n}": self.wh.read(f"stage.{n}")
+            for n in ("users", "heart_rates", "steps", "sleeps")
+        }
+        ordered = sorted(models.items(), key=lambda kv: kv[0].endswith("_summary"))
+        for name, (builder, cfg) in ordered:
+            df = builder(ctx)
+            out = self.wh.materialize_incremental(
+                name, df, watermark_col=cfg.get("watermark")
+            )
+            ctx[name] = out
+
+    def build_views(self) -> dict[str, DataFrame]:
+        ctx = {
+            "stage.users": self.wh.read("stage.users"),
+            "agg.daily_steps": self.wh.read("agg.daily_steps"),
+            "agg.daily_summary": self.wh.read("agg.daily_summary"),
+            "agg.monthly_summary": self.wh.read("agg.monthly_summary"),
+        }
+        return {
+            name: self.wh.materialize_view(name, fn(ctx))
+            for name, fn in EXAMPLE_VIEWS.items()
+        }
+
+    def run_all(self, source_paths: dict[str, str]) -> None:
+        self.sync(source_paths)
+        self.run_stage()
+        for freq in ("daily", "weekly", "monthly"):
+            self.aggregate(freq)
+        self.build_views()
+
+    def _raw_tables(self) -> list[str]:
+        import os
+
+        raw_dir = os.path.join(self.wh.root, "raw")
+        return sorted(os.listdir(raw_dir)) if os.path.isdir(raw_dir) else []

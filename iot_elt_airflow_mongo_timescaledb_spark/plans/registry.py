@@ -63,8 +63,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import queries_relational  # noqa: F401
-    try:
-        from . import queries_traindata  # noqa: F401
-    except ImportError:
-        pass
+    from . import queries_streaming  # noqa: F401
+    from . import queries_traindata  # noqa: F401
+
     _LOADED = True

@@ -1,0 +1,92 @@
+"""Document ingest: JSON/parquet document source → normalized raw layer.
+
+Reimplements the reference's extract path Spark-natively:
+
+- S13 JSON bootstrap  (mongo-init.js:14-32)        → ``read_documents``
+- S8  BSON-ish type normalization (helpers.py:323-336) → ``normalize_bson``
+- S9/T7 incremental cursor (helpers.py:48-103)     → ``IncrementalCursor``
+- T8  pk-dedup of the >= boundary re-read (helpers.py:93-96, __init__.py:64)
+- S10 flatten (dlt normalize)                      → ``sources.flatten``
+
+The cursor protocol is the reference's exactly: re-extract everything
+with ``cursor_field >= last_value`` (dup-tolerant), dedup by primary
+key downstream, then persist the new max.  State lives in a tiny
+parquet "_meta" table — the only driver-side scalar in the pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_documents(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S13 — JSON document source (multiLine handles pretty-printed
+    fixture arrays, like ``insertMany(JSON.parse(file))``)."""
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def normalize_bson(df: DataFrame, epoch_cols: tuple[str, ...] = ()) -> DataFrame:
+    """S8 — the BSON value conversions, as cast expressions.
+
+    The reference maps ObjectId/Decimal128→str and datetime/Timestamp→
+    tz-aware datetime (helpers.py:323-336).  Sparkside, JSON already
+    lands as string/long; what remains is epoch-seconds → timestamp for
+    the declared columns (negative = pre-1970 works: generator.py dob).
+    """
+    for c in epoch_cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.timestamp_seconds(F.col(c)))
+    return df
+
+
+def dedup_by_pk(df: DataFrame, pk: str = "_id") -> DataFrame:
+    """T8 — drop boundary re-read duplicates by primary key (keeps an
+    arbitrary winner, like dlt's merge on ``primary_key='_id'``)."""
+    if pk in df.columns:
+        return df.dropDuplicates([pk])
+    return df
+
+
+class IncrementalCursor:
+    """S9/T7 — persisted per-source high-watermark (``last_value``).
+
+    ``filter()`` applies the reference's ``{cursor_field: {"$gte":
+    last_value}}`` predicate (helpers.py:93-96): *inclusive* lower bound,
+    so boundary docs re-read and pk-dedup cleans up.  ``commit()``
+    persists the new max after a successful load.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str, source: str, cursor_field: str):
+        self.spark = spark
+        self.state_path = os.path.join(state_dir, f"_meta_cursor_{source}")
+        self.cursor_field = cursor_field
+
+    def last_value(self):
+        try:
+            rows = self.spark.read.parquet(self.state_path).collect()
+            return rows[0]["last_value"] if rows else None
+        except Exception:  # noqa: BLE001 - missing state == first run
+            return None
+
+    def filter(self, df: DataFrame) -> DataFrame:
+        lv = self.last_value()
+        if lv is None:
+            return df
+        return df.filter(F.col(self.cursor_field) >= F.lit(lv))
+
+    def commit(self, df: DataFrame) -> None:
+        row = df.agg(F.max(self.cursor_field).alias("last_value")).first()
+        if row["last_value"] is None:
+            return
+        self.spark.createDataFrame(
+            [(row["last_value"],)], [f"last_value"]
+        ).coalesce(1).write.mode("overwrite").parquet(self.state_path)

@@ -1,0 +1,68 @@
+"""Structured Streaming wrapper — the 15-minute sync as a real stream.
+
+Reference: master DAG cron ``*/15 * * * *`` with ``max_active_runs=1``
+(iot_master_dag.py:42-48) and the dlt incremental cursor as persisted
+state (T7).  Spark-native: ``readStream`` + event-time watermark +
+windowed aggregation; the checkpoint directory replaces the cursor
+table; ``availableNow``/``processAllAvailable`` gives the batch-drain
+semantics the Airflow catchup loop approximates."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed count/sum per event_type, driven as a
+    stream over the events parquet and drained to completion.
+
+    Complete output mode so every window lands in the sink (append mode
+    would hold back windows the final watermark never closes).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource needs a directory; events.parquet is a single file,
+    # so stream the parent dir with a glob filter selecting just it.
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    sink = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)

@@ -1,0 +1,66 @@
+"""Materialization-protocol tests — M1/M2/M3 + A4/P8 watermark semantics
+(reference dbt incremental configs, SURVEY §2.6, quirk §2.9.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import Warehouse
+
+
+def _days(spark, *pairs):
+    return spark.createDataFrame([Row(day=d, v=v) for d, v in pairs])
+
+
+def test_incremental_first_run_writes_everything(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    wh.materialize_incremental("agg.t", _days(spark, ("20200101", 1), ("20200102", 2)), "day")
+    assert wh.read("agg.t").count() == 2
+
+
+def test_incremental_strict_gt_watermark(spark, tmp_path):
+    """Quirk §2.9.8: rows sharing the current max watermark are dropped
+    (transform layer uses strictly-greater, unlike the >= extract side)."""
+    wh = Warehouse(spark, str(tmp_path))
+    wh.materialize_incremental("agg.t", _days(spark, ("20200101", 1), ("20200102", 2)), "day")
+    # batch 2 carries a late row for the boundary day 02 and a new day 03
+    wh.materialize_incremental("agg.t", _days(spark, ("20200102", 99), ("20200103", 3)), "day")
+    rows = {(r["day"], r["v"]) for r in wh.read("agg.t").collect()}
+    assert rows == {("20200101", 1), ("20200102", 2), ("20200103", 3)}
+
+
+def test_incremental_rerun_is_idempotent(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    df = _days(spark, ("20200101", 1), ("20200102", 2))
+    wh.materialize_incremental("agg.t", df, "day")
+    wh.materialize_incremental("agg.t", df, "day")
+    assert wh.read("agg.t").count() == 2
+
+
+def test_upsert_replaces_on_unique_key(spark, tmp_path):
+    """M2 — models/stage/users.sql:2-5 unique_key='user_id' semantics."""
+    wh = Warehouse(spark, str(tmp_path))
+    wh.materialize_upsert(
+        "stage.users",
+        spark.createDataFrame([Row(user_id="a", age=30), Row(user_id="b", age=40)]),
+        "user_id",
+    )
+    wh.materialize_upsert(
+        "stage.users",
+        spark.createDataFrame([Row(user_id="b", age=41), Row(user_id="c", age=50)]),
+        "user_id",
+    )
+    rows = {(r["user_id"], r["age"]) for r in wh.read("stage.users").collect()}
+    assert rows == {("a", 30), ("b", 41), ("c", 50)}
+
+
+def test_view_materialization(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    wh.materialize_view("examples.v", _days(spark, ("20200101", 1)))
+    assert spark.table("examples__v").count() == 1
+
+
+def test_namespace_paths(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    assert wh.path("stage.users").endswith("stage/users")
+    assert not wh.exists("stage.users")

@@ -1,0 +1,39 @@
+"""Oracle-parity gate: every registered query vs its DuckDB twin.
+
+Mirrors the driver's CORRECTNESS check (row count + schema + order-
+insensitive value multiset) at the small SF so `pytest -x -q` stays fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import (
+    oracle_queries,
+    spark_queries,
+)
+from tools.parity import compare_query
+
+_QUERIES = spark_queries()
+_ORACLES = oracle_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    problems = compare_query(spark, duck, _QUERIES[name], _ORACLES[name], sf_dir)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_query_runs(name, spark, sf_dir):
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) >= {"sum_qty", "count_order"}

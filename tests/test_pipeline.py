@@ -1,0 +1,153 @@
+"""End-to-end pipeline test on reference-shaped fixtures (FIXTURES.md §1).
+
+Synthesizes the four source collections as JSON documents with the exact
+schemas of the reference's Mongo fixtures (users/heart_rates/sleeps/steps,
+/root/reference/shared/mongodb/initdb.d/), runs the full micro-batch
+lifecycle (sync → stage → daily/weekly/monthly aggs → example views), and
+checks hand-computed values plus the re-run idempotency the incremental
+protocol promises.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import HealthPipeline
+
+# 2020-02-01 00:00 UTC
+T0 = 1580515200
+H = 3600
+
+USERS = [
+    {"_id": "u1", "user_id": "u1", "age": 30, "height": 180, "gender": "male",
+     "email": "a@x.com", "dob": -168825600, "created_at": T0 - 86400,
+     "devices": ["d1", "d2"]},
+    {"_id": "u2", "user_id": "u2", "age": 70, "height": 165, "gender": "female",
+     "email": "b@x.com", "dob": 100000, "created_at": T0 - 86400,
+     "devices": ["d3"]},
+    {"_id": "u3", "user_id": "u3", "age": 10, "height": 140, "gender": "male",
+     "email": "c@x.com", "dob": 1262304000, "created_at": T0 - 86400,
+     "devices": []},
+]
+
+HEART_RATES = [
+    {"_id": "h1", "device_id": "d1", "created_at": T0, "ended_at": T0 + 4 * H,
+     "metrics": [{"ts": T0 + 600, "bpm": 60, "confidence": 3},
+                 {"ts": T0 + 1200, "bpm": 70, "confidence": 2}]},
+    {"_id": "h2", "device_id": "d3", "created_at": T0, "ended_at": T0 + 4 * H,
+     "metrics": [{"ts": T0 + 4800, "bpm": 80, "confidence": 1}]},
+    {"_id": "h3", "device_id": "d1", "created_at": T0 + 4 * H,
+     "ended_at": T0 + 8 * H, "metrics": []},
+]
+
+SLEEPS = [
+    # duplicate struct kept on purpose (FIXTURES.md §1 sleeps note, T8)
+    {"_id": "s1", "device_id": "d1", "created_at": T0 + 2 * H,
+     "ended_at": T0 + 2 * H + 900,
+     "metrics": [{"start_ts": T0 + 150, "end_ts": T0 + 22740, "duration": 22560000},
+                 {"start_ts": T0 + 150, "end_ts": T0 + 22740, "duration": 22560000}]},
+]
+
+STEPS = [
+    {"_id": "p1", "device_id": "d1", "created_at": T0, "ended_at": T0 + 4 * H,
+     "metrics": [{"ts": T0 + 800, "steps": 100}, {"ts": T0 + 1700, "steps": 50}]},
+    {"_id": "p2", "device_id": "d2", "created_at": T0 + 24 * H,
+     "ended_at": T0 + 28 * H, "metrics": [{"ts": T0 + 24 * H + 200, "steps": 30}]},
+]
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("mongo_fixture")
+    for name, docs in (
+        ("users", USERS), ("heart_rates", HEART_RATES),
+        ("sleeps", SLEEPS), ("steps", STEPS),
+    ):
+        (src / f"{name}.json").write_text(json.dumps(docs))
+    wh_root = tmp_path_factory.mktemp("warehouse")
+    p = HealthPipeline(spark, str(wh_root))
+    paths = {n: str(src / f"{n}.json") for n in ("users", "heart_rates", "sleeps", "steps")}
+    p.run_all(paths)
+    return p, paths
+
+
+def test_raw_layer_flattened(pipeline):
+    p, _ = pipeline
+    assert p.wh.read("raw.users").count() == 3
+    assert p.wh.read("raw.users__devices").count() == 3
+    assert p.wh.read("raw.heart_rates").count() == 3
+    assert p.wh.read("raw.heart_rates__metrics").count() == 3
+    assert p.wh.read("raw.sleeps__metrics").count() == 2  # dup kept
+
+
+def test_stage_users_devices_array(pipeline):
+    p, _ = pipeline
+    rows = {r["user_id"]: r["devices"] for r in p.wh.read("stage.users").collect()}
+    assert rows["u1"] == ["d1", "d2"]
+    assert rows["u2"] == ["d3"]
+    assert rows["u3"] == []  # left-join null → empty array (J2 caveat)
+
+
+def test_stage_heart_rates_event_time_keys(pipeline):
+    p, _ = pipeline
+    hr = p.wh.read("stage.heart_rates")
+    assert hr.count() == 3
+    days = {r["day"] for r in hr.collect()}
+    assert days == {"20200201"}  # §2.9.1: day from event ts
+
+
+def test_agg_daily_values(pipeline):
+    p, _ = pipeline
+    steps = {(r["day"], r["device_id"]): r["step_count"]
+             for r in p.wh.read("agg.daily_steps").collect()}
+    assert steps == {("20200201", "d1"): 150, ("20200202", "d2"): 30}
+
+    sleeps = {(r["day"], r["device_id"]): r["avg_sleep_bpm"]
+              for r in p.wh.read("agg.daily_sleeps").collect()}
+    # d1 joins the sleeps existence filter (row-doubling invisible to AVG);
+    # d3 has no sleep rows → dropped (J3)
+    assert sleeps == {("20200201", "d1"): 65.0}
+
+    summary = [(r["day"], r["device_id"], r["avg_sleep_bpm"], r["step_count"])
+               for r in p.wh.read("agg.daily_summary").collect()]
+    # inner join drops (d2, 20200202): steps but no sleeps (quirk §2.9.5)
+    assert summary == [("20200201", "d1", 65.0, 150)]
+
+
+def test_weekly_sleeps_has_no_existence_join(pipeline):
+    p, _ = pipeline
+    weekly = {r["device_id"]: r["avg_sleep_bpm"]
+              for r in p.wh.read("agg.weekly_sleeps").collect()}
+    # quirk §2.9.3: d3 appears even though it never slept
+    assert set(weekly) == {"d1", "d3"}
+    assert weekly["d3"] == 80.0
+
+
+def test_example_views(pipeline, spark):
+    p, _ = pipeline
+    views = p.build_views()
+    daily = {(r["day"], r["age_group"]): r["avg_step_count"]
+             for r in views["examples.daily_health_metrics_per_age_grp"].collect()}
+    assert daily == {("20200201", "25-34"): 150.0}
+
+    last_month = [(r["day"], r["user_id"], r["step_count"], r["devices"])
+                  for r in views["examples.daily_user_steps_for_last_month"].collect()]
+    assert ("20200202", "u1", 30, ["d2"]) in last_month
+    assert ("20200201", "u1", 150, ["d1"]) in last_month
+
+
+def test_rerun_is_idempotent(pipeline):
+    """Second micro-batch over the same source: >= cursor re-reads the
+    boundary, pk-dedup + raw upsert + strict-> watermarks keep every
+    layer unchanged (SURVEY T7/T8, §2.9.8)."""
+    p, paths = pipeline
+    before = {
+        t: p.wh.read(t).count()
+        for t in ("raw.heart_rates__metrics", "stage.users", "stage.steps",
+                  "agg.daily_steps", "agg.weekly_summary")
+    }
+    p.run_all(paths)
+    after = {t: p.wh.read(t).count() for t in before}
+    assert after == before

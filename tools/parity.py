@@ -5,6 +5,9 @@ DuckDB over the same parquet, then compares row count, column names, and
 an order-insensitive multiset of normalized values.  Usage:
 
     python tools/parity.py [sf_dir] [query ...]
+
+The comparison helpers are importable (tests/test_oracle_parity.py uses
+them) so the pytest gate and this CLI can never drift apart.
 """
 
 from __future__ import annotations
@@ -16,9 +19,6 @@ from datetime import date, datetime
 import duckdb
 
 sys.path.insert(0, "/root/repo")
-
-import __spark_entry__ as entry_mod  # noqa: E402
-from iot_elt_airflow_mongo_timescaledb_spark.session import TABLES, get_spark  # noqa: E402
 
 
 def _norm(v):
@@ -42,17 +42,56 @@ def _rows_to_multiset(rows, colnames):
     return sorted(tuple(str(_norm(r[i])) for i in order) for r in rows)
 
 
-def main():
-    args = sys.argv[1:]
-    sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
-    only = set(a for a in args if not a.startswith("/"))
+def duck_connection(sf_dir: str):
+    """DuckDB connection with every testdata table registered as a view."""
+    from iot_elt_airflow_mongo_timescaledb_spark.session import TABLES
 
-    spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    return con
+
+
+def compare_query(spark, con, fn, sql, sf_dir: str) -> list[str]:
+    """Run one Spark query + its DuckDB oracle; return a list of problems
+    (empty == parity).  Raises nothing: engine errors become problems."""
+    try:
+        sdf = fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # noqa: BLE001
+        return [f"spark error: {e}"]
+    try:
+        res = con.execute(sql)
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+    except Exception as e:  # noqa: BLE001
+        return [f"duckdb error: {e}"]
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+    if not problems:
+        ms, md = _rows_to_multiset(s_rows, s_cols), _rows_to_multiset(d_rows, d_cols)
+        if ms != md:
+            diff = [(a, b) for a, b in zip(ms, md) if a != b][:3]
+            problems.append(f"values differ; first diffs: {diff}")
+    return problems
+
+
+def main():
+    import __spark_entry__ as entry_mod
+    from iot_elt_airflow_mongo_timescaledb_spark.session import get_spark
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
+    only = set(a for a in args if not a.startswith("/"))
+
+    spark = get_spark("parity")
+    con = duck_connection(sf_dir)
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -60,41 +99,21 @@ def main():
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
-            n_fail += 1
-            continue
         if name not in oracles:
-            print(f"SKIP  {name}: no oracle ({len(s_rows)} rows)")
-            n_skip += 1
+            try:
+                n_rows = fn(spark, sf_dir).count()
+                print(f"SKIP  {name}: no oracle ({n_rows} rows)")
+                n_skip += 1
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: spark error: {e}")
+                n_fail += 1
             continue
-        try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
-        problems = []
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
-        if not problems:
-            ms, md = _rows_to_multiset(s_rows, s_cols), _rows_to_multiset(d_rows, d_cols)
-            if ms != md:
-                diff = [(a, b) for a, b in zip(ms, md) if a != b][:3]
-                problems.append(f"values differ; first diffs: {diff}")
+        problems = compare_query(spark, con, fn, oracles[name], sf_dir)
         if problems:
             print(f"FAIL  {name}: " + " | ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(s_rows)} rows)")
+            print(f"PASS  {name}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     sys.exit(1 if n_fail else 0)
