@@ -6,7 +6,7 @@ batch aggregation."""
 
 from __future__ import annotations
 
-from ..streaming.micro_batch import hourly_rollup_stream
+from ..streaming.micro_batch import dedup_counts_stream, hourly_rollup_stream
 from .registry import query
 
 
@@ -25,3 +25,16 @@ def streaming_hourly_rollup(spark, sf_dir):
     """T1/T7 — Structured Streaming tumbling-window rollup, drained with
     processAllAvailable (the micro-batch sync as a real stream)."""
     return hourly_rollup_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_dedup_counts(spark, sf_dir):
+    """T8 — stateful streaming dropDuplicates on the primary key, then a
+    per-type count; equals the batch COUNT(DISTINCT pk)."""
+    return dedup_counts_stream(spark, sf_dir)

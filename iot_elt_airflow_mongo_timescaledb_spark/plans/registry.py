@@ -62,6 +62,7 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    from . import queries_analytics  # noqa: F401
     from . import queries_relational  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_traindata  # noqa: F401

@@ -54,13 +54,32 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
-    sink = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .start()
+    return _drain_to_memory(spark, agg, "hourly_rollup", "complete")
+
+
+def dedup_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (T8 as a stream): ``dropDuplicates`` on
+    the primary key with a watermark bounding the dedup state, then a
+    per-type count.  This is the reference's ``primary_key='_id'``
+    merge-dedup expressed as Structured Streaming state.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return _drain_to_memory(spark, agg, "dedup_counts", "complete")
+
+
+def _drain_to_memory(
+    spark: SparkSession, df: DataFrame, name: str, mode: str
+) -> DataFrame:
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = df.writeStream.outputMode(mode).format("memory").queryName(sink).start()
     try:
         q.processAllAvailable()
     finally:
