@@ -249,9 +249,12 @@ def examples_daily_user_steps_for_last_month(t):
 
 STAGE_MODELS = {
     "stage.users": (stage_users, {"mode": "upsert", "unique_key": "user_id"}),
-    "stage.heart_rates": (stage_heart_rates, {"watermark": "created_at"}),
-    "stage.steps": (stage_steps, {"watermark": "created_at"}),
-    "stage.sleeps": (stage_sleeps, {"watermark": "created_at"}),
+    # day-partitioned: downstream aggs filter/group on the day key, so
+    # readers partition-prune; ≈ the reference's order_by='device_id'
+    # physical hint + TimescaleDB hypertable day chunking (stage/*.sql:3)
+    "stage.heart_rates": (stage_heart_rates, {"watermark": "created_at", "partition_by": ("day",)}),
+    "stage.steps": (stage_steps, {"watermark": "created_at", "partition_by": ("day",)}),
+    "stage.sleeps": (stage_sleeps, {"watermark": "created_at", "partition_by": ("day",)}),
 }
 
 AGG_MODELS = {

@@ -63,7 +63,10 @@ class HealthPipeline:
                 self.wh.materialize_upsert(name, df, cfg["unique_key"])
             else:
                 self.wh.materialize_incremental(
-                    name, df, watermark_col=cfg.get("watermark")
+                    name,
+                    df,
+                    watermark_col=cfg.get("watermark"),
+                    partition_by=cfg.get("partition_by", ()),
                 )
 
     # -- aggregate DAGs (§3.3) ------------------------------------------

@@ -129,15 +129,19 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     """,
 )
 def pivot_daily_event_values(spark, sf_dir):
-    """PIVOT — wide daily matrix of per-type value sums.  The value list
-    is declared so Spark skips the extra distinct-scan planning pass."""
+    """PIVOT as single-pass conditional aggregation: one shuffle, one
+    hash-agg.  (``df.pivot(col, values)`` plans a second aggregate on
+    top of the first — this form is the plan .pivot should produce and
+    what a 100 TB run wants.)"""
     e = table(spark, sf_dir, "events")
-    out = (
-        e.groupBy(F.date_format("ts", "yyyyMMdd").alias("day"))
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.round(F.sum("value"), 2))
+    return e.groupBy(F.date_format("ts", "yyyyMMdd").alias("day")).agg(
+        *[
+            F.round(
+                F.sum(F.when(F.col("event_type") == t, F.col("value"))), 2
+            ).alias(t)
+            for t in _EVENT_TYPES
+        ]
     )
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,68 @@
+"""Physical-plan invariants — scale properties asserted as tests.
+
+A query that silently loses filter pushdown, column pruning, or its
+broadcast would still pass the value-parity gate at sf0.01 but fall over
+at 100 TB; these tests pin the plan shape itself.
+"""
+
+from __future__ import annotations
+
+from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import spark_queries
+from tools.explain_audit import plan_facts
+
+_Q = spark_queries()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    facts = plan_facts(_Q["pricing_summary"](spark, sf_dir), execute=True)
+    # the shipdate filter must reach the parquet scan
+    assert any("l_shipdate" in p for p in facts["pushed_filters"]), facts["pushed_filters"]
+    # column pruning: the scan reads only the 7 referenced columns
+    schema = facts["read_schemas"][0]
+    assert "l_orderkey" not in schema and "l_partkey" not in schema, schema
+    assert facts["n_codegen"] >= 1
+    # exactly one shuffle: the partial/final group-by exchange
+    assert facts["n_exchanges"] == 1, facts["plan"]
+
+
+def test_daily_steps_filter_pushdown(spark, sf_dir):
+    facts = plan_facts(_Q["daily_steps"](spark, sf_dir))
+    assert any("event_type" in p for p in facts["pushed_filters"]), facts["pushed_filters"]
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    facts = plan_facts(_Q["semi_join_urgent"](spark, sf_dir))
+    assert "LeftSemi" in facts["plan"]
+    assert "CartesianProduct" not in facts["joins"]
+
+
+def test_membership_join_broadcasts(spark, sf_dir):
+    """J5 literal form: 5-row dim side must broadcast, never shuffle the
+    fact side into a cartesian space."""
+    facts = plan_facts(_Q["array_membership_region"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in facts["joins"] or "BroadcastHashJoin" in facts["joins"]
+    assert "CartesianProduct" not in facts["joins"]
+
+
+def test_equi_joins_never_cartesian(spark, sf_dir):
+    for name in ("stage_users", "weekly_summary", "health_metrics_per_age_grp",
+                 "range_join_ship_lag", "user_steps_last_month"):
+        facts = plan_facts(_Q[name](spark, sf_dir))
+        assert "CartesianProduct" not in facts["joins"], name
+
+
+def test_asof_join_single_shuffle_no_join_node(spark, sf_dir):
+    """The as-of composition must plan as window-over-union: zero join
+    nodes, and only the partitionBy(user_id) shuffle pair from the two
+    scans feeding the union."""
+    facts = plan_facts(_Q["asof_last_view_before_purchase"](spark, sf_dir))
+    assert not facts["joins"], facts["joins"]
+    assert facts["n_exchanges"] == 1, facts["plan"]
+
+
+def test_lsh_no_cartesian(spark, sf_dir):
+    """Banded LSH self-join must hash-partition on (band, key) — a
+    cartesian fallback here is the difference between hours and never."""
+    facts = plan_facts(_Q["lsh_candidate_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in facts["joins"]
+    assert any(j in facts["joins"] for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
