@@ -674,3 +674,27 @@ def topk_orders_per_customer(spark, sf_dir):
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# O1/O2/S4 — global ORDER BY + LIMIT (top-k over the whole table).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top5_orders",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+    """,
+)
+def top5_orders(spark, sf_dir):
+    """O2/S4 — LIMIT pushdown: Spark plans TakeOrderedAndProject (per-
+    partition top-k then merge on the driver), never a full global sort
+    (reference limit pushdown: dlt helpers.py:105-123)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey").asc())
+        .limit(5)
+    )

@@ -105,3 +105,19 @@ def test_nested_plain_struct_flattens_into_parent(spark):
     out = flatten_document_table(df, "t")
     cols = set(out["t"].columns)
     assert {"meta__source", "meta__fw__major", "meta__fw__minor"} <= cols
+
+
+def test_normalize_bson_epoch_columns(spark):
+    """S8 — declared epoch-second columns become timestamps; negative
+    epochs (pre-1970 dob, reference users.json) work."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from iot_elt_airflow_mongo_timescaledb_spark.sources.ingest import normalize_bson
+
+    df = spark.createDataFrame([Row(_id="u", created_at=1572566400, dob=-168825600)])
+    out = normalize_bson(df, epoch_cols=("created_at", "dob", "missing_col"))
+    row = out.collect()[0]
+    assert row["created_at"] == datetime(2019, 11, 1, 0, 0)
+    assert row["dob"] == datetime(1964, 8, 26, 0, 0)
