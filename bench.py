@@ -39,6 +39,11 @@ HEADLINE = [
     "cosine_topk",              # brute-force ANN baseline
     "multimodal_features",      # Arrow mapInPandas binary pipeline
     "streaming_hourly_rollup",  # Structured Streaming drain
+    "dedup_clusters",           # iterative connected components
+    "asof_last_view_before_purchase",  # as-of join (1 shuffle)
+    "session_windows",          # event-time sessionization
+    "rollup_revenue",           # OLAP subtotal grid
+    "distinct_users_daily",     # two-phase exact distinct
 ]
 
 

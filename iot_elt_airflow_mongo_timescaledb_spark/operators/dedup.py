@@ -182,3 +182,63 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         char_exprs.append(F.lower(F.conv(digit.cast("string"), 10, 16)))
     return votes.select(F.col(id_col), F.concat(*char_exprs).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Connected components — near-dup pairs -> dup clusters.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Cluster candidate pairs into duplicate groups: (node, cluster_id)
+    with cluster_id = min node id in the connected component.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbours' labels; converged when no label
+    changes.  Rounds needed = graph diameter ≈ log for near-dup blobs —
+    bounded by ``max_iter`` as a safety stop.
+
+    Scale notes: each round is one join + one aggregate shuffled on the
+    node id (the same key every round, so AQE reuses the partitioning);
+    ``localCheckpoint`` truncates the lineage so the plan does not grow
+    per iteration.  The driver sees only the per-round change count — no
+    data ever collects.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("nl").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

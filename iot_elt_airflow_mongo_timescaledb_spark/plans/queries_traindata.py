@@ -344,3 +344,36 @@ def multimodal_features(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     blobs = attach_binary(docs, "text", "doc_id")
     return extract_features(blobs)
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters — connected components over the LSH candidate graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY 1
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: LSH candidate pairs → connected components
+    (iterative min-label propagation; operators/dedup.py).  The oracle
+    is an exact recursive-CTE reachability query — the iterative Spark
+    algorithm must converge to the same fixpoint."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sig = D.minhash_signature(sh, "doc_id", k=_K)
+    pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
+    return D.connected_components(pairs)

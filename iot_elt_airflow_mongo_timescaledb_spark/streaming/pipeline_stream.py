@@ -1,0 +1,70 @@
+"""The full ELT sync as a Structured Streaming query (T1/T2/T7).
+
+Reference lifecycle: the master DAG fires every 15 minutes and runs
+extract → normalize → load → stage transforms with dlt's persisted
+cursor (iot_master_dag.py:42-71).  Spark-native equivalent: a file
+stream over each source collection's directory, with ``foreachBatch``
+running the same flatten → raw-upsert body the batch pipeline uses; the
+streaming *checkpoint* replaces the cursor table (exactly-once file
+tracking, so the ``>=`` re-read + pk-dedup dance of the batch path is
+not even needed), and ``trigger(availableNow=True)`` gives the
+drain-then-stop semantics of one Airflow run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ..plans.materialize import Warehouse
+from ..sources.flatten import flatten_document_table
+from ..sources.ingest import dedup_by_pk
+
+
+class DocumentStreamSync:
+    """Streams one document collection directory into the raw layer."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        collection: str,
+        source_dir: str,
+        checkpoint_root: str | None = None,
+    ):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+        self.collection = collection
+        self.source_dir = source_dir
+        self.checkpoint = os.path.join(
+            checkpoint_root or os.path.join(warehouse_root, "_checkpoints"),
+            collection,
+        )
+        # file streams need a declared schema: infer once from the files
+        # present at setup (schema evolution would re-infer per deploy,
+        # like dlt's generate-schema-through-code-generation)
+        self.schema = spark.read.option("multiLine", "true").json(source_dir).schema
+
+    def _process_batch(self, batch_df, batch_id: int) -> None:
+        fresh = dedup_by_pk(batch_df, pk="_id")
+        for name, df in flatten_document_table(
+            fresh, self.collection, primary_key="_id"
+        ).items():
+            self.wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
+
+    def run_once(self) -> None:
+        """One micro-batch drain (≈ one 15-minute Airflow run): process
+        every not-yet-checkpointed file, then stop."""
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .option("multiLine", "true")
+            .json(self.source_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
