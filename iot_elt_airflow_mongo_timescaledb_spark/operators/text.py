@@ -106,3 +106,39 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.substring(fp, 1, 16).alias("fp_prefix64"),
         F.floor(F.length(norm) / 100).cast("long").alias("len_bucket"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 1
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) with add-one
+    smoothing (N = docs with ≥1 token).  All shuffles are on bounded
+    keys (term or doc id); the doc-frequency table is a broadcast-sized
+    aggregate at any corpus size with a bounded vocabulary.
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = words.select(id_col).distinct().count()
+    scored = tf.join(doc_freq, "term").select(
+        F.col(id_col),
+        "term",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", "rk")
+    )

@@ -38,3 +38,25 @@ def streaming_dedup_counts(spark, sf_dir):
     """T8 — stateful streaming dropDuplicates on the primary key, then a
     per-type count; equals the batch COUNT(DISTINCT pk)."""
     return dedup_counts_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_user_activity",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, value,
+             epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_s
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(COALESCE(MAX(gap_s), 0.0), 3) AS max_gap_s
+    FROM gaps GROUP BY 1
+    """,
+)
+def streaming_user_activity(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running count / sum / max inter-event gap; converged state equals
+    the batch gaps-and-aggregates oracle."""
+    from ..streaming.stateful import user_activity_stream
+
+    return user_activity_stream(spark, sf_dir)

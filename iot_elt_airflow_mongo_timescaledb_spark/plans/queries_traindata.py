@@ -377,3 +377,75 @@ def dedup_clusters(spark, sf_dir):
     sig = D.minhash_signature(sh, "doc_id", k=_K)
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
     return D.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents),
+    w2 AS (SELECT * FROM words WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM w2),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln((n.n_docs + 1) / (dfq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed idf, deterministic
+    term tie-break)."""
+    return X.tfidf_top_terms(table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# skew-salted aggregation — same result as the plain GROUP BY, but the
+# hot 5-key aggregation fans across 32 sub-keys first
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation over the 5-value event_type key
+    (operators/skew.py) — identical to the plain GROUP BY, with the
+    parallelism of 32×5 partial groups."""
+    from ..operators.skew import salted_aggregate
+
+    e = table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        e,
+        keys=["event_type"],
+        salt_from=["event_id"],
+        aggs={
+            "n": ("sum", F.count("*")),
+            "total_raw": ("sum", F.sum("value")),
+            "max_value_raw": ("max", F.max("value")),
+        },
+        n_salts=32,
+    )
+    return out.select(
+        "event_type",
+        F.col("n"),
+        F.round("total_raw", 2).alias("total"),
+        F.round("max_value_raw", 6).alias("max_value"),
+    )

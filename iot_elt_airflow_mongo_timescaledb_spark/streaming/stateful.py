@@ -1,0 +1,114 @@
+"""Custom stateful streaming operator — ``applyInPandasWithState``.
+
+The reference's only state is the dlt cursor (T7); a Spark deployment of
+the same pipeline would also want *per-device* running state (counters,
+last-seen, gap detection) that no built-in windowed aggregate expresses.
+This is the SURVEY custom-operator rule (b) path: an Arrow-batched
+stateful function over grouped streaming data.
+
+Semantics implemented: per user, a monotonically updated running event
+count, running value sum, and the max inter-event gap — emitted once per
+micro-batch per updated user (update mode).  Drained to completion the
+final row per user equals the batch groupBy equivalent, which is what
+the test asserts.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .micro_batch import EVENTS_SCHEMA
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, max_gap_s double"
+)
+# last_ts / max_gap tracked in integer microseconds: float seconds at
+# epoch scale lose sub-µs precision and round differently than the
+# oracle's exact interval arithmetic
+STATE_SCHEMA = "n long, total double, last_ts_us long, max_gap_us long"
+
+
+def _track_user(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last_ts_us, max_gap_us = state.get
+    else:
+        n, total, last_ts_us, max_gap_us = 0, 0.0, None, 0
+    import numpy as np
+
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ts = np.sort(pdf["ts"].values.astype("datetime64[us]").astype("int64"))
+        if last_ts_us is not None:
+            ts = np.concatenate(([last_ts_us], ts))
+        if len(ts) >= 2:
+            max_gap_us = max(max_gap_us, int(np.diff(ts).max()))
+        last_ts_us = int(ts[-1])
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total, last_ts_us, max_gap_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "max_gap_s": [max_gap_us / 1e6],
+        }
+    )
+
+
+def user_activity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running activity state over the events stream, drained.
+
+    Update-mode memory sink keeps every emission; the *last* row per
+    user is the converged state — the caller (and the batch-equivalence
+    test) selects it with a max_by.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    tracked = stream.groupBy("user_id").applyInPandasWithState(
+        _track_user,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"user_activity_{uuid.uuid4().hex[:8]}"
+    q = (
+        tracked.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emission per user == converged running state
+    out = spark.table(sink)
+    # round JVM-side (HALF_UP, matching the oracle's ROUND) — Python's
+    # round() is banker's and flips boundary values
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "n_events").alias("n_events"),
+            F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
+            F.round(F.max_by("max_gap_s", "n_events"), 3).alias("max_gap_s"),
+        )
+    )
