@@ -132,3 +132,46 @@ def _default_for(dtype) -> object:
     if isinstance(dtype, (T.LongType, T.IntegerType)):
         return DEFAULT_EPOCH_WATERMARK
     return DEFAULT_DATESTRING_WATERMARK
+
+
+def materialize_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Bucketed catalog table — the co-located-join layout (SURVEY §4 /
+    O3).
+
+    Writing both sides of a recurring join bucketed (and optionally
+    sorted) on the join key lets Spark plan the join with ZERO Exchange
+    nodes: each bucket pairs with its counterpart directly.  This is the
+    parquet equivalent of the reference's dbt-timescaledb
+    ``order_by='device_id'`` physical hint (stage/*.sql:3) plus its
+    hypertable chunking, and the standard answer to "this join runs
+    every 15 minutes on 100 TB — stop shuffling it".
+
+    Requires a catalog table (``saveAsTable``); plain ``.parquet(path)``
+    writes cannot carry bucket metadata.
+    """
+    # drop any previous incarnation — a fresh in-memory catalog does not
+    # know about a leftover managed-table directory from an earlier
+    # session, and saveAsTable refuses to reuse the location
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        table_name.lower(),
+    )
+    if os.path.isdir(loc):
+        import shutil
+
+        shutil.rmtree(loc)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)

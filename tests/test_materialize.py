@@ -64,3 +64,30 @@ def test_namespace_paths(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path))
     assert wh.path("stage.users").endswith("stage/users")
     assert not wh.exists("stage.users")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketed on the join key -> the sort-merge join plans
+    with zero Exchange nodes (the co-location contract)."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import (
+        materialize_bucketed,
+    )
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import table
+    from tools.explain_audit import plan_facts
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    o = materialize_bucketed(
+        spark, orders.select("o_orderkey", "o_orderdate"),
+        "bkt_orders", "o_orderkey", n_buckets=8,
+    )
+    l = materialize_bucketed(
+        spark, lineitem.select("l_orderkey", "l_quantity"),
+        "bkt_lineitem", "l_orderkey", n_buckets=8,
+    )
+    joined = o.join(l, o.o_orderkey == l.l_orderkey)
+    facts = plan_facts(joined)
+    assert facts["n_exchanges"] == 0, facts["plan"]
+    n = joined.count()
+    plain = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+    assert n == plain
