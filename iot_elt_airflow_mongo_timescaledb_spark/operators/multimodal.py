@@ -77,3 +77,46 @@ def extract_features(blobs: DataFrame, batch_fake: bool = True) -> DataFrame:
             yield out
 
     return blobs.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "id long, frame_idx int, frame_checksum string, frame_feature array<double>"
+)
+
+
+def sample_frames(
+    blobs: DataFrame, n_frames: int = 3, batch_fake: bool = True
+) -> DataFrame:
+    """Video-style frame sampling over a binary column: split each blob
+    into ``n_frames`` evenly-spaced slices ("frames"), emit one row per
+    frame with a checksum + a stub feature vector.
+
+    Same contract as ``extract_features``: the decode is a deterministic
+    fake (slice digest), the Spark plumbing — one Arrow pass, 1→N row
+    fan-out inside ``mapInPandas``, no shuffle — is the real deliverable
+    and is what a real ffmpeg/PIL decoder would drop into.
+    """
+    import hashlib as _hl
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums, feats = [], [], [], []
+            for doc_id, blob in zip(pdf["id"], pdf["blob"]):
+                data = bytes(blob)
+                step = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    frame = data[i * step : (i + 1) * step]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(_hl.md5(frame).hexdigest())
+                    feats.append(decode_image_stub(frame, fake=batch_fake))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "frame_checksum": sums,
+                    "frame_feature": feats,
+                }
+            )
+
+    return blobs.mapInPandas(op, schema=FRAME_SCHEMA)

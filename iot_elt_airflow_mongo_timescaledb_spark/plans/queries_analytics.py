@@ -410,3 +410,32 @@ def embedding_near_dup(spark, sf_dir):
         .filter(F.col("__raw") > 0.4)
         .drop("__raw")
     )
+
+
+# ---------------------------------------------------------------------------
+# typed semi-structured extraction: props JSON -> struct column
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "typed_props_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y%m%d') AS day,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def typed_props_daily(spark, sf_dir):
+    """Semi-structured depth: parse the props payload once with
+    ``from_json`` into a typed struct (not per-path string extraction),
+    then aggregate on the typed field."""
+    from pyspark.sql import types as T
+
+    e = table(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.LongType())])
+    typed = e.withColumn("p", F.from_json("props", props_schema))
+    return typed.groupBy(
+        F.date_format("ts", "yyyyMMdd").alias("day"),
+        (F.col("p.k") % 10).alias("k_bucket"),
+    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))

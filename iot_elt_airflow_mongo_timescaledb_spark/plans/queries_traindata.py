@@ -449,3 +449,104 @@ def skew_salted_agg(spark, sf_dir):
         F.round("total_raw", 2).alias("total"),
         F.round("max_value_raw", 6).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-modal near-dup verification: text LSH candidates scored by
+# embedding cosine (documents.doc_id ≡ embeddings.vec_id)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cross_modal_neardup",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings)
+    SELECT p.id_a, p.id_b,
+           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS emb_cosine
+    FROM pairs p
+    JOIN v a ON a.vec_id = p.id_a
+    JOIN v b ON b.vec_id = p.id_b
+    """,
+)
+def cross_modal_neardup(spark, sf_dir):
+    """Cross-modal dedup verification: text-shingle LSH candidates
+    re-scored by embedding cosine — two equi-joins against the vector
+    table (inverted probe), never an all-pairs vector scan."""
+    from ..operators.similarity import as_double, l2_norm
+
+    docs = table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sig = D.minhash_signature(sh, "doc_id", k=_K)
+    pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+        l2_norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("emb_cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal frame sampling — 1→N fan-out inside one Arrow pass
+# ---------------------------------------------------------------------------
+
+_N_FRAMES = 3
+
+_FRAME_HEX = "(strpos('0123456789abcdef', substr(md5(frame), {p}, 1)) - 1)"
+
+
+def _frame_byte_expr(i: int) -> str:
+    hi = _FRAME_HEX.format(p=2 * i + 1)
+    lo = _FRAME_HEX.format(p=2 * i + 2)
+    return f"ROUND(({hi} * 16 + {lo}) / 255.0, 6)"
+
+
+def _frames_oracle() -> str:
+    # documents are pure ASCII (checked in testdata), so char slices ==
+    # byte slices and substr reproduces the Python bytes[i*step:(i+1)*step]
+    return f"""
+    WITH framed AS (
+      SELECT doc_id AS id, f.i AS frame_idx,
+             substr(text, f.i * GREATEST(length(text) // {_N_FRAMES}, 1) + 1,
+                    GREATEST(length(text) // {_N_FRAMES}, 1)) AS frame
+      FROM documents,
+           (SELECT unnest(range({_N_FRAMES})) AS i) f)
+    SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(frame) AS frame_checksum,
+           [{', '.join(_frame_byte_expr(i) for i in range(4))}] AS frame_feature
+    FROM framed
+    """
+
+
+@query("multimodal_frame_sample", oracle=_frames_oracle())
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over binary blobs: one Arrow ``mapInPandas`` pass
+    fanning each blob into 3 frame rows (checksum + stub feature) —
+    the video-decode plumbing shape with a deterministic fake decode."""
+    from ..operators.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    blobs = attach_binary(docs, "text", "doc_id")
+    return sample_frames(blobs, n_frames=_N_FRAMES)

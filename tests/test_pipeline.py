@@ -151,3 +151,31 @@ def test_rerun_is_idempotent(pipeline):
     p.run_all(paths)
     after = {t: p.wh.read(t).count() for t in before}
     assert after == before
+
+
+def test_second_batch_appends_only_new_days(pipeline, spark, tmp_path_factory):
+    """M1 protocol across real batches: a second sync with later-day data
+    appends exactly the new rows; watermarked aggs roll forward."""
+    import json
+
+    p, paths = pipeline
+    before_steps = p.wh.read("agg.daily_steps").count()
+
+    # new steps bucket two days later for d1
+    t2 = T0 + 72 * 3600
+    new_steps = [
+        {"_id": "p3", "device_id": "d1", "created_at": t2, "ended_at": t2 + 4 * 3600,
+         "metrics": [{"ts": t2 + 100, "steps": 70}, {"ts": t2 + 200, "steps": 30}]},
+    ]
+    src2 = tmp_path_factory.mktemp("batch2")
+    (src2 / "steps.json").write_text(json.dumps(new_steps))
+    paths2 = dict(paths)
+    paths2["steps"] = str(src2 / "steps.json")
+
+    p.run_all(paths2)
+    steps = {(r["day"], r["device_id"]): r["step_count"]
+             for r in p.wh.read("agg.daily_steps").collect()}
+    assert steps[("20200204", "d1")] == 100
+    assert p.wh.read("agg.daily_steps").count() == before_steps + 1
+    # earlier days untouched
+    assert steps[("20200201", "d1")] == 150

@@ -55,6 +55,7 @@ def plan_facts(df, execute: bool = False) -> dict:
     # initial tree would double-count.  The lookbehind keeps
     # BroadcastExchange from matching as Exchange.
     tree = plan.split("== Initial Plan ==")[0]
+    tree = re.split(r"\n\n\(\d+\) ", tree)[0]  # cut operator-detail blocks
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     read_schema = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     return {
