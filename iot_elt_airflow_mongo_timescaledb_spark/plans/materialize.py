@@ -41,10 +41,17 @@ class Warehouse:
         return os.path.join(self.root, schema or "default", tbl)
 
     def exists(self, name: str) -> bool:
+        """True iff the target holds data.  Walks into partition
+        subdirectories — a day-partitioned table has no parquet files at
+        its root, and missing them would silently turn every incremental
+        append into a full overwrite."""
         p = self.path(name)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        )
+        if not os.path.isdir(p):
+            return False
+        for _root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
@@ -175,3 +182,16 @@ def materialize_bucketed(
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
     return spark.table(table_name)
+
+
+def materialize_replace(
+    wh: "Warehouse", name: str, df: DataFrame, partition_by: tuple[str, ...] = ()
+) -> DataFrame:
+    """S12 'replace' write disposition — full refresh (dlt
+    write_disposition='replace', dlt_sources/mongodb/__init__.py:61-67):
+    drop whatever the target holds and rewrite it from this batch."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(wh.path(name))
+    return wh.read(name)

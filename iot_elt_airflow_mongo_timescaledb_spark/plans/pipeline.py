@@ -105,8 +105,51 @@ class HealthPipeline:
             self.aggregate(freq)
         self.build_views()
 
+    def validate(self) -> dict[str, str]:
+        """M5 — compile-then-run gating (the reference runs ``dbt
+        compile`` before every ``dbt run``, iot_dwh_stage_tranform.py:
+        88-91).  Builds every model's logical plan and forces analysis
+        WITHOUT executing: schema/reference errors surface here, before
+        any data is written.  Returns {model: analyzed-schema DDL}."""
+        raw = {name: self.wh.read(f"raw.{name}") for name in self._raw_tables()}
+        out: dict[str, str] = {}
+        for name, (builder, _cfg) in STAGE_MODELS.items():
+            out[name] = builder(raw).schema.simpleString()
+        ctx = {
+            f"stage.{n}": self.wh.read(f"stage.{n}")
+            for n in ("users", "heart_rates", "steps", "sleeps")
+            if self.wh.exists(f"stage.{n}")
+        }
+        for freq_models in AGG_MODELS.values():
+            for name, (builder, _cfg) in freq_models.items():
+                try:
+                    df = builder(ctx)
+                except KeyError:
+                    continue  # upstream agg not materialized yet
+                out[name] = df.schema.simpleString()
+                ctx[name] = df
+        return out
+
     def _raw_tables(self) -> list[str]:
         import os
 
         raw_dir = os.path.join(self.wh.root, "raw")
         return sorted(os.listdir(raw_dir)) if os.path.isdir(raw_dir) else []
+
+
+def with_retries(fn, attempts: int = 3, delay_s: float = 0.0):
+    """T6 — the reference's task retry policy (retries=3, 5-min delay,
+    iot_mongo_extract_to_dwh.py:42-51) as an app-level wrapper; Spark's
+    own task retries (spark.task.maxFailures) cover executor faults,
+    this covers driver-visible batch failures."""
+    import time
+
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            last = e
+            if i < attempts - 1 and delay_s:
+                time.sleep(delay_s)
+    raise last

@@ -179,3 +179,47 @@ def test_second_batch_appends_only_new_days(pipeline, spark, tmp_path_factory):
     assert p.wh.read("agg.daily_steps").count() == before_steps + 1
     # earlier days untouched
     assert steps[("20200201", "d1")] == 150
+
+
+def test_validate_compiles_all_models(pipeline):
+    """M5 — compile-before-run: every model's plan analyzes and reports
+    its schema without executing."""
+    p, _ = pipeline
+    schemas = p.validate()
+    assert "stage.heart_rates" in schemas
+    assert "agg.daily_summary" in schemas
+    assert "avg_sleep_bpm:double" in schemas["agg.daily_summary"]
+
+
+def test_with_retries():
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import with_retries
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retries(flaky, attempts=3) == "ok"
+    assert len(calls) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        with_retries(lambda: (_ for _ in ()).throw(RuntimeError("always")), attempts=2)
+
+
+def test_materialize_replace_full_refresh(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import (
+        Warehouse,
+        materialize_replace,
+    )
+
+    wh = Warehouse(spark, str(tmp_path))
+    materialize_replace(wh, "raw.cfg", spark.createDataFrame([Row(a=1), Row(a=2)]))
+    materialize_replace(wh, "raw.cfg", spark.createDataFrame([Row(a=9)]))
+    assert [r["a"] for r in wh.read("raw.cfg").collect()] == [9]
