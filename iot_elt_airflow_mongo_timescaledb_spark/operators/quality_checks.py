@@ -1,0 +1,66 @@
+"""Data-quality checks — the dbt-test surface the reference left empty.
+
+The reference's dbt project has a tests/ directory with only .gitkeep
+(SURVEY §5): the standard dbt checks (not_null, unique, accepted_values,
+relationships) were never written.  A production deployment needs them,
+so the engine ships them as DataFrame operators: each check returns a
+DataFrame of VIOLATIONS (empty = pass), so checks compose into the
+pipeline as cheap aggregates and scale like any other plan — no
+driver-side row iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows where any of ``cols`` is NULL."""
+    pred = None
+    for c in cols:
+        p = F.col(c).isNull()
+        pred = p if pred is None else (pred | p)
+    return df.filter(pred)
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key groups appearing more than once: (key cols..., n_rows)."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def check_accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
+    """Distinct out-of-domain values with occurrence counts."""
+    return (
+        df.filter(~F.col(col).isin(values) | F.col(col).isNull())
+        .groupBy(col)
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def check_relationship(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """Referential integrity: child keys with no parent (anti join)."""
+    return (
+        child.select(F.col(child_key))
+        .distinct()
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+    )
+
+
+def run_checks(checks: dict[str, DataFrame]) -> dict[str, int]:
+    """Evaluate named checks; returns violation counts (all 0 = pass).
+
+    Counts, not collects — at 100 TB a failing check reports its size
+    without pulling rows to the driver.
+    """
+    return {name: df.count() for name, df in checks.items()}

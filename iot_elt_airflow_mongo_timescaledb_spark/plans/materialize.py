@@ -67,10 +67,18 @@ class Warehouse:
         watermark_col: str | None = None,
         watermark_default=None,
         partition_by: tuple[str, ...] = (),
+        sort_within: str | None = None,
     ) -> DataFrame:
         """First run writes everything; later runs append only rows with
         ``watermark_col`` strictly above the target's max (A4 lookup +
-        P4 filter + P8 coalesce default)."""
+        P4 filter + P8 coalesce default).
+
+        ``sort_within`` clusters rows inside each output file (O3 — the
+        reference's dbt-timescaledb ``order_by='device_id'`` physical
+        hint, stage/*.sql:3): parquet min/max page stats then let
+        readers skip row groups on that column."""
+        if sort_within is not None:
+            df = df.sortWithinPartitions(sort_within)
         if self.exists(name):
             if watermark_col is not None:
                 target = self.read(name)

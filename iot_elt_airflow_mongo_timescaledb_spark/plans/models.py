@@ -249,12 +249,13 @@ def examples_daily_user_steps_for_last_month(t):
 
 STAGE_MODELS = {
     "stage.users": (stage_users, {"mode": "upsert", "unique_key": "user_id"}),
-    # day-partitioned: downstream aggs filter/group on the day key, so
-    # readers partition-prune; ≈ the reference's order_by='device_id'
-    # physical hint + TimescaleDB hypertable day chunking (stage/*.sql:3)
-    "stage.heart_rates": (stage_heart_rates, {"watermark": "created_at", "partition_by": ("day",)}),
-    "stage.steps": (stage_steps, {"watermark": "created_at", "partition_by": ("day",)}),
-    "stage.sleeps": (stage_sleeps, {"watermark": "created_at", "partition_by": ("day",)}),
+    # day-partitioned (readers partition-prune ≈ hypertable day chunks)
+    # + device-sorted within files (the reference's order_by='device_id'
+    # physical hint, stage/*.sql:3 — parquet row-group stats make device
+    # lookups skip pages)
+    "stage.heart_rates": (stage_heart_rates, {"watermark": "created_at", "partition_by": ("day",), "sort_within": "device_id"}),
+    "stage.steps": (stage_steps, {"watermark": "created_at", "partition_by": ("day",), "sort_within": "device_id"}),
+    "stage.sleeps": (stage_sleeps, {"watermark": "created_at", "partition_by": ("day",), "sort_within": "device_id"}),
 }
 
 AGG_MODELS = {

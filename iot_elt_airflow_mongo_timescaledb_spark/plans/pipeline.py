@@ -15,6 +15,7 @@ step a delta."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.flatten import flatten_document_table
 from ..sources.ingest import IncrementalCursor, dedup_by_pk, read_documents
@@ -67,6 +68,7 @@ class HealthPipeline:
                     df,
                     watermark_col=cfg.get("watermark"),
                     partition_by=cfg.get("partition_by", ()),
+                    sort_within=cfg.get("sort_within"),
                 )
 
     # -- aggregate DAGs (§3.3) ------------------------------------------
@@ -129,6 +131,33 @@ class HealthPipeline:
                 out[name] = df.schema.simpleString()
                 ctx[name] = df
         return out
+
+    def check_quality(self) -> dict[str, int]:
+        """Post-stage data-quality gate (the dbt-test surface the
+        reference left empty, SURVEY §5): returns violation counts —
+        all zero on healthy data."""
+        from ..operators.quality_checks import (
+            check_not_null,
+            check_relationship,
+            check_unique,
+            run_checks,
+        )
+
+        users = self.wh.read("stage.users")
+        hr = self.wh.read("stage.heart_rates")
+        devices = users.select(F.explode("devices").alias("device_id"))
+        return run_checks(
+            {
+                "users.user_id.not_null": check_not_null(users, ["user_id"]),
+                "users.user_id.unique": check_unique(users, ["user_id"]),
+                "heart_rates.keys.not_null": check_not_null(
+                    hr, ["device_id", "created_at"]
+                ),
+                "heart_rates.device.known": check_relationship(
+                    hr, "device_id", devices, "device_id"
+                ),
+            }
+        )
 
     def _raw_tables(self) -> list[str]:
         import os

@@ -439,3 +439,38 @@ def typed_props_daily(spark, sf_dir):
         F.date_format("ts", "yyyyMMdd").alias("day"),
         (F.col("p.k") % 10).alias("k_bucket"),
     ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+
+
+# ---------------------------------------------------------------------------
+# SQL-string interface — the spark.sql entry point over registered views
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_interface_revenue",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def sql_interface_revenue(spark, sf_dir):
+    """The SQL entry point (the reference's users query TimescaleDB in
+    raw SQL, README.md:46): register views, run spark.sql — same
+    Catalyst plan as the DataFrame API."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

@@ -63,6 +63,13 @@ def get_spark(app_name: str = "iot-elt-spark", cpus: int | str | None = None) ->
     return spark
 
 
+def bootstrap_catalog(spark: SparkSession) -> None:
+    """M4 — the reference's schema namespaces as catalog databases
+    (macros/generate_schema_name.sql:1-13, dbt_project.yml:32-42)."""
+    for schema in SCHEMAS:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata parquet as a DataFrame (lazy scans)."""
     from .plans.registry import table

@@ -41,3 +41,26 @@ def duck(sf_dir):
     con = duck_connection(sf_dir)
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def pipeline(spark, tmp_path_factory):
+    """Reference-shaped fixture pipeline, built once per test run
+    (fixture data lives in test_pipeline.py)."""
+    import json
+
+    import test_pipeline as tp
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import HealthPipeline
+
+    src = tmp_path_factory.mktemp("mongo_fixture")
+    for name, docs in (
+        ("users", tp.USERS), ("heart_rates", tp.HEART_RATES),
+        ("sleeps", tp.SLEEPS), ("steps", tp.STEPS),
+    ):
+        (src / f"{name}.json").write_text(json.dumps(docs))
+    wh_root = tmp_path_factory.mktemp("warehouse")
+    p = HealthPipeline(spark, str(wh_root))
+    paths = {n: str(src / f"{n}.json") for n in ("users", "heart_rates", "sleeps", "steps")}
+    p.run_all(paths)
+    return p, paths

@@ -58,21 +58,6 @@ STEPS = [
 ]
 
 
-@pytest.fixture(scope="module")
-def pipeline(spark, tmp_path_factory):
-    src = tmp_path_factory.mktemp("mongo_fixture")
-    for name, docs in (
-        ("users", USERS), ("heart_rates", HEART_RATES),
-        ("sleeps", SLEEPS), ("steps", STEPS),
-    ):
-        (src / f"{name}.json").write_text(json.dumps(docs))
-    wh_root = tmp_path_factory.mktemp("warehouse")
-    p = HealthPipeline(spark, str(wh_root))
-    paths = {n: str(src / f"{n}.json") for n in ("users", "heart_rates", "sleeps", "steps")}
-    p.run_all(paths)
-    return p, paths
-
-
 def test_raw_layer_flattened(pipeline):
     p, _ = pipeline
     assert p.wh.read("raw.users").count() == 3
