@@ -125,6 +125,34 @@ class Warehouse:
         out.write.mode("overwrite").parquet(self.path(name))
         return self.read(name)
 
+    def compact(self, name: str, target_files: int = 1) -> DataFrame:
+        """Small-file compaction.  A 15-minute incremental append writes
+        ~96 files/day/partition; scans degrade with file count (driver
+        listing + per-file open cost), so periodic compaction rewrites
+        the table into ``target_files`` per partition.
+
+        Plain-parquet version of OPTIMIZE on Delta/Iceberg; the two-phase
+        staging write keeps the read-own-overwrite safe.  Partition
+        columns are restored on rewrite (coalesce only bounds files per
+        partition directory).
+        """
+        df = self.read(name)
+        part_cols = _partition_columns(self.path(name))
+        tmp = self.path(name) + "__compact"
+        writer = df.coalesce(max(1, target_files)) if not part_cols else df.repartition(
+            max(1, target_files), *part_cols
+        )
+        w = writer.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
+        out = self.spark.read.parquet(tmp)
+        w2 = out.write.mode("overwrite")
+        if part_cols:
+            w2 = w2.partitionBy(*part_cols)
+        w2.parquet(self.path(name))
+        return self.read(name)
+
     # ------------------------------------------------------------------
     # M3 — view materialization
     # ------------------------------------------------------------------
@@ -132,6 +160,22 @@ class Warehouse:
     def materialize_view(self, name: str, df: DataFrame) -> DataFrame:
         df.createOrReplaceTempView(name.replace(".", "__"))
         return df
+
+
+def _partition_columns(path: str) -> list[str]:
+    """Partition column names from the hive-style directory layout."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d for d in (os.listdir(cur) if os.path.isdir(cur) else [])
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subdirs:
+            return cols
+        col = subdirs[0].split("=", 1)[0]
+        cols.append(col)
+        cur = os.path.join(cur, subdirs[0])
 
 
 def _default_for(dtype) -> object:

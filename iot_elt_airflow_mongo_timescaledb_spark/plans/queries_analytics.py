@@ -474,3 +474,60 @@ def sql_interface_revenue(spark, sf_dir):
         GROUP BY n.n_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar + correlated subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_above_global_avg",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_big,
+           ROUND(AVG(o_totalprice), 4) AS avg_big
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY 1
+    """,
+)
+def orders_above_global_avg(spark, sf_dir):
+    """Uncorrelated scalar subquery in a filter — Catalyst plans the
+    subquery once (ReusedSubquery) and broadcasts the scalar; no
+    driver-side pre-query needed (contrast A4's explicit macro form)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_big,
+               ROUND(AVG(o_totalprice), 4) AS avg_big
+        FROM __orders_sq
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM __orders_sq)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "customers_above_nation_avg",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_rich
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY 1
+    """,
+)
+def customers_above_nation_avg(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates into an
+    aggregate + join (the rewrite Postgres does for the reference's
+    warehouse queries); expressed here with the DataFrame API as the
+    same agg+join to show the equivalence."""
+    c = table(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_rich"))
+    )

@@ -91,3 +91,26 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     n = joined.count()
     plain = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
     assert n == plain
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Ten appends -> many small files; compaction rewrites to one file
+    per partition with identical data."""
+    import glob
+
+    wh = Warehouse(spark, str(tmp_path))
+    # 10 micro-batch appends into the SAME day partition -> 10 files in
+    # one directory (no watermark col: append-everything disposition)
+    for i in range(10):
+        wh.materialize_incremental(
+            "stage.t", _days(spark, ("20200101", i)), None,
+            partition_by=("day",),
+        )
+    path = wh.path("stage.t")
+    before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    rows_before = {(r["day"], r["v"]) for r in wh.read("stage.t").collect()}
+    wh.compact("stage.t", target_files=1)
+    after = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    rows_after = {(r["day"], r["v"]) for r in wh.read("stage.t").collect()}
+    assert rows_after == rows_before
+    assert after <= 10 < before or after < before
