@@ -212,10 +212,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # seed with the 1-hop minimum (free first propagation round: LSH dup
+    # graphs are near-cliques, so most components converge immediately)
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__nbr_min"))
+        .select("node", F.least(F.col("node"), F.col("__nbr_min")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):

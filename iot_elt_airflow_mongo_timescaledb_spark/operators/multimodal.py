@@ -120,3 +120,37 @@ def sample_frames(
             )
 
     return blobs.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def resize_stub(blob: bytes, out_dim: int = 8) -> list[float]:
+    """Placeholder for an image resize / audio resample: mean-pools the
+    byte stream into ``out_dim`` equal chunks (deterministic, shape-
+    stable — the property a real `PIL.Image.resize` swap-in must keep).
+    Empty blobs produce a zero vector."""
+    if not blob:
+        return [0.0] * out_dim
+    step = max(1, len(blob) // out_dim)
+    out = []
+    for i in range(out_dim):
+        chunk = blob[i * step : (i + 1) * step] or blob[-step:]
+        out.append(round(sum(chunk) / len(chunk) / 255.0, 6))
+    return out
+
+
+def resize_features(blobs: DataFrame, out_dim: int = 8) -> DataFrame:
+    """Arrow-batched resize over the binary column: fixed-dim pooled
+    vector per blob (the image-resize plumbing; swap ``resize_stub`` for
+    a real decoder+resize to productionize)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "resized": pdf["blob"].map(
+                        lambda b: resize_stub(bytes(b), out_dim)
+                    ),
+                }
+            )
+
+    return blobs.mapInPandas(op, schema="id long, resized array<double>")
