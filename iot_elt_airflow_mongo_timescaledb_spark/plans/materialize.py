@@ -54,7 +54,9 @@ class Warehouse:
         return False
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+        # mergeSchema: batches may have evolved (documents grow fields);
+        # appended files with new columns must still read as one table
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path(name))
 
     # ------------------------------------------------------------------
     # M1 — incremental append with strict > watermark
@@ -112,10 +114,11 @@ class Warehouse:
         batch, overwrite."""
         if self.exists(name):
             target = self.read(name)
+            target, df = align_schemas(target, df)
             keep = target.join(
                 df.select(unique_key).distinct(), unique_key, "left_anti"
             )
-            merged = keep.unionByName(df)
+            merged = keep.unionByName(df, allowMissingColumns=True)
         else:
             merged = df
         # two-phase write: the source of the overwrite is the target itself
@@ -160,6 +163,38 @@ class Warehouse:
     def materialize_view(self, name: str, df: DataFrame) -> DataFrame:
         df.createOrReplaceTempView(name.replace(".", "__"))
         return df
+
+
+def align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution (the dlt normalizer's type contract, SURVEY §7
+    "hard parts"): shared columns are cast to the widened common type
+    (int -> long -> double; anything incompatible -> string), columns
+    present on only one side are filled via unionByName(allowMissing).
+    """
+    from pyspark.sql import types as T
+
+    def widen(t1, t2):
+        # nullability-insensitive equality: array<string> with different
+        # containsNull flags is the SAME type, not a string-cast conflict
+        if t1.simpleString() == t2.simpleString():
+            return t1
+        num_rank = {
+            T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2,
+            T.LongType(): 3, T.FloatType(): 4, T.DoubleType(): 5,
+        }
+        if t1 in num_rank and t2 in num_rank:
+            return t1 if num_rank[t1] >= num_rank[t2] else t2
+        return T.StringType()
+
+    for name in set(a.columns) & set(b.columns):
+        ta, tb = a.schema[name].dataType, b.schema[name].dataType
+        if ta.simpleString() != tb.simpleString():
+            w = widen(ta, tb)
+            if ta.simpleString() != w.simpleString():
+                a = a.withColumn(name, F.col(name).cast(w))
+            if tb.simpleString() != w.simpleString():
+                b = b.withColumn(name, F.col(name).cast(w))
+    return a, b
 
 
 def _partition_columns(path: str) -> list[str]:

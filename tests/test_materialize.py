@@ -114,3 +114,34 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     rows_after = {(r["day"], r["v"]) for r in wh.read("stage.t").collect()}
     assert rows_after == rows_before
     assert after <= 10 < before or after < before
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """dlt-style schema evolution: a later batch adds a column and
+    widens a type; old rows read back with NULL in the new column."""
+    wh = Warehouse(spark, str(tmp_path))
+    wh.materialize_upsert(
+        "raw.t", spark.createDataFrame([Row(_dlt_id="a", x=1)]), "_dlt_id"
+    )
+    wh.materialize_upsert(
+        "raw.t",
+        spark.createDataFrame([Row(_dlt_id="b", x=2.5, y="new")]),
+        "_dlt_id",
+    )
+    out = wh.read("raw.t")
+    rows = {r["_dlt_id"]: (r["x"], r["y"]) for r in out.collect()}
+    assert rows == {"a": (1.0, None), "b": (2.5, "new")}
+    assert dict(out.dtypes)["x"] == "double"  # int widened to double
+
+
+def test_incremental_append_new_column_merges(spark, tmp_path):
+    """Appended files with an extra column still read as one table
+    (mergeSchema on Warehouse.read)."""
+    wh = Warehouse(spark, str(tmp_path))
+    wh.materialize_incremental("raw.t", _days(spark, ("20200101", 1)), "day")
+    evolved = spark.createDataFrame([Row(day="20200102", v=2, extra="e")])
+    wh.materialize_incremental("raw.t", evolved, "day")
+    out = wh.read("raw.t")
+    assert set(out.columns) == {"day", "v", "extra"}
+    rows = {r["day"]: r["extra"] for r in out.collect()}
+    assert rows == {"20200101": None, "20200102": "e"}
