@@ -531,3 +531,31 @@ def customers_above_nation_avg(spark, sf_dir):
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(F.count("*").alias("n_rich"))
     )
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_statistics",
+    oracle="""
+    SELECT event_type,
+           ROUND(stddev_samp(value), 6) AS sd,
+           ROUND(var_samp(value), 6) AS var,
+           ROUND(corr(value, CAST(epoch_ns(ts) // 1000000000 AS DOUBLE)), 6) AS corr_ts,
+           ROUND(covar_samp(value, user_id), 6) AS covar_user
+    FROM events GROUP BY 1
+    """,
+)
+def value_statistics(spark, sf_dir):
+    """Second-moment aggregates (stddev/variance/correlation/covariance)
+    — single-pass algebraic aggregates, map-side combinable like SUM."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.corr("value", F.unix_timestamp("ts").cast("double")), 6).alias("corr_ts"),
+        F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6).alias("covar_user"),
+    )

@@ -550,3 +550,48 @@ def multimodal_frame_sample(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     blobs = attach_binary(docs, "text", "doc_id")
     return sample_frames(blobs, n_frames=_N_FRAMES)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance fuzzy dedup (blocked levenshtein)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND substr(a.c_name, 1, 10) = substr(b.c_name, 1, 10)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 3
+    """,
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance near-dup with blocking: candidates share a nation
+    and a 10-char name prefix (equi-join — never all-pairs), then exact
+    levenshtein verifies.  The blocked-similarity template for short
+    strings, complementing shingle-LSH for documents."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 10).alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 10).alias("blk"),
+    )
+    return (
+        a.join(b, ["nk", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("id_a", "id_b", "edit_dist")
+    )
