@@ -60,3 +60,23 @@ def streaming_user_activity(spark, sf_dir):
     from ..streaming.stateful import user_activity_stream
 
     return user_activity_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT p.user_id AS user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+           p.value AS purchase_value, v.value AS view_value
+    FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarked range state — each
+    purchase joined to the user's views from the preceding hour; equals
+    the batch interval join."""
+    from ..streaming.micro_batch import view_purchase_join_stream
+
+    return view_purchase_join_stream(spark, sf_dir)

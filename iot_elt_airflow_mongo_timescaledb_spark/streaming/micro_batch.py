@@ -85,3 +85,48 @@ def _drain_to_memory(
     finally:
         q.stop()
     return spark.table(sink)
+
+
+def view_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    views from the preceding hour.
+
+    Both sides are event-time streams with watermarks; the range
+    condition bounds join state (views are dropped from state once the
+    purchase-side watermark passes ts + 1h).  Inner matches emit as they
+    are found, so an availableNow-style drain yields the complete result
+    — equal to the batch interval join.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def side(event_type: str, alias_prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias_prefix}_user"),
+                F.col("ts").alias(f"{alias_prefix}_ts"),
+                F.col("value").alias(f"{alias_prefix}_value"),
+            )
+            .withWatermark(f"{alias_prefix}_ts", "1 hour")
+        )
+
+    views = side("view", "v")
+    purchases = side("purchase", "p")
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("v_ts").alias("view_ts"),
+        F.col("p_value").alias("purchase_value"),
+        F.col("v_value").alias("view_value"),
+    )
+    return _drain_to_memory(spark, joined, "view_purchase_join", "append")
