@@ -559,3 +559,61 @@ def value_statistics(spark, sf_dir):
         F.round(F.corr("value", F.unix_timestamp("ts").cast("double")), 6).alias("corr_ts"),
         F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6).alias("covar_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + time-range window frame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_activity",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y%m%d') AS day,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+    """,
+)
+def grouping_sets_activity(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): three aggregation
+    grains in ONE shuffle via a single Expand."""
+    e = table(spark, sf_dir, "events")
+    e.select(
+        "event_type", F.date_format("ts", "yyyyMMdd").alias("day"), "value"
+    ).createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, day, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+        """
+    )
+
+
+@query(
+    "trailing_hour_user_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6)
+             AS avg_1h
+    FROM events
+    """,
+)
+def trailing_hour_user_avg(spark, sf_dir):
+    """Time-RANGE window frame — the trailing-hour moving average every
+    monitoring dashboard wants.  Spark range frames need a numeric
+    ordering, so the frame runs over epoch seconds (µs-exact cast)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
