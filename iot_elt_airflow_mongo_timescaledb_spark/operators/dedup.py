@@ -21,26 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import ensure_min_parallelism
+
 NORM_PATTERN = r"\s+"
-
-
-def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Widen tiny scans before CPU-heavy transforms.
-
-    Small/compacted parquet inputs (one row group) arrive as a single
-    split, serializing explode/hash-heavy operators no matter how many
-    cores exist.  When the scan parallelism is below the cluster default,
-    redistribute by the aggregation key so the downstream groupBy is
-    already co-partitioned (the exchange moves up the plan, not added).
-
-    At scale this is a no-op: a 100 TB corpus scans as thousands of
-    splits, the condition is false, and no raw-data shuffle is injected.
-    """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
-    return df
 
 
 def normalize_text(text_col) -> F.Column:

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import ensure_min_parallelism
+
 FEATURE_DIM = 4
 
 FEATURE_SCHEMA = (
@@ -76,7 +78,7 @@ def extract_features(blobs: DataFrame, batch_fake: bool = True) -> DataFrame:
             )
             yield out
 
-    return blobs.mapInPandas(op, schema=FEATURE_SCHEMA)
+    return ensure_min_parallelism(blobs).mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = (
@@ -119,7 +121,7 @@ def sample_frames(
                 }
             )
 
-    return blobs.mapInPandas(op, schema=FRAME_SCHEMA)
+    return ensure_min_parallelism(blobs).mapInPandas(op, schema=FRAME_SCHEMA)
 
 
 def resize_stub(blob: bytes, out_dim: int = 8) -> list[float]:
@@ -153,4 +155,6 @@ def resize_features(blobs: DataFrame, out_dim: int = 8) -> DataFrame:
                 }
             )
 
-    return blobs.mapInPandas(op, schema="id long, resized array<double>")
+    return ensure_min_parallelism(blobs).mapInPandas(
+        op, schema="id long, resized array<double>"
+    )
