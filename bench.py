@@ -57,6 +57,20 @@ def main() -> None:
 
     # warm-up: JVM + parquet footer caches + codegen paths
     queries["pricing_summary"](spark, sf_dir).collect()
+    # prime the Python worker pool (daemon fork + pandas/pyarrow import is
+    # a one-time per-executor cost; long-lived clusters run warm)
+    import pandas as pd  # noqa: F401
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    n_workers = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n_workers, numPartitions=n_workers)
+        .mapInPandas(_noop, schema="id long")
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

