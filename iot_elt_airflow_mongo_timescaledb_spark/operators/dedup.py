@@ -126,7 +126,15 @@ def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str) -> Data
     consumers, so AQE shares it via ReusedExchange at zero extra cost,
     while an explicit cache forces a full columnar materialization of
     the exploded shingle table (measured 3x slower end-to-end).
+
+    ``pairs`` IS materialized: LSH candidates are a tiny fraction of
+    the corpus by construction, and without the cut the whole
+    signature/banding chain is embedded as a duplicated subtree whose
+    AQE stage-reuse is racy (identical stages submitted concurrently
+    can both run before either registers) — measured as bimodal 2.8s
+    vs 8s runs.  Same pattern as ``connected_components``'s edge set.
     """
+    pairs = pairs.localCheckpoint()
     sa = shingles.select(F.col(id_col).alias("id_a"), "sh")
     sb = shingles.select(F.col(id_col).alias("__id_b"), F.col("sh").alias("__sh_b"))
     inter = (
