@@ -159,6 +159,38 @@ def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str) -> Data
     )
 
 
+def minhash_jaccard_estimate(
+    pairs: DataFrame, signature: DataFrame, id_col: str, k: int = 8
+) -> DataFrame:
+    """Sketch-based Jaccard estimate for candidate pairs: the fraction
+    of agreeing MinHash slots is an unbiased estimator of the true
+    Jaccard similarity (E[mh_a == mh_b] = J(A,B) per permutation).
+
+    This is the 100 TB verification path: it touches only the k-slot
+    signature table (|docs| × k hashes), never the exploded shingle
+    corpus — exact verification (``jaccard_on_pairs``) can then be
+    reserved for pairs whose estimate clears a threshold.
+    """
+    sa = signature.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    )
+    sb = signature.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(k)), 6).alias("jaccard_est"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash — 64-bit signature from per-word md5 bits (bit-majority vote).
 # Expressed as 64 conditional aggregates generated programmatically; the

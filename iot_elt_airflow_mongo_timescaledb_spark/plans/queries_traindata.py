@@ -136,6 +136,30 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return D.jaccard_on_pairs(pairs, sh, "doc_id")
 
 
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH sig AS ({_SIG}), pairs AS ({_PAIRS})
+    SELECT p.id_a AS id_a, p.id_b AS id_b,
+           ROUND(({' + '.join(f'CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END' for i in range(_K))})
+                 / {float(_K)}, 6) AS jaccard_est
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.id_a
+    JOIN sig b ON b.doc_id = p.id_b
+    """,
+)
+def minhash_jaccard_estimate(spark, sf_dir):
+    """Sketch-tier Jaccard: slot-agreement fraction of the MinHash
+    signatures (unbiased estimator of true Jaccard).  The scale path —
+    verification reads only |docs|×k signature rows, never the shingle
+    corpus; exact ``ngram_jaccard_pairs`` is its refinement tier."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sig = D.minhash_signature(sh, "doc_id", k=_K)
+    pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
+    return D.minhash_jaccard_estimate(pairs, sig, "doc_id", k=_K)
+
+
 # ---------------------------------------------------------------------------
 # SimHash (programmatically generated 64-bit vote SQL)
 # ---------------------------------------------------------------------------
