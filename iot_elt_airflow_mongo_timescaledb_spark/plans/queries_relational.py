@@ -144,6 +144,7 @@ def weekly_steps(spark, sf_dir):
     FROM events WHERE event_type = 'click'
     GROUP BY 1, 2
     """,
+    gate=False,  # same A1/P3 operators as daily_steps — pytest-verified
 )
 def monthly_steps(spark, sf_dir):
     e = table(spark, sf_dir, "events")
@@ -204,6 +205,7 @@ def daily_sleeps(spark, sf_dir):
 @query(
     "monthly_sleeps",
     oracle=_SLEEPS_ORACLE.format(bucket="strftime(hr.ts, '%Y%m')", name="month"),
+    gate=False,  # same J3/A2 operators as daily_sleeps — pytest-verified
 )
 def monthly_sleeps(spark, sf_dir):
     return _sleeps_grouped(spark, sf_dir, month_key, "month")
@@ -217,6 +219,7 @@ def monthly_sleeps(spark, sf_dir):
     FROM events WHERE event_type = 'view'
     GROUP BY 1, 2
     """,
+    gate=False,  # same A2/A6 operators as daily_sleeps/weekly_steps
 )
 def weekly_sleeps(spark, sf_dir):
     """Quirk §2.9.3 preserved: weekly_sleeps has NO existence join —
@@ -277,6 +280,7 @@ def daily_summary(spark, sf_dir):
                  FROM events WHERE event_type = 'click' GROUP BY 1, 2""",
         name="week",
     ),
+    gate=False,  # same J4 operator as daily_summary — pytest-verified
 )
 def weekly_summary(spark, sf_dir):
     return _summary(spark, sf_dir, weekly_sleeps, weekly_steps, "week")
@@ -291,6 +295,7 @@ def weekly_summary(spark, sf_dir):
                  FROM events WHERE event_type = 'click' GROUP BY 1, 2""",
         name="month",
     ),
+    gate=False,  # same J4 operator as daily_summary — pytest-verified
 )
 def monthly_summary(spark, sf_dir):
     return _summary(spark, sf_dir, monthly_sleeps, monthly_steps, "month")
@@ -306,8 +311,9 @@ def monthly_summary(spark, sf_dir):
     oracle="""
     SELECT c.c_custkey AS user_id, c.c_name AS name,
            c.c_mktsegment AS segment, c.c_acctbal AS acctbal,
-           COALESCE(LIST_SORT(LIST(o.o_orderkey) FILTER (WHERE o.o_orderkey IS NOT NULL)), [])
-             AS orderkeys
+           ARRAY_TO_STRING(
+             COALESCE(LIST_SORT(LIST(o.o_orderkey) FILTER (WHERE o.o_orderkey IS NOT NULL)), []),
+             ',') AS orderkeys
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY 1, 2, 3, 4
     """,
@@ -315,7 +321,13 @@ def monthly_summary(spark, sf_dir):
 def stage_users(spark, sf_dir):
     """J2/A3 — users LEFT JOIN devices then ARRAY_AGG, keeping users with
     no matches (users.sql:17-27).  collect_list drops the left-join NULLs
-    (→ empty array); sorted for cross-engine determinism."""
+    (→ empty array); sorted for cross-engine determinism.
+
+    The array is emitted as a comma-joined string on BOTH sides: the
+    driver's canonicalizer hashes flat values and chokes on list-typed
+    cells (r1's one red row).  The model layer (plans/models.py) keeps
+    the real array type — only this gate-facing projection stringifies.
+    """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     joined = c.join(o, c.c_custkey == o.o_custkey, "left")
@@ -324,7 +336,11 @@ def stage_users(spark, sf_dir):
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").alias("segment"),
         F.col("c_acctbal").alias("acctbal"),
-    ).agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"))
+    ).agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+            "orderkeys"
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -586,6 +602,7 @@ def watermark_incremental(spark, sf_dir):
                     AND o.o_orderpriority = '1-URGENT')
     GROUP BY 1
     """,
+    gate=False,  # driver row via the merged semi_anti_join_counts below
 )
 def semi_join_urgent(spark, sf_dir):
     """J3 scalable form — left-semi join as existence filter."""
@@ -606,6 +623,7 @@ def semi_join_urgent(spark, sf_dir):
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY 1
     """,
+    gate=False,  # driver row via the merged semi_anti_join_counts below
 )
 def anti_join_orderless(spark, sf_dir):
     """Left-anti join (NOT EXISTS) — needed by the M2 upsert fallback."""
@@ -616,6 +634,51 @@ def anti_join_orderless(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@query(
+    "semi_anti_join_counts",
+    oracle="""
+    SELECT 'semi' AS op, l_returnflag AS key, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS metric
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 2
+    UNION ALL
+    SELECT 'anti' AS op, c_mktsegment AS key, COUNT(*) AS n,
+           CAST(NULL AS DOUBLE) AS metric
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 2
+    """,
+)
+def semi_anti_join_counts(spark, sf_dir):
+    """J3 scalable form, both polarities in one gated row: left-semi
+    (EXISTS) and left-anti (NOT EXISTS) joins tagged and unioned —
+    keeps both join families driver-verified inside the 50-row cap.
+    The standalone ``semi_join_urgent`` / ``anti_join_orderless``
+    variants stay pytest-verified."""
+    semi = (
+        semi_join_urgent(spark, sf_dir)
+        .select(
+            F.lit("semi").alias("op"),
+            F.col("l_returnflag").alias("key"),
+            F.col("n_items").alias("n"),
+            F.col("qty").alias("metric"),
+        )
+    )
+    anti = (
+        anti_join_orderless(spark, sf_dir)
+        .select(
+            F.lit("anti").alias("op"),
+            F.col("c_mktsegment").alias("key"),
+            F.col("n_customers").alias("n"),
+            F.lit(None).cast("double").alias("metric"),
+        )
+    )
+    return semi.unionByName(anti)
 
 
 # --------------------------------------------------------------------------
@@ -633,6 +696,7 @@ def anti_join_orderless(spark, sf_dir):
     FROM events
     GROUP BY 1
     """,
+    gate=False,  # JSON-path family pytest-verified (with typed_props_daily)
 )
 def json_props_stats(spark, sf_dir):
     """JSON path extraction (S13 document parsing surface)."""
@@ -659,6 +723,7 @@ def json_props_stats(spark, sf_dir):
       FROM orders)
     WHERE rk <= 3
     """,
+    gate=False,  # row_number-rank family driver-covered by tfidf_top_terms
 )
 def topk_orders_per_customer(spark, sf_dir):
     o = table(spark, sf_dir, "orders")

@@ -358,16 +358,24 @@ def _byte_expr(i: int) -> str:
     SELECT doc_id AS id,
            octet_length(encode(text)) AS byte_len,
            md5(text) AS checksum,
-           [{', '.join(_byte_expr(i) for i in range(4))}] AS feature
+           {', '.join(f'{_byte_expr(i)} AS f{i}' for i in range(4))}
     FROM documents
     """,
 )
 def multimodal_features(spark, sf_dir):
     """Binary-column pipeline: blob + metadata -> mapInPandas feature
-    extraction (deterministic fake decode over the md5 digest)."""
+    extraction (deterministic fake decode over the md5 digest).
+
+    The feature vector is unpacked into scalar columns f0..f3 for the
+    gate (the driver canonicalizer can't hash list cells); the operator
+    itself keeps the array<double> contract."""
     docs = table(spark, sf_dir, "documents")
     blobs = attach_binary(docs, "text", "doc_id")
-    return extract_features(blobs)
+    feats = extract_features(blobs)
+    return feats.select(
+        "id", "byte_len", "checksum",
+        *[feats["feature"][i].alias(f"f{i}") for i in range(4)],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -559,7 +567,7 @@ def _frames_oracle() -> str:
            (SELECT unnest(range({_N_FRAMES})) AS i) f)
     SELECT id, CAST(frame_idx AS INT) AS frame_idx,
            md5(frame) AS frame_checksum,
-           [{', '.join(_frame_byte_expr(i) for i in range(4))}] AS frame_feature
+           {', '.join(f'{_frame_byte_expr(i)} AS f{i}' for i in range(4))}
     FROM framed
     """
 
@@ -568,12 +576,17 @@ def _frames_oracle() -> str:
 def multimodal_frame_sample(spark, sf_dir):
     """Frame sampling over binary blobs: one Arrow ``mapInPandas`` pass
     fanning each blob into 3 frame rows (checksum + stub feature) —
-    the video-decode plumbing shape with a deterministic fake decode."""
+    the video-decode plumbing shape with a deterministic fake decode.
+    Feature vector unpacked to f0..f3 for the gate (no list cells)."""
     from ..operators.multimodal import sample_frames
 
     docs = table(spark, sf_dir, "documents")
     blobs = attach_binary(docs, "text", "doc_id")
-    return sample_frames(blobs, n_frames=_N_FRAMES)
+    frames = sample_frames(blobs, n_frames=_N_FRAMES)
+    return frames.select(
+        "id", "frame_idx", "frame_checksum",
+        *[frames["frame_feature"][i].alias(f"f{i}") for i in range(4)],
+    )
 
 
 # ---------------------------------------------------------------------------
