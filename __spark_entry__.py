@@ -38,9 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver records at most 50 rows, so this returns the curated
     gated set (every SURVEY §2 operator family + every LLM-pipeline
-    component, exactly 50 entries); operator-redundant variants stay
-    registered with ``gate=False`` and are verified by the pytest
-    oracle-parity suite (tests/test_oracle_parity.py) instead.
+    component; at most GATE_CAP entries, enforced with a ValueError in
+    the registry); operator-redundant variants stay registered with
+    ``gate=False`` and are verified by the pytest oracle-parity suite
+    (tests/test_oracle_parity.py) instead.
     """
     return spark_queries(gated_only=True)
 

@@ -5,10 +5,14 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 (plan + execute + collect) after a one-query JVM warm-up so codegen /
 classloading costs don't land on the first measured entry.
 
-Each query is run twice and the faster attempt is reported (the host is
-co-tenant — load average regularly hits 4-6 with no local processes —
-and best-of-N is the standard way to measure the code rather than the
-neighbours; see PERF_NOTES.md "Bench variance caveat").
+Each query is run three times; the headline "queries"/"value" keep the
+best attempt (comparable with earlier rounds, and best-of-N measures
+the code rather than the co-tenant neighbours — load average regularly
+hits 4-6 with no local processes), while "queries_median"/
+"value_median" report the per-query median so round-over-round deltas
+are attributable: a regression that survives the median is real, one
+that only shows in best-of is host noise (see PERF_NOTES.md "Bench
+variance caveat").
 """
 
 from __future__ import annotations
@@ -77,24 +81,30 @@ def main() -> None:
         .collect()
     )
 
-    timings: dict[str, float] = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    best: dict[str, float] = {}
+    median: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
-        for _ in range(2):
+        attempts = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            attempts.append(time.perf_counter() - t0)
+        attempts.sort()
+        best[name] = round(attempts[0], 3)
+        median[name] = round(attempts[len(attempts) // 2], 3)
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
-                "value": total,
+                "value": round(sum(best.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": best,
+                "value_median": round(sum(median.values()), 3),
+                "queries_median": median,
+                "runs_per_query": n_runs,
                 "sf": sf,
             }
         )

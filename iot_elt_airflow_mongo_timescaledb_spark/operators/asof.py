@@ -3,9 +3,24 @@
 The reference's warehouse is TimescaleDB, whose users routinely write
 LATERAL "latest reading before t" lookups; Spark has no built-in as-of
 join, so this implements it as a *composition of built-in operators*
-(SURVEY's custom-operator rule (a)): tag both sides, union, and take a
-running ``last(value, ignorenulls=True)`` over a per-key window ordered
-by (ts, side).
+(SURVEY's custom-operator rule (a)): tag both sides, union, and carry
+the most recent right ROW forward with a running
+``last(struct, ignorenulls=True)`` over a per-key window ordered by
+(ts, side, row-tiebreak).
+
+Semantics (matching DuckDB ASOF LEFT JOIN, the oracle):
+
+- the matched right row is the one with the greatest ``right_ts <=
+  left_ts`` (inclusive);
+- ALL of its value columns are attached as one unit — a genuinely-NULL
+  value on the matched row stays NULL (the struct fill never skips back
+  to a stale older row, which a per-column ``last(value, ignorenulls)``
+  would);
+- equal-``right_ts`` ties are broken deterministically toward the
+  largest value tuple (struct comparison over ``value_cols`` in the
+  given order) — engines leave this unspecified, so the operator pins
+  it;
+- left rows with no prior right row keep NULLs.
 
 Scale notes: this is ONE shuffle on the join keys + a per-partition sort
 — no range-explosion, no broadcast requirement, no skew beyond the key
@@ -18,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -35,18 +51,21 @@ def asof_join(
     ``ON l.ts >= r.ts``).  Left rows with no prior right row keep NULLs
     (ASOF LEFT JOIN semantics).
     """
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     right_tagged = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__payload"),
     )
     left_cols = left.columns
     left_tagged = left.select(
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
+        F.lit(None).cast(payload_type).alias("__payload"),
     )
     # align: right side carries NULL for left payload columns
     for c in left_cols:
@@ -56,18 +75,25 @@ def asof_join(
             )
     unioned = right_tagged.select(left_tagged.columns).unionByName(left_tagged)
 
-    # side 0 (right) sorts before side 1 (left) at equal ts → inclusive match
+    # side 0 (right) sorts before side 1 (left) at equal ts → inclusive
+    # match; among equal-ts right rows the payload struct itself is the
+    # deterministic tiebreak (last == greatest value tuple).  The left
+    # rows' NULL payload sorts first, so it never outranks a right row.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            F.col("__payload").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *left_cols,
         "__side",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("__payload", ignorenulls=True).over(w).alias("__matched"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *left_cols,
+        *[F.col(f"__matched.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -46,6 +46,46 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dup_keepers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keeper-only corpus: one representative document per distinct
+    (normalized) content — the EXACT-DUP PRE-GUARD for the MinHash/LSH
+    chain.
+
+    A family of k byte-identical documents fed straight into banded LSH
+    lands in the same bucket and emits O(k²) candidate pairs; common
+    crawl corpora have k in the millions (boilerplate pages), which is a
+    quadratic blow-up no bucketing fixes.  Removing exact duplicates
+    first costs one hash-agg + one semi-join and restores the LSH
+    bucket-size bound to *near*-dup collision rates.  Exact-dup
+    membership is preserved separately by ``exact_dedup_groups`` /
+    ``exact_dup_edges`` — nothing is lost, the k² pairs are simply never
+    materialized.
+    """
+    groups = exact_dedup_groups(df, id_col, text_col)
+    return df.join(
+        groups.select(F.col("keeper_id").alias(id_col)), id_col, "left_semi"
+    )
+
+
+def exact_dup_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Star edges (keeper_id → member_id) for every exact-duplicate
+    group member: O(k) edges per k-document family, never O(k²).
+
+    Unioned with the LSH candidate pairs before connected components so
+    duplicate CLUSTERS still contain every document even though the LSH
+    tier only ever sees keepers.
+    """
+    fp = df.select(
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"), F.col(id_col)
+    )
+    keepers = fp.groupBy("fingerprint").agg(F.min(id_col).alias("id_a"))
+    return (
+        fp.join(keepers, "fingerprint")
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, sh).
 
@@ -88,6 +128,13 @@ def lsh_candidate_pairs(
 
     The unpivot keeps one row per (doc, band); the self-join shuffles on
     (band, key) so each bucket joins locally.
+
+    Bucket-size bound: a bucket of b docs emits O(b²) pairs, so the
+    input signature table MUST be exact-dup free (``exact_dup_keepers``
+    upstream) — then b is bounded by the near-dup collision rate of a
+    band (small by construction: band width tunes the similarity
+    threshold), and residual hot buckets are AQE skew-join territory
+    rather than a quadratic blow-up.
     """
     rows = k // bands
     band_cols = []

@@ -8,18 +8,78 @@ downstream aggregation key so the following groupBy is already
 co-partitioned (the exchange moves up the plan rather than being
 added).
 
-At scale the guard is a no-op: a 100 TB corpus scans as thousands of
-splits, the condition is false, and no raw-data shuffle is injected.
+The width check is metadata-only: ``df.inputFiles()`` (a catalog/file-
+index listing Spark has already performed to plan the scan) plus the
+same split-packing formula ``FilePartition.maxSplitBytes`` uses — NOT
+``df.rdd.getNumPartitions()``, which converts the whole logical plan to
+an RDD on the driver for every call.
+
+At scale the guard is a no-op twice over: a 100 TB corpus scans as
+thousands of splits, so the estimate clears the default parallelism and
+no raw-data shuffle is injected; and non-file sources (in-memory
+relations, streams) return unchanged — the guard is scan-oriented, and
+callers with exotic sources size their own exchanges.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+import os
+import re
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ("134217728b", "128m", "128MB")."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:  # noqa: BLE001 - unset conf
+        return default
+    m = re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw)
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)] if m else default
+
+
+def estimated_scan_splits(spark: SparkSession, files: list[str]) -> int | None:
+    """Estimate how many input splits Spark packs the scan's files into,
+    mirroring ``FilePartition.maxSplitBytes``:
+
+        bytesPerCore = (totalBytes + openCost * nFiles) / defaultParallelism
+        maxSplit     = min(maxPartitionBytes, max(openCost, bytesPerCore))
+        splits       ≈ ceil(totalPadded / maxSplit)
+
+    Returns None when a file cannot be stat'ed cheaply (non-local FS in
+    this sandbox) — callers treat unknown as "wide enough" rather than
+    injecting a speculative shuffle.
+    """
+    max_part = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(parsed.path) + open_cost
+        except OSError:
+            return None
+    if total == 0:
+        return 1
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(max_part, max(open_cost, total // cores))
+    return max(1, math.ceil(total / max_split))
 
 
 def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if not files:
+        return df  # non-file source: no scan to widen
+    est = estimated_scan_splits(spark, files)
+    if est is None or est >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

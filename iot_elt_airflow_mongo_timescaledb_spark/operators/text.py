@@ -110,14 +110,24 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 1
+    df: DataFrame, id_col: str, text_col: str, k: int = 1, min_df: int = 1
 ) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
     tf = term count in doc; idf = ln((N+1)/(df+1)) with add-one
     smoothing (N = docs with ≥1 token).  All shuffles are on bounded
-    keys (term or doc id); the doc-frequency table is a broadcast-sized
-    aggregate at any corpus size with a bounded vocabulary.
+    keys (term or doc id).
+
+    Scale notes: real corpora have unbounded vocabularies (typos, ids,
+    URLs — vocabulary grows ~ with corpus size), so the doc-frequency
+    table must NOT be force-broadcast: the tf⋈df join is left unhinted
+    and AQE picks broadcast only when the aggregated df side is actually
+    under ``spark.sql.autoBroadcastJoinThreshold``, falling back to a
+    shuffled join on the bounded ``term`` key otherwise.  ``min_df``
+    prunes the hapax tail before the join (df < min_df terms can never
+    be informative top-k terms at corpus scale and are the bulk of the
+    vocabulary by Zipf); the default 1 keeps exact parity with the SQL
+    oracle.
     """
     from pyspark.sql.window import Window
 
@@ -127,8 +137,10 @@ def tfidf_top_terms(
     ).filter(F.col("term") != "")
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    if min_df > 1:
+        doc_freq = doc_freq.filter(F.col("df") >= min_df)
     n_docs = words.select(id_col).distinct().count()
-    scored = tf.join(F.broadcast(doc_freq), "term").select(
+    scored = tf.join(doc_freq, "term").select(
         F.col(id_col),
         "term",
         F.round(

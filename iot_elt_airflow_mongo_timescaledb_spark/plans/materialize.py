@@ -22,6 +22,7 @@ called out in the docstring rather than hidden.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -121,11 +122,17 @@ class Warehouse:
             merged = keep.unionByName(df, allowMissingColumns=True)
         else:
             merged = df
-        # two-phase write: the source of the overwrite is the target itself
+        # two-phase write: the source of the overwrite is the target itself;
+        # the staging copy is removed once the target rewrite lands (a
+        # leaked sibling would shadow a full stale copy per upsert)
         tmp = self.path(name) + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        out = self.spark.read.parquet(tmp)
-        out.write.mode("overwrite").parquet(self.path(name))
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                self.path(name)
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return self.read(name)
 
     def compact(self, name: str, target_files: int = 1) -> DataFrame:
@@ -145,15 +152,18 @@ class Warehouse:
         writer = df.coalesce(max(1, target_files)) if not part_cols else df.repartition(
             max(1, target_files), *part_cols
         )
-        w = writer.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(tmp)
-        out = self.spark.read.parquet(tmp)
-        w2 = out.write.mode("overwrite")
-        if part_cols:
-            w2 = w2.partitionBy(*part_cols)
-        w2.parquet(self.path(name))
+        try:
+            w = writer.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(tmp)
+            out = self.spark.read.parquet(tmp)
+            w2 = out.write.mode("overwrite")
+            if part_cols:
+                w2 = w2.partitionBy(*part_cols)
+            w2.parquet(self.path(name))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return self.read(name)
 
     # ------------------------------------------------------------------
@@ -259,8 +269,6 @@ def materialize_bucketed(
         table_name.lower(),
     )
     if os.path.isdir(loc):
-        import shutil
-
         shutil.rmtree(loc)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, bucket_col

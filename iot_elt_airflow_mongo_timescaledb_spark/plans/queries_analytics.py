@@ -182,7 +182,8 @@ def distinct_users_daily(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS within_tol
+           TRUE AS within_tol,
+           CAST(0 AS BIGINT) AS err_tol_buckets
     FROM events GROUP BY 1
     """,
 )
@@ -193,20 +194,27 @@ def approx_distinct_users(spark, sf_dir):
     HLL sketches are engine-specific, so the estimate itself can't be
     hash-compared; instead the query emits a deterministic verdict —
     ``within_tol`` = |estimate − exact| ≤ 5% of exact — which the oracle
-    asserts as TRUE.  The driver then hash-checks a real correctness
-    property of the sketch, not just a row count."""
+    asserts as TRUE, plus ``err_tol_buckets`` = floor(|err| / 5% of
+    exact) so a future failure is diagnosable by magnitude (bucket 0 =
+    within tolerance, 1 = within 2×, …) instead of an opaque hash
+    mismatch.  The 5% margin is ~2.5σ for rsd=0.02 and is SF-dependent:
+    smaller groups estimate exactly (HLL++ sparse mode), larger groups
+    concentrate further — re-derive the margin if the gate SF changes."""
     e = table(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    tol = 0.05 * F.col("exact_users")
     return agg.select(
         "event_type",
         "exact_users",
-        (
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
-        ).alias("within_tol"),
+        (err <= tol).alias("within_tol"),
+        F.when(err <= tol, F.lit(0))
+        .otherwise(F.floor(err / tol))
+        .cast("long")
+        .alias("err_tol_buckets"),
     )
 
 

@@ -21,21 +21,48 @@ from .registry import query, table
 # shared oracle-SQL fragments (DuckDB)
 # ---------------------------------------------------------------------------
 
-_WORDS = r"SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents"
-
-_SHINGLES = rf"""SELECT DISTINCT doc_id,
-       unnest(list_transform(range(1, len(ws) - 1),
-                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-    FROM ({_WORDS}) WHERE len(ws) >= 3"""
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 _K = 8
 _BANDS_N = 4
 
-_SIG = (
-    "SELECT doc_id, "
-    + ", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(_K))
-    + f" FROM ({_SHINGLES}) GROUP BY doc_id"
-)
+# the exact-dup pre-guard: the near-dup (LSH) chain only ever sees one
+# keeper per distinct content — a k-identical-doc family contributes
+# O(k) exact-dup edges, never O(k²) LSH candidate pairs
+_KEEPERS = f"SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_SQL})"
+
+_DOCS_KEPT = f"SELECT * FROM documents WHERE doc_id IN ({_KEEPERS})"
+
+
+def _words_sql(src: str) -> str:
+    return (
+        r"SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws"
+        f" FROM ({src})"
+    )
+
+
+def _shingles_sql(src: str) -> str:
+    return rf"""SELECT DISTINCT doc_id,
+       unnest(list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+    FROM ({_words_sql(src)}) WHERE len(ws) >= 3"""
+
+
+def _sig_sql(src: str) -> str:
+    return (
+        "SELECT doc_id, "
+        + ", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(_K))
+        + f" FROM ({_shingles_sql(src)}) GROUP BY doc_id"
+    )
+
+
+# full-corpus signature table (per-doc map — no pair blow-up risk)
+_SHINGLES = _shingles_sql("SELECT * FROM documents")
+_SIG = _sig_sql("SELECT * FROM documents")
+
+# keeper-only chain feeding every pair-producing query
+_SHINGLES_KEPT = _shingles_sql(_DOCS_KEPT)
+_SIG_KEPT = _sig_sql(_DOCS_KEPT)
 
 _BAND_KEY_CASE = (
     "CASE b.band "
@@ -46,18 +73,21 @@ _BAND_KEY_CASE = (
 )
 
 _BANDS = f"""SELECT doc_id, b.band AS band, {_BAND_KEY_CASE} AS key
-    FROM ({_SIG}), (SELECT unnest([0,1,2,3]) AS band) b"""
+    FROM ({_SIG_KEPT}), (SELECT unnest([0,1,2,3]) AS band) b"""
 
 _PAIRS = f"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM ({_BANDS}) a JOIN ({_BANDS}) b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
 
+def _kept_docs(spark, sf_dir):
+    """Spark twin of ``_DOCS_KEPT`` — exact-dup keepers only."""
+    return D.exact_dup_keepers(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup + fingerprints
 # ---------------------------------------------------------------------------
-
-_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
 @query(
@@ -101,9 +131,10 @@ def minhash_signatures(spark, sf_dir):
 
 @query("lsh_candidate_pairs", oracle=_PAIRS)
 def lsh_candidate_pairs(spark, sf_dir):
-    """Banded LSH (4 bands × 2 rows) near-dup candidate pairs."""
-    docs = table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    """Banded LSH (4 bands × 2 rows) near-dup candidate pairs, with the
+    exact-dup pre-guard: only content keepers enter the banding, so a
+    k-identical family can never emit O(k²) candidates."""
+    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
     sig = D.minhash_signature(sh, "doc_id", k=_K)
     return D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
 
@@ -111,7 +142,7 @@ def lsh_candidate_pairs(spark, sf_dir):
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH shingles AS ({_SHINGLES}), pairs AS ({_PAIRS}),
+    WITH shingles AS ({_SHINGLES_KEPT}), pairs AS ({_PAIRS}),
     inter AS (
       SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
       FROM pairs p
@@ -128,9 +159,9 @@ def lsh_candidate_pairs(spark, sf_dir):
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard, verified on LSH candidates only (the
-    scalable shape: inverted-index probe, never all-pairs)."""
-    docs = table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    scalable shape: exact-dup keepers → inverted-index probe, never
+    all-pairs)."""
+    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
     sig = D.minhash_signature(sh, "doc_id", k=_K)
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
     return D.jaccard_on_pairs(pairs, sh, "doc_id")
@@ -139,7 +170,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
 @query(
     "minhash_jaccard_estimate",
     oracle=f"""
-    WITH sig AS ({_SIG}), pairs AS ({_PAIRS})
+    WITH sig AS ({_SIG_KEPT}), pairs AS ({_PAIRS})
     SELECT p.id_a AS id_a, p.id_b AS id_b,
            ROUND(({' + '.join(f'CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END' for i in range(_K))})
                  / {float(_K)}, 6) AS jaccard_est
@@ -151,10 +182,10 @@ def ngram_jaccard_pairs(spark, sf_dir):
 def minhash_jaccard_estimate(spark, sf_dir):
     """Sketch-tier Jaccard: slot-agreement fraction of the MinHash
     signatures (unbiased estimator of true Jaccard).  The scale path —
-    verification reads only |docs|×k signature rows, never the shingle
-    corpus; exact ``ngram_jaccard_pairs`` is its refinement tier."""
-    docs = table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    verification reads only |keepers|×k signature rows, never the
+    shingle corpus; exact ``ngram_jaccard_pairs`` is its refinement
+    tier."""
+    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
     sig = D.minhash_signature(sh, "doc_id", k=_K)
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
     return D.minhash_jaccard_estimate(pairs, sig, "doc_id", k=_K)
@@ -387,9 +418,17 @@ def multimodal_features(spark, sf_dir):
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_PAIRS}),
+    exact_edges AS (
+      SELECT k.id_a, d.doc_id AS id_b
+      FROM (SELECT md5({_NORM_SQL}) AS fp, MIN(doc_id) AS id_a
+            FROM documents GROUP BY 1) k
+      JOIN (SELECT md5({_NORM_SQL}) AS fp, doc_id FROM documents) d USING (fp)
+      WHERE d.doc_id <> k.id_a
+    ),
+    all_pairs AS (SELECT * FROM pairs UNION SELECT * FROM exact_edges),
     edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
+      SELECT id_a AS a, id_b AS b FROM all_pairs
+      UNION SELECT id_b, id_a FROM all_pairs
     ),
     reach(src, dst) AS (
       SELECT a, a FROM edges
@@ -400,15 +439,19 @@ def multimodal_features(spark, sf_dir):
     """,
 )
 def dedup_clusters(spark, sf_dir):
-    """Near-dup clusters: LSH candidate pairs → connected components
-    (iterative min-label propagation; operators/dedup.py).  The oracle
-    is an exact recursive-CTE reachability query — the iterative Spark
+    """Dup clusters: keeper-only LSH candidate pairs UNION the O(k)
+    exact-dup star edges → connected components (iterative min-label
+    propagation; operators/dedup.py).  The pre-guard keeps the pair
+    graph quadratic-free while the star edges keep every document —
+    including exact-dup members — in its cluster.  The oracle is an
+    exact recursive-CTE reachability query — the iterative Spark
     algorithm must converge to the same fixpoint."""
     docs = table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
     sig = D.minhash_signature(sh, "doc_id", k=_K)
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
-    return D.connected_components(pairs)
+    edges = pairs.unionByName(D.exact_dup_edges(docs, "doc_id", "text")).distinct()
+    return D.connected_components(edges)
 
 
 # ---------------------------------------------------------------------------
@@ -510,8 +553,7 @@ def cross_modal_neardup(spark, sf_dir):
     table (inverted probe), never an all-pairs vector scan."""
     from ..operators.similarity import as_double, l2_norm
 
-    docs = table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
     sig = D.minhash_signature(sh, "doc_id", k=_K)
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
     v = table(spark, sf_dir, "embeddings").select(

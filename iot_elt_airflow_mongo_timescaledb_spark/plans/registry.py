@@ -38,19 +38,29 @@ def query(name: str, oracle: str | None = None, gate: bool = True):
     return deco
 
 
+def _check_gate_cap(items: dict) -> None:
+    """Hard error (not an assert — ``python -O`` strips those) when the
+    gated set would overflow the driver's row cap and get silently
+    truncated."""
+    if len(items) > GATE_CAP:
+        raise ValueError(
+            f"{len(items)} gated queries exceed the driver cap of {GATE_CAP}; "
+            "demote operator-redundant entries with gate=False"
+        )
+
+
 def spark_queries(gated_only: bool = False) -> dict[str, SparkQuery]:
     _load_all()
     items = {k: v[0] for k, v in _REGISTRY.items() if v[2] or not gated_only}
     if gated_only:
-        assert len(items) <= GATE_CAP, (
-            f"{len(items)} gated queries exceed the driver cap of {GATE_CAP}; "
-            "demote operator-redundant entries with gate=False"
-        )
+        _check_gate_cap(items)
     return items
 
 
 def oracle_queries(gated_only: bool = False) -> dict[str, str]:
     _load_all()
+    if gated_only:
+        _check_gate_cap({k: v for k, v in _REGISTRY.items() if v[2]})
     return {
         k: v[1]
         for k, v in _REGISTRY.items()

@@ -58,10 +58,21 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming dedup (T8 as a stream): ``dropDuplicates`` on
-    the primary key with a watermark bounding the dedup state, then a
+    """Stateful streaming dedup (T8 as a stream): per-key dedup whose
+    state is ACTUALLY bounded by the event-time watermark, then a
     per-type count.  This is the reference's ``primary_key='_id'``
     merge-dedup expressed as Structured Streaming state.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    the load-bearing choice: with the key set not containing the event
+    time, plain ``dropDuplicates`` NEVER evicts state — on a long-running
+    100 TB stream the state store grows with every distinct key until the
+    job OOMs.  The WithinWatermark variant expires a key once the
+    watermark passes its event time + delay, so state is bounded by the
+    keys seen per watermark window; duplicates are guaranteed dropped
+    when they arrive within the delay of each other (the reference's
+    boundary re-reads arrive back-to-back, well inside it).  Eviction is
+    asserted by tests/test_streaming_state.py.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
@@ -70,7 +81,9 @@ def dedup_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return _drain_to_memory(spark, agg, "dedup_counts", "complete")
 

@@ -46,17 +46,26 @@ def _track_user(
         n, total, last_ts_us, max_gap_us = 0, 0.0, None, 0
     import numpy as np
 
+    # A group larger than the Arrow batch size arrives as SEVERAL chunks
+    # with no ordering guarantee between (or within) them, so gaps must
+    # be computed over the micro-batch's timestamps as a whole: collect
+    # every chunk first, sort ONCE (prepending the carried last-seen ts),
+    # then diff.  Per-chunk sorting with a carried cursor would measure
+    # gaps between out-of-order fragments (the round-2 defect).
+    chunks = []
     for pdf in pdfs:
         if pdf.empty:
             continue
-        ts = np.sort(pdf["ts"].values.astype("datetime64[us]").astype("int64"))
+        chunks.append(pdf["ts"].values.astype("datetime64[us]").astype("int64"))
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    if chunks:
         if last_ts_us is not None:
-            ts = np.concatenate(([last_ts_us], ts))
+            chunks.append(np.array([last_ts_us], dtype="int64"))
+        ts = np.sort(np.concatenate(chunks))
         if len(ts) >= 2:
             max_gap_us = max(max_gap_us, int(np.diff(ts).max()))
         last_ts_us = int(ts[-1])
-        n += len(pdf)
-        total += float(pdf["value"].sum())
     state.update((n, total, last_ts_us, max_gap_us))
     yield pd.DataFrame(
         {

@@ -64,3 +64,105 @@ def test_week_bucket_matches_timescaledb_origin(spark):
         datetime(2020, 1, 27, 0, 0),
         datetime(2020, 2, 3, 0, 0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# as-of join edge semantics (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+def _asof_fixture(spark):
+    from pyspark.sql import types as T
+
+    left_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("lts", T.LongType()),
+        ]
+    )
+    right_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("rts", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    left = spark.createDataFrame(
+        [("u1", 5), ("u1", 25), ("u1", 30), ("u2", 100)], left_schema
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 10, 1.0, "a"),
+            ("u1", 20, None, "b"),   # NULL value AT the match point
+            ("u1", 30, 5.0, "c"),    # duplicate-ts pair …
+            ("u1", 30, 7.0, "d"),    # … tie must resolve to largest tuple
+        ],
+        right_schema,
+    )
+    return left, right
+
+
+def test_asof_null_at_match_point_stays_null(spark):
+    """A genuinely-NULL value on the matched row must be attached as
+    NULL — not skipped in favor of a stale older reading (the failure
+    mode of a per-column last(value, ignorenulls) fill)."""
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["value", "tag"],
+    )
+    rows = {(r["k"], r["lts"]): (r["value_asof"], r["tag_asof"]) for r in out.collect()}
+    assert rows[("u1", 25)] == (None, "b")   # matched row b, NULL kept
+    assert rows[("u1", 5)] == (None, None)   # no prior right row
+    assert rows[("u2", 100)] == (None, None)
+
+
+def test_asof_duplicate_ts_tiebreak_deterministic(spark):
+    """Equal-ts right rows resolve toward the largest value tuple —
+    pinned, run-stable semantics instead of partition-order luck."""
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    for _ in range(3):  # run-to-run determinism
+        out = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["value", "tag"],
+        )
+        rows = {(r["k"], r["lts"]): (r["value_asof"], r["tag_asof"]) for r in out.collect()}
+        assert rows[("u1", 30)] == (7.0, "d")  # inclusive + max tuple
+
+
+def test_asof_matches_duckdb_asof_join(spark):
+    """Tie-free portion matches DuckDB ASOF LEFT JOIN exactly."""
+    import duckdb
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    right_nodup = right.filter(F.col("rts") != 30)
+    out = asof_join(
+        left, right_nodup, on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["value"],
+    ).select("k", "lts", "value_asof")
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l(k VARCHAR, lts BIGINT); "
+        "CREATE TABLE r(k VARCHAR, rts BIGINT, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO l VALUES (?, ?)", [tuple(r) for r in left.collect()])
+    con.executemany(
+        "INSERT INTO r VALUES (?, ?, ?)",
+        [(r["k"], r["rts"], r["value"]) for r in right_nodup.collect()],
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT l.k, l.lts, r.value FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.lts >= r.rts"
+        ).fetchall()
+    )
+    assert got == want

@@ -54,6 +54,31 @@ def test_upsert_replaces_on_unique_key(spark, tmp_path):
     assert rows == {("a", 30), ("b", 41), ("c", 50)}
 
 
+def test_upsert_and_compact_leave_no_staging_dirs(spark, tmp_path):
+    """Repeated upserts/compactions must not leak ``__staging`` /
+    ``__compact`` sibling copies next to the target (each would hold a
+    full stale snapshot of the table)."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path))
+    for i in range(3):
+        wh.materialize_upsert(
+            "stage.users",
+            spark.createDataFrame([Row(user_id="a", age=30 + i)]),
+            "user_id",
+        )
+    wh.materialize_incremental("stage.t", _days(spark, ("20200101", 1)), None)
+    wh.compact("stage.t", target_files=1)
+    leaked = [
+        os.path.join(root, d)
+        for root, dirs, _ in os.walk(str(tmp_path))
+        for d in dirs
+        if d.endswith("__staging") or d.endswith("__compact")
+    ]
+    assert leaked == []
+    assert wh.read("stage.users").count() == 1
+
+
 def test_view_materialization(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path))
     wh.materialize_view("examples.v", _days(spark, ("20200101", 1)))
