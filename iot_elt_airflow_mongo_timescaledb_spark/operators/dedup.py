@@ -39,7 +39,9 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
     return (
-        ensure_min_parallelism(df)
+        # project to the two needed columns BEFORE the widening shuffle
+        # so it never moves payload columns
+        ensure_min_parallelism(df.select(id_col, text_col))
         .select(fp, F.col(id_col))
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
@@ -99,7 +101,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         f"i -> concat_ws(' ', {', '.join(idx_terms)}))"
     )
     return (
-        ensure_min_parallelism(df, id_col)
+        ensure_min_parallelism(df.select(id_col, text_col), id_col)
         .select(F.col(id_col), words.alias("__words"))
         .filter(F.size("__words") >= n)
         .select(F.col(id_col), F.explode(F.expr(sh_expr)).alias("sh"))
@@ -260,7 +262,7 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # shuffle, so shuffle volume is bounded by the doc count, never the
     # token count.  (A vocab-dedup + broadcast-join variant measured
     # 2.4× slower here: two extra exchanges beat the saved hashing.)
-    words = ensure_min_parallelism(df, id_col).select(
+    words = ensure_min_parallelism(df.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     ).withColumn("h", F.md5("w"))
@@ -346,3 +348,70 @@ def connected_components(
         if n_changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs — banded candidate generation + exact Hamming
+# verification, the bitwise sibling of the MinHash/LSH chain.
+# ---------------------------------------------------------------------------
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame, id_col: str, max_hamming: int = 8, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs from 64-bit SimHash signatures.
+
+    Banding gives the sub-quadratic candidate set: two signatures within
+    Hamming distance (bands - 1) must agree on at least one of ``bands``
+    equal-width chunks (pigeonhole), so candidates = docs sharing any
+    16-bit chunk — an equi-join on (band, chunk), same shuffle shape as
+    MinHash LSH banding.  Exact Hamming distance (per-chunk XOR popcount,
+    all JVM bit ops) then verifies candidates against ``max_hamming``.
+    Input must be exact-dup free (``exact_dup_keepers`` upstream) for
+    the same O(k²) reason as LSH.
+    """
+    chunk = 16 // bands  # hex chars per band
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * chunk + 1, chunk).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(
+            F.conv(F.substring("__sa", c * chunk + 1, chunk), 16, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("__sb", c * chunk + 1, chunk), 16, 10).cast("long")
+            )
+        )
+        for c in range(bands)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

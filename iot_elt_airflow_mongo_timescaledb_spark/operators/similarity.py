@@ -164,3 +164,111 @@ def ivf_topk(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN — the bucketed scale path WITH an exact
+# cross-engine oracle (unlike IVF, whose centroid assignment is
+# engine-float-order dependent).
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_signs(dim: int, n_planes: int = 8) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components: sign(j, i) follows the
+    parity of the first hex digit of md5("j:i").  Both the Spark plan
+    and the SQL oracle embed the SAME literals, so the bucketing is
+    reproducible everywhere (and across runs — no RNG state)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    quant: int = 1000,
+) -> DataFrame:
+    """SimHash-style bucket signature for vectors: bit j = (v·h_j >= 0).
+
+    The vector is quantized to integers (round(x·quant)) BEFORE the dot
+    product so the sign is computed in exact integer arithmetic —
+    float summation order differs between engines (and between Spark
+    partitions), and a near-zero dot must not flip a bucket bit.
+    One narrow projection, no shuffle, no UDF.
+    """
+    q = F.transform(
+        as_double(F.col(vec_col)), lambda x: F.round(x * quant).cast("long")
+    )
+    planes = hyperplane_signs(dim, n_planes)
+    out = df.withColumn("__q", q)
+    bits = []
+    for signs in planes:
+        lit_signs = F.array(*[F.lit(s).cast("long") for s in signs])
+        d = F.aggregate(
+            F.zip_with(F.col("__q"), lit_signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return out.withColumn("bucket", F.concat(*bits)).drop("__q")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's full hyperplane
+    signature; exact cosine re-ranks within the bucket.
+
+    Scale shape: the signature is a narrow map over the corpus; the
+    candidate join is an equi-join on the bucket string (2^n_planes
+    buckets → tune n_planes to the corpus size), so probe cost is the
+    bucket occupancy, not |corpus|.  Recall < 1.0 by design; widen by
+    lowering n_planes or probing Hamming-adjacent buckets.
+    """
+    c = hyperplane_signature(
+        with_norm(corpus, vec_col), id_col, "__vec", dim, n_planes
+    ).select(
+        F.col(id_col).alias("neighbor_id"), "bucket", "__vec", "__norm"
+    )
+    q = hyperplane_signature(
+        with_norm(queries, vec_col), id_col, "__vec", dim, n_planes
+    ).select(
+        F.col(id_col).alias("query_id"),
+        "bucket",
+        F.col("__vec").alias("__qvec"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__vec"), F.col("__qvec"))
+                / (F.col("__norm") * F.col("__qnorm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -131,7 +131,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    words = ensure_min_parallelism(df, id_col).select(
+    words = ensure_min_parallelism(df.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")

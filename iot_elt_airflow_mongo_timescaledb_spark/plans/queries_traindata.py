@@ -81,8 +81,35 @@ _PAIRS = f"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 
 
 def _kept_docs(spark, sf_dir):
-    """Spark twin of ``_DOCS_KEPT`` — exact-dup keepers only."""
-    return D.exact_dup_keepers(table(spark, sf_dir, "documents"), "doc_id", "text")
+    """Spark twin of ``_DOCS_KEPT`` — exact-dup keepers only.
+
+    The keeper-id side of the semi-join is a hash-agg output that AQE
+    broadcasts when small; the expensive fan-in point of the chain is
+    the SIGNATURE table, checkpointed by ``_kept_signature`` below.
+    """
+    docs = table(spark, sf_dir, "documents")
+    keeper_ids = D.exact_dedup_groups(docs, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    return docs.join(keeper_ids, "doc_id", "left_semi")
+
+
+def _kept_signature(spark, sf_dir):
+    """MinHash signatures of the keeper corpus, ``localCheckpoint``ed.
+
+    The signature table is the fan-in every pair query joins against
+    MULTIPLE times (both sides of the banded self-join, then the
+    estimate probes): without the cut the whole docs→keepers→shingles→
+    signature subtree is embedded once per consumer, and identical
+    stages submitted concurrently hit the racy AQE stage-reuse measured
+    in round 1 (bimodal 2×-slow runs).  It is also the natural
+    materialization tier at corpus scale — |keepers| × k hashes, far
+    smaller than the exploded shingle table, distributed across
+    executors, computed once per pipeline run.  Same pattern as the LSH
+    pair set and the CC edge set.
+    """
+    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
+    return D.minhash_signature(sh, "doc_id", k=_K).localCheckpoint()
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +161,7 @@ def lsh_candidate_pairs(spark, sf_dir):
     """Banded LSH (4 bands × 2 rows) near-dup candidate pairs, with the
     exact-dup pre-guard: only content keepers enter the banding, so a
     k-identical family can never emit O(k²) candidates."""
-    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
-    sig = D.minhash_signature(sh, "doc_id", k=_K)
+    sig = _kept_signature(spark, sf_dir)
     return D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
 
 
@@ -162,7 +188,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     scalable shape: exact-dup keepers → inverted-index probe, never
     all-pairs)."""
     sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
-    sig = D.minhash_signature(sh, "doc_id", k=_K)
+    sig = _kept_signature(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
     return D.jaccard_on_pairs(pairs, sh, "doc_id")
 
@@ -185,8 +211,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
     verification reads only |keepers|×k signature rows, never the
     shingle corpus; exact ``ngram_jaccard_pairs`` is its refinement
     tier."""
-    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
-    sig = D.minhash_signature(sh, "doc_id", k=_K)
+    sig = _kept_signature(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
     return D.minhash_jaccard_estimate(pairs, sig, "doc_id", k=_K)
 
@@ -196,7 +221,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(src: str = "SELECT * FROM documents") -> str:
     digits = ", ".join(
         f"strpos('0123456789abcdef', substr(h, {c + 1}, 1)) - 1 AS d{c}"
         for c in range(16)
@@ -218,7 +243,7 @@ def _simhash_oracle() -> str:
     return rf"""
     WITH words AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-      FROM documents),
+      FROM ({src})),
     hashes AS (SELECT doc_id, md5(w) AS h FROM words),
     digits AS (SELECT doc_id, {digits} FROM hashes),
     votes AS (SELECT doc_id, {votes} FROM digits GROUP BY doc_id)
@@ -230,6 +255,41 @@ def _simhash_oracle() -> str:
 def simhash_signatures(spark, sf_dir):
     """64-bit SimHash per doc (bit-majority of word md5 bits)."""
     return D.simhash_signature(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _simhash_pairs_oracle(max_hamming: int = 8) -> str:
+    chunk_bits = " + ".join(
+        f"bit_count(xor(('0x' || substr(sa, {c * 4 + 1}, 4))::INT,"
+        f" ('0x' || substr(sb, {c * 4 + 1}, 4))::INT))"
+        for c in range(4)
+    )
+    return f"""
+    WITH sig AS ({_simhash_oracle(_DOCS_KEPT)}),
+    banded AS (
+      SELECT doc_id, simhash, b.band AS band,
+             substr(simhash, b.band * 4 + 1, 4) AS key
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST({chunk_bits} AS BIGINT) AS hamming FROM cand)
+    WHERE hamming <= {max_hamming}
+    """
+
+
+@query("simhash_neardup_pairs", oracle=_simhash_pairs_oracle(), gate=False)
+def simhash_neardup_pairs(spark, sf_dir):
+    """Bitwise near-dup tier: banded SimHash candidates (docs sharing a
+    16-bit signature chunk — pigeonhole covers Hamming ≤ 3 exactly,
+    further only probabilistically) verified by exact XOR-popcount
+    Hamming distance.  Complements the shingle-Jaccard chain: SimHash
+    catches word-substitution edits that shift many shingles at once.
+    Exact-dup keepers only (same O(k²) guard as LSH)."""
+    sig = D.simhash_signature(_kept_docs(spark, sf_dir), "doc_id", "text")
+    return D.simhash_hamming_pairs(sig, "doc_id", max_hamming=8, bands=4)
 
 
 # ---------------------------------------------------------------------------
@@ -359,13 +419,66 @@ def cosine_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "score", "rk")
 
 
-@query("ann_ivf_topk")  # no SQL oracle: iterative/argmax ANN — rows-only check
+# no SQL oracle (rows-only): centroid assignment depends on float-mean
+# accumulation order, which no cross-engine SQL reproduces.  gate=False —
+# the gated ANN row is ``ann_lsh_topk`` below, whose bucketing is exact
+# integer math and therefore hash-verifiable.
+@query("ann_ivf_topk", gate=False)
 def ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN (label = coarse cluster): probe nearest centroid
     only.  Approximate by design → no SQL oracle; correctness baseline is
     ``cosine_topk``."""
     e = table(spark, sf_dir, "embeddings")
     out = S.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+    return out.select("query_id", "neighbor_id", "score", "rk")
+
+
+_DIM = 64
+_N_PLANES = 8
+
+
+def _ann_lsh_oracle() -> str:
+    planes = S.hyperplane_signs(_DIM, _N_PLANES)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(q, ["
+        + ", ".join(str(s) for s in signs)
+        + "]::BIGINT[]) >= 0 THEN '1' ELSE '0' END)"
+        for signs in planes
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    s AS (SELECT vec_id, e, nrm, {bits} AS bucket FROM v),
+    qs AS (SELECT * FROM s WHERE vec_id < 5),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qs.e, c.e) / (qs.nrm * c.nrm), 6) AS score
+      FROM qs JOIN s c ON c.bucket = qs.bucket AND c.vec_id <> qs.vec_id)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN with a FULL hash oracle: bucket bits are
+    computed in exact integer arithmetic (quantized vectors × md5-derived
+    ±1 hyperplanes), so unlike IVF the approximate path is reproducible
+    bit-for-bit by the SQL oracle.  Candidates share the query's 8-bit
+    signature; exact cosine re-ranks within the bucket
+    (operators/similarity.py:lsh_topk)."""
+    e = table(spark, sf_dir, "embeddings")
+    out = S.lsh_topk(
+        e, e.filter(F.col("vec_id") < 5), dim=_DIM, n_planes=_N_PLANES, k=3
+    )
     return out.select("query_id", "neighbor_id", "score", "rk")
 
 
@@ -447,8 +560,7 @@ def dedup_clusters(spark, sf_dir):
     exact recursive-CTE reachability query — the iterative Spark
     algorithm must converge to the same fixpoint."""
     docs = table(spark, sf_dir, "documents")
-    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
-    sig = D.minhash_signature(sh, "doc_id", k=_K)
+    sig = _kept_signature(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
     edges = pairs.unionByName(D.exact_dup_edges(docs, "doc_id", "text")).distinct()
     return D.connected_components(edges)
@@ -553,8 +665,7 @@ def cross_modal_neardup(spark, sf_dir):
     table (inverted probe), never an all-pairs vector scan."""
     from ..operators.similarity import as_double, l2_norm
 
-    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
-    sig = D.minhash_signature(sh, "doc_id", k=_K)
+    sig = _kept_signature(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id",
