@@ -311,9 +311,7 @@ def token_stats(spark, sf_dir):
     return X.token_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query(
-    "quality_scores",
-    oracle=rf"""
+_QUALITY_SQL = rf"""
     WITH m AS (
       SELECT doc_id,
              len(regexp_extract_all(text, '\S+')) AS n_words,
@@ -330,8 +328,10 @@ def token_stats(spark, sf_dir):
                  + ROUND(n_stop / n_words, 6) * 0.4
                  + (1 - ROUND(n_punct / n_chars, 6)) * 0.2, 6) AS quality_score
     FROM m
-    """,
-)
+    """
+
+
+@query("quality_scores", oracle=_QUALITY_SQL)
 def quality_scores(spark, sf_dir):
     return X.quality_scores(table(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -785,3 +785,86 @@ def fuzzy_name_pairs(spark, sf_dir):
         .filter(F.col("edit_dist") <= 3)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# curation funnel — the training-data pipeline stages composed end-to-end
+# ---------------------------------------------------------------------------
+
+_FUNNEL_QUALITY_MIN = 0.3  # ~ corpus median at the gate SFs
+
+
+def _funnel_oracle() -> str:
+    return f"""
+    WITH lang AS ({_langid_oracle()}),
+    qual AS ({_QUALITY_SQL}),
+    d1 AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN lang l USING (doc_id) WHERE l.pred_lang = 'en'),
+    d2 AS (
+      SELECT d1.* FROM d1
+      JOIN qual q USING (doc_id)
+      WHERE q.quality_score >= {_FUNNEL_QUALITY_MIN}),
+    k AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM d2) GROUP BY fp),
+    d3 AS (SELECT * FROM d2 WHERE doc_id IN (SELECT doc_id FROM k)),
+    p AS ({_PAIRS}),
+    d4 AS (SELECT * FROM d3 WHERE doc_id NOT IN (SELECT id_b FROM p))
+    SELECT 0 AS stage_idx, 'total' AS stage,
+           (SELECT COUNT(*) FROM documents) AS n_docs
+    UNION ALL SELECT 1, 'lang_en', (SELECT COUNT(*) FROM d1)
+    UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM d2)
+    UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM d3)
+    UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM d4)
+    """
+
+
+@query("curation_funnel", oracle=_funnel_oracle(), gate=False)
+def curation_funnel(spark, sf_dir):
+    """The curation pipeline a 100 TB pretraining corpus runs, composed
+    from this repo's operators, reporting per-stage retention:
+
+      total → language-ID (marker heuristic = 'en') → quality threshold
+      → exact dedup (keepers within survivors) → near-dup removal (drop
+      LSH-pair losers, keeper-chain pairs)
+
+    Every stage is a narrow map or a bounded-key join/agg over the prior
+    stage — the funnel inherits each operator's scale shape, and the
+    whole thing is one lazy plan (the per-stage counts are 5 aggregates
+    unioned, executed as one action)."""
+    docs = table(spark, sf_dir, "documents")
+    lang = X.lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    qual = X.quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
+    d1 = docs.join(lang, "doc_id").filter(F.col("pred_lang") == "en").select(
+        "doc_id", "text"
+    )
+    d2 = d1.join(qual, "doc_id").filter(
+        F.col("quality_score") >= _FUNNEL_QUALITY_MIN
+    ).select("doc_id", "text")
+    keepers = D.exact_dedup_groups(d2, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    d3 = d2.join(keepers, "doc_id", "left_semi")
+    sig = _kept_signature(spark, sf_dir)
+    losers = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N).select(
+        F.col("id_b").alias("doc_id")
+    )
+    d4 = d3.join(losers, "doc_id", "left_anti")
+
+    def stage(idx, name, df):
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+        )
+
+    out = stage(0, "total", docs)
+    for idx, name, df in [
+        (1, "lang_en", d1),
+        (2, "quality", d2),
+        (3, "exact_dedup", d3),
+        (4, "near_dedup", d4),
+    ]:
+        out = out.unionByName(stage(idx, name, df))
+    return out
