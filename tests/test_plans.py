@@ -66,3 +66,26 @@ def test_lsh_no_cartesian(spark, sf_dir):
     facts = plan_facts(_Q["lsh_candidate_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in facts["joins"]
     assert any(j in facts["joins"] for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_ann_lsh_bucket_join_broadcasts_queries(spark, sf_dir):
+    """Hyperplane-LSH ANN: the 5-query side must broadcast and the
+    vec_id < 5 predicate must reach the parquet scan; the bucket match
+    is an equi-join, never cartesian."""
+    facts = plan_facts(_Q["ann_lsh_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in facts["joins"]
+    assert "BroadcastHashJoin" in facts["joins"], facts["joins"]
+    assert any("vec_id" in p and "LessThan" in p for p in facts["pushed_filters"]), (
+        facts["pushed_filters"]
+    )
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    """Banded SimHash candidates join on (band, chunk) — equi only."""
+    facts = plan_facts(spark_queries()["simhash_neardup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in facts["joins"]
+
+
+def test_curation_funnel_no_cartesian(spark, sf_dir):
+    facts = plan_facts(spark_queries()["curation_funnel"](spark, sf_dir))
+    assert "CartesianProduct" not in facts["joins"]
