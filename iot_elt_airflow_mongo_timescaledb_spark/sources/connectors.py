@@ -7,11 +7,14 @@ skip/limit parallel batches — dlt helpers.py:125-204) and loads through
 DataSource options: the Mongo Spark connector / JDBC handle partitioned
 parallel scans, predicate pushdown, and batched writes natively.
 
-This container ships neither the Mongo connector jar nor a Postgres
-instance, so these builders return *configured* readers/writers without
-connecting; ``load()``/``save()`` is the caller's (deployment's) step.
-The option-building logic — the part that encodes the reference's
-parallelism/chunking decisions — is unit-tested.
+This container ships no Mongo connector jar, so the Mongo builder
+returns a *configured* reader without connecting.  The JDBC path IS
+exercised live: Spark's own jars include embedded Derby, and
+``tests/test_jdbc_integration.py`` proves the partitioned parallel scan
+(S6), predicate pushdown into the database, the parallel batched sink
+(S11), and the append/overwrite dispositions against a real JDBC
+database — the same DataSource contract a Postgres/TimescaleDB
+deployment points at via ``url``.
 """
 
 from __future__ import annotations
