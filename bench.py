@@ -81,7 +81,9 @@ def main() -> None:
         .collect()
     )
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    import statistics
+
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     best: dict[str, float] = {}
     median: dict[str, float] = {}
     for name in HEADLINE:
@@ -91,9 +93,8 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             attempts.append(time.perf_counter() - t0)
-        attempts.sort()
-        best[name] = round(attempts[0], 3)
-        median[name] = round(attempts[len(attempts) // 2], 3)
+        best[name] = round(min(attempts), 3)
+        median[name] = round(statistics.median(attempts), 3)
 
     print(
         json.dumps(

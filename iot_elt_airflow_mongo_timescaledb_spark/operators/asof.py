@@ -17,9 +17,10 @@ Semantics (matching DuckDB ASOF LEFT JOIN, the oracle):
   to a stale older row, which a per-column ``last(value, ignorenulls)``
   would);
 - equal-``right_ts`` ties are broken deterministically toward the
-  largest value tuple (struct comparison over ``value_cols`` in the
-  given order) — engines leave this unspecified, so the operator pins
-  it;
+  largest tuple of the ORDERABLE value columns (struct comparison;
+  non-orderable columns — maps — are excluded from the tiebreak but
+  still attached) — engines leave tie order unspecified, so the
+  operator pins it;
 - left rows with no prior right row keep NULLs.
 
 Scale notes: this is ONE shuffle on the join keys + a per-partition sort
@@ -35,6 +36,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+
+def _orderable(dtype: T.DataType) -> bool:
+    """Spark ordering support: atomic types yes; arrays/structs iff their
+    element/field types are; maps never."""
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
 
 
 def asof_join(
@@ -76,16 +89,21 @@ def asof_join(
     unioned = right_tagged.select(left_tagged.columns).unionByName(left_tagged)
 
     # side 0 (right) sorts before side 1 (left) at equal ts → inclusive
-    # match; among equal-ts right rows the payload struct itself is the
-    # deterministic tiebreak (last == greatest value tuple).  The left
-    # rows' NULL payload sorts first, so it never outranks a right row.
+    # match; among equal-ts right rows a struct of the ORDERABLE value
+    # columns is the deterministic tiebreak (last == greatest tuple).
+    # Maps are not orderable in Spark, so they ride along in the payload
+    # but stay out of the ordering; with no orderable column the tie
+    # falls back to input order (documented nondeterminism).  The left
+    # rows' NULL tiebreak sorts first, so it never outranks a right row.
+    orderable = [c for c in value_cols if _orderable(right.schema[c].dataType)]
+    order_cols = [F.col("__ts").asc(), F.col("__side").asc()]
+    if orderable:
+        order_cols.append(
+            F.struct(*[F.col("__payload")[c] for c in orderable]).asc_nulls_first()
+        )
     w = (
         Window.partitionBy(*on)
-        .orderBy(
-            F.col("__ts").asc(),
-            F.col("__side").asc(),
-            F.col("__payload").asc_nulls_first(),
-        )
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

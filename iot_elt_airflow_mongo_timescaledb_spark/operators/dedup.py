@@ -77,10 +77,15 @@ def exact_dup_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     duplicate CLUSTERS still contain every document even though the LSH
     tier only ever sees keepers.
     """
-    fp = df.select(
+    fp = ensure_min_parallelism(df.select(id_col, text_col)).select(
         F.md5(normalize_text(F.col(text_col))).alias("fingerprint"), F.col(id_col)
     )
-    keepers = fp.groupBy("fingerprint").agg(F.min(id_col).alias("id_a"))
+    # keeper choice delegated to exact_dedup_groups — ONE definition of
+    # "keeper" (min id per fingerprint), so edges can never drift from
+    # the groups/keeper-corpus views of the same dedup
+    keepers = exact_dedup_groups(df, id_col, text_col).select(
+        "fingerprint", F.col("keeper_id").alias("id_a")
+    )
     return (
         fp.join(keepers, "fingerprint")
         .filter(F.col(id_col) != F.col("id_a"))
@@ -370,6 +375,12 @@ def simhash_hamming_pairs(
     Input must be exact-dup free (``exact_dup_keepers`` upstream) for
     the same O(k²) reason as LSH.
     """
+    if bands <= 0 or 16 % bands != 0:
+        raise ValueError(
+            f"bands={bands} must evenly divide the 16 hex chars of the "
+            "signature — a remainder would silently drop trailing bits "
+            "from both banding and the Hamming sum"
+        )
     chunk = 16 // bands  # hex chars per band
     band_cols = [
         F.struct(

@@ -19,6 +19,13 @@ thousands of splits, so the estimate clears the default parallelism and
 no raw-data shuffle is injected; and non-file sources (in-memory
 relations, streams) return unchanged — the guard is scan-oriented, and
 callers with exotic sources size their own exchanges.
+
+Known limit: for a DataFrame downstream of a shuffle (join/agg output)
+the estimate still reads the LEAF scans, so it describes where the data
+came from, not the width of the last exchange.  That errs toward a
+redundant (cheap, AQE-coalesced) repartition on small inputs and toward
+trusting the file layout on large ones — acceptable for a guard whose
+job is "never let a tiny local scan serialize a CPU-heavy stage".
 """
 
 from __future__ import annotations
@@ -26,7 +33,7 @@ from __future__ import annotations
 import math
 import os
 import re
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,7 +70,8 @@ def estimated_scan_splits(spark: SparkSession, files: list[str]) -> int | None:
         if parsed.scheme not in ("", "file"):
             return None
         try:
-            total += os.path.getsize(parsed.path) + open_cost
+            # inputFiles() returns percent-encoded URIs ("my%20dir")
+            total += os.path.getsize(unquote(parsed.path)) + open_cost
         except OSError:
             return None
     if total == 0:

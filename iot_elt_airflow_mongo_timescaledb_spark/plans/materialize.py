@@ -122,17 +122,20 @@ class Warehouse:
             merged = keep.unionByName(df, allowMissingColumns=True)
         else:
             merged = df
-        # two-phase write: the source of the overwrite is the target itself;
-        # the staging copy is removed once the target rewrite lands (a
-        # leaked sibling would shadow a full stale copy per upsert)
+        # two-phase write: the source of the overwrite is the target itself.
+        # The staging copy is removed ONLY after the target rewrite lands —
+        # if phase 2 dies mid-overwrite the target is partial and the
+        # staging dir is the sole intact copy, so a finally-cleanup here
+        # would destroy the data it exists to protect.  (A failed run
+        # leaves the dir for recovery; the next successful upsert removes
+        # it, so nothing leaks on the steady-state path.)
         tmp = self.path(name) + "__staging"
-        try:
-            merged.write.mode("overwrite").parquet(tmp)
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-                self.path(name)
-            )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)  # stale copy from a failed run
+        merged.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            self.path(name)
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
         return self.read(name)
 
     def compact(self, name: str, target_files: int = 1) -> DataFrame:
@@ -149,21 +152,21 @@ class Warehouse:
         df = self.read(name)
         part_cols = _partition_columns(self.path(name))
         tmp = self.path(name) + "__compact"
+        shutil.rmtree(tmp, ignore_errors=True)  # stale copy from a failed run
         writer = df.coalesce(max(1, target_files)) if not part_cols else df.repartition(
             max(1, target_files), *part_cols
         )
-        try:
-            w = writer.write.mode("overwrite")
-            if part_cols:
-                w = w.partitionBy(*part_cols)
-            w.parquet(tmp)
-            out = self.spark.read.parquet(tmp)
-            w2 = out.write.mode("overwrite")
-            if part_cols:
-                w2 = w2.partitionBy(*part_cols)
-            w2.parquet(self.path(name))
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        w = writer.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
+        out = self.spark.read.parquet(tmp)
+        w2 = out.write.mode("overwrite")
+        if part_cols:
+            w2 = w2.partitionBy(*part_cols)
+        w2.parquet(self.path(name))
+        # removed only after the target rewrite succeeded — see upsert
+        shutil.rmtree(tmp, ignore_errors=True)
         return self.read(name)
 
     # ------------------------------------------------------------------

@@ -72,12 +72,20 @@ _BAND_KEY_CASE = (
     + " END"
 )
 
-_BANDS = f"""SELECT doc_id, b.band AS band, {_BAND_KEY_CASE} AS key
-    FROM ({_SIG_KEPT}), (SELECT unnest([0,1,2,3]) AS band) b"""
+def _bands_sql(sig: str) -> str:
+    return f"""SELECT doc_id, b.band AS band, {_BAND_KEY_CASE} AS key
+    FROM ({sig}), (SELECT unnest([0,1,2,3]) AS band) b"""
 
-_PAIRS = f"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM ({_BANDS}) a JOIN ({_BANDS}) b
+
+def _pairs_sql(doc_src: str) -> str:
+    bands = _bands_sql(_sig_sql(doc_src))
+    return f"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ({bands}) a JOIN ({bands}) b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+
+_BANDS = _bands_sql(_SIG_KEPT)
+_PAIRS = _pairs_sql(_DOCS_KEPT)
 
 
 def _kept_docs(spark, sf_dir):
@@ -809,7 +817,7 @@ def _funnel_oracle() -> str:
       SELECT MIN(doc_id) AS doc_id
       FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM d2) GROUP BY fp),
     d3 AS (SELECT * FROM d2 WHERE doc_id IN (SELECT doc_id FROM k)),
-    p AS ({_PAIRS}),
+    p AS ({_pairs_sql("SELECT doc_id, text FROM d3")}),
     d4 AS (SELECT * FROM d3 WHERE doc_id NOT IN (SELECT id_b FROM p))
     SELECT 0 AS stage_idx, 'total' AS stage,
            (SELECT COUNT(*) FROM documents) AS n_docs
@@ -827,13 +835,21 @@ def curation_funnel(spark, sf_dir):
 
       total → language-ID (marker heuristic = 'en') → quality threshold
       → exact dedup (keepers within survivors) → near-dup removal (drop
-      LSH-pair losers, keeper-chain pairs)
+      LSH-pair losers, pairs computed WITHIN the surviving corpus — a
+      pair whose other member was already filtered out must not delete
+      the last retained copy of that content)
 
     Every stage is a narrow map or a bounded-key join/agg over the prior
     stage — the funnel inherits each operator's scale shape, and the
     whole thing is one lazy plan (the per-stage counts are 5 aggregates
     unioned, executed as one action)."""
-    docs = table(spark, sf_dir, "documents")
+    return build_curation_funnel(table(spark, sf_dir, "documents"))
+
+
+def build_curation_funnel(docs):
+    """Funnel stages over an arbitrary documents frame (doc_id, text) —
+    split out so the cross-stage semantics are unit-testable on crafted
+    corpora, not only oracle-checkable on the fixed testdata."""
     lang = X.lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
     qual = X.quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
     d1 = docs.join(lang, "doc_id").filter(F.col("pred_lang") == "en").select(
@@ -846,8 +862,9 @@ def curation_funnel(spark, sf_dir):
         F.col("keeper_id").alias("doc_id")
     )
     d3 = d2.join(keepers, "doc_id", "left_semi")
-    sig = _kept_signature(spark, sf_dir)
-    losers = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N).select(
+    sh3 = D.word_shingles(d3, "doc_id", "text", n=3)
+    sig3 = D.minhash_signature(sh3, "doc_id", k=_K)
+    losers = D.lsh_candidate_pairs(sig3, "doc_id", k=_K, bands=_BANDS_N).select(
         F.col("id_b").alias("doc_id")
     )
     d4 = d3.join(losers, "doc_id", "left_anti")

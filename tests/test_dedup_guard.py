@@ -66,3 +66,58 @@ def test_exact_edges_linear_and_clusters_complete(spark):
     labels = {r["node"]: r["cluster_id"] for r in clusters}
     assert all(labels[i] == 0 for i in range(_FAMILY))  # whole family clustered
     assert labels[2001] == labels[2000] == 2000
+
+
+def test_simhash_bands_must_divide_signature(spark):
+    import pytest
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_signature,
+    )
+
+    docs = _corpus(spark)
+    sig = simhash_signature(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="evenly divide"):
+        simhash_hamming_pairs(sig, "doc_id", bands=5)
+
+
+def test_funnel_neardup_uses_surviving_corpus(spark):
+    """A doc whose only near-dup partner was already removed by an
+    earlier stage must NOT be dropped at the near-dup stage — otherwise
+    no retained copy of that content survives at all.
+
+    The crafted pair (1, 2) shares a long marker-free tail so it IS an
+    LSH candidate over the full corpus (asserted below — the precondition
+    under which near-dup-on-the-full-corpus would wrongly drop doc 2,
+    the pair's id_b), while doc 1 alone fails the language gate."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.queries_traindata import (
+        build_curation_funnel,
+    )
+
+    tail = (
+        "quick brown fox jumps over lazy dog near river bank while "
+        "sun sets behind tall mountain peaks casting long golden shadows "
+        "across quiet green valley fields where farmers harvest ripe wheat "
+        "before autumn rain arrives bringing cold wind from northern hills"
+    )
+    docs = spark.createDataFrame(
+        [(1, "der ein von und zu " + tail), (2, "the a of and to " + tail)],
+        "doc_id long, text string",
+    )
+    # precondition: (1, 2) is a full-corpus LSH candidate pair
+    sh = D.word_shingles(docs, "doc_id", "text", n=3)
+    sig = D.minhash_signature(sh, "doc_id", k=8)
+    full_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(sig, "doc_id", k=8, bands=4).collect()
+    }
+    assert (1, 2) in full_pairs
+
+    out = {r["stage"]: r["n_docs"] for r in build_curation_funnel(docs).collect()}
+    assert out["total"] == 2
+    assert out["lang_en"] == 1             # doc 1 (de markers) filtered
+    assert out["quality"] == 1
+    assert out["exact_dedup"] == 1
+    assert out["near_dedup"] == 1          # doc 2 survives: its partner
+    #                                        never reached the near-dup stage

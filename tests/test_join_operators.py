@@ -166,3 +166,26 @@ def test_asof_matches_duckdb_asof_join(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_asof_map_valued_payload_attaches(spark):
+    """Non-orderable value columns (maps) must ride along in the payload
+    without entering the window ORDER BY (Spark cannot order maps)."""
+    from pyspark.sql import types as T
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u1", 25)], "k string, lts long")
+    right_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("rts", T.LongType()),
+            T.StructField("props", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    right = spark.createDataFrame([("u1", 10, {"src": "web"})], right_schema)
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["props"],
+    ).collect()
+    assert out[0]["props_asof"] == {"src": "web"}

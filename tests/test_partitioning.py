@@ -48,3 +48,13 @@ def test_key_distribution_preserves_rows(spark, tmp_path):
     assert sorted(r["k"] for r in out.select("k").distinct().collect()) == list(
         range(7)
     )
+
+
+def test_percent_encoded_paths_still_widen(spark, tmp_path):
+    """inputFiles() percent-encodes URIs — a directory with a space must
+    not silently disable the guard (OSError → treated as wide)."""
+    d = tmp_path / "with space"
+    df = _small_parquet(spark, d, name="enc")
+    assert any("%20" in f for f in df.inputFiles())
+    out = ensure_min_parallelism(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
