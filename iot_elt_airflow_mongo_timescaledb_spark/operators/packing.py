@@ -1,0 +1,81 @@
+"""Training-batch assembly operators: sequence packing + dataset mixing.
+
+Pretraining pipelines end by (a) packing variable-length documents into
+fixed-token-budget training sequences and (b) sampling sources/languages
+at target mixing rates.  Both are expressed as pure DataFrame ops with
+exact SQL oracles:
+
+- packing is a windowed cumulative sum SHARDED by a hash bucket — a
+  single global ORDER BY would funnel 100 TB through one task, so each
+  shard packs independently (deterministic: shard and order are both
+  content-derived), which is exactly how distributed packing runs in
+  production (per-worker bins, no cross-worker coordination);
+- sampling is a deterministic hash-mod Bernoulli per row — reproducible
+  across engines and runs, no RNG state, joins/filters push down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int = 512,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign each document to a (shard, bin) training-sequence slot.
+
+    bin = floor((running token total before this doc) / budget) within
+    the shard, docs ordered by id — contiguous-fill packing (a doc may
+    straddle a budget boundary; exact greedy packing is inherently
+    sequential and buys <2% fill at training scale).  One shuffle on the
+    shard key; windows run per-shard, never globally.
+    """
+    shard = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10) \
+        .cast("long") % n_shards
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), F.col(token_col).alias("n_tokens"))
+        .withColumn("shard", shard)
+        .withColumn(
+            "bin_idx",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+            ).cast("long"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    md5(id) mod 100 < its stratum's percentage.
+
+    The mixing knob of a pretraining corpus (e.g. en 80%, code 100%,
+    other 10%) as a narrow filter — reproducible (content-derived, no
+    seed), and the SAME rows are kept on any engine and any cluster
+    size.  Rates are integer percentages so the oracle needs no float
+    comparison.
+    """
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10) \
+        .cast("long") % 100
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.withColumn("__bucket", bucket).filter(F.col("__bucket") < rate).drop(
+        "__bucket"
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import packing as P
 from ..operators import similarity as S
 from ..operators import text as X
 from ..operators.multimodal import attach_binary, extract_features
@@ -885,3 +886,68 @@ def build_curation_funnel(docs):
     ]:
         out = out.unionByName(stage(idx, name, df))
     return out
+
+
+# ---------------------------------------------------------------------------
+# training-batch assembly: sequence packing + dataset mixing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 64
+_MIX_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # zh & others: 10
+
+
+@query(
+    "sequence_packing",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % {_PACK_SHARDS} AS shard
+      FROM documents)
+    SELECT doc_id, n_tokens, shard,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / {_PACK_BUDGET}) AS BIGINT) AS bin_idx
+    FROM t
+    """,
+    gate=False,
+)
+def sequence_packing(spark, sf_dir):
+    """Pack documents into {budget}-token training sequences, sharded by
+    a content hash so no window ever runs globally
+    (operators/packing.py:pack_sequences)."""
+    docs = table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", X._count(r"\S+", F.col("text")).alias("n_tok")
+    )
+    out = P.pack_sequences(
+        with_tokens, "doc_id", "n_tok", budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    return out.select("doc_id", "n_tokens", "shard", "bin_idx")
+
+
+@query(
+    "dataset_mixing_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket,
+             CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))}
+                  ELSE 10 END AS rate
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM s WHERE bucket < rate
+    GROUP BY lang
+    """,
+    gate=False,
+)
+def dataset_mixing_sample(spark, sf_dir):
+    """Deterministic stratified sampling at per-language mixing rates —
+    the corpus-mixing step of a pretraining pipeline; hash-mod keeps the
+    SAME rows on any engine/cluster (operators/packing.py)."""
+    docs = table(spark, sf_dir, "documents")
+    kept = P.stratified_sample(docs, "doc_id", "lang", _MIX_RATES, default_pct=10)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_sampled"))
