@@ -37,3 +37,13 @@ def test_entry_smoke(spark):
     df = m.entry(spark)
     assert df.count() > 0
     assert set(df.columns) >= {"sum_qty", "count_order"}
+
+
+def test_gate_is_full_and_fully_oracled():
+    """The driver records at most GATE_CAP rows; since round 3 every
+    gated query must carry a hash oracle — gating a rows-only query
+    again is a deliberate decision, not drift."""
+    gated = spark_queries(gated_only=True)
+    gated_oracles = oracle_queries(gated_only=True)
+    assert len(gated) == 50
+    assert set(gated_oracles) == set(gated)
