@@ -155,3 +155,39 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tfidf", "rk")
     )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family): the
+    fraction of word n-grams taken by the single most frequent n-gram,
+    and the fraction covered by any repeated n-gram.
+
+    Boilerplate, keyword-stuffed, and degenerate generated text score
+    high on both; production curation thresholds them alongside the
+    length/stopword heuristics of ``quality_scores``.  One explode +
+    two hash-aggs on (doc, gram) — multiplicity kept (unlike the
+    dedup shingles, which are distinct sets).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx_terms = [f"element_at(__w, CAST(i + {j} AS INT))" for j in range(n)]
+    gram_expr = (
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', {', '.join(idx_terms)}))"
+    )
+    grams = (
+        ensure_min_parallelism(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), words.alias("__w"))
+        .filter(F.size("__w") >= n)
+        .select(F.col(id_col), F.explode(F.expr(gram_expr)).alias("g"))
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_gram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 6
+        ).alias("dup_gram_frac"),
+    )

@@ -951,3 +951,31 @@ def dataset_mixing_sample(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     kept = P.stratified_sample(docs, "doc_id", "lang", _MIX_RATES, default_pct=10)
     return kept.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+@query(
+    "repetition_scores",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS g
+      FROM w WHERE len(ws) >= 2),
+    per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+    SELECT doc_id,
+           SUM(c) AS n_grams,
+           MAX(c) AS top_gram_count,
+           ROUND(MAX(c) / SUM(c), 6) AS top_gram_frac,
+           ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c), 6)
+             AS dup_gram_frac
+    FROM per_gram GROUP BY doc_id
+    """,
+    gate=False,
+)
+def repetition_scores(spark, sf_dir):
+    """Gopher-style repetition signals: top-bigram fraction + repeated-
+    bigram coverage per document (operators/text.py:repetition_scores)."""
+    return X.repetition_scores(table(spark, sf_dir, "documents"), "doc_id", "text")
