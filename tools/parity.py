@@ -4,10 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet, then compares row count, column names, and
 an order-insensitive multiset of normalized values.  Usage:
 
-    python tools/parity.py [sf_dir] [query ...]
+    python tools/parity.py [sf_dir] [query ...] [--all]
 
-The comparison helpers are importable (tests/test_oracle_parity.py uses
-them) so the pytest gate and this CLI can never drift apart.
+``--all`` widens from the driver-gated set to the ENTIRE registry
+(gate=False rows included) — the coverage pytest exercises, in one CLI
+run.  The comparison helpers are importable
+(tests/test_oracle_parity.py uses them) so the pytest gate and this CLI
+can never drift apart.
 """
 
 from __future__ import annotations
@@ -87,14 +90,26 @@ def main():
     from iot_elt_airflow_mongo_timescaledb_spark.session import get_spark
 
     args = sys.argv[1:]
+    include_ungated = "--all" in args
+    args = [a for a in args if a != "--all"]
     sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     only = set(a for a in args if not a.startswith("/"))
 
     spark = get_spark("parity")
     con = duck_connection(sf_dir)
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    if include_ungated:
+        # full registry (gate=False rows included) — what pytest covers
+        from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import (
+            oracle_queries,
+            spark_queries,
+        )
+
+        qs = spark_queries()
+        oracles = oracle_queries()
+    else:
+        qs = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
     n_pass = n_fail = n_skip = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
