@@ -128,6 +128,12 @@ def tfidf_top_terms(
     be informative top-k terms at corpus scale and are the bulk of the
     vocabulary by Zipf); the default 1 keeps exact parity with the SQL
     oracle.
+
+    The document count N is part of the SAME lazy plan (a broadcast
+    1-row aggregate over the tf table, not a separate ``count()``
+    action): all three consumers of the (doc, term) aggregate — scores,
+    doc-frequency, and N — hang off one exchange that AQE reuses, so
+    the corpus is tokenized exactly once per action.
     """
     from pyspark.sql.window import Window
 
@@ -139,12 +145,18 @@ def tfidf_top_terms(
     doc_freq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     if min_df > 1:
         doc_freq = doc_freq.filter(F.col("df") >= min_df)
-    n_docs = words.select(id_col).distinct().count()
-    scored = tf.join(doc_freq, "term").select(
+    # N as a lazy 1-row broadcast (docs with ≥1 token); derived from tf so
+    # it reuses tf's exchange instead of re-scanning the corpus
+    n_docs = F.broadcast(
+        tf.select(id_col).distinct().agg(F.count("*").alias("__n_docs"))
+    )
+    scored = tf.join(doc_freq, "term").crossJoin(n_docs).select(
         F.col(id_col),
         "term",
         F.round(
-            F.col("tf") * F.log((n_docs + 1) / (F.col("df") + 1.0)), 6
+            F.col("tf")
+            * F.log((F.col("__n_docs") + F.lit(1)) / (F.col("df") + F.lit(1.0))),
+            6,
         ).alias("tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(

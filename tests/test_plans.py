@@ -89,3 +89,18 @@ def test_simhash_pairs_no_cartesian(spark, sf_dir):
 def test_curation_funnel_no_cartesian(spark, sf_dir):
     facts = plan_facts(spark_queries()["curation_funnel"](spark, sf_dir))
     assert "CartesianProduct" not in facts["joins"]
+
+
+def test_tfidf_single_scan(spark, sf_dir):
+    """TF-IDF is ONE action over ONE corpus scan: N (the doc count) is a
+    broadcast 1-row aggregate inside the lazy plan, and the tf exchange
+    is shared by all three consumers (scores, doc-frequency, N) via AQE
+    ReusedExchange — a second scan here would re-tokenize the corpus
+    just to count documents."""
+    import re
+
+    facts = plan_facts(_Q["tfidf_top_terms"](spark, sf_dir), execute=True)
+    tree = facts["plan"].split("== Initial Plan ==")[0]
+    tree = re.split(r"\n\n\(\d+\) ", tree)[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert len(re.findall(r"ReusedExchange", tree)) >= 2, tree
