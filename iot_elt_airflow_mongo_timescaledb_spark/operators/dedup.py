@@ -304,12 +304,25 @@ def connected_components(
     """Cluster candidate pairs into duplicate groups: (node, cluster_id)
     with cluster_id = min node id in the connected component.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbours' labels; converged when no label
-    changes.  Rounds needed = graph diameter ≈ log for near-dup blobs —
-    bounded by ``max_iter`` as a safety stop.
+    Min-label propagation WITH pointer jumping: each round a node takes
+    the minimum of (its label, its neighbours' labels, its label's
+    label).  The label-of-label shortcut halves the remaining distance
+    to the component minimum every round, so convergence is O(log
+    diameter) rounds — a path graph of 1M nodes converges in ~20 rounds
+    where plain neighbour propagation needs 1M.  Every intermediate
+    label is the id of a node in the same component (labels start as
+    self/neighbour ids and only ever adopt other labels from the same
+    component), so the fixpoint — constant across each component, and
+    the component minimum labels itself — is exactly min-id clustering.
 
-    Scale notes: each round is one join + one aggregate shuffled on the
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass with labels
+    still changing: returning the unconverged labels would silently
+    split clusters, and downstream dedup would keep both halves of a
+    duplicate family.  (With pointer jumping, hitting 25 rounds means a
+    component diameter over ~2^25 — a pathological chain, not a near-dup
+    clique; raising is the correct signal.)
+
+    Scale notes: each round is two joins + one aggregate shuffled on the
     node id (the same key every round, so AQE reuses the partitioning);
     ``localCheckpoint`` truncates the lineage so the plan does not grow
     per iteration.  The driver sees only the per-round change count — no
@@ -329,6 +342,7 @@ def connected_components(
         .select("node", F.least(F.col("node"), F.col("__nbr_min")).alias("label"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -338,20 +352,41 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("nl").alias("nbr_label"))
         )
+        # pointer jumping: the label of my label (labels self-joined on
+        # label == node).  A label is always a real node of the same
+        # component, so the lookup never misses semantically; left join
+        # only guards isolated self-labels.
+        grand = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("grand_label")
+        )
         updated = (
             labels.join(nbr_min, "node", "left")
+            .join(grand, "label", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                    F.coalesce("grand_label", F.col("label")),
                 ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+                (
+                    (F.col("nbr_label") < F.col("label"))
+                    | (F.col("grand_label") < F.col("label"))
+                ).alias("__changed"),
             )
         ).localCheckpoint()
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels are still changing — returning them would silently "
+            "mislabel clusters.  Raise max_iter (rounds needed ≈ "
+            "log2(component diameter) with pointer jumping)."
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
