@@ -9,6 +9,8 @@ semantics the Airflow catchup loop approximates."""
 
 from __future__ import annotations
 
+import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,6 +93,12 @@ def dedup_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _drain_to_memory(
     spark: SparkSession, df: DataFrame, name: str, mode: str
 ) -> DataFrame:
+    """Memory-sink drain — ONLY for cardinality-bounded complete-mode
+    aggregates (hourly windows, per-type counts): the sink materializes
+    the whole result on the driver, which is fine when the result is a
+    small aggregate table and a driver OOM when it is not.  Unbounded
+    append output (e.g. stream-stream join matches) must go through
+    ``_drain_to_files`` instead."""
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
     q = df.writeStream.outputMode(mode).format("memory").queryName(sink).start()
     try:
@@ -100,7 +108,41 @@ def _drain_to_memory(
     return spark.table(sink)
 
 
-def view_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _drain_to_files(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Append-mode drain through a parquet file sink + batch read-back.
+
+    Every micro-batch lands executor-side as parquet; the driver only
+    tracks the sink's file log.  The returned DataFrame is a plain
+    parquet scan of the sink directory, so downstream consumption is
+    distributed (and at cluster scale ``sink_dir`` points at shared
+    storage instead of the local default).  The explicit read schema
+    covers the zero-output case, where the sink directory has no
+    footers to infer from.
+    """
+    out = sink_dir or tempfile.mkdtemp(prefix=f"{name}_sink_")
+    data = os.path.join(out, "data")
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", data)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(df.schema).parquet(data)
+
+
+def view_purchase_join_stream(
+    spark: SparkSession, sf_dir: str, sink_dir: str | None = None
+) -> DataFrame:
     """Stream-stream inner join: purchases matched to the same user's
     views from the preceding hour.
 
@@ -109,6 +151,12 @@ def view_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase-side watermark passes ts + 1h).  Inner matches emit as they
     are found, so an availableNow-style drain yields the complete result
     — equal to the batch interval join.
+
+    Unlike the windowed aggregates, the join's append output is NOT
+    cardinality-bounded — it grows with the data — so it drains through
+    the parquet file sink (``_drain_to_files``), never the memory sink:
+    results stay executor-side and the returned DataFrame is a
+    distributed scan of the sink directory.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -142,4 +190,4 @@ def view_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_value").alias("purchase_value"),
         F.col("v_value").alias("view_value"),
     )
-    return _drain_to_memory(spark, joined, "view_purchase_join", "append")
+    return _drain_to_files(spark, joined, "view_purchase_join", sink_dir)

@@ -72,3 +72,48 @@ def test_track_user_multi_chunk_out_of_order():
     state2_out = list(_track_user((42,), iter([chunk([1100, 1095])]), state))
     assert state2_out[0]["max_gap_s"].iloc[0] == 1000.0
     assert state2_out[0]["n_events"].iloc[0] == 13
+
+
+def test_stream_join_drains_to_file_sink_and_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-stream join's append output is unbounded, so it must
+    drain through the parquet file sink — never the memory sink, which
+    would collect the full join result into driver memory (the round-3
+    scale-killer).  Asserted structurally: the returned DataFrame is a
+    file scan over the sink directory and no memory-sink temp view is
+    registered; then value-checked against the batch interval join."""
+    from iot_elt_airflow_mongo_timescaledb_spark.streaming.micro_batch import (
+        view_purchase_join_stream,
+    )
+
+    sink = str(tmp_path / "join_sink")
+    streamed = view_purchase_join_stream(spark, sf_dir, sink_dir=sink)
+
+    files = streamed.inputFiles()
+    assert files and all(sink in f for f in files)  # file-based, our dir
+    assert not [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("view_purchase_join")
+    ]  # no memory sink
+
+    events = table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "purchase_ts", "view_ts", "purchase_value", "view_value")
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
