@@ -31,20 +31,39 @@ def normalize_text(text_col) -> F.Column:
     return F.trim(F.regexp_replace(F.lower(text_col), NORM_PATTERN, " "))
 
 
-def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(fingerprint, id) projection — the shared input of the groups
+    aggregate and the star-edge join."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    # project to the two needed columns BEFORE the widening shuffle
+    # so it never moves payload columns
+    return ensure_min_parallelism(df.select(id_col, text_col)).select(
+        fp, F.col(id_col)
+    )
+
+
+def exact_dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
     """Exact duplicate groups by md5 of normalized text.
 
     Returns one row per distinct content: (fingerprint, n_docs, keeper_id).
     Single shuffle on the fingerprint; partial aggregation map-side.
+    ``fingerprints`` lets a caller that also joins against the
+    (fingerprint, id) projection pass in one shared — typically
+    checkpointed — frame, so the md5 scan is computed once structurally
+    rather than relying on AQE exchange reuse.
     """
-    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
-    return (
-        # project to the two needed columns BEFORE the widening shuffle
-        # so it never moves payload columns
-        ensure_min_parallelism(df.select(id_col, text_col))
-        .select(fp, F.col(id_col))
-        .groupBy("fingerprint")
-        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else _fingerprints(df, id_col, text_col)
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id")
     )
 
 
@@ -76,14 +95,18 @@ def exact_dup_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Unioned with the LSH candidate pairs before connected components so
     duplicate CLUSTERS still contain every document even though the LSH
     tier only ever sees keepers.
+
+    The (fingerprint, id) projection is checkpointed and fed to BOTH the
+    keeper aggregate and the member join, so the md5 scan runs once by
+    construction — previously the two sides each rebuilt it and only
+    AQE's ReusedExchange (an optimizer choice, not a guarantee) saved
+    the second pass.
     """
-    fp = ensure_min_parallelism(df.select(id_col, text_col)).select(
-        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"), F.col(id_col)
-    )
+    fp = _fingerprints(df, id_col, text_col).localCheckpoint()
     # keeper choice delegated to exact_dedup_groups — ONE definition of
     # "keeper" (min id per fingerprint), so edges can never drift from
     # the groups/keeper-corpus views of the same dedup
-    keepers = exact_dedup_groups(df, id_col, text_col).select(
+    keepers = exact_dedup_groups(df, id_col, text_col, fingerprints=fp).select(
         "fingerprint", F.col("keeper_id").alias("id_a")
     )
     return (
