@@ -26,7 +26,7 @@ def pack_sequences(
     id_col: str,
     token_col: str,
     budget: int = 512,
-    n_shards: int = 64,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Assign each document to a (shard, bin) training-sequence slot.
 
@@ -35,7 +35,17 @@ def pack_sequences(
     straddle a budget boundary; exact greedy packing is inherently
     sequential and buys <2% fill at training scale).  One shuffle on the
     shard key; windows run per-shard, never globally.
+
+    ``n_shards`` defaults to 4× the cluster's ``defaultParallelism`` so
+    the per-shard window tasks saturate every core with headroom for
+    stragglers — a fixed default (the old 64) would cap a 1000-executor
+    job at 64 window tasks.  Pass it explicitly when the shard layout
+    must be reproducible across cluster sizes (the gated oracle query
+    pins 64): shard assignment is content-derived, so the SAME value
+    yields the SAME packing anywhere.
     """
+    if n_shards is None:
+        n_shards = 4 * df.sparkSession.sparkContext.defaultParallelism
     shard = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10) \
         .cast("long") % n_shards
     w = (
