@@ -59,6 +59,30 @@ class Warehouse:
         # appended files with new columns must still read as one table
         return self.spark.read.option("mergeSchema", "true").parquet(self.path(name))
 
+    def _recover_or_clear_staging(self, name: str, tmp: str) -> None:
+        """Resolve a staging dir left by a previous two-phase rewrite.
+
+        If that run died mid phase 2 the target is partial (no _SUCCESS
+        commit marker) and staging is the sole intact copy — deleting it
+        here and then lazily reading the half-written target would
+        silently rebuild the table from partial data.  So: a committed
+        staging copy facing an uncommitted target is RESTORED to the
+        target; only a staging dir whose target did commit (or which
+        itself never committed — a phase-1 death leaves the target
+        untouched) is deleted as stale.
+        """
+        if not os.path.isdir(tmp):
+            return
+        staging_committed = os.path.exists(os.path.join(tmp, "_SUCCESS"))
+        target_committed = os.path.exists(
+            os.path.join(self.path(name), "_SUCCESS")
+        )
+        if staging_committed and not target_committed:
+            shutil.rmtree(self.path(name), ignore_errors=True)
+            shutil.move(tmp, self.path(name))
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     # ------------------------------------------------------------------
     # M1 — incremental append with strict > watermark
     # ------------------------------------------------------------------
@@ -113,6 +137,11 @@ class Warehouse:
         this is MERGE INTO; on plain parquet we rewrite: keep target
         rows whose key is absent from the batch (left anti), union the
         batch, overwrite."""
+        # resolve any staging dir from a previous failed run FIRST: it may
+        # be the sole intact copy of the table (phase-2 death), in which
+        # case it is restored, not deleted — see _recover_or_clear_staging
+        tmp = self.path(name) + "__staging"
+        self._recover_or_clear_staging(name, tmp)
         if self.exists(name):
             target = self.read(name)
             target, df = align_schemas(target, df)
@@ -127,10 +156,8 @@ class Warehouse:
         # if phase 2 dies mid-overwrite the target is partial and the
         # staging dir is the sole intact copy, so a finally-cleanup here
         # would destroy the data it exists to protect.  (A failed run
-        # leaves the dir for recovery; the next successful upsert removes
-        # it, so nothing leaks on the steady-state path.)
-        tmp = self.path(name) + "__staging"
-        shutil.rmtree(tmp, ignore_errors=True)  # stale copy from a failed run
+        # leaves the dir; the NEXT call restores or clears it above —
+        # never deletes the only committed copy.)
         merged.write.mode("overwrite").parquet(tmp)
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
             self.path(name)
@@ -149,10 +176,10 @@ class Warehouse:
         columns are restored on rewrite (coalesce only bounds files per
         partition directory).
         """
+        tmp = self.path(name) + "__compact"
+        self._recover_or_clear_staging(name, tmp)  # may restore the target
         df = self.read(name)
         part_cols = _partition_columns(self.path(name))
-        tmp = self.path(name) + "__compact"
-        shutil.rmtree(tmp, ignore_errors=True)  # stale copy from a failed run
         writer = df.coalesce(max(1, target_files)) if not part_cols else df.repartition(
             max(1, target_files), *part_cols
         )

@@ -170,3 +170,61 @@ def test_incremental_append_new_column_merges(spark, tmp_path):
     assert set(out.columns) == {"day", "v", "extra"}
     rows = {r["day"]: r["extra"] for r in out.collect()}
     assert rows == {"20200101": None, "20200102": "e"}
+
+
+def test_upsert_recovers_from_phase2_death(spark, tmp_path):
+    """A run that died mid target rewrite leaves a committed staging dir
+    and an uncommitted (partial) target.  The NEXT upsert must restore
+    the staging copy — not delete it and merge against partial data."""
+    import os
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.materialize_upsert(
+        "stage.users",
+        spark.createDataFrame([Row(user_id="a", age=30), Row(user_id="b", age=40)]),
+        "user_id",
+    )
+    target = wh.path("stage.users")
+    staging = target + "__staging"
+    # simulate the phase-2 death: staging = full committed copy, target =
+    # half-written overwrite (one data file gone, no _SUCCESS marker)
+    shutil.copytree(target, staging)
+    os.remove(os.path.join(target, "_SUCCESS"))
+    parquet_files = [f for f in os.listdir(target) if f.endswith(".parquet")]
+    for f in parquet_files[: max(1, len(parquet_files) // 2)]:
+        os.remove(os.path.join(target, f))
+
+    wh.materialize_upsert(
+        "stage.users",
+        spark.createDataFrame([Row(user_id="c", age=50)]),
+        "user_id",
+    )
+    rows = {(r["user_id"], r["age"]) for r in wh.read("stage.users").collect()}
+    assert rows == {("a", 30), ("b", 40), ("c", 50)}  # nothing lost
+    assert not os.path.exists(staging)
+
+
+def test_stale_committed_staging_is_cleared_not_restored(spark, tmp_path):
+    """If the target DID commit, a leftover staging dir is stale — the
+    next call must delete it and keep the (newer) target."""
+    import os
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.materialize_upsert(
+        "stage.users",
+        spark.createDataFrame([Row(user_id="a", age=30)]),
+        "user_id",
+    )
+    target = wh.path("stage.users")
+    staging = target + "__staging"
+    shutil.copytree(target, staging)  # both committed: staging is stale
+    wh.materialize_upsert(
+        "stage.users",
+        spark.createDataFrame([Row(user_id="a", age=31)]),
+        "user_id",
+    )
+    rows = {(r["user_id"], r["age"]) for r in wh.read("stage.users").collect()}
+    assert rows == {("a", 31)}
+    assert not os.path.exists(staging)
