@@ -433,11 +433,14 @@ def simhash_hamming_pairs(
     Input must be exact-dup free (``exact_dup_keepers`` upstream) for
     the same O(k²) reason as LSH.
     """
-    if bands <= 0 or 16 % bands != 0:
+    if bands < 2 or 16 % bands != 0:
         raise ValueError(
-            f"bands={bands} must evenly divide the 16 hex chars of the "
-            "signature — a remainder would silently drop trailing bits "
-            "from both banding and the Hamming sum"
+            f"bands={bands} must be >= 2 and evenly divide the 16 hex "
+            "chars of the signature — a remainder would silently drop "
+            "trailing bits from both banding and the Hamming sum, and a "
+            "single 16-hex-char band (64 bits) overflows conv(...,16,10)"
+            ".cast('long') to NULL for values >= 2^63, silently dropping "
+            "matching pairs instead of returning hamming=0"
         )
     chunk = 16 // bands  # hex chars per band
     band_cols = [

@@ -50,6 +50,34 @@ def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
     return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)] if m else default
 
 
+def _hadoop_file_size(spark: SparkSession, uri: str) -> int | None:
+    """File length via the JVM Hadoop FileSystem API — the stat path for
+    remote schemes (s3a/hdfs/abfs/...), where ``os.path.getsize`` cannot
+    reach.  The URI goes through ``java.net.URI`` so the percent-encoding
+    ``inputFiles()`` emits is interpreted once, exactly as Spark's own
+    scan planning does.  None for genuinely unstat-able sources.
+    """
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(jvm.java.net.URI.create(uri))
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getFileStatus(jpath).getLen())
+    except Exception:  # noqa: BLE001 - missing file, bad scheme, no creds
+        return None
+
+
+def _file_size(spark: SparkSession, uri: str) -> int | None:
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        try:
+            # inputFiles() returns percent-encoded URIs ("my%20dir");
+            # plain os.stat is cheaper than a JVM round-trip per file
+            return os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+    return _hadoop_file_size(spark, uri)
+
+
 def estimated_scan_splits(spark: SparkSession, files: list[str]) -> int | None:
     """Estimate how many input splits Spark packs the scan's files into,
     mirroring ``FilePartition.maxSplitBytes``:
@@ -58,22 +86,22 @@ def estimated_scan_splits(spark: SparkSession, files: list[str]) -> int | None:
         maxSplit     = min(maxPartitionBytes, max(openCost, bytesPerCore))
         splits       ≈ ceil(totalPadded / maxSplit)
 
-    Returns None when a file cannot be stat'ed cheaply (non-local FS in
-    this sandbox) — callers treat unknown as "wide enough" rather than
-    injecting a speculative shuffle.
+    Local paths stat via ``os``; remote schemes stat via the Hadoop
+    FileSystem API (a metadata call, same cost class as the listing
+    Spark already did) — a small REMOTE scan must widen exactly like a
+    local one, production data being remote is the norm not the
+    exception.  Returns None only when a file genuinely cannot be
+    stat'ed (no credentials, vanished file) — callers treat unknown as
+    "wide enough" rather than injecting a speculative shuffle.
     """
     max_part = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
     total = 0
     for uri in files:
-        parsed = urlparse(uri)
-        if parsed.scheme not in ("", "file"):
+        size = _file_size(spark, uri)
+        if size is None:
             return None
-        try:
-            # inputFiles() returns percent-encoded URIs ("my%20dir")
-            total += os.path.getsize(unquote(parsed.path)) + open_cost
-        except OSError:
-            return None
+        total += size + open_cost
     if total == 0:
         return 1
     cores = max(1, spark.sparkContext.defaultParallelism)

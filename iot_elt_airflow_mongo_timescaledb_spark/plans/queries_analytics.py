@@ -253,18 +253,30 @@ def value_percentiles(spark, sf_dir):
            p.value AS purchase_value, v.value AS view_value_asof
     FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN
-         (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+         (SELECT user_id, ts, MAX(value) AS value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts) v
       ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
 )
 def asof_last_view_before_purchase(spark, sf_dir):
     """As-of join: each purchase gets the latest prior view reading of
-    the same user (union + running last-ignorenulls; operators/asof.py)."""
+    the same user (union + running last-ignorenulls; operators/asof.py).
+
+    The right side is pre-reduced to ONE row per (user_id, ts) — the
+    operator pins equal-ts ties to the greatest value tuple, but the
+    DuckDB oracle's ASOF JOIN leaves tie order unspecified, so parity
+    must not depend on ties existing.  The same MAX(value) reduction is
+    applied on both sides (equal to the operator's greatest-tuple rule),
+    making the query deterministic under ANY engine's tie behavior."""
     e = table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value")
     )
-    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
     out = asof_join(
         purchases, views, on=["user_id"], left_ts="purchase_ts", right_ts="ts",
         value_cols=["value"],

@@ -121,3 +121,28 @@ def test_funnel_neardup_uses_surviving_corpus(spark):
     assert out["exact_dedup"] == 1
     assert out["near_dedup"] == 1          # doc 2 survives: its partner
     #                                        never reached the near-dup stage
+
+
+def test_simhash_single_band_rejected(spark):
+    """bands=1 would XOR 64-bit chunks through conv(...,16,10)
+    .cast('long'), which overflows to NULL for signatures >= 2^63 and
+    silently DROPS matching pairs — rejected up front."""
+    import pytest
+
+    docs = _corpus(spark)
+    sig = D.simhash_signature(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match=">= 2"):
+        D.simhash_hamming_pairs(sig, "doc_id", bands=1)
+
+
+def test_simhash_high_bit_signatures_pair_up(spark):
+    """Signatures with the top bit set (>= 2^63 as a 64-bit value) must
+    still produce hamming=0 self-pairs at every legal band count — the
+    overflow regime the bands >= 2 guard exists for."""
+    sig = spark.createDataFrame(
+        [(1, "f" * 16), (2, "f" * 16), (3, "0" * 16)],
+        "doc_id long, simhash string",
+    )
+    for bands in (2, 4, 8, 16):
+        rows = D.simhash_hamming_pairs(sig, "doc_id", bands=bands).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]

@@ -58,3 +58,20 @@ def test_percent_encoded_paths_still_widen(spark, tmp_path):
     assert any("%20" in f for f in df.inputFiles())
     out = ensure_min_parallelism(df)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_hadoop_stat_path_matches_os_stat(spark, sf_dir):
+    """Remote-scheme URIs stat through the JVM Hadoop FileSystem API; a
+    file:// URI driven through that same code path must agree with
+    os.stat — proving the remote branch is live, not a permanent None
+    (which would make the guard a no-op exactly where production data
+    lives)."""
+    import os
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.partitioning import (
+        _hadoop_file_size,
+    )
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    assert _hadoop_file_size(spark, "file://" + p) == os.path.getsize(p)
+    assert _hadoop_file_size(spark, "file://" + p + ".nope") is None
