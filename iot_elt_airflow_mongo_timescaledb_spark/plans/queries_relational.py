@@ -124,6 +124,13 @@ def daily_steps(spark, sf_dir):
     FROM events WHERE event_type = 'click'
     GROUP BY 1, 2
     """,
+    gate=False,  # round-4 gate swap: same A1 grouped-sum shape as the
+    # gated daily_steps, differing only in the A6 week key — whose
+    # Monday-origin alignment has its own pytest
+    # (test_week_bucket_matches_timescaledb_origin) and stays
+    # hash-oracled here via the pytest parity suite.  The freed slot
+    # gates curation_funnel: composed-pipeline evidence over a
+    # redundant time-key variant.
 )
 def weekly_steps(spark, sf_dir):
     """A6 — time_bucket('1 week', ts) tumbling week (weekly_steps.sql:9-17).

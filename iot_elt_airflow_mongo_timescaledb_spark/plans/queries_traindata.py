@@ -829,7 +829,11 @@ def _funnel_oracle() -> str:
     """
 
 
-@query("curation_funnel", oracle=_funnel_oracle(), gate=False)
+@query("curation_funnel", oracle=_funnel_oracle())  # gated since round 4
+# (slot freed by weekly_steps): the funnel is the composed-pipeline
+# evidence — lang-ID, quality, exact dedup, and LSH near-dup chained
+# with survivor-only semantics — which the gate prefers over a
+# redundant time-key variant of an already-gated aggregate.
 def curation_funnel(spark, sf_dir):
     """The curation pipeline a 100 TB pretraining corpus runs, composed
     from this repo's operators, reporting per-stage retention:
