@@ -262,21 +262,21 @@ def asof_last_view_before_purchase(spark, sf_dir):
     """As-of join: each purchase gets the latest prior view reading of
     the same user (union + running last-ignorenulls; operators/asof.py).
 
-    The right side is pre-reduced to ONE row per (user_id, ts) — the
-    operator pins equal-ts ties to the greatest value tuple, but the
-    DuckDB oracle's ASOF JOIN leaves tie order unspecified, so parity
-    must not depend on ties existing.  The same MAX(value) reduction is
-    applied on both sides (equal to the operator's greatest-tuple rule),
-    making the query deterministic under ANY engine's tie behavior."""
+    Tie determinism: the DuckDB oracle's ASOF JOIN leaves equal-ts tie
+    order unspecified, so its view side is pre-reduced to ONE row per
+    (user_id, ts) with MAX(value).  The Spark side needs NO such
+    pre-reduce (and no second shuffle): the operator's greatest-tuple
+    tiebreak (operators/asof.py:98-103) already resolves equal-ts right
+    rows to the greatest ``value`` inside the ONE window shuffle, which
+    with ``value_cols=["value"]`` is exactly MAX(value).  Both sides are
+    therefore deterministic and equal under ANY engine tie behavior,
+    and the operator keeps its single-shuffle plan
+    (test_asof_join_single_shuffle_no_join_node)."""
     e = table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value")
     )
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
-    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
     out = asof_join(
         purchases, views, on=["user_id"], left_ts="purchase_ts", right_ts="ts",
         value_cols=["value"],
