@@ -487,3 +487,41 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — cross-corpus n-gram overlap.
+# ---------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    corpus_sh: DataFrame, bench_sh: DataFrame, id_col: str
+) -> DataFrame:
+    """Flag corpus documents sharing word n-grams with a benchmark set.
+
+    The decontamination step of a pretraining pipeline: any training
+    document containing an n-gram that also appears in an eval/benchmark
+    document is a leakage risk and gets reported with the evidence —
+    ``(doc_id, n_hit_shingles, n_bench_docs)`` for every contaminated
+    document (clean documents are absent from the output).
+
+    Both inputs are ``word_shingles`` outputs (``(id, sh)``, distinct
+    per document).  Scale shape: the benchmark side is always tiny
+    relative to a 100 TB corpus (thousands of eval documents), so it is
+    broadcast — the corpus shingle stream probes a hash map and never
+    shuffles on the shingle key; the only shuffle is the per-doc
+    hash-agg on ``doc_id`` (map-side combinable).  In production the
+    n-gram order is 8-13; tests use the corpus-wide n=3 shingles so the
+    synthetic word-salad data produces hits.
+    """
+    bench = bench_sh.select(
+        F.col("sh"), F.col(id_col).alias("__bench_id")
+    ).distinct()
+    return (
+        corpus_sh.join(F.broadcast(bench), "sh")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("sh").alias("n_hit_shingles"),
+            F.countDistinct("__bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -89,3 +89,89 @@ def stratified_sample(
     return df.withColumn("__bucket", bucket).filter(F.col("__bucket") < rate).drop(
         "__bucket"
     )
+
+
+def token_budget_cut(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    score_col: str,
+    budget: int,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Keep the best documents whose running token total fits ``budget``.
+
+    Semantics (the SQL oracle): rank docs by ``(score DESC, id ASC)``,
+    keep every doc whose cumulative token count — including itself — is
+    ``<= budget``.  The standard "curate down to a target token budget"
+    step after quality scoring.
+
+    A literal window ``SUM() OVER (ORDER BY score DESC)`` funnels the
+    whole corpus through ONE task (Spark plans an un-partitioned window
+    as a single partition), so this computes the same answer in two
+    scale-safe phases:
+
+    1. histogram: hash-agg token sums per score bucket
+       (``floor(score * n_buckets)``) — a ``n_buckets``-row aggregate;
+       the driver scans it best-first to find the boundary bucket where
+       the running total crosses the budget (bounded driver work, like
+       the watermark cursor read — never data-sized);
+    2. per-bucket windows: every kept bucket gets its internal
+       ``(score DESC, id ASC)`` cumulative sum plus the bucket's prefix
+       offset (a broadcast ``n_buckets``-row join) — partitions are
+       score buckets, so no single task sees more than one bucket.
+
+    Buckets above the boundary are kept whole, below dropped whole
+    WITHOUT evaluating their windows; only the boundary bucket is
+    budget-trimmed.  Output: ``(id, n_tokens, score, cum_tokens)`` for
+    kept docs — bit-identical to the single-window oracle because
+    bucket order refines score order and the within-bucket tiebreak is
+    the same ``(score DESC, id ASC)``.
+    """
+    scored = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.col(score_col).alias("score"),
+    ).withColumn(
+        "__bucket", F.floor(F.col("score") * n_buckets).cast("long")
+    )
+    hist = (
+        scored.groupBy("__bucket")
+        .agg(F.sum("n_tokens").alias("__bucket_tokens"))
+        .collect()
+    )
+    running = 0
+    offsets: list[tuple[int, int]] = []  # (bucket, tokens-before-bucket)
+    boundary = None
+    for row in sorted(hist, key=lambda r: -r["__bucket"]):
+        offsets.append((row["__bucket"], running))
+        running += row["__bucket_tokens"]
+        if running > budget:
+            boundary = row["__bucket"]
+            break
+    spark = df.sparkSession
+    if not offsets:  # empty input: keep the output schema, zero rows
+        return scored.select(
+            id_col, "n_tokens", "score", F.col("n_tokens").alias("cum_tokens")
+        ).limit(0)
+    if boundary is None:  # everything fits
+        boundary = offsets[-1][0]
+    off = F.broadcast(
+        spark.createDataFrame(offsets, ["__bucket", "__offset"])
+        .withColumn("__bucket", F.col("__bucket").cast("long"))
+        .withColumn("__offset", F.col("__offset").cast("long"))
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.filter(F.col("__bucket") >= boundary)
+        .join(off, "__bucket")
+        .withColumn(
+            "cum_tokens", (F.col("__offset") + F.sum("n_tokens").over(w)).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "n_tokens", "score", "cum_tokens")
+    )

@@ -203,3 +203,43 @@ def repetition_scores(
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 6
         ).alias("dup_gram_frac"),
     )
+
+
+# Conservative patterns valid in both Java regex (Spark) and RE2
+# (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"[0-9]{2,3}-[0-9]{3,4}-[0-9]{4}", "[PHONE]"),
+    "id_tag": (r"#[0-9]{3,}", "[ID]"),
+    "digit_run": (r"[0-9]{9,}", "[NUM]"),
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Per-document PII census + redaction.
+
+    For each named pattern: a match count column ``n_<name>``, plus one
+    ``redacted`` column with every pattern replaced by its token —
+    replacements applied in dict order, so an earlier pattern's token is
+    never re-matched by a later one (counts are measured on the ORIGINAL
+    text, before any replacement).
+
+    Pure JVM expressions (``regexp_extract_all`` + ``regexp_replace``),
+    codegen'd per row batch — no UDF, no shuffle; at 100 TB this is a
+    narrow map over the corpus scan.  Patterns must avoid Java-only
+    regex features so the DuckDB (RE2) oracle reproduces them exactly.
+    """
+    pats = patterns or PII_PATTERNS
+    t = F.col(text_col)
+    cols = [F.col(id_col)]
+    cols += [_count(pat, t).alias(f"n_{name}") for name, (pat, _) in pats.items()]
+    red = t
+    for pat, token in pats.values():
+        red = F.regexp_replace(red, pat, token)
+    cols.append(red.alias("redacted"))
+    return df.select(*cols)

@@ -877,3 +877,40 @@ def subquery_filters(spark, sf_dir):
         F.lit(None).cast("double").alias("metric"),
     )
     return scalar.unionByName(correlated)
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured props extraction (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    gate=False,
+)
+def props_json_stats(spark, sf_dir):
+    """Semi-structured payload extraction: pull ``$.k`` out of the JSON
+    ``props`` string per event and aggregate per type — the Spark-native
+    answer to the reference's BSON normalization (SURVEY §2.1 S8,
+    `dags/dlt_sources/mongodb/helpers.py:258-285`) when the payload
+    stays semi-structured instead of being flattened at load.
+    ``get_json_object`` is a JVM codegen expression — the 100 TB shape
+    is scan → narrow map → one map-side-combinable hash-agg; no UDF,
+    no extra shuffle."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )

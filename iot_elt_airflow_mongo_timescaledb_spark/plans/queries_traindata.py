@@ -998,3 +998,99 @@ def repetition_scores(spark, sf_dir):
     """Gopher-style repetition signals: top-bigram fraction + repeated-
     bigram coverage per document (operators/text.py:repetition_scores)."""
     return X.repetition_scores(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# decontamination / budget curation / PII  (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH cs AS ({_shingles_sql("SELECT * FROM documents WHERE source <> 'src0'")}),
+         bs AS ({_shingles_sql("SELECT * FROM documents WHERE source = 'src0'")})
+    SELECT cs.doc_id AS doc_id,
+           COUNT(DISTINCT cs.sh) AS n_hit_shingles,
+           COUNT(DISTINCT bs.doc_id) AS n_bench_docs
+    FROM cs JOIN bs ON bs.sh = cs.sh
+    GROUP BY 1
+    """,
+    gate=False,
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination: training docs (source != src0) that
+    share a word 3-gram with the benchmark set (source = src0), with
+    hit evidence.  The benchmark shingle set broadcasts — at 100 TB the
+    corpus never shuffles on the n-gram key
+    (operators/dedup.py:benchmark_contamination)."""
+    docs = table(spark, sf_dir, "documents")
+    bench_sh = D.word_shingles(
+        docs.filter(F.col("source") == "src0"), "doc_id", "text", n=3
+    )
+    corpus_sh = D.word_shingles(
+        docs.filter(F.col("source") != "src0"), "doc_id", "text", n=3
+    )
+    return D.benchmark_contamination(corpus_sh, bench_sh, "doc_id")
+
+
+_BUDGET = 25_000  # words — cuts mid-corpus at sf0.01, everything at tiny SFs
+
+
+@query(
+    "token_budget_cut",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    c AS (
+      SELECT doc_id, n_words AS n_tokens, quality_score AS score,
+             SUM(n_words) OVER (ORDER BY quality_score DESC, doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_tokens
+      FROM q)
+    SELECT doc_id, n_tokens, score, cum_tokens
+    FROM c WHERE cum_tokens <= {_BUDGET}
+    """,
+    gate=False,
+)
+def token_budget_cut(spark, sf_dir):
+    """Curate down to a global token budget: best-quality-first running
+    total, cut at {budget} words.  The oracle is a single global window;
+    the Spark plan is the two-phase histogram-threshold shape — per-
+    score-bucket hash-agg, bounded driver boundary scan, per-bucket
+    windows — so no task ever sees a global ORDER BY
+    (operators/packing.py:token_budget_cut)."""
+    docs = table(spark, sf_dir, "documents")
+    scored = X.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "n_words", "quality_score"
+    )
+    return P.token_budget_cut(
+        scored, "doc_id", "n_words", "quality_score", budget=_BUDGET
+    )
+
+
+def _pii_oracle() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(profile, '{pat}')) AS n_{name}"
+        for name, (pat, _) in X.PII_PATTERNS.items()
+    )
+    red = "profile"
+    for pat, token in X.PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+    SELECT c_custkey, {counts}, {red} AS redacted
+    FROM (SELECT c_custkey, c_name || ' ' || c_mktsegment AS profile
+          FROM customer)
+    """
+
+
+@query("pii_redact", oracle=_pii_oracle(), gate=False)
+def pii_redact(spark, sf_dir):
+    """PII census + redaction over synthesized customer profile strings
+    (email/phone/id-tag/digit-run patterns; counts measured pre-
+    redaction, replacements applied in declaration order).  Narrow
+    codegen map — no shuffle (operators/text.py:pii_scan)."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")).alias("profile"),
+    )
+    return X.pii_scan(cust, "c_custkey", "profile")

@@ -71,14 +71,19 @@ def oracle_queries(gated_only: bool = False) -> dict[str, str]:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # parquet reader rejects.  Read the raw int64 nanos and convert to
-        # a microsecond timestamp (testdata is µs-aligned at gate SFs).
+        # The driver's events.parquet has shipped as both TIMESTAMP(NANOS)
+        # (rejected by the vectorized reader — read as int64 under
+        # nanosAsLong and divided down) and plain TIMESTAMP(MICROS)
+        # (reads natively as TIMESTAMP_NTZ).  Probe the read schema and
+        # normalize either to a session-tz (UTC) microsecond timestamp.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

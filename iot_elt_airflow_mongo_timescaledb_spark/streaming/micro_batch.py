@@ -29,6 +29,26 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of ``events.parquet`` with ``ts`` normalized to a
+    session-tz (UTC) microsecond timestamp, whatever the file's physical
+    type — the driver's testdata has shipped both int64 TIMESTAMP(NANOS)
+    (streamed as long under ``nanosAsLong``, divided down) and plain
+    TIMESTAMP(MICROS).  The batch footer probe costs one metadata read;
+    FileStreamSource needs a directory, so the parent dir is streamed
+    with a glob filter selecting just the events file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed count/sum per event_type, driven as a
     stream over the events parquet and drained to completion.
@@ -36,15 +56,7 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete output mode so every window lands in the sink (append mode
     would hold back windows the final watermark never closes).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # FileStreamSource needs a directory; events.parquet is a single file,
-    # so stream the parent dir with a glob filter selecting just it.
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -76,13 +88,7 @@ def dedup_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary re-reads arrive back-to-back, well inside it).  Eviction is
     asserted by tests/test_streaming_state.py.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, sf_dir)
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -158,14 +164,9 @@ def view_purchase_join_stream(
     results stay executor-side and the returned DataFrame is a
     distributed scan of the sink directory.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def side(event_type: str, alias_prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            events_stream(spark, sf_dir)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias_prefix}_user"),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .micro_batch import EVENTS_SCHEMA
+from .micro_batch import events_stream
 
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, total_value double, max_gap_s double"
@@ -84,13 +84,7 @@ def user_activity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     user is the converged state — the caller (and the batch-equivalence
     test) selects it with a max_by.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, sf_dir)
     tracked = stream.groupBy("user_id").applyInPandasWithState(
         _track_user,
         outputStructType=OUTPUT_SCHEMA,

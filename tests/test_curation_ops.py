@@ -1,0 +1,145 @@
+"""Unit tests for the round-4 curation operators: benchmark
+decontamination, token-budget cut, and PII redaction.
+
+The oracle-parity suite (tests/test_oracle_parity.py) already checks the
+registered queries against DuckDB; these tests pin the operator-level
+semantics the SQL comparison can't see — boundary behavior, redaction
+ordering, and the two-phase budget cut agreeing with a literal global
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+    benchmark_contamination,
+    word_shingles,
+)
+from iot_elt_airflow_mongo_timescaledb_spark.operators.packing import (
+    token_budget_cut,
+)
+from iot_elt_airflow_mongo_timescaledb_spark.operators.text import pii_scan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestBenchmarkContamination:
+    def test_flags_only_overlapping_docs(self, spark):
+        corpus = _docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps"),  # shares "the quick brown"
+                (2, "completely unrelated words here"),
+                (3, "quick brown fox runs far"),  # shares "quick brown fox"
+            ],
+        )
+        bench = _docs(spark, [(100, "the quick brown fox")])
+        out = benchmark_contamination(
+            word_shingles(corpus, "doc_id", "text", n=3),
+            word_shingles(bench, "doc_id", "text", n=3),
+            "doc_id",
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {1, 3}  # doc 2 is clean -> absent
+        # doc 1 shares "the quick brown" + "quick brown fox"
+        assert rows[1]["n_hit_shingles"] == 2
+        assert rows[1]["n_bench_docs"] == 1
+        assert rows[3]["n_hit_shingles"] == 1
+
+    def test_multiple_bench_docs_counted(self, spark):
+        corpus = _docs(spark, [(1, "a b c d e")])
+        bench = _docs(spark, [(100, "a b c x"), (101, "c d e y")])
+        out = benchmark_contamination(
+            word_shingles(corpus, "doc_id", "text", n=3),
+            word_shingles(bench, "doc_id", "text", n=3),
+            "doc_id",
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["n_hit_shingles"] == 2  # "a b c", "c d e"
+        assert out[0]["n_bench_docs"] == 2
+
+
+class TestTokenBudgetCut:
+    def _scored(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "n_tokens", "score"])
+
+    def _oracle(self, df, budget):
+        """Literal single-window cumsum (the semantics being refined)."""
+        w = (
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return {
+            (r["doc_id"], r["cum_tokens"])
+            for r in df.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= budget)
+            .collect()
+        }
+
+    def test_matches_global_window(self, spark):
+        rows = [
+            (i, 10 + (i * 7) % 13, round(((i * 37) % 100) / 100.0, 6))
+            for i in range(200)
+        ]
+        df = self._scored(spark, rows)
+        for budget in (50, 500, 1500, 10**6):
+            got = {
+                (r["doc_id"], r["cum_tokens"])
+                for r in token_budget_cut(
+                    df, "doc_id", "n_tokens", "score", budget=budget
+                ).collect()
+            }
+            assert got == self._oracle(df, budget), f"budget={budget}"
+
+    def test_boundary_doc_exactly_fits(self, spark):
+        df = self._scored(
+            spark, [(1, 10, 0.9), (2, 10, 0.8), (3, 10, 0.7)]
+        )
+        kept = token_budget_cut(
+            df, "doc_id", "n_tokens", "score", budget=20
+        ).collect()
+        assert {r["doc_id"] for r in kept} == {1, 2}
+        assert {r["cum_tokens"] for r in kept} == {10, 20}
+
+    def test_tie_broken_by_doc_id(self, spark):
+        df = self._scored(
+            spark, [(5, 10, 0.5), (1, 10, 0.5), (3, 10, 0.5)]
+        )
+        kept = token_budget_cut(
+            df, "doc_id", "n_tokens", "score", budget=20
+        ).collect()
+        assert sorted(r["doc_id"] for r in kept) == [1, 3]
+
+
+class TestPiiScan:
+    def test_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a@b.com call 555-123-4567 ref #12345 acct 123456789")],
+            ["id", "t"],
+        )
+        row = pii_scan(df, "id", "t").collect()[0]
+        assert row["n_email"] == 1
+        assert row["n_phone"] == 1
+        assert row["n_id_tag"] == 1
+        assert row["n_digit_run"] == 1
+        assert row["redacted"] == "mail [EMAIL] call [PHONE] ref [ID] acct [NUM]"
+
+    def test_counts_measured_before_redaction(self, spark):
+        # "#123456789" is both an id_tag and contains a 9-digit run:
+        # counts see the ORIGINAL text (both fire); redaction applies
+        # id_tag first so digit_run finds nothing left to replace.
+        df = spark.createDataFrame([(1, "ref #123456789 end")], ["id", "t"])
+        row = pii_scan(df, "id", "t").collect()[0]
+        assert row["n_id_tag"] == 1
+        assert row["n_digit_run"] == 1
+        assert row["redacted"] == "ref [ID] end"
+
+    def test_clean_text_untouched(self, spark):
+        df = spark.createDataFrame([(1, "no pii here at all")], ["id", "t"])
+        row = pii_scan(df, "id", "t").collect()[0]
+        assert row["redacted"] == "no pii here at all"
+        assert row["n_email"] == row["n_phone"] == 0

@@ -1,0 +1,68 @@
+"""The driver's events.parquet has shipped with two physical types for
+``ts`` — int64 TIMESTAMP(NANOS) (rounds 1-3) and plain TIMESTAMP(MICROS)
+(round 4).  Both the batch reader (plans.registry.table) and the
+streaming reader (streaming.micro_batch.events_stream) must normalize
+either to the same UTC microsecond timestamp."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import table
+from iot_elt_airflow_mongo_timescaledb_spark.streaming.micro_batch import (
+    events_stream,
+)
+
+TS = datetime.datetime(2024, 5, 1, 12, 30, 0)
+ROW = dict(event_id=1, user_id=7, event_type="view", value=1.5, props="{}")
+
+
+@pytest.fixture(scope="module")
+def nanos_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_nanos"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    nanos = int(TS.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e9)
+    spark.createDataFrame([{**ROW, "ts": nanos}], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+@pytest.fixture(scope="module")
+def micros_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_micros"))
+    df = spark.createDataFrame([{**ROW, "ts": TS}])
+    df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+@pytest.mark.parametrize("fixture", ["nanos_dir", "micros_dir"])
+def test_batch_table_normalizes(spark, fixture, request):
+    sf_dir = request.getfixturevalue(fixture)
+    df = table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.collect()[0]["ts"] == TS
+
+
+@pytest.mark.parametrize("fixture", ["nanos_dir", "micros_dir"])
+def test_stream_reader_normalizes(spark, fixture, request):
+    sf_dir = request.getfixturevalue(fixture)
+    stream = events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
