@@ -322,21 +322,27 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25, jump_after: int = 2
 ) -> DataFrame:
     """Cluster candidate pairs into duplicate groups: (node, cluster_id)
     with cluster_id = min node id in the connected component.
 
-    Min-label propagation WITH pointer jumping: each round a node takes
-    the minimum of (its label, its neighbours' labels, its label's
-    label).  The label-of-label shortcut halves the remaining distance
-    to the component minimum every round, so convergence is O(log
-    diameter) rounds — a path graph of 1M nodes converges in ~20 rounds
-    where plain neighbour propagation needs 1M.  Every intermediate
-    label is the id of a node in the same component (labels start as
-    self/neighbour ids and only ever adopt other labels from the same
-    component), so the fixpoint — constant across each component, and
-    the component minimum labels itself — is exactly min-id clustering.
+    Min-label propagation with DEFERRED pointer jumping: each round a
+    node takes the minimum of (its label, its neighbours' labels, and —
+    from round ``jump_after`` on — its label's label).  The label-of-
+    label shortcut halves the remaining distance to the component
+    minimum every round, so convergence is O(log diameter) rounds — a
+    path graph of 1M nodes converges in ~20 rounds where plain
+    neighbour propagation needs 1M.  It costs one extra join per round,
+    which near-dup graphs (near-cliques that converge in 1-2 rounds)
+    never need — hence deferred: the first ``jump_after`` rounds run
+    plain propagation, and only a graph still unconverged after them
+    (i.e. with actual diameter) pays for the shortcut that guarantees
+    its log-round bound.  Every intermediate label is the id of a node
+    in the same component (labels start as self/neighbour ids and only
+    ever adopt other labels from the same component), so the fixpoint —
+    constant across each component, and the component minimum labels
+    itself — is exactly min-id clustering.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass with labels
     still changing: returning the unconverged labels would silently
@@ -366,7 +372,7 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iter):
+    for round_idx in range(max_iter):
         nbr_min = (
             edges.join(
                 labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
@@ -375,28 +381,27 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("nl").alias("nbr_label"))
         )
-        # pointer jumping: the label of my label (labels self-joined on
-        # label == node).  A label is always a real node of the same
-        # component, so the lookup never misses semantically; left join
-        # only guards isolated self-labels.
-        grand = labels.select(
-            F.col("node").alias("label"), F.col("label").alias("grand_label")
-        )
-        updated = (
-            labels.join(nbr_min, "node", "left")
-            .join(grand, "label", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nbr_label", F.col("label")),
-                    F.coalesce("grand_label", F.col("label")),
-                ).alias("label"),
-                (
-                    (F.col("nbr_label") < F.col("label"))
-                    | (F.col("grand_label") < F.col("label"))
-                ).alias("__changed"),
+        candidates = [
+            F.col("label"),
+            F.coalesce("nbr_label", F.col("label")),
+        ]
+        changed = F.col("nbr_label") < F.col("label")
+        joined = labels.join(nbr_min, "node", "left")
+        if round_idx >= jump_after:
+            # pointer jumping: the label of my label (labels self-joined
+            # on label == node).  A label is always a real node of the
+            # same component, so the lookup never misses semantically;
+            # left join only guards isolated self-labels.
+            grand = labels.select(
+                F.col("node").alias("label"), F.col("label").alias("grand_label")
             )
+            joined = joined.join(grand, "label", "left")
+            candidates.append(F.coalesce("grand_label", F.col("label")))
+            changed = changed | (F.col("grand_label") < F.col("label"))
+        updated = joined.select(
+            "node",
+            F.least(*candidates).alias("label"),
+            changed.alias("__changed"),
         ).localCheckpoint()
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
