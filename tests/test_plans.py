@@ -104,3 +104,41 @@ def test_tfidf_single_scan(spark, sf_dir):
     tree = re.split(r"\n\n\(\d+\) ", tree)[0]
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
     assert len(re.findall(r"ReusedExchange", tree)) >= 2, tree
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    """The benchmark shingle set is tiny vs any real corpus: the overlap
+    join must be a broadcast probe — the corpus never shuffles on the
+    n-gram key."""
+    facts = plan_facts(_Q["contamination_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in facts["joins"], facts["joins"]
+    assert "CartesianProduct" not in facts["joins"]
+
+
+def test_token_budget_cut_no_global_window(spark, sf_dir):
+    """The budget cut must never plan a single-partition global window
+    (Window with an empty partition spec serializes the corpus through
+    one task); every window is partitioned by the score bucket."""
+    df = _Q["token_budget_cut"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # partition columns precede the sort spec; a spec that starts
+        # with the ORDER BY expression has no partitioning
+        assert "__bucket" in spec, plan
+
+
+def test_pii_redact_no_shuffle(spark, sf_dir):
+    """Census + redaction is a narrow codegen map — zero exchanges."""
+    facts = plan_facts(_Q["pii_redact"](spark, sf_dir))
+    assert facts["n_exchanges"] == 0, facts["plan"]
+    assert facts["n_codegen"] >= 1
+
+
+def test_props_json_stats_single_exchange(spark, sf_dir):
+    """JSON extraction stays in the scan-side map; the only shuffle is
+    the per-type aggregate."""
+    facts = plan_facts(_Q["props_json_stats"](spark, sf_dir))
+    assert facts["n_exchanges"] == 1, facts["plan"]
