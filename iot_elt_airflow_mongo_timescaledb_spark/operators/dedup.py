@@ -530,3 +530,43 @@ def benchmark_contamination(
             F.countDistinct("__bench_id").alias("n_bench_docs"),
         )
     )
+
+
+def substring_dup_pairs(
+    grams: DataFrame, id_col: str, min_df: int = 2, max_df: int = 50
+) -> DataFrame:
+    """Exact substring-overlap pairs: documents sharing at least one
+    LONG word n-gram (``grams`` = ``word_shingles`` with n≈10-50), with
+    the shared-gram count as evidence.
+
+    The tier Jaccard misses: a document that embeds one long verbatim
+    passage of another (quotes, partial copies, template reuse) can sit
+    far below any whole-document similarity threshold while still being
+    a memorization risk — the published fix is exact long-substring
+    matching (suffix-array dedup); this is its bounded n-gram
+    approximation as two hash-aggs + one self-equi-join.
+
+    The document-frequency band is the scale guard: grams must be
+    shared (df >= min_df) but grams hot beyond ``max_df`` are
+    boilerplate ("stop-grams" — headers, licenses) and are EXCLUDED,
+    bounding every gram's pair fan-out at max_df² instead of the
+    unbounded k² a boilerplate phrase would otherwise emit.  At 100 TB:
+    explode → df hash-agg (map-side combinable) → banded self-join on
+    the gram key, all shuffles on bounded-fan-out keys; exact-dup
+    keepers should feed it (same O(k) guard as LSH).
+    """
+    df_band = (
+        grams.groupBy("sh")
+        .agg(F.count("*").alias("__df"))
+        .filter((F.col("__df") >= min_df) & (F.col("__df") <= max_df))
+        .select("sh")
+    )
+    g = grams.join(df_band, "sh")
+    a = g.select("sh", F.col(id_col).alias("id_a"))
+    b = g.select("sh", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )

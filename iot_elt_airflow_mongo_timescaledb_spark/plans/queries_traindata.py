@@ -1094,3 +1094,35 @@ def pii_redact(spark, sf_dir):
         F.concat_ws(" ", F.col("c_name"), F.col("c_mktsegment")).alias("profile"),
     )
     return X.pii_scan(cust, "c_custkey", "profile")
+
+
+_SUB_N = 10  # long-gram order for substring overlap (tests: ~54-word docs)
+
+
+def _long_grams_sql(src: str, n: int) -> str:
+    return rf"""SELECT DISTINCT doc_id,
+       unnest(list_transform(range(1, len(ws) - {n - 2}),
+              i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' '))) AS sh
+    FROM ({_words_sql(src)}) WHERE len(ws) >= {n}"""
+
+
+@query(
+    "substring_dup_pairs",
+    oracle=f"""
+    WITH g AS ({_long_grams_sql(_DOCS_KEPT, _SUB_N)}),
+    band AS (
+      SELECT sh FROM g GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_ngrams
+    FROM g a JOIN band USING (sh) JOIN g b
+      ON b.sh = a.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def substring_dup_pairs(spark, sf_dir):
+    """Exact long-substring overlap (10-word grams, df band 2..50):
+    the partial-copy tier whole-document Jaccard misses.  Exact-dup
+    keepers feed it — same O(k) family guard as the LSH chain
+    (operators/dedup.py:substring_dup_pairs)."""
+    grams = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=_SUB_N)
+    return D.substring_dup_pairs(grams, "doc_id", min_df=2, max_df=50)

@@ -143,3 +143,28 @@ class TestPiiScan:
         row = pii_scan(df, "id", "t").collect()[0]
         assert row["redacted"] == "no pii here at all"
         assert row["n_email"] == row["n_phone"] == 0
+
+
+class TestSubstringDupPairs:
+    def test_shared_passage_detected_boilerplate_excluded(self, spark):
+        from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+            substring_dup_pairs,
+            word_shingles,
+        )
+
+        passage = "one two three four"  # shared 4-gram between docs 1 and 2
+        boiler = "w x y z"  # in EVERY doc -> df above max_df, excluded
+        docs = _docs(
+            spark,
+            [
+                (1, f"{boiler} alpha {passage} beta"),
+                (2, f"{boiler} gamma {passage} delta"),
+                (3, f"{boiler} epsilon zeta eta theta"),
+                (4, f"{boiler} iota kappa lambda mu"),
+            ],
+        )
+        grams = word_shingles(docs, "doc_id", "text", n=4)
+        out = substring_dup_pairs(grams, "doc_id", min_df=2, max_df=3).collect()
+        assert [(r["id_a"], r["id_b"], r["n_shared_ngrams"]) for r in out] == [
+            (1, 2, 1)
+        ]
