@@ -195,10 +195,23 @@ def lsh_candidate_pairs(spark, sf_dir):
 def ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard, verified on LSH candidates only (the
     scalable shape: exact-dup keepers → inverted-index probe, never
-    all-pairs)."""
-    sh = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=3)
+    all-pairs).
+
+    The probe's shingle table is built from CANDIDATE docs only (a
+    semi-join on the pair ids) rather than the whole keeper corpus —
+    near-dup candidates are a tiny fraction of any real corpus, so the
+    re-shingling pass shrinks from |corpus| to |candidates| texts.
+    ``pairs`` is checkpointed by ``jaccard_on_pairs``, so reading it
+    twice (id cut + probe) reuses the materialized candidate set."""
     sig = _kept_signature(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N)
+    pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N).localCheckpoint()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = _kept_docs(spark, sf_dir).join(cand_ids, "doc_id", "left_semi")
+    sh = D.word_shingles(cand_docs, "doc_id", "text", n=3)
     return D.jaccard_on_pairs(pairs, sh, "doc_id")
 
 
