@@ -166,14 +166,7 @@ def lsh_candidate_pairs(
     threshold), and residual hot buckets are AQE skew-join territory
     rather than a quadratic blow-up.
     """
-    rows = k // bands
-    band_cols = []
-    for b in range(bands):
-        key = F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-    banded = signature.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _banded(signature, id_col, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -185,6 +178,68 @@ def lsh_candidate_pairs(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def _banded(signature: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """Unpivot a MinHash signature to one (id, band, key) row per band."""
+    rows = k // bands
+    band_cols = []
+    for b in range(bands):
+        key = F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return signature.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def incremental_lsh_candidates(
+    old_sig: DataFrame, new_sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs INVOLVING AT LEAST ONE NEW DOCUMENT:
+    new-vs-corpus plus new-vs-new, without ever self-joining the old
+    corpus with itself.
+
+    The production shape of dedup at 100 TB: the corpus signature table
+    is a materialized artifact (|corpus| × k hashes — the cheap tier),
+    and each ingest batch LSH-checks only against it.  A naive re-run of
+    ``lsh_candidate_pairs`` over the unioned corpus re-derives every
+    old-vs-old pair each batch — O(|corpus|) bucket work per batch;
+    here the join's LEFT side is only the new batch's bands, so bucket
+    work is O(|batch| × bucket occupancy) and the old corpus is stream-
+    probed once.  Id spaces must be disjoint (new docs get new ids).
+
+    Equivalent to the full recompute restricted to pairs touching a new
+    id — asserted by tests/test_incremental_dedup.py.
+    """
+    new_banded = _banded(new_sig, id_col, k, bands).alias("a")
+    all_banded = (
+        _banded(old_sig, id_col, k, bands)
+        .withColumn("__is_new", F.lit(False))
+        .unionByName(
+            _banded(new_sig, id_col, k, bands).withColumn("__is_new", F.lit(True))
+        )
+        .alias("b")
+    )
+    # right side old: always pair (orientation normalized below, emitted
+    # exactly once since only new ids appear on the left).  right side
+    # new: require a.id < b.id so each new-new pair emits once.
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (
+            (~F.col("b.__is_new"))
+            | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        )
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    )
+    return (
+        new_banded.join(all_banded, cond)
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
         )
         .distinct()
     )

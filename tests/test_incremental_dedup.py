@@ -1,0 +1,59 @@
+"""incremental_lsh_candidates must equal the full-corpus recompute
+restricted to pairs touching a new document — the invariant that lets a
+100 TB pipeline LSH-check each ingest batch against a materialized
+signature table instead of re-running dedup over the whole corpus."""
+
+from __future__ import annotations
+
+from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+    incremental_lsh_candidates,
+    lsh_candidate_pairs,
+    minhash_signature,
+    word_shingles,
+)
+
+
+def _sig(spark, rows):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    return minhash_signature(word_shingles(docs, "doc_id", "text", n=3), "doc_id")
+
+
+BASE = "alpha beta gamma delta epsilon zeta"
+OLD = [
+    (1, BASE),
+    (2, BASE + " eta"),          # near-dup family with 1
+    (3, "totally different words one two three"),
+]
+NEW = [
+    (10, BASE + " theta"),       # near-dup of the 1/2 family
+    (11, "totally different words one two four"),  # near-dup of 3
+    (12, BASE + " theta iota"),  # near-dup of 10 (new-vs-new)
+    (13, "nothing in common with anything else here"),
+]
+
+
+def test_matches_full_recompute_on_new_pairs(spark):
+    old_sig, new_sig = _sig(spark, OLD), _sig(spark, NEW)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_lsh_candidates(old_sig, new_sig, "doc_id").collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(_sig(spark, OLD + NEW), "doc_id").collect()
+    }
+    new_ids = {i for i, _ in NEW}
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert inc == expected
+    assert inc, "fixture must actually produce candidate pairs"
+    # no old-vs-old pair leaks in
+    assert all(a in new_ids or b in new_ids for a, b in inc)
+    # both directions present: new-vs-old and new-vs-new
+    assert any((a in new_ids) != (b in new_ids) for a, b in inc)
+    assert any(a in new_ids and b in new_ids for a, b in inc)
+
+
+def test_full_chain_unchanged_by_banding_refactor(spark):
+    sig = _sig(spark, OLD + NEW)
+    pairs = lsh_candidate_pairs(sig, "doc_id").collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
