@@ -1139,3 +1139,121 @@ def substring_dup_pairs(spark, sf_dir):
     (operators/dedup.py:substring_dup_pairs)."""
     grams = D.word_shingles(_kept_docs(spark, sf_dir), "doc_id", "text", n=_SUB_N)
     return D.substring_dup_pairs(grams, "doc_id", min_df=2, max_df=50)
+
+
+# ---------------------------------------------------------------------------
+# full curation funnel: + decontamination + token budget (round 4)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_BUDGET = 5_000  # words — bites after the quality/dedup stages
+
+
+def _funnel_full_oracle() -> str:
+    base = _funnel_oracle().rsplit("SELECT 0 AS stage_idx", 1)[0].rstrip() + ","
+    bsh = _shingles_sql("SELECT * FROM documents WHERE source = 'src0'")
+    csh = _shingles_sql(
+        "SELECT d4.doc_id, d4.text FROM d4 "
+        "JOIN documents USING (doc_id) WHERE source <> 'src0'"
+    )
+    return f"""{base}
+    bsh AS ({bsh}),
+    csh AS ({csh}),
+    d5 AS (
+      SELECT d4.* FROM d4 JOIN documents USING (doc_id)
+      WHERE source <> 'src0'
+        AND doc_id NOT IN (SELECT DISTINCT c.doc_id
+                           FROM csh c JOIN bsh b ON b.sh = c.sh)),
+    qual5 AS (
+      SELECT q.doc_id, q.n_words, q.quality_score,
+             SUM(q.n_words) OVER (ORDER BY q.quality_score DESC, q.doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+      FROM qual q JOIN d5 USING (doc_id)),
+    d6 AS (SELECT doc_id FROM qual5 WHERE cum <= {_FUNNEL_BUDGET})
+    SELECT 0 AS stage_idx, 'total' AS stage,
+           (SELECT COUNT(*) FROM documents) AS n_docs
+    UNION ALL SELECT 1, 'lang_en', (SELECT COUNT(*) FROM d1)
+    UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM d2)
+    UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM d3)
+    UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM d4)
+    UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM d5)
+    UNION ALL SELECT 6, 'token_budget', (SELECT COUNT(*) FROM d6)
+    """
+
+
+@query("curation_funnel_full", oracle=_funnel_full_oracle(), gate=False)
+def curation_funnel_full(spark, sf_dir):
+    """The complete corpus-curation pipeline, every tier composed from
+    this repo's operators with per-stage retention:
+
+      total → lang-ID → quality → exact dedup → LSH near-dedup →
+      benchmark decontamination (src0 = the eval set: its docs leave the
+      training corpus, and any doc sharing a 3-gram with it is dropped
+      as leakage) → token-budget cut (best-quality-first running total,
+      two-phase histogram — no global window).
+
+    Stages 0-4 are ``build_curation_funnel``'s frontiers (checkpointed);
+    the two new tiers inherit the scale shapes of their operators —
+    broadcast benchmark probe, bounded driver histogram scan."""
+    docs = table(spark, sf_dir, "documents")
+    funnel = build_curation_funnel(docs)  # stages 0-4; d4 rebuilt below
+
+    lang = X.lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    qual = X.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "n_words", "quality_score"
+    )
+    d1 = (
+        docs.join(lang, "doc_id")
+        .filter(F.col("pred_lang") == "en")
+        .select("doc_id", "text")
+    )
+    d2 = (
+        d1.join(qual.select("doc_id", "quality_score"), "doc_id")
+        .filter(F.col("quality_score") >= _FUNNEL_QUALITY_MIN)
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    keepers = D.exact_dedup_groups(d2, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    d3 = d2.join(keepers, "doc_id", "left_semi").localCheckpoint()
+    sig3 = D.minhash_signature(
+        D.word_shingles(d3, "doc_id", "text", n=3), "doc_id", k=_K
+    )
+    losers = D.lsh_candidate_pairs(sig3, "doc_id", k=_K, bands=_BANDS_N).select(
+        F.col("id_b").alias("doc_id")
+    )
+    d4 = d3.join(losers, "doc_id", "left_anti").localCheckpoint()
+
+    src = docs.select("doc_id", "source")
+    bench_sh = D.word_shingles(
+        docs.filter(F.col("source") == "src0"), "doc_id", "text", n=3
+    )
+    train4 = d4.join(src, "doc_id").filter(F.col("source") != "src0")
+    contaminated = D.benchmark_contamination(
+        D.word_shingles(train4, "doc_id", "text", n=3), bench_sh, "doc_id"
+    ).select("doc_id")
+    d5 = (
+        train4.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    d6 = P.token_budget_cut(
+        d5.join(qual, "doc_id"),
+        "doc_id",
+        "n_words",
+        "quality_score",
+        budget=_FUNNEL_BUDGET,
+    )
+
+    def stage(idx, name, df):
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+        )
+
+    out = funnel
+    out = out.unionByName(stage(5, "decontaminated", d5))
+    out = out.unionByName(stage(6, "token_budget", d6))
+    return out
