@@ -864,19 +864,21 @@ def curation_funnel(spark, sf_dir):
     return build_curation_funnel(table(spark, sf_dir, "documents"))
 
 
-def build_curation_funnel(docs):
-    """Funnel stages over an arbitrary documents frame (doc_id, text) —
-    split out so the cross-stage semantics are unit-testable on crafted
-    corpora, not only oracle-checkable on the fixed testdata.
+def funnel_frontiers(docs):
+    """Checkpointed stage frontiers d0..d4 over an arbitrary documents
+    frame (doc_id, text) — the shared spine of ``curation_funnel`` and
+    ``curation_funnel_full``.
 
-    Each stage frontier is ``localCheckpoint``ed (the ``_kept_signature``
-    pattern): the five unioned stage counts would otherwise each embed
-    the full upstream plan and re-execute the lang/quality joins up to
-    4×.  With the checkpoints every stage's incremental work runs exactly
-    once and the counts read the materialized frontier — the audited
-    exchange count drops from 25 to 12 (joins from 25 to 2; what remains
-    is the five single-partition count exchanges plus the d4 LSH
-    chain)."""
+    Each frontier is ``localCheckpoint``ed (the ``_kept_signature``
+    pattern): the unioned stage counts would otherwise each embed the
+    full upstream plan and re-execute the lang/quality joins up to 4×.
+    With the checkpoints every stage's incremental work runs exactly
+    once and downstream consumers (counts, the decontamination/budget
+    tiers of the full funnel) read the materialized frontier — the
+    audited exchange count drops from 25 to 12.  ``near_dedup`` is a
+    lazy checkpoint: the plain funnel only counts it once, while the
+    full funnel's reuse (shingles + semi-join) triggers materialization
+    on first action."""
     lang = X.lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
     qual = X.quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
     d1 = (
@@ -900,23 +902,35 @@ def build_curation_funnel(docs):
     losers = D.lsh_candidate_pairs(sig3, "doc_id", k=_K, bands=_BANDS_N).select(
         F.col("id_b").alias("doc_id")
     )
-    d4 = d3.join(losers, "doc_id", "left_anti")
+    d4 = d3.join(losers, "doc_id", "left_anti").localCheckpoint(eager=False)
+    return {
+        "total": docs,
+        "lang_en": d1,
+        "quality": d2,
+        "exact_dedup": d3,
+        "near_dedup": d4,
+    }
 
-    def stage(idx, name, df):
-        return df.agg(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-        )
 
-    out = stage(0, "total", docs)
-    for idx, name, df in [
-        (1, "lang_en", d1),
-        (2, "quality", d2),
-        (3, "exact_dedup", d3),
-        (4, "near_dedup", d4),
-    ]:
-        out = out.unionByName(stage(idx, name, df))
+def _stage_count(idx, name, df):
+    return df.agg(
+        F.lit(idx).alias("stage_idx"),
+        F.lit(name).alias("stage"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def build_curation_funnel(docs, frontiers=None):
+    """Per-stage retention counts over ``funnel_frontiers`` (split out so
+    cross-stage semantics are unit-testable on crafted corpora, not only
+    oracle-checkable on the fixed testdata)."""
+    fr = frontiers if frontiers is not None else funnel_frontiers(docs)
+    out = None
+    for idx, name in enumerate(
+        ("total", "lang_en", "quality", "exact_dedup", "near_dedup")
+    ):
+        st = _stage_count(idx, name, fr[name])
+        out = st if out is None else out.unionByName(st)
     return out
 
 
@@ -1067,7 +1081,7 @@ _BUDGET = 25_000  # words — cuts mid-corpus at sf0.01, everything at tiny SFs
 )
 def token_budget_cut(spark, sf_dir):
     """Curate down to a global token budget: best-quality-first running
-    total, cut at {budget} words.  The oracle is a single global window;
+    total, cut at 25k words.  The oracle is a single global window;
     the Spark plan is the two-phase histogram-threshold shape — per-
     score-bucket hash-agg, bounded driver boundary scan, per-bucket
     windows — so no task ever sees a global ORDER BY
@@ -1192,38 +1206,17 @@ def curation_funnel_full(spark, sf_dir):
       as leakage) → token-budget cut (best-quality-first running total,
       two-phase histogram — no global window).
 
-    Stages 0-4 are ``build_curation_funnel``'s frontiers (checkpointed);
-    the two new tiers inherit the scale shapes of their operators —
-    broadcast benchmark probe, bounded driver histogram scan."""
+    Stages 0-4 are the SAME checkpointed ``funnel_frontiers`` the plain
+    funnel counts — shared, not recomputed; the two new tiers inherit
+    the scale shapes of their operators — broadcast benchmark probe,
+    bounded driver histogram scan."""
     docs = table(spark, sf_dir, "documents")
-    funnel = build_curation_funnel(docs)  # stages 0-4; d4 rebuilt below
-
-    lang = X.lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    fr = funnel_frontiers(docs)
+    funnel = build_curation_funnel(docs, frontiers=fr)
+    d4 = fr["near_dedup"]
     qual = X.quality_scores(docs, "doc_id", "text").select(
         "doc_id", "n_words", "quality_score"
     )
-    d1 = (
-        docs.join(lang, "doc_id")
-        .filter(F.col("pred_lang") == "en")
-        .select("doc_id", "text")
-    )
-    d2 = (
-        d1.join(qual.select("doc_id", "quality_score"), "doc_id")
-        .filter(F.col("quality_score") >= _FUNNEL_QUALITY_MIN)
-        .select("doc_id", "text")
-        .localCheckpoint()
-    )
-    keepers = D.exact_dedup_groups(d2, "doc_id", "text").select(
-        F.col("keeper_id").alias("doc_id")
-    )
-    d3 = d2.join(keepers, "doc_id", "left_semi").localCheckpoint()
-    sig3 = D.minhash_signature(
-        D.word_shingles(d3, "doc_id", "text", n=3), "doc_id", k=_K
-    )
-    losers = D.lsh_candidate_pairs(sig3, "doc_id", k=_K, bands=_BANDS_N).select(
-        F.col("id_b").alias("doc_id")
-    )
-    d4 = d3.join(losers, "doc_id", "left_anti").localCheckpoint()
 
     src = docs.select("doc_id", "source")
     bench_sh = D.word_shingles(
@@ -1245,15 +1238,7 @@ def curation_funnel_full(spark, sf_dir):
         "quality_score",
         budget=_FUNNEL_BUDGET,
     )
-
-    def stage(idx, name, df):
-        return df.agg(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-        )
-
     out = funnel
-    out = out.unionByName(stage(5, "decontaminated", d5))
-    out = out.unionByName(stage(6, "token_budget", d6))
+    out = out.unionByName(_stage_count(5, "decontaminated", d5))
+    out = out.unionByName(_stage_count(6, "token_budget", d6))
     return out
