@@ -55,6 +55,16 @@ HEADLINE = [
     "distinct_users_daily",     # two-phase exact distinct
 ]
 
+# measured single-shot, reported separately (not in the headline total)
+EXTENDED = [
+    "contamination_check",      # benchmark n-gram decontamination
+    "token_budget_cut",         # two-phase histogram budget cut
+    "pii_redact",               # pattern census + redaction
+    "props_json_stats",         # JSON payload extraction
+    "substring_dup_pairs",      # exact long-n-gram partial-copy tier
+    "curation_funnel_full",     # 7-stage composed pipeline
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +106,14 @@ def main() -> None:
         best[name] = round(min(attempts), 3)
         median[name] = round(statistics.median(attempts), 3)
 
+    # round-4 additions, measured once each OUTSIDE the headline total so
+    # "value" stays comparable across rounds
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        extended[name] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -105,6 +123,7 @@ def main() -> None:
                 "queries": best,
                 "value_median": round(sum(median.values()), 3),
                 "queries_median": median,
+                "queries_extended": extended,
                 "runs_per_query": n_runs,
                 "sf": sf,
             }
