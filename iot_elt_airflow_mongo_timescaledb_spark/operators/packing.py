@@ -128,12 +128,18 @@ def token_budget_cut(
     bucket order refines score order and the within-bucket tiebreak is
     the same ``(score DESC, id ASC)``.
     """
-    scored = df.select(
-        F.col(id_col),
-        F.col(token_col).cast("long").alias("n_tokens"),
-        F.col(score_col).alias("score"),
-    ).withColumn(
-        "__bucket", F.floor(F.col("score") * n_buckets).cast("long")
+    scored = (
+        df.select(
+            F.col(id_col),
+            F.col(token_col).cast("long").alias("n_tokens"),
+            F.col(score_col).alias("score"),
+        )
+        # null-scored/null-length docs are unrankable and excluded — the
+        # same rows the SQL cumsum drops (their running total is NULL,
+        # failing cum <= budget), and a NULL bucket would break the
+        # driver-side histogram ordering
+        .filter(F.col("score").isNotNull() & F.col("n_tokens").isNotNull())
+        .withColumn("__bucket", F.floor(F.col("score") * n_buckets).cast("long"))
     )
     hist = (
         scored.groupBy("__bucket")

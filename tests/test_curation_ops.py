@@ -168,3 +168,24 @@ class TestSubstringDupPairs:
         assert [(r["id_a"], r["id_b"], r["n_shared_ngrams"]) for r in out] == [
             (1, 2, 1)
         ]
+
+
+class TestTokenBudgetCutNulls:
+    def test_null_scores_excluded_not_crashing(self, spark):
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_tokens", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(1, 10, 0.9), (2, None, 0.8), (3, 10, None), (4, 10, 0.7)],
+            schema,
+        )
+        kept = token_budget_cut(
+            df, "doc_id", "n_tokens", "score", budget=100
+        ).collect()
+        assert sorted(r["doc_id"] for r in kept) == [1, 4]
