@@ -214,13 +214,15 @@ def incremental_lsh_candidates(
     Equivalent to the full recompute restricted to pairs touching a new
     id — asserted by tests/test_incremental_dedup.py.
     """
-    new_banded = _banded(new_sig, id_col, k, bands).alias("a")
+    # banded new batch materialized once (it is read twice: probe side
+    # and inside the union) — batches are small relative to the corpus,
+    # so the checkpoint is cheap by construction
+    nb = _banded(new_sig, id_col, k, bands).localCheckpoint()
+    new_banded = nb.alias("a")
     all_banded = (
         _banded(old_sig, id_col, k, bands)
         .withColumn("__is_new", F.lit(False))
-        .unionByName(
-            _banded(new_sig, id_col, k, bands).withColumn("__is_new", F.lit(True))
-        )
+        .unionByName(nb.withColumn("__is_new", F.lit(True)))
         .alias("b")
     )
     # right side old: always pair (orientation normalized below, emitted
@@ -245,7 +247,12 @@ def incremental_lsh_candidates(
     )
 
 
-def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str) -> DataFrame:
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    pairs_materialized: bool = False,
+) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs only.
 
     Intersection via double equi-join against the distinct-shingle table
@@ -265,8 +272,12 @@ def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str) -> Data
     AQE stage-reuse is racy (identical stages submitted concurrently
     can both run before either registers) — measured as bimodal 2.8s
     vs 8s runs.  Same pattern as ``connected_components``'s edge set.
+    ``pairs_materialized=True`` skips the cut when the caller already
+    checkpointed the pair set (re-checkpointing copies the materialized
+    partitions a second time for nothing).
     """
-    pairs = pairs.localCheckpoint()
+    if not pairs_materialized:
+        pairs = pairs.localCheckpoint()
     sa = shingles.select(F.col(id_col).alias("id_a"), "sh")
     sb = shingles.select(F.col(id_col).alias("__id_b"), F.col("sh").alias("__sh_b"))
     inter = (

@@ -134,12 +134,15 @@ def token_budget_cut(
             F.col(token_col).cast("long").alias("n_tokens"),
             F.col(score_col).alias("score"),
         )
-        # null-scored/null-length docs are unrankable and excluded — the
-        # same rows the SQL cumsum drops (their running total is NULL,
-        # failing cum <= budget), and a NULL bucket would break the
-        # driver-side histogram ordering
+        # CONTRACT: null-scored/null-length docs are unrankable and are
+        # excluded from the cut (callers' SQL oracles must carry the
+        # same explicit IS NOT NULL filter — plain SUM() OVER would
+        # instead rank them last and keep them when everything fits)
         .filter(F.col("score").isNotNull() & F.col("n_tokens").isNotNull())
         .withColumn("__bucket", F.floor(F.col("score") * n_buckets).cast("long"))
+        # the histogram collect and the returned plan both execute this
+        # frame — materialize it once (the _kept_signature pattern)
+        .localCheckpoint()
     )
     hist = (
         scored.groupBy("__bucket")

@@ -201,8 +201,9 @@ def ngram_jaccard_pairs(spark, sf_dir):
     semi-join on the pair ids) rather than the whole keeper corpus —
     near-dup candidates are a tiny fraction of any real corpus, so the
     re-shingling pass shrinks from |corpus| to |candidates| texts.
-    ``pairs`` is checkpointed by ``jaccard_on_pairs``, so reading it
-    twice (id cut + probe) reuses the materialized candidate set."""
+    ``pairs`` is checkpointed ONCE here and flagged as materialized to
+    ``jaccard_on_pairs``, so the id cut and the probe both read the one
+    materialized candidate set."""
     sig = _kept_signature(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=_K, bands=_BANDS_N).localCheckpoint()
     cand_ids = (
@@ -212,7 +213,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
     cand_docs = _kept_docs(spark, sf_dir).join(cand_ids, "doc_id", "left_semi")
     sh = D.word_shingles(cand_docs, "doc_id", "text", n=3)
-    return D.jaccard_on_pairs(pairs, sh, "doc_id")
+    return D.jaccard_on_pairs(pairs, sh, "doc_id", pairs_materialized=True)
 
 
 @query(
@@ -1073,7 +1074,8 @@ _BUDGET = 25_000  # words — cuts mid-corpus at sf0.01, everything at tiny SFs
              SUM(n_words) OVER (ORDER BY quality_score DESC, doc_id ASC
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) AS cum_tokens
-      FROM q)
+      FROM q
+      WHERE quality_score IS NOT NULL AND n_words IS NOT NULL)
     SELECT doc_id, n_tokens, score, cum_tokens
     FROM c WHERE cum_tokens <= {_BUDGET}
     """,
@@ -1182,7 +1184,8 @@ def _funnel_full_oracle() -> str:
              SUM(q.n_words) OVER (ORDER BY q.quality_score DESC, q.doc_id ASC
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND CURRENT ROW) AS cum
-      FROM qual q JOIN d5 USING (doc_id)),
+      FROM qual q JOIN d5 USING (doc_id)
+      WHERE q.quality_score IS NOT NULL AND q.n_words IS NOT NULL),
     d6 AS (SELECT doc_id FROM qual5 WHERE cum <= {_FUNNEL_BUDGET})
     SELECT 0 AS stage_idx, 'total' AS stage,
            (SELECT COUNT(*) FROM documents) AS n_docs

@@ -29,16 +29,21 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
     """Streaming read of ``events.parquet`` with ``ts`` normalized to a
     session-tz (UTC) microsecond timestamp, whatever the file's physical
     type — the driver's testdata has shipped both int64 TIMESTAMP(NANOS)
     (streamed as long under ``nanosAsLong``, divided down) and plain
     TIMESTAMP(MICROS).  The batch footer probe costs one metadata read;
-    FileStreamSource needs a directory, so the parent dir is streamed
-    with a glob filter selecting just the events file."""
+    callers opening several streams over the same dir (the stream-stream
+    join) probe once and pass ``schema``.  FileStreamSource needs a
+    directory, so the parent dir is streamed with a glob filter
+    selecting just the events file."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    if schema is None:
+        schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -164,9 +169,14 @@ def view_purchase_join_stream(
     results stay executor-side and the returned DataFrame is a
     distributed scan of the sink directory.
     """
+    # one footer probe shared by both stream readers (nanosAsLong first:
+    # a TIMESTAMP(NANOS) footer is unreadable without it)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
     def side(event_type: str, alias_prefix: str) -> DataFrame:
         return (
-            events_stream(spark, sf_dir)
+            events_stream(spark, sf_dir, schema=file_schema)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias_prefix}_user"),

@@ -22,6 +22,22 @@ TS = datetime.datetime(2024, 5, 1, 12, 30, 0)
 ROW = dict(event_id=1, user_id=7, event_type="view", value=1.5, props="{}")
 
 
+def _single_file_fixture(df, out: str) -> str:
+    """The driver ships events.parquet as a single FILE; Spark writes a
+    directory — promote the part file so the streaming glob filter
+    (``pathGlobFilter=events.parquet``) matches like it does in
+    production testdata."""
+    import glob
+    import shutil
+
+    stage = os.path.join(out, "__stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(out, "events.parquet"))
+    shutil.rmtree(stage)
+    return out
+
+
 @pytest.fixture(scope="module")
 def nanos_dir(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("events_nanos"))
@@ -36,20 +52,18 @@ def nanos_dir(spark, tmp_path_factory):
         ]
     )
     nanos = int(TS.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e9)
-    spark.createDataFrame([{**ROW, "ts": nanos}], schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "events.parquet"))
-    return out
+    return _single_file_fixture(
+        spark.createDataFrame([{**ROW, "ts": nanos}], schema), out
+    )
 
 
 @pytest.fixture(scope="module")
 def micros_dir(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("events_micros"))
-    df = spark.createDataFrame([{**ROW, "ts": TS}])
-    df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "events.parquet"))
-    return out
+    df = spark.createDataFrame([{**ROW, "ts": TS}]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    return _single_file_fixture(df, out)
 
 
 @pytest.mark.parametrize("fixture", ["nanos_dir", "micros_dir"])
@@ -62,7 +76,23 @@ def test_batch_table_normalizes(spark, fixture, request):
 
 @pytest.mark.parametrize("fixture", ["nanos_dir", "micros_dir"])
 def test_stream_reader_normalizes(spark, fixture, request):
+    """Drains the stream and checks the VALUE — a wrong ns→µs divisor or
+    a wrong format branch must fail here, not only distort aggregates."""
+    import uuid
+
     sf_dir = request.getfixturevalue(fixture)
     stream = events_stream(spark, sf_dir)
     assert stream.isStreaming
     assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+    sink = f"fmt_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.outputMode("append").format("memory").queryName(
+        sink
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(sink).collect()
+    assert len(rows) == 1
+    assert rows[0]["ts"] == TS
+    assert rows[0]["event_id"] == ROW["event_id"]
