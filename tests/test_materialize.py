@@ -3,7 +3,10 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import Warehouse
 
@@ -228,3 +231,28 @@ def test_stale_committed_staging_is_cleared_not_restored(spark, tmp_path):
     rows = {(r["user_id"], r["age"]) for r in wh.read("stage.users").collect()}
     assert rows == {("a", 31)}
     assert not os.path.exists(staging)
+
+
+def test_day_partitioned_table_partition_prunes(spark, tmp_path):
+    """The hypertable-chunk analog: a day filter on a day-partitioned
+    warehouse table must prune at the FILE INDEX (PartitionFilters),
+    not post-scan — the difference between touching one day directory
+    and listing 100 TB."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import Warehouse
+    from tools.explain_audit import plan_string
+
+    wh = Warehouse(spark, str(tmp_path))
+    rows = [(d, u, 100 * u) for d in ("20240101", "20240102", "20240103")
+            for u in range(4)]
+    df = spark.createDataFrame(rows, ["day", "user_id", "steps"])
+    wh.materialize_incremental("stage.t", df, partition_by=("day",))
+
+    filtered = wh.read("stage.t").filter(F.col("day") == "20240102")
+    plan = plan_string(filtered)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "20240102" in m.group(1), plan
+    # (inputFiles() reflects the pre-pruning file index, so the dir-level
+    # check is the PartitionFilters clause above; the values confirm only
+    # the matching day's rows flow)
+    assert filtered.count() == 4
+    assert {r["user_id"] for r in filtered.collect()} == {0, 1, 2, 3}
