@@ -96,15 +96,25 @@ def estimated_scan_splits(spark: SparkSession, files: list[str]) -> int | None:
     """
     max_part = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    # Early exit: once padded bytes reach cores × maxPartitionBytes the
+    # split count is guaranteed >= cores (max_split is capped at
+    # max_part), i.e. already "wide enough" for any caller comparing
+    # against defaultParallelism — so a LARGE remote table stats only
+    # its first few files instead of one sequential FileSystem RPC per
+    # file (50k S3 HEADs at plan time was the alternative).  Small
+    # scans — the guard's actual target — still stat everything.
+    wide = cores * max_part
     total = 0
     for uri in files:
         size = _file_size(spark, uri)
         if size is None:
             return None
         total += size + open_cost
+        if total >= wide:
+            return cores
     if total == 0:
         return 1
-    cores = max(1, spark.sparkContext.defaultParallelism)
     max_split = min(max_part, max(open_cost, total // cores))
     return max(1, math.ceil(total / max_split))
 

@@ -55,9 +55,23 @@ class Warehouse:
         return False
 
     def read(self, name: str) -> DataFrame:
+        # a committed staging copy facing an uncommitted target (a dead
+        # two-phase rewrite, whichever method ran it) is restored before
+        # reading — never hand out a half-written table
+        self._recover_staging(name)
         # mergeSchema: batches may have evolved (documents grow fields);
         # appended files with new columns must still read as one table
         return self.spark.read.option("mergeSchema", "true").parquet(self.path(name))
+
+    # every two-phase rewrite suffix — recovery must check them ALL, not
+    # just the calling method's own: a compact() phase-2 death must be
+    # recovered by the next upsert()/read() too, or they would silently
+    # merge against the half-written target
+    _STAGING_SUFFIXES = ("__staging", "__compact")
+
+    def _recover_staging(self, name: str) -> None:
+        for suf in self._STAGING_SUFFIXES:
+            self._recover_or_clear_staging(name, self.path(name) + suf)
 
     def _recover_or_clear_staging(self, name: str, tmp: str) -> None:
         """Resolve a staging dir left by a previous two-phase rewrite.
@@ -137,11 +151,12 @@ class Warehouse:
         this is MERGE INTO; on plain parquet we rewrite: keep target
         rows whose key is absent from the batch (left anti), union the
         batch, overwrite."""
-        # resolve any staging dir from a previous failed run FIRST: it may
-        # be the sole intact copy of the table (phase-2 death), in which
-        # case it is restored, not deleted — see _recover_or_clear_staging
+        # resolve any staging dir from a previous failed run FIRST —
+        # whichever method left it: it may be the sole intact copy of
+        # the table (phase-2 death), in which case it is restored, not
+        # deleted — see _recover_or_clear_staging
         tmp = self.path(name) + "__staging"
-        self._recover_or_clear_staging(name, tmp)
+        self._recover_staging(name)
         if self.exists(name):
             target = self.read(name)
             target, df = align_schemas(target, df)
@@ -177,7 +192,7 @@ class Warehouse:
         partition directory).
         """
         tmp = self.path(name) + "__compact"
-        self._recover_or_clear_staging(name, tmp)  # may restore the target
+        self._recover_staging(name)  # may restore the target, any suffix
         df = self.read(name)
         part_cols = _partition_columns(self.path(name))
         writer = df.coalesce(max(1, target_files)) if not part_cols else df.repartition(

@@ -9,7 +9,9 @@ semantics the Airflow catchup loop approximates."""
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -135,7 +137,16 @@ def _drain_to_files(
     covers the zero-output case, where the sink directory has no
     footers to infer from.
     """
-    out = sink_dir or tempfile.mkdtemp(prefix=f"{name}_sink_")
+    if sink_dir is None:
+        # default local sink dirs are per-process scratch: register them
+        # for interpreter-exit cleanup so repeated gate/bench runs don't
+        # accumulate full result copies in /tmp.  An EXPLICIT sink_dir is
+        # the durable-output path (shared storage at cluster scale) and
+        # is never auto-deleted.
+        out = tempfile.mkdtemp(prefix=f"{name}_sink_")
+        atexit.register(shutil.rmtree, out, True)
+    else:
+        out = sink_dir
     data = os.path.join(out, "data")
     q = (
         df.writeStream.outputMode("append")

@@ -256,3 +256,36 @@ def test_day_partitioned_table_partition_prunes(spark, tmp_path):
     # the matching day's rows flow)
     assert filtered.count() == 4
     assert {r["user_id"] for r in filtered.collect()} == {0, 1, 2, 3}
+
+
+def test_cross_method_recovery_compact_death_then_upsert(spark, tmp_path):
+    """A compact() phase-2 death must be recovered by the NEXT call even
+    if that call is a different method (upsert) or a plain read — the
+    staging suffix belongs to the table, not to the method that wrote
+    it."""
+    import os
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [Row(user_id=i, v=i * 10) for i in range(6)]
+    )
+    wh.materialize_upsert("stage.x", base, "user_id")
+
+    # simulate: compact wrote a committed __compact staging, then died
+    # mid target overwrite (target loses its commit marker + a file)
+    target = wh.path("stage.x")
+    staging = target + "__compact"
+    shutil.copytree(target, staging)
+    os.remove(os.path.join(target, "_SUCCESS"))
+    for f in os.listdir(target):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(target, f))
+            break
+
+    batch = spark.createDataFrame([Row(user_id=0, v=999)])
+    out = wh.materialize_upsert("stage.x", batch, "user_id")
+    got = {r["user_id"]: r["v"] for r in out.collect()}
+    # all six users survived (recovered from staging), user 0 upserted
+    assert got == {0: 999, 1: 10, 2: 20, 3: 30, 4: 40, 5: 50}
+    assert not os.path.isdir(staging)

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -89,6 +90,26 @@ def build(src: str, out: str, factor: int, spark: SparkSession) -> None:
     for table in KEY_COLUMNS:
         df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
         amplified = amplify_table(df, table, factor)
+        if table == "events":
+            # The streaming readers select the events input with
+            # pathGlobFilter('events.parquet'), which matches leaf FILE
+            # names — the driver ships events.parquet as a single file,
+            # so the amplified copy must be one too or the sf1 streaming
+            # bench would silently process an empty stream.
+            stage = os.path.join(out, "__events_stage")
+            amplified.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dest = os.path.join(out, "events.parquet")
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            elif os.path.exists(dest):
+                os.remove(dest)
+            shutil.move(os.path.join(stage, part), dest)
+            shutil.rmtree(stage)
+            continue
         # Spread write across the pool: one output split per replica at
         # minimum so the downstream scan parallelizes.
         amplified.repartition(max(factor, spark.sparkContext.defaultParallelism)).write.mode(
