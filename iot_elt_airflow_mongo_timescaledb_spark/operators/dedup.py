@@ -67,7 +67,12 @@ def exact_dedup_groups(
     )
 
 
-def exact_dup_keepers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dup_keepers(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
     """Keeper-only corpus: one representative document per distinct
     (normalized) content — the EXACT-DUP PRE-GUARD for the MinHash/LSH
     chain.
@@ -81,8 +86,12 @@ def exact_dup_keepers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     membership is preserved separately by ``exact_dedup_groups`` /
     ``exact_dup_edges`` — nothing is lost, the k² pairs are simply never
     materialized.
+
+    ``fingerprints`` — same passthrough as ``exact_dedup_groups``: a
+    pipeline running keepers AND edges shares one (typically
+    checkpointed) md5 projection instead of scanning the corpus twice.
     """
-    groups = exact_dedup_groups(df, id_col, text_col)
+    groups = exact_dedup_groups(df, id_col, text_col, fingerprints=fingerprints)
     return df.join(
         groups.select(F.col("keeper_id").alias(id_col)), id_col, "left_semi"
     )
@@ -116,6 +125,18 @@ def exact_dup_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def gram_expr(words_col: str, n: int) -> str:
+    """SQL expression producing the word n-gram array of a split-words
+    column — the ONE definition of gram construction, shared by the
+    dedup shingles (distinct sets) and the repetition-quality signals
+    (multiplicity kept) so the two can never drift."""
+    idx_terms = [f"element_at({words_col}, CAST(i + {j} AS INT))" for j in range(n)]
+    return (
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {', '.join(idx_terms)}))"
+    )
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, sh).
 
@@ -123,11 +144,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     shorter than ``n`` words produce no shingles.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx_terms = [f"element_at(__words, CAST(i + {j} AS INT))" for j in range(n)]
-    sh_expr = (
-        f"transform(sequence(1, size(__words) - {n - 1}), "
-        f"i -> concat_ws(' ', {', '.join(idx_terms)}))"
-    )
+    sh_expr = gram_expr("__words", n)
     return (
         ensure_min_parallelism(df.select(id_col, text_col), id_col)
         .select(F.col(id_col), words.alias("__words"))
@@ -185,6 +202,15 @@ def lsh_candidate_pairs(
 
 def _banded(signature: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
     """Unpivot a MinHash signature to one (id, band, key) row per band."""
+    if bands < 1 or k % bands != 0 or k // bands < 1:
+        # a silent k % bands remainder shifts the similarity threshold;
+        # bands > k would make every band key the empty string — ONE
+        # universal bucket, i.e. an O(n²) self-join (same validation
+        # class as simhash_hamming_pairs' band-width check)
+        raise ValueError(
+            f"k={k} must be a positive multiple of bands={bands} "
+            "(every signature slot in exactly one band)"
+        )
     rows = k // bands
     band_cols = []
     for b in range(bands):
@@ -503,6 +529,15 @@ def simhash_hamming_pairs(
     all JVM bit ops) then verifies candidates against ``max_hamming``.
     Input must be exact-dup free (``exact_dup_keepers`` upstream) for
     the same O(k²) reason as LSH.
+
+    RECALL CONTRACT: the pigeonhole guarantee is complete only up to
+    Hamming distance ``bands - 1``.  With the defaults
+    (``max_hamming=8 > bands-1=3``) pairs at distance 4-8 are reported
+    IF they happen to share a chunk but are not guaranteed found — the
+    standard banded-SimHash trade (full recall to bands-1, probabilistic
+    beyond; raise ``bands`` for a stronger guarantee at more shuffle
+    rows).  Callers needing guaranteed recall must keep
+    ``max_hamming <= bands - 1``.
     """
     if bands < 2 or 16 % bands != 0:
         raise ValueError(

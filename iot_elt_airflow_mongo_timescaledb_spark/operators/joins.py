@@ -81,6 +81,22 @@ def array_membership_join(
     equi-joins — a plain shuffled hash join that scales linearly.
     A user with N devices matches N fact streams (same multi-device
     double-count semantics as the reference, SURVEY §2.9.6).
+
+    ``array_distinct`` first: ``= ANY(arr)`` matches a fact ONCE however
+    many times the member repeats in the array, so a dirty duplicated
+    entry (routine in ELT-flattened data) must not double-count facts.
+    Only inner/left(_outer/semi/anti) rewrites are sound — a right/full
+    explode drops empty-array dims instead of NULL-extending them — so
+    other ``how`` values are rejected.
     """
-    exploded = dims.withColumn("__member", F.explode(F.col(array_col)))
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"how={how!r}: explode+equi rewrite cannot preserve "
+            "right/full semantics (empty-array dims would vanish instead "
+            "of NULL-extending) — use array_contains for those"
+        )
+    exploded = dims.withColumn(
+        "__member", F.explode(F.array_distinct(F.col(array_col)))
+    )
     return facts.join(exploded, facts[member_col] == exploded["__member"], how).drop("__member")

@@ -46,7 +46,11 @@ def pack_sequences(
     """
     if n_shards is None:
         n_shards = 4 * df.sparkSession.sparkContext.defaultParallelism
-    shard = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10) \
+    # 8 hex chars = 32 hash bits: a 16-bit prefix would cap usable
+    # shards at 65536 (silently empty shards past it — defeating the
+    # parallelism-derived default on big clusters) and visibly skew
+    # modulo buckets; 32 bits keeps bias under n_shards/2^32
+    shard = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10) \
         .cast("long") % n_shards
     w = (
         Window.partitionBy("shard")

@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 
 def check_not_null(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Rows where any of ``cols`` is NULL."""
+    """Rows where any of ``cols`` is NULL.  An empty column list (a
+    table with no not_null tests in a config-driven suite) has no
+    possible violations — empty result, not a filter(None) TypeError."""
+    if not cols:
+        return df.limit(0)
     pred = None
     for c in cols:
         p = F.col(c).isNull()

@@ -14,6 +14,11 @@ Two tiers:
 
 Embeddings are cast float→double *before* any arithmetic so results are
 reproducible across engines (float32 accumulation is not).
+
+Cosine scores use ``try_divide``: a zero-norm vector (failed/padded
+embedding rows are routine at corpus scale) scores NULL instead of
+aborting the job — Spark 4's ANSI-default ``/`` throws DIVIDE_BY_ZERO,
+and DuckDB's ``/`` yields NULL on zero, so the oracle agrees.
 """
 
 from __future__ import annotations
@@ -73,8 +78,10 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("__vec"), F.col("__qvec"))
-                / (F.col("__norm") * F.col("__qnorm")),
+                F.try_divide(
+                    dot(F.col("__vec"), F.col("__qvec")),
+                    F.col("__norm") * F.col("__qnorm"),
+                ),
                 round_to,
             ).alias("score"),
         )
@@ -130,8 +137,10 @@ def ivf_topk(
         "__qnorm",
         "__cluster",
         (
-            dot(F.col("__qvec"), F.col("__cvec"))
-            / (F.col("__qnorm") * F.col("__cnorm"))
+            F.try_divide(
+                dot(F.col("__qvec"), F.col("__cvec")),
+                F.col("__qnorm") * F.col("__cnorm"),
+            )
         ).alias("__csim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -154,8 +163,10 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("__vec"), F.col("__qvec"))
-                / (F.col("__norm") * F.col("__qnorm")),
+                F.try_divide(
+                    dot(F.col("__vec"), F.col("__qvec")),
+                    F.col("__norm") * F.col("__qnorm"),
+                ),
                 6,
             ).alias("score"),
         )
@@ -262,8 +273,10 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("__vec"), F.col("__qvec"))
-                / (F.col("__norm") * F.col("__qnorm")),
+                F.try_divide(
+                    dot(F.col("__vec"), F.col("__qvec")),
+                    F.col("__norm") * F.col("__qnorm"),
+                ),
                 6,
             ).alias("score"),
         )

@@ -73,7 +73,19 @@ def salted_join(
     Dim-side blowup is n_salts× — use only when the dim side is small
     relative to the hot key's row count (else prefer AQE skew-join or a
     broadcast).
+
+    Only fact-preserving ``how`` values are accepted: with the dim side
+    replicated, a right/full join would emit one spurious NULL-extended
+    row per UNMATCHED (dim, salt) replica — up to n_salts phantom rows
+    per dim key that the unsalted join does not contain.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"how={how!r}: the replicated dim side makes right/full "
+            "joins emit phantom NULL-extended rows per unmatched salt "
+            "replica — salt the other side or use AQE skew-join instead"
+        )
     salted_facts = with_salt(facts, salt_from, n_salts)
     replicated = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

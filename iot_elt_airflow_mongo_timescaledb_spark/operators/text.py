@@ -56,9 +56,14 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_alpha = _count(r"[a-zA-Z]", t)
     n_punct = _count(r"[^a-zA-Z0-9\s]", t)
     n_stop = _count(STOPWORDS_PATTERN, t)
-    avg_word_len = F.round(n_alpha / n_words, 6)
-    punct_ratio = F.round(n_punct / F.length(t), 6)
-    stopword_ratio = F.round(n_stop / n_words, 6)
+    # try_divide: an empty/whitespace-only doc (n_words = 0 or length 0)
+    # scores NULL instead of aborting the job — Spark 4 runs ANSI by
+    # default, where a plain `/` throws DIVIDE_BY_ZERO, and one junk
+    # document must never kill a corpus-wide curation run.  DuckDB's `/`
+    # yields NULL on zero, so the oracle agrees bit-for-bit.
+    avg_word_len = F.round(F.try_divide(n_alpha, n_words), 6)
+    punct_ratio = F.round(F.try_divide(n_punct, F.length(t)), 6)
+    stopword_ratio = F.round(F.try_divide(n_stop, n_words), 6)
     score = F.round(
         F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.4
         + stopword_ratio * 0.4
@@ -182,17 +187,14 @@ def repetition_scores(
     two hash-aggs on (doc, gram) — multiplicity kept (unlike the
     dedup shingles, which are distinct sets).
     """
+    from .dedup import gram_expr
+
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx_terms = [f"element_at(__w, CAST(i + {j} AS INT))" for j in range(n)]
-    gram_expr = (
-        f"transform(sequence(1, size(__w) - {n - 1}), "
-        f"i -> concat_ws(' ', {', '.join(idx_terms)}))"
-    )
     grams = (
         ensure_min_parallelism(df.select(id_col, text_col), id_col)
         .select(F.col(id_col), words.alias("__w"))
         .filter(F.size("__w") >= n)
-        .select(F.col(id_col), F.explode(F.expr(gram_expr)).alias("g"))
+        .select(F.col(id_col), F.explode(F.expr(gram_expr("__w", n))).alias("g"))
     )
     per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
     return per_gram.groupBy(id_col).agg(

@@ -950,7 +950,7 @@ _MIX_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # zh & others: 10
     WITH t AS (
       SELECT doc_id,
              len(regexp_extract_all(text, '\S+')) AS n_tokens,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                % {_PACK_SHARDS} AS shard
       FROM documents)
     SELECT doc_id, n_tokens, shard,
@@ -962,7 +962,7 @@ _MIX_RATES = {"en": 80, "de": 50, "fr": 50, "es": 50}  # zh & others: 10
     gate=False,
 )
 def sequence_packing(spark, sf_dir):
-    """Pack documents into {budget}-token training sequences, sharded by
+    """Pack documents into fixed-token-budget training sequences, sharded by
     a content hash so no window ever runs globally
     (operators/packing.py:pack_sequences)."""
     docs = table(spark, sf_dir, "documents")

@@ -189,3 +189,82 @@ class TestTokenBudgetCutNulls:
             df, "doc_id", "n_tokens", "score", budget=100
         ).collect()
         assert sorted(r["doc_id"] for r in kept) == [1, 4]
+
+
+class TestAnsiSafety:
+    """Spark 4 runs ANSI by default: one junk row must never abort a
+    corpus-wide job with DIVIDE_BY_ZERO."""
+
+    def test_quality_scores_empty_doc_scores_null(self, spark):
+        from iot_elt_airflow_mongo_timescaledb_spark.operators.text import (
+            quality_scores,
+        )
+
+        df = _docs(spark, [(1, "real words here"), (2, "   "), (3, "")])
+        rows = {r["doc_id"]: r for r in quality_scores(df, "doc_id", "text").collect()}
+        assert rows[1]["quality_score"] is not None
+        assert rows[2]["stopword_ratio"] is None  # 0 words -> NULL, not crash
+        assert rows[3]["punct_ratio"] is None  # 0 chars -> NULL, not crash
+
+    def test_cosine_topk_zero_norm_vector_survives(self, spark):
+        from iot_elt_airflow_mongo_timescaledb_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+            ["vec_id", "embedding"],
+        )
+        out = cosine_topk(
+            emb, emb.filter("vec_id = 1"), "vec_id", "embedding", k=5
+        ).collect()
+        scores = {r["neighbor_id"]: r["score"] for r in out}
+        assert scores[2] is None  # zero-norm scores NULL, job survives
+        assert scores[3] == 0.0
+
+
+class TestOperatorValidation:
+    def test_banded_rejects_bad_geometry(self, spark):
+        import pytest as _pytest
+
+        from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+            lsh_candidate_pairs,
+        )
+
+        sig = spark.createDataFrame([(1, "a", "b")], ["doc_id", "mh0", "mh1"])
+        with _pytest.raises(ValueError, match="multiple of bands"):
+            lsh_candidate_pairs(sig, "doc_id", k=2, bands=3)
+
+    def test_membership_join_dedups_array_and_rejects_right(self, spark):
+        import pytest as _pytest
+
+        from iot_elt_airflow_mongo_timescaledb_spark.operators.joins import (
+            array_membership_join,
+        )
+
+        facts = spark.createDataFrame([(1, "d1")], ["f_id", "device_id"])
+        dims = spark.createDataFrame([(10, ["d1", "d1"])], ["u_id", "devices"])
+        out = array_membership_join(facts, dims, "devices", "device_id")
+        assert out.count() == 1  # duplicated member matches ONCE
+        with _pytest.raises(ValueError, match="right/full"):
+            array_membership_join(facts, dims, "devices", "device_id", how="full")
+
+    def test_salted_join_rejects_outer(self, spark):
+        import pytest as _pytest
+
+        from iot_elt_airflow_mongo_timescaledb_spark.operators.skew import (
+            salted_join,
+        )
+
+        facts = spark.createDataFrame([(1, "k1", 5)], ["f_id", "k", "v"])
+        dim = spark.createDataFrame([("k1", "x")], ["k", "attr"])
+        with _pytest.raises(ValueError, match="phantom"):
+            salted_join(facts, dim, "k", ["f_id"], how="full")
+
+    def test_check_not_null_empty_cols(self, spark):
+        from iot_elt_airflow_mongo_timescaledb_spark.operators.quality_checks import (
+            check_not_null,
+        )
+
+        df = spark.createDataFrame([(1,)], ["a"])
+        assert check_not_null(df, []).count() == 0
