@@ -173,10 +173,20 @@ class Warehouse:
         # would destroy the data it exists to protect.  (A failed run
         # leaves the dir; the NEXT call restores or clears it above —
         # never deletes the only committed copy.)
-        merged.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            self.path(name)
-        )
+        # Partition layout survives the rewrite: the merged frame carries
+        # partition values as plain columns, so without re-applying
+        # partitionBy the upsert would silently flatten a day-partitioned
+        # table and readers would lose pruning (compact() restores the
+        # layout the same way).
+        part_cols = _partition_columns(self.path(name)) if self.exists(name) else []
+        w = merged.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
+        w2 = self.spark.read.parquet(tmp).write.mode("overwrite")
+        if part_cols:
+            w2 = w2.partitionBy(*part_cols)
+        w2.parquet(self.path(name))
         shutil.rmtree(tmp, ignore_errors=True)
         return self.read(name)
 
@@ -329,9 +339,19 @@ def materialize_replace(
 ) -> DataFrame:
     """S12 'replace' write disposition — full refresh (dlt
     write_disposition='replace', dlt_sources/mongodb/__init__.py:61-67):
-    drop whatever the target holds and rewrite it from this batch."""
+    drop whatever the target holds and rewrite it from this batch.
+
+    Staged like upsert/compact: the batch lands in ``__staging`` first,
+    then swaps in.  A death mid-swap leaves a committed staging copy
+    next to a missing/uncommitted target, which ``_recover_staging``
+    (run by every read) restores — an in-place overwrite would instead
+    leave a silently readable half-table."""
+    tmp = wh.path(name) + "__staging"
+    wh._recover_staging(name)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(wh.path(name))
+    writer.parquet(tmp)
+    shutil.rmtree(wh.path(name), ignore_errors=True)
+    shutil.move(tmp, wh.path(name))
     return wh.read(name)

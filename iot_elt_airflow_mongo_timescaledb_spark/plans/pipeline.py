@@ -43,7 +43,14 @@ class HealthPipeline:
             cursor = IncrementalCursor(
                 self.spark, self.wh.root, coll, "created_at"
             )
-            fresh = dedup_by_pk(cursor.filter(docs), pk="_id")
+            # localCheckpoint = the batch SNAPSHOT: every flattened
+            # table's upsert and the cursor commit read ONE materialized
+            # extract instead of re-scanning the live source per action
+            # (3+ scans per collection otherwise) — and, like dlt's
+            # cursor protocol, the committed watermark is derived from
+            # the rows actually loaded, so a source file rewritten
+            # mid-sync cannot advance the cursor past unloaded documents.
+            fresh = dedup_by_pk(cursor.filter(docs), pk="_id").localCheckpoint()
             tables = flatten_document_table(fresh, coll, primary_key="_id")
             for name, df in tables.items():
                 # raw layer upserts on the deterministic _dlt_id so the
@@ -162,8 +169,20 @@ class HealthPipeline:
     def _raw_tables(self) -> list[str]:
         import os
 
+        from .materialize import Warehouse
+
         raw_dir = os.path.join(self.wh.root, "raw")
-        return sorted(os.listdir(raw_dir)) if os.path.isdir(raw_dir) else []
+        if not os.path.isdir(raw_dir):
+            return []
+        # leftover __staging/__compact dirs from a dead two-phase rewrite
+        # are recovery artifacts, not tables — listing one would make the
+        # recovery run itself crash (read of the parent table moves the
+        # staging dir away, then the staging "table" read PATH_NOT_FOUNDs)
+        return sorted(
+            d
+            for d in os.listdir(raw_dir)
+            if not d.endswith(Warehouse._STAGING_SUFFIXES)
+        )
 
 
 def with_retries(fn, attempts: int = 3, delay_s: float = 0.0):

@@ -438,7 +438,7 @@ def embedding_near_dup(spark, sf_dir):
     are random so 0.95-style real thresholds match nothing).  Scale
     path: block the join through the IVF/LSH bucketing in
     operators/similarity.py instead of the cross product."""
-    from ..operators.similarity import as_double, l2_norm
+    from ..operators.similarity import as_double, dot, l2_norm
 
     e = table(spark, sf_dir, "embeddings")
     v = e.select(
@@ -447,12 +447,12 @@ def embedding_near_dup(spark, sf_dir):
         l2_norm(as_double(F.col("embedding"))).alias("nrm"),
     )
     a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # try_divide: zero-norm rows score NULL (fails the > 0.4 filter in
+    # BOTH engines) instead of NaN-passing it / ANSI-aborting — same
+    # guard as operators/similarity.py
+    cos = F.try_divide(
+        dot(F.col("a.e"), F.col("b.e")), F.col("a.nrm") * F.col("b.nrm")
     )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

@@ -701,17 +701,18 @@ def cross_modal_neardup(spark, sf_dir):
     b = v.select(
         F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a", "id_b",
-            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("emb_cosine"),
+            F.round(
+                F.try_divide(
+                    S.dot(F.col("ea"), F.col("eb")),
+                    F.col("na") * F.col("nb"),
+                ),
+                6,
+            ).alias("emb_cosine"),
         )
     )
 

@@ -11,11 +11,22 @@ count, running value sum, and the max inter-event gap — emitted once per
 micro-batch per updated user (update mode).  Drained to completion the
 final row per user equals the batch groupBy equivalent, which is what
 the test asserts.
+
+MAX-GAP LATENESS CONTRACT: state carries only (last_ts, max_gap), so the
+gap computation is exact for events arriving in batch-boundary order
+(each micro-batch may be internally unordered — handled by the
+accumulate-then-sort below).  An event arriving in a LATER micro-batch
+with a timestamp inside an already-recorded gap cannot retroactively
+split that gap — the recorded max stays an upper bound.  That is the
+bounded-state trade: the exact answer needs the full per-user timestamp
+history; production pipelines bound it with a watermark + allowed
+lateness (dropping older events, as the dedup operator does) or re-sort
+offline.  The single-file gate sources deliver one micro-batch, where
+the contract is exact.
 """
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .micro_batch import events_stream
+from .micro_batch import _drain_to_memory, events_stream
 
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, total_value double, max_gap_s double"
@@ -92,19 +103,10 @@ def user_activity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = f"user_activity_{uuid.uuid4().hex[:8]}"
-    q = (
-        tracked.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # last emission per user == converged running state
-    out = spark.table(sink)
+    # last emission per user == converged running state (update-mode
+    # memory sink is bounded by |users| emissions — _drain_to_memory's
+    # contract)
+    out = _drain_to_memory(spark, tracked, "user_activity", "update")
     # round JVM-side (HALF_UP, matching the oracle's ROUND) — Python's
     # round() is banker's and flips boundary values
     return (

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-from .micro_batch import events_stream
+from .micro_batch import _drain_to_memory, events_stream
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 
@@ -78,8 +78,6 @@ def user_activity_stream_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (selected by max_by on the monotone count) is the converged state,
     equal to the batch groupBy aggregate.
     """
-    import uuid
-
     stream = events_stream(spark, sf_dir).select("user_id", "value")
     tracked = stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserActivityProcessor(),
@@ -87,18 +85,7 @@ def user_activity_stream_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    sink = f"user_activity_v2_{uuid.uuid4().hex[:8]}"
-    q = (
-        tracked.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table(sink)
+    out = _drain_to_memory(spark, tracked, "user_activity_v2", "update")
     # round JVM-side (HALF_UP, matching the oracle's ROUND)
     return out.groupBy("user_id").agg(
         F.max_by("n_events", "n_events").alias("n_events"),
