@@ -53,9 +53,14 @@ class HealthPipeline:
             fresh = dedup_by_pk(cursor.filter(docs), pk="_id").localCheckpoint()
             tables = flatten_document_table(fresh, coll, primary_key="_id")
             for name, df in tables.items():
-                # raw layer upserts on the deterministic _dlt_id so the
-                # >= cursor boundary re-read stays idempotent
-                self.wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
+                # parent rows upsert on the deterministic _dlt_id; CHILD
+                # rows upsert on the propagated _dlt_root_id — dlt's
+                # root-key merge: a re-extracted document replaces ALL
+                # its child rows, so an array that shrank cannot leave a
+                # stale trailing element behind (its own _dlt_id would
+                # never reappear in a batch to displace it)
+                key = "_dlt_id" if name == coll else "_dlt_root_id"
+                self.wh.materialize_upsert(f"raw.{name}", df, key)
             cursor.commit(fresh)
 
     # -- stage transforms (§3.2) ----------------------------------------

@@ -27,21 +27,26 @@ def mongo_reader_options(
     database: str,
     collection: str,
     chunk_size: int = 10_000,
+    avg_doc_bytes: int = 1024,
 ) -> dict[str, str]:
     """Options for ``spark.read.format('mongodb')`` mirroring the
     reference's scan parameters (S1/S5/S6).
 
-    ``chunk_size`` ≈ dlt's 10k-doc batches (dlt __init__.py:81) becomes
-    the sample-partitioner's partition size hint; the connector plans a
-    partitioned parallel scan like the skip/limit planner in
-    helpers.py:144-204, and pushes ``$match`` filters down (S2).
+    The SamplePartitioner's ``partition.size`` option is in MEGABYTES
+    (connector docs; default 64), not documents — so dlt's 10k-doc
+    batch intent (dlt __init__.py:81) is converted via
+    ``avg_doc_bytes``: partition ≈ chunk_size docs of the estimated
+    size.  The connector plans a partitioned parallel scan like the
+    skip/limit planner in helpers.py:144-204, and pushes ``$match``
+    filters down (S2).
     """
+    partition_mb = max(1, (chunk_size * avg_doc_bytes) // (1 << 20))
     return {
         "connection.uri": uri,
         "database": database,
         "collection": collection,
         "partitioner": "com.mongodb.spark.sql.connector.read.partitioner.SamplePartitioner",
-        "partitioner.options.partition.size": str(max(1, chunk_size // 1000)),
+        "partitioner.options.partition.size": str(partition_mb),
     }
 
 
@@ -70,6 +75,14 @@ def jdbc_reader_options(
     defaults to the reference's 5 extract workers (.env:29)."""
     opts = {"url": url, "dbtable": table, "fetchsize": str(fetch_size)}
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JDBC source as the literal
+            # 'None' and die with an opaque NumberFormatException at
+            # load time, far from this call site
+            raise ValueError(
+                "partition_column requires both lower_bound and "
+                "upper_bound (Spark's partitioned-JDBC contract)"
+            )
         opts.update(
             partitionColumn=partition_column,
             lowerBound=str(lower_bound),

@@ -8,10 +8,21 @@ column; nested (non-array) structs flatten into the parent with ``__``
 path separators.  Evidence: dags/iot_mongo_extract_to_dwh.py:85-105,
 models/sources.yml:10-18, ER diagram iot_dwh_stage_tranform.py:23-38.
 
-Spark realization: one ``posexplode_outer`` per array column — a narrow
+Child tables additionally carry ``_dlt_root_id`` — the ROOT document's
+surrogate id — mirroring dlt's root-key propagation for merge loads:
+re-extracting a document must replace ALL of its child rows (an array
+that shrank from 3 to 2 elements would otherwise leave the stale third
+row behind forever, since its own ``_dlt_id`` never reappears in a
+batch).  ``HealthPipeline.sync`` upserts child tables on
+``_dlt_root_id`` for exactly this delete-insert semantics.
+
+Spark realization: one ``posexplode`` per array column — a narrow
 map-side transform, no shuffle; surrogate keys are content-derived
 (sha2 of primary key / parent key + position) so re-runs are
 deterministic and the pk-dedup of the incremental protocol works.
+Documents with a NULL primary key fall back to the whole-row hash
+(a NULL pk would make the surrogate id NULL, break the upsert's
+anti-join, and collide every such document's children).
 """
 
 from __future__ import annotations
@@ -23,7 +34,11 @@ from pyspark.sql import types as T
 
 def _flatten_structs(df: DataFrame) -> DataFrame:
     """Flatten non-array struct columns into ``parent__field`` columns
-    (recursively), leaving arrays in place for child extraction."""
+    (recursively), leaving arrays in place for child extraction.
+
+    Columns are addressed with ``df[name]`` / ``getField`` — a bare
+    ``F.col("a.b")`` would parse a dotted COLUMN NAME (legal in JSON and
+    Mongo 5+) as struct-field access and crash the sync."""
     while True:
         struct_cols = [
             f.name
@@ -37,11 +52,11 @@ def _flatten_structs(df: DataFrame) -> DataFrame:
             if f.name in struct_cols:
                 inner = f.dataType
                 cols.extend(
-                    F.col(f"{f.name}.{sub.name}").alias(f"{f.name}__{sub.name}")
+                    df[f.name].getField(sub.name).alias(f"{f.name}__{sub.name}")
                     for sub in inner.fields
                 )
             else:
-                cols.append(F.col(f.name))
+                cols.append(df[f.name])
         df = df.select(*cols)
 
 
@@ -53,10 +68,11 @@ def flatten_document_table(
     """Normalize one document table into ``{name: DataFrame}`` —
     the parent plus one ``<table>__<field>`` child per array column.
 
-    The parent ``_dlt_id`` is sha2(primary key) when a pk exists
-    (deterministic, supports upsert/dedup), else sha2 of the whole row's
-    JSON.  Child ``_dlt_id`` chains the parent id with the field name
-    and list index.  Children holding arrays themselves recurse.
+    The parent ``_dlt_id`` is sha2(primary key) when a pk exists and is
+    non-null (deterministic, supports upsert/dedup), else sha2 of the
+    whole row's JSON.  Child ``_dlt_id`` chains the parent id with the
+    field name and list index; every child row also carries the root
+    document's id in ``_dlt_root_id`` (see module docstring).
     """
     df = _flatten_structs(df)
     array_fields = [
@@ -65,22 +81,35 @@ def flatten_document_table(
     if "_dlt_id" in df.columns:  # recursing into a child: id already chained
         parent = df
     else:
+        row_hash = F.sha2(F.to_json(F.struct(*df.columns)), 256)
         if primary_key and primary_key in df.columns:
-            dlt_id = F.sha2(F.col(primary_key).cast("string"), 256).substr(1, 32)
+            pk = df[primary_key].cast("string")
+            dlt_id = F.when(
+                pk.isNotNull(), F.sha2(pk, 256)
+            ).otherwise(row_hash).substr(1, 32)
         else:
-            dlt_id = F.sha2(F.to_json(F.struct(*df.columns)), 256).substr(1, 32)
+            dlt_id = row_hash.substr(1, 32)
         parent = df.withColumn("_dlt_id", dlt_id)
 
     out: dict[str, DataFrame] = {}
     scalar_cols = [c for c in parent.columns if c not in array_fields]
-    out[table_name] = parent.select(*scalar_cols)
+    out[table_name] = parent.select(*[parent[c] for c in scalar_cols])
 
+    # the root document's id: at the top level that is this parent's own
+    # _dlt_id; during recursion the child frame already carries the
+    # propagated _dlt_root_id column
+    root_col = (
+        parent["_dlt_root_id"]
+        if "_dlt_root_id" in parent.columns
+        else parent["_dlt_id"]
+    )
     for field in array_fields:
         elem = parent.schema[field].dataType.elementType
         exploded = parent.select(
-            F.col("_dlt_id").alias("_dlt_parent_id"),
-            F.posexplode_outer(F.col(field)).alias("_dlt_list_idx", "__elem"),
-        ).filter(F.col("_dlt_list_idx").isNotNull())
+            parent["_dlt_id"].alias("_dlt_parent_id"),
+            root_col.alias("_dlt_root_id"),
+            F.posexplode(parent[field]).alias("_dlt_list_idx", "__elem"),
+        )
         child_id = F.sha2(
             F.concat_ws(
                 "/", F.col("_dlt_parent_id"), F.lit(field), F.col("_dlt_list_idx")
@@ -90,15 +119,19 @@ def flatten_document_table(
         if isinstance(elem, T.StructType):
             child = exploded.select(
                 *[
-                    F.col(f"__elem.{sub.name}").alias(sub.name)
+                    F.col("__elem").getField(sub.name).alias(sub.name)
                     for sub in elem.fields
                 ],
                 "_dlt_parent_id",
+                "_dlt_root_id",
                 "_dlt_list_idx",
             )
         else:
             child = exploded.select(
-                F.col("__elem").alias("value"), "_dlt_parent_id", "_dlt_list_idx"
+                F.col("__elem").alias("value"),
+                "_dlt_parent_id",
+                "_dlt_root_id",
+                "_dlt_list_idx",
             )
         child = child.withColumn("_dlt_id", child_id)
         child_name = f"{table_name}__{field}"

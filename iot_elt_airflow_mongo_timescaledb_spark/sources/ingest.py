@@ -71,11 +71,17 @@ class IncrementalCursor:
         self.cursor_field = cursor_field
 
     def last_value(self):
-        try:
-            rows = self.spark.read.parquet(self.state_path).collect()
-            return rows[0]["last_value"] if rows else None
-        except Exception:  # noqa: BLE001 - missing state == first run
+        import os
+
+        # missing state == first run; anything ELSE (corrupt half-written
+        # file, permission error) must raise — treating it as a first run
+        # would silently re-extract the entire source history
+        if not os.path.isdir(self.state_path) and not os.path.exists(
+            self.state_path
+        ):
             return None
+        rows = self.spark.read.parquet(self.state_path).collect()
+        return rows[0]["last_value"] if rows else None
 
     def filter(self, df: DataFrame) -> DataFrame:
         lv = self.last_value()

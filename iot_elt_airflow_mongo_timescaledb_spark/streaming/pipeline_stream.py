@@ -51,7 +51,9 @@ class DocumentStreamSync:
         for name, df in flatten_document_table(
             fresh, self.collection, primary_key="_id"
         ).items():
-            self.wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
+            # root-key merge for children, same as HealthPipeline.sync
+            key = "_dlt_id" if name == self.collection else "_dlt_root_id"
+            self.wh.materialize_upsert(f"raw.{name}", df, key)
 
     def run_once(self) -> None:
         """One micro-batch drain (≈ one 15-minute Airflow run): process

@@ -17,7 +17,16 @@ def test_mongo_options_mirror_reference_chunking():
     opts = mongo_reader_options("mongodb://h:27017", "iot", "heart_rates")
     assert opts["database"] == "iot"
     assert opts["collection"] == "heart_rates"
-    assert opts["partitioner.options.partition.size"] == "10"  # 10k docs / 1k
+    # partition.size is MEGABYTES (connector contract): 10k docs x 1 KiB
+    # default estimate = ~9 MB partitions ≈ dlt's 10k-doc batches
+    assert opts["partitioner.options.partition.size"] == "9"
+    assert (
+        mongo_reader_options(
+            "mongodb://h:27017", "iot", "hr", chunk_size=10_000,
+            avg_doc_bytes=512,
+        )["partitioner.options.partition.size"]
+        == "4"
+    )
 
 
 def test_mongo_reader_builds_without_connecting(spark):

@@ -208,3 +208,33 @@ def test_materialize_replace_full_refresh(spark, tmp_path):
     materialize_replace(wh, "raw.cfg", spark.createDataFrame([Row(a=1), Row(a=2)]))
     materialize_replace(wh, "raw.cfg", spark.createDataFrame([Row(a=9)]))
     assert [r["a"] for r in wh.read("raw.cfg").collect()] == [9]
+
+
+def test_reextracted_doc_with_smaller_array_replaces_children(spark, tmp_path):
+    """Root-key merge: re-extracting a document whose array SHRANK must
+    delete the stale trailing child row, not leave it counted forever
+    (the child's own _dlt_id never reappears in a batch to displace it)."""
+    import json
+    import os
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        HealthPipeline,
+    )
+
+    src = tmp_path / "steps"
+    src.mkdir()
+    doc_v1 = {"_id": "d1", "created_at": 100,
+              "metrics": [{"ts": 1, "v": 10}, {"ts": 2, "v": 20}, {"ts": 3, "v": 30}]}
+    (src / "batch1.json").write_text(json.dumps([doc_v1]))
+    wh_root = str(tmp_path / "wh")
+    pipe = HealthPipeline(spark, wh_root)
+    pipe.sync({"steps": str(src)})
+    assert pipe.wh.read("raw.steps__metrics").count() == 3
+
+    doc_v2 = {"_id": "d1", "created_at": 200,
+              "metrics": [{"ts": 1, "v": 10}, {"ts": 2, "v": 21}]}
+    (src / "batch1.json").write_text(json.dumps([doc_v2]))
+    pipe.sync({"steps": str(src)})
+    rows = pipe.wh.read("raw.steps__metrics").collect()
+    assert len(rows) == 2, rows  # stale third metric is GONE
+    assert {r["v"] for r in rows} == {10, 21}
