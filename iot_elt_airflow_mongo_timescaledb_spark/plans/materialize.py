@@ -12,21 +12,23 @@ Reference semantics reproduced exactly (SURVEY §2.6):
 - M3 view materialization (examples models, dbt_project.yml:40-42).
 - M4 schema namespaces -> path prefixes ``<root>/<schema>/<table>``.
 
-Scale notes: appends are plain parquet dir appends partitioned by the
-watermark key when it is a date-string (partition pruning for readers +
-the MAX lookup only lists partition values); the upsert rewrite is the
-one operation that would use Delta/Iceberg MERGE on a real deployment —
-called out in the docstring rather than hidden.
+Cluster-real storage: every metadata operation (existence, staging
+recovery, partition discovery, the atomic promote) goes through the
+Hadoop FileSystem API (``..fs``), so the warehouse root may be any
+scheme Spark can reach — ``file:``, ``hdfs://``, ``s3a://`` — exactly
+like the reference's network-addressed TimescaleDB.  The upsert/compact
+rewrite is ONE data write (batch -> ``__staging``) followed by a
+metadata-only directory swap; on raw object stores where rename is a
+copy, a real deployment would put Delta/Iceberg MERGE under this same
+interface — called out rather than hidden.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fs import HadoopFS, join_uri
 from ..functions import DEFAULT_DATESTRING_WATERMARK, DEFAULT_EPOCH_WATERMARK
 
 
@@ -36,23 +38,20 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self.fs = HadoopFS(spark)
 
     def path(self, name: str) -> str:
         schema, _, tbl = name.rpartition(".")
-        return os.path.join(self.root, schema or "default", tbl)
+        return join_uri(self.root, schema or "default", tbl)
 
     def exists(self, name: str) -> bool:
         """True iff the target holds data.  Walks into partition
         subdirectories — a day-partitioned table has no parquet files at
         its root, and missing them would silently turn every incremental
-        append into a full overwrite."""
-        p = self.path(name)
-        if not os.path.isdir(p):
-            return False
-        for _root, _dirs, files in os.walk(p):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        append into a full overwrite.  Early-exits at the first data
+        file, so a 100 TB table answers after one listing page, not a
+        full tree walk."""
+        return self.fs.contains_file_with_suffix(self.path(name), ".parquet")
 
     def read(self, name: str) -> DataFrame:
         # a committed staging copy facing an uncommitted target (a dead
@@ -76,26 +75,33 @@ class Warehouse:
     def _recover_or_clear_staging(self, name: str, tmp: str) -> None:
         """Resolve a staging dir left by a previous two-phase rewrite.
 
-        If that run died mid phase 2 the target is partial (no _SUCCESS
-        commit marker) and staging is the sole intact copy — deleting it
-        here and then lazily reading the half-written target would
-        silently rebuild the table from partial data.  So: a committed
-        staging copy facing an uncommitted target is RESTORED to the
-        target; only a staging dir whose target did commit (or which
-        itself never committed — a phase-1 death leaves the target
-        untouched) is deleted as stale.
+        If that run died mid swap the target is gone or partial (no
+        _SUCCESS commit marker) and staging is the sole intact copy —
+        deleting it here would silently lose the table.  So: a committed
+        staging copy facing an uncommitted target is RESTORED (renamed
+        in); only a staging dir whose target did commit (the swap never
+        started — the batch will simply re-run) or which itself never
+        committed (phase-1 death, target untouched) is deleted as stale.
         """
-        if not os.path.isdir(tmp):
+        if not self.fs.is_dir(tmp):
             return
-        staging_committed = os.path.exists(os.path.join(tmp, "_SUCCESS"))
-        target_committed = os.path.exists(
-            os.path.join(self.path(name), "_SUCCESS")
-        )
+        staging_committed = self.fs.exists(join_uri(tmp, "_SUCCESS"))
+        target_committed = self.fs.exists(join_uri(self.path(name), "_SUCCESS"))
         if staging_committed and not target_committed:
-            shutil.rmtree(self.path(name), ignore_errors=True)
-            shutil.move(tmp, self.path(name))
+            self.fs.delete(self.path(name))
+            self.fs.rename(tmp, self.path(name))
         else:
-            shutil.rmtree(tmp, ignore_errors=True)
+            self.fs.delete(tmp)
+
+    def _swap_in(self, tmp: str, name: str) -> None:
+        """Atomic promote of a committed staging dir: drop the target,
+        rename staging into its place.  Metadata-only on HDFS/local.
+        Crash windows are all recovered by ``_recover_or_clear_staging``:
+        die before the delete -> staging stale vs committed target,
+        cleared, batch re-runs; die between delete and rename -> staging
+        is the sole committed copy, restored."""
+        self.fs.delete(self.path(name))
+        self.fs.rename(tmp, self.path(name))
 
     # ------------------------------------------------------------------
     # M1 — incremental append with strict > watermark
@@ -145,49 +151,87 @@ class Warehouse:
     # M2 — upsert by unique key (MERGE emulation on plain parquet)
     # ------------------------------------------------------------------
 
-    def materialize_upsert(self, name: str, df: DataFrame, unique_key: str) -> DataFrame:
+    def materialize_upsert(
+        self,
+        name: str,
+        df: DataFrame,
+        unique_key: str,
+        delete_keys: DataFrame | None = None,
+    ) -> DataFrame:
         """Reference: ``unique_key='user_id'`` on stage users — incoming
         rows replace target rows with the same key.  On Delta/Iceberg
         this is MERGE INTO; on plain parquet we rewrite: keep target
         rows whose key is absent from the batch (left anti), union the
-        batch, overwrite."""
+        batch, land the merge in ``__staging`` with ONE data write, then
+        promote it with a metadata-only directory swap.
+
+        ``delete_keys`` (optional, a frame holding ``unique_key``)
+        overrides the delete set.  dlt's root-key merge needs this: a
+        child table is upserted on ``_dlt_root_id``, and a re-extracted
+        document whose array shrank to EMPTY contributes no child rows —
+        so the delete set must come from the PARENT batch's document
+        ids, not from the keys present in the child batch, or the old
+        child rows survive forever.
+        """
         # resolve any staging dir from a previous failed run FIRST —
         # whichever method left it: it may be the sole intact copy of
-        # the table (phase-2 death), in which case it is restored, not
-        # deleted — see _recover_or_clear_staging
+        # the table (swap died mid-flight), in which case it is
+        # restored, not deleted — see _recover_or_clear_staging
         tmp = self.path(name) + "__staging"
         self._recover_staging(name)
         if self.exists(name):
             target = self.read(name)
             target, df = align_schemas(target, df)
-            keep = target.join(
-                df.select(unique_key).distinct(), unique_key, "left_anti"
+            anti = (
+                delete_keys.select(unique_key).distinct()
+                if delete_keys is not None
+                else df.select(unique_key).distinct()
             )
+            keep = target.join(anti, unique_key, "left_anti")
             merged = keep.unionByName(df, allowMissingColumns=True)
+            # Partition layout survives the rewrite: the merged frame
+            # carries partition values as plain columns, so without
+            # re-applying partitionBy the upsert would silently flatten
+            # a day-partitioned table and readers would lose pruning.
+            part_cols = self._partition_columns(name)
         else:
             merged = df
-        # two-phase write: the source of the overwrite is the target itself.
-        # The staging copy is removed ONLY after the target rewrite lands —
-        # if phase 2 dies mid-overwrite the target is partial and the
-        # staging dir is the sole intact copy, so a finally-cleanup here
-        # would destroy the data it exists to protect.  (A failed run
-        # leaves the dir; the NEXT call restores or clears it above —
-        # never deletes the only committed copy.)
-        # Partition layout survives the rewrite: the merged frame carries
-        # partition values as plain columns, so without re-applying
-        # partitionBy the upsert would silently flatten a day-partitioned
-        # table and readers would lose pruning (compact() restores the
-        # layout the same way).
-        part_cols = _partition_columns(self.path(name)) if self.exists(name) else []
+            part_cols = []
         w = merged.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(tmp)
-        w2 = self.spark.read.parquet(tmp).write.mode("overwrite")
+        # the ONLY data write; what follows is metadata.  (The previous
+        # design re-read tmp and rewrote it into the target — 2x full-
+        # table I/O per 15-minute batch, growing with TABLE size not
+        # batch size, plus a partition-type re-inference hazard on the
+        # read-back.  The swap does neither.)
+        self._swap_in(tmp, name)
+        return self.read(name)
+
+    def materialize_delete(
+        self, name: str, delete_keys: DataFrame, unique_key: str
+    ) -> DataFrame:
+        """Delete-only merge: drop target rows whose ``unique_key`` is in
+        ``delete_keys``; no new rows.  The root-key merge uses this for
+        child tables that got NO rows at all from the current batch (the
+        array field vanished from every batch document — flatten then
+        does not even emit the child table, but stale rows of
+        re-extracted parents must still go)."""
+        tmp = self.path(name) + "__staging"
+        self._recover_staging(name)
+        if not self.exists(name):
+            raise ValueError(f"materialize_delete: no such table {name}")
+        target = self.read(name)
+        keep = target.join(
+            delete_keys.select(unique_key).distinct(), unique_key, "left_anti"
+        )
+        part_cols = self._partition_columns(name)
+        w = keep.write.mode("overwrite")
         if part_cols:
-            w2 = w2.partitionBy(*part_cols)
-        w2.parquet(self.path(name))
-        shutil.rmtree(tmp, ignore_errors=True)
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
+        self._swap_in(tmp, name)
         return self.read(name)
 
     def compact(self, name: str, target_files: int = 1) -> DataFrame:
@@ -196,15 +240,15 @@ class Warehouse:
         listing + per-file open cost), so periodic compaction rewrites
         the table into ``target_files`` per partition.
 
-        Plain-parquet version of OPTIMIZE on Delta/Iceberg; the two-phase
-        staging write keeps the read-own-overwrite safe.  Partition
-        columns are restored on rewrite (coalesce only bounds files per
-        partition directory).
+        Plain-parquet version of OPTIMIZE on Delta/Iceberg: one data
+        write into ``__compact`` staging, then the same metadata-only
+        swap as upsert.  Partition columns are restored on rewrite
+        (coalesce only bounds files per partition directory).
         """
         tmp = self.path(name) + "__compact"
         self._recover_staging(name)  # may restore the target, any suffix
         df = self.read(name)
-        part_cols = _partition_columns(self.path(name))
+        part_cols = self._partition_columns(name)
         writer = df.coalesce(max(1, target_files)) if not part_cols else df.repartition(
             max(1, target_files), *part_cols
         )
@@ -212,13 +256,7 @@ class Warehouse:
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(tmp)
-        out = self.spark.read.parquet(tmp)
-        w2 = out.write.mode("overwrite")
-        if part_cols:
-            w2 = w2.partitionBy(*part_cols)
-        w2.parquet(self.path(name))
-        # removed only after the target rewrite succeeded — see upsert
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._swap_in(tmp, name)
         return self.read(name)
 
     # ------------------------------------------------------------------
@@ -228,6 +266,21 @@ class Warehouse:
     def materialize_view(self, name: str, df: DataFrame) -> DataFrame:
         df.createOrReplaceTempView(name.replace(".", "__"))
         return df
+
+    def _partition_columns(self, name: str) -> list[str]:
+        """Partition column names from the hive-style directory layout
+        (one FileSystem listing per nesting level — metadata-only)."""
+        cols: list[str] = []
+        cur = self.path(name)
+        while True:
+            subdirs = [
+                d for d in self.fs.list_subdirs(cur) if "=" in d
+            ]
+            if not subdirs:
+                return cols
+            col = subdirs[0].split("=", 1)[0]
+            cols.append(col)
+            cur = join_uri(cur, subdirs[0])
 
 
 def align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -260,22 +313,6 @@ def align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
             if tb.simpleString() != w.simpleString():
                 b = b.withColumn(name, F.col(name).cast(w))
     return a, b
-
-
-def _partition_columns(path: str) -> list[str]:
-    """Partition column names from the hive-style directory layout."""
-    cols: list[str] = []
-    cur = path
-    while True:
-        subdirs = [
-            d for d in (os.listdir(cur) if os.path.isdir(cur) else [])
-            if "=" in d and os.path.isdir(os.path.join(cur, d))
-        ]
-        if not subdirs:
-            return cols
-        col = subdirs[0].split("=", 1)[0]
-        cols.append(col)
-        cur = os.path.join(cur, subdirs[0])
 
 
 def _default_for(dtype) -> object:
@@ -319,12 +356,10 @@ def materialize_bucketed(
     # know about a leftover managed-table directory from an earlier
     # session, and saveAsTable refuses to reuse the location
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    loc = os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-        table_name.lower(),
+    loc = join_uri(
+        spark.conf.get("spark.sql.warehouse.dir"), table_name.lower()
     )
-    if os.path.isdir(loc):
-        shutil.rmtree(loc)
+    HadoopFS(spark).delete(loc)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, bucket_col
     )
@@ -352,6 +387,5 @@ def materialize_replace(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    shutil.rmtree(wh.path(name), ignore_errors=True)
-    shutil.move(tmp, wh.path(name))
+    wh._swap_in(tmp, name)
     return wh.read(name)

@@ -52,15 +52,34 @@ class HealthPipeline:
             # mid-sync cannot advance the cursor past unloaded documents.
             fresh = dedup_by_pk(cursor.filter(docs), pk="_id").localCheckpoint()
             tables = flatten_document_table(fresh, coll, primary_key="_id")
+            # dlt's root-key merge: a re-extracted document replaces ALL
+            # its child rows.  The delete set for every child table is
+            # the PARENT batch's document ids — not the keys present in
+            # the child batch: an array that shrank to EMPTY (or whose
+            # field vanished from the re-extracted doc) contributes no
+            # child rows, so deriving deletes from the child batch would
+            # leave its stale rows behind forever.
+            parent_keys = (
+                tables[coll]
+                .select(F.col("_dlt_id").alias("_dlt_root_id"))
+                .distinct()
+            )
             for name, df in tables.items():
-                # parent rows upsert on the deterministic _dlt_id; CHILD
-                # rows upsert on the propagated _dlt_root_id — dlt's
-                # root-key merge: a re-extracted document replaces ALL
-                # its child rows, so an array that shrank cannot leave a
-                # stale trailing element behind (its own _dlt_id would
-                # never reappear in a batch to displace it)
-                key = "_dlt_id" if name == coll else "_dlt_root_id"
-                self.wh.materialize_upsert(f"raw.{name}", df, key)
+                if name == coll:
+                    self.wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
+                else:
+                    self.wh.materialize_upsert(
+                        f"raw.{name}", df, "_dlt_root_id", delete_keys=parent_keys
+                    )
+            # child tables that exist in the warehouse but got NO rows
+            # at all from this batch (the array field disappeared from
+            # every batch document — flatten does not even emit them)
+            # still owe deletes for the re-extracted parents
+            for raw_name in self._raw_tables():
+                if raw_name.startswith(f"{coll}__") and raw_name not in tables:
+                    self.wh.materialize_delete(
+                        f"raw.{raw_name}", parent_keys, "_dlt_root_id"
+                    )
             cursor.commit(fresh)
 
     # -- stage transforms (§3.2) ----------------------------------------
@@ -172,22 +191,20 @@ class HealthPipeline:
         )
 
     def _raw_tables(self) -> list[str]:
-        import os
-
+        from ..fs import join_uri
         from .materialize import Warehouse
 
-        raw_dir = os.path.join(self.wh.root, "raw")
-        if not os.path.isdir(raw_dir):
-            return []
-        # leftover __staging/__compact dirs from a dead two-phase rewrite
-        # are recovery artifacts, not tables — listing one would make the
-        # recovery run itself crash (read of the parent table moves the
-        # staging dir away, then the staging "table" read PATH_NOT_FOUNDs)
-        return sorted(
+        # Hadoop FileSystem listing, not os.listdir — the warehouse root
+        # may be hdfs://s3a: (see fs.py); leftover __staging/__compact
+        # dirs from a dead two-phase rewrite are recovery artifacts, not
+        # tables — listing one would make the recovery run itself crash
+        # (read of the parent table moves the staging dir away, then the
+        # staging "table" read PATH_NOT_FOUNDs)
+        return [
             d
-            for d in os.listdir(raw_dir)
+            for d in self.wh.fs.list_subdirs(join_uri(self.wh.root, "raw"))
             if not d.endswith(Warehouse._STAGING_SUFFIXES)
-        )
+        ]
 
 
 def with_retries(fn, attempts: int = 3, delay_s: float = 0.0):

@@ -47,13 +47,39 @@ class DocumentStreamSync:
         self.schema = spark.read.option("multiLine", "true").json(source_dir).schema
 
     def _process_batch(self, batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         fresh = dedup_by_pk(batch_df, pk="_id")
-        for name, df in flatten_document_table(
-            fresh, self.collection, primary_key="_id"
-        ).items():
-            # root-key merge for children, same as HealthPipeline.sync
-            key = "_dlt_id" if name == self.collection else "_dlt_root_id"
-            self.wh.materialize_upsert(f"raw.{name}", df, key)
+        tables = flatten_document_table(fresh, self.collection, primary_key="_id")
+        # root-key merge, same semantics as HealthPipeline.sync: child
+        # deletes come from the PARENT batch's ids (an array shrunk to
+        # empty emits no child rows, so child-batch keys can't drive the
+        # delete), and warehouse child tables absent from this batch
+        # still owe deletes for re-extracted parents
+        parent_keys = (
+            tables[self.collection]
+            .select(F.col("_dlt_id").alias("_dlt_root_id"))
+            .distinct()
+        )
+        for name, df in tables.items():
+            if name == self.collection:
+                self.wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
+            else:
+                self.wh.materialize_upsert(
+                    f"raw.{name}", df, "_dlt_root_id", delete_keys=parent_keys
+                )
+        from ..fs import join_uri
+        from ..plans.materialize import Warehouse
+
+        for raw_name in self.wh.fs.list_subdirs(join_uri(self.wh.root, "raw")):
+            if (
+                raw_name.startswith(f"{self.collection}__")
+                and raw_name not in tables
+                and not raw_name.endswith(Warehouse._STAGING_SUFFIXES)
+            ):
+                self.wh.materialize_delete(
+                    f"raw.{raw_name}", parent_keys, "_dlt_root_id"
+                )
 
     def run_once(self) -> None:
         """One micro-batch drain (≈ one 15-minute Airflow run): process

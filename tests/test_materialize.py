@@ -289,3 +289,121 @@ def test_cross_method_recovery_compact_death_then_upsert(spark, tmp_path):
     # all six users survived (recovered from staging), user 0 upserted
     assert got == {0: 999, 1: 10, 2: 20, 3: 30, 4: 40, 5: 50}
     assert not os.path.isdir(staging)
+
+
+def test_upsert_writes_data_exactly_once(spark, tmp_path, monkeypatch):
+    """The scale contract of the r5 rewrite: an upsert performs ONE data
+    write (merge -> __staging) and promotes it with a metadata-only
+    rename — not the old staging-write + full target rewrite (2x
+    full-table I/O per 15-minute batch, growing with TABLE size)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.materialize_upsert(
+        "stage.users",
+        spark.createDataFrame([Row(user_id="a", age=30), Row(user_id="b", age=40)]),
+        "user_id",
+    )
+    calls: list[str] = []
+    orig = DataFrameWriter.parquet
+
+    def spy(self, path, *a, **k):
+        calls.append(path)
+        return orig(self, path, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", spy)
+    wh.materialize_upsert(
+        "stage.users", spark.createDataFrame([Row(user_id="b", age=41)]), "user_id"
+    )
+    assert len(calls) == 1 and calls[0].endswith("__staging"), calls
+    rows = {(r["user_id"], r["age"]) for r in wh.read("stage.users").collect()}
+    assert rows == {("a", 30), ("b", 41)}
+
+
+def test_compact_writes_data_exactly_once(spark, tmp_path, monkeypatch):
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    wh = Warehouse(spark, str(tmp_path))
+    for i in range(3):
+        wh.materialize_incremental("stage.t", _days(spark, (f"2020010{i+1}", i)), "day")
+    calls: list[str] = []
+    orig = DataFrameWriter.parquet
+
+    def spy(self, path, *a, **k):
+        calls.append(path)
+        return orig(self, path, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", spy)
+    wh.compact("stage.t", target_files=1)
+    assert len(calls) == 1 and calls[0].endswith("__compact"), calls
+    assert wh.read("stage.t").count() == 3
+
+
+def test_warehouse_on_scheme_qualified_uri(spark, tmp_path):
+    """Cluster-real storage: the warehouse root may be a scheme-qualified
+    URI (file:/ here standing in for hdfs://s3a:).  exists(), the
+    watermark lookup, partition discovery, and the staged swap must all
+    work through the Hadoop FileSystem — with os.path they silently
+    answer 'missing', turning every append into a full overwrite."""
+    root = f"file:{tmp_path}"
+    wh = Warehouse(spark, root)
+    assert not wh.exists("stage.t")
+    wh.materialize_incremental(
+        "stage.t", _days(spark, ("20200101", 1), ("20200102", 2)), "day",
+        partition_by=("day",),
+    )
+    assert wh.exists("stage.t")
+    # strict-> watermark must see the existing target (not re-write all)
+    wh.materialize_incremental(
+        "stage.t", _days(spark, ("20200102", 99), ("20200103", 3)), "day",
+        partition_by=("day",),
+    )
+    rows = {(r["day"], r["v"]) for r in wh.read("stage.t").collect()}
+    assert rows == {("20200101", 1), ("20200102", 2), ("20200103", 3)}
+
+    # upsert + partition preservation through the staged swap
+    wh.materialize_upsert(
+        "stage.u",
+        spark.createDataFrame([Row(user_id="a", day="20200101", v=1),
+                               Row(user_id="b", day="20200102", v=2)]),
+        "user_id",
+    )
+    wh.materialize_upsert(
+        "stage.u",
+        spark.createDataFrame([Row(user_id="b", day="20200102", v=3)]),
+        "user_id",
+    )
+    got = {(r["user_id"], r["v"]) for r in wh.read("stage.u").collect()}
+    assert got == {("a", 1), ("b", 3)}
+    import os
+
+    assert not any(
+        d.endswith(("__staging", "__compact"))
+        for _r, dirs, _f in os.walk(str(tmp_path)) for d in dirs
+    )
+
+
+def test_recovery_on_scheme_qualified_uri(spark, tmp_path):
+    """Swap-death recovery must work when paths are URIs: a committed
+    __staging facing an uncommitted target is restored via FileSystem
+    rename, not os-level move."""
+    import os
+    import shutil
+
+    root = f"file:{tmp_path}"
+    wh = Warehouse(spark, root)
+    wh.materialize_upsert(
+        "stage.users",
+        spark.createDataFrame([Row(user_id="a", age=30), Row(user_id="b", age=40)]),
+        "user_id",
+    )
+    local_target = str(tmp_path / "stage" / "users")
+    local_staging = local_target + "__staging"
+    shutil.copytree(local_target, local_staging)
+    os.remove(os.path.join(local_target, "_SUCCESS"))
+    wh.materialize_upsert(
+        "stage.users", spark.createDataFrame([Row(user_id="c", age=50)]), "user_id"
+    )
+    rows = {(r["user_id"], r["age"]) for r in wh.read("stage.users").collect()}
+    assert rows == {("a", 30), ("b", 40), ("c", 50)}
+    assert not os.path.exists(local_staging)

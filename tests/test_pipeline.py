@@ -238,3 +238,67 @@ def test_reextracted_doc_with_smaller_array_replaces_children(spark, tmp_path):
     rows = pipe.wh.read("raw.steps__metrics").collect()
     assert len(rows) == 2, rows  # stale third metric is GONE
     assert {r["v"] for r in rows} == {10, 21}
+
+
+def test_reextracted_doc_with_emptied_array_deletes_all_children(spark, tmp_path):
+    """Root-key merge, the 3->0 case (dlt delete-by-root-key): a
+    re-extracted document whose array shrank to EMPTY contributes no
+    child rows at all, so the delete set must come from the PARENT
+    batch's ids — deriving it from the child batch leaves every stale
+    row behind."""
+    import json
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        HealthPipeline,
+    )
+
+    src = tmp_path / "steps"
+    src.mkdir()
+    docs_v1 = [
+        {"_id": "d1", "created_at": 100,
+         "metrics": [{"ts": 1, "v": 10}, {"ts": 2, "v": 20}, {"ts": 3, "v": 30}]},
+        {"_id": "d2", "created_at": 100, "metrics": [{"ts": 9, "v": 90}]},
+    ]
+    (src / "batch1.json").write_text(json.dumps(docs_v1))
+    pipe = HealthPipeline(spark, str(tmp_path / "wh"))
+    pipe.sync({"steps": str(src)})
+    assert pipe.wh.read("raw.steps__metrics").count() == 4
+
+    # d1 re-extracted with metrics = []; d2 untouched (not in batch)
+    docs_v2 = [{"_id": "d1", "created_at": 200, "metrics": []}]
+    (src / "batch1.json").write_text(json.dumps(docs_v2))
+    pipe.sync({"steps": str(src)})
+    rows = pipe.wh.read("raw.steps__metrics").collect()
+    assert {r["v"] for r in rows} == {90}, rows  # only d2's child survives
+
+
+def test_reextracted_doc_with_vanished_array_field_deletes_children(spark, tmp_path):
+    """Harder 3->0 variant: the array FIELD disappears from every batch
+    document, so flatten does not even emit the child table for this
+    batch — the sync must still delete the re-extracted parents' stale
+    child rows from the existing warehouse table."""
+    import json
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        HealthPipeline,
+    )
+
+    src = tmp_path / "steps"
+    src.mkdir()
+    docs_v1 = [
+        {"_id": "d1", "created_at": 100,
+         "metrics": [{"ts": 1, "v": 10}, {"ts": 2, "v": 20}]},
+        {"_id": "d2", "created_at": 50, "metrics": [{"ts": 9, "v": 90}]},
+    ]
+    (src / "batch1.json").write_text(json.dumps(docs_v1))
+    pipe = HealthPipeline(spark, str(tmp_path / "wh"))
+    pipe.sync({"steps": str(src)})
+    assert pipe.wh.read("raw.steps__metrics").count() == 3
+
+    # v2: d1 re-extracted WITHOUT the metrics key at all; d2 stays out
+    # of the batch (created_at 50 < cursor 100)
+    docs_v2 = [{"_id": "d1", "created_at": 200}]
+    (src / "batch1.json").write_text(json.dumps(docs_v2))
+    pipe.sync({"steps": str(src)})
+    rows = pipe.wh.read("raw.steps__metrics").collect()
+    assert {r["v"] for r in rows} == {90}, rows
