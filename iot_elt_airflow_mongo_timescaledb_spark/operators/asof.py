@@ -18,9 +18,10 @@ Semantics (matching DuckDB ASOF LEFT JOIN, the oracle):
   would);
 - equal-``right_ts`` ties are broken deterministically toward the
   largest tuple of the ORDERABLE value columns (struct comparison;
-  non-orderable columns — maps — are excluded from the tiebreak but
-  still attached) — engines leave tie order unspecified, so the
-  operator pins it;
+  non-orderable columns — maps — are excluded from the struct but
+  still attached), with a payload content hash as the final tiebreak —
+  so even map-only payloads resolve identically across repartitions;
+  engines leave tie order unspecified, so the operator pins it;
 - left rows with no prior right row keep NULLs.
 
 Scale notes: this is ONE shuffle on the join keys + a per-partition sort
@@ -92,15 +93,22 @@ def asof_join(
     # match; among equal-ts right rows a struct of the ORDERABLE value
     # columns is the deterministic tiebreak (last == greatest tuple).
     # Maps are not orderable in Spark, so they ride along in the payload
-    # but stay out of the ordering; with no orderable column the tie
-    # falls back to input order (documented nondeterminism).  The left
-    # rows' NULL tiebreak sorts first, so it never outranks a right row.
+    # but stay out of the struct ordering; a content hash of the WHOLE
+    # payload (xxhash64 over its canonical JSON — to_json handles maps)
+    # closes the residual ties: payloads identical on every orderable
+    # column, and the no-orderable-columns-at-all case, both resolve by
+    # payload content instead of partition-order luck, so the result is
+    # identical across repartitions.  The left rows' NULL payload
+    # hashes sort first, so they never outrank a right row.
     orderable = [c for c in value_cols if _orderable(right.schema[c].dataType)]
     order_cols = [F.col("__ts").asc(), F.col("__side").asc()]
     if orderable:
         order_cols.append(
             F.struct(*[F.col("__payload")[c] for c in orderable]).asc_nulls_first()
         )
+    order_cols.append(
+        F.xxhash64(F.to_json(F.col("__payload"))).asc_nulls_first()
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(*order_cols)

@@ -99,14 +99,25 @@ def ivf_topk(
     vec_col: str = "embedding",
     cluster_col: str = "label",
     k: int = 3,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF-bucketed ANN: centroids from an existing coarse partition
-    (``cluster_col``), queries probe their single nearest centroid.
+    (``cluster_col``), queries probe their ``n_probe`` nearest
+    centroids (IVF's standard recall knob — probe cost grows linearly,
+    recall monotonically).
 
     Scale shape: centroid table is tiny (n_clusters rows → broadcast);
     the candidate join is an equi-join on the cluster id, so the probe
-    cost is |cluster| not |corpus|.  Recall < 1.0 by design — that is
-    the ANN trade; the brute-force path is the correctness baseline.
+    cost is ``n_probe`` cluster occupancies, not |corpus|.  Recall <
+    1.0 by design — the brute-force path is the correctness baseline.
+
+    Measured recall floor (tests/test_ann_recall.py): >= 0.9 recall@3
+    on clustered data (queries whose true neighbours share their
+    cluster, the workload IVF is built for) at n_probe=1; on
+    structureless uniform-random vectors (the gate table — nearest
+    neighbours are near-orthogonal, so no partition correlates with
+    them) recall reaches >= 0.3 by widening to n_probe=4 (0.45
+    measured at sf0.001).
     """
     c = with_norm(corpus, vec_col)
     # centroids: positional mean via posexplode + re-collect (all JVM ops)
@@ -147,7 +158,7 @@ def ivf_topk(
         F.col("__csim").desc(), F.col("__cluster").asc()
     )
     assigned = qc.withColumn("__rk", F.row_number().over(w)).filter(
-        F.col("__rk") == 1
+        F.col("__rk") <= max(1, n_probe)
     ).select("query_id", "__qvec", "__qnorm", "__cluster")
     # probe only the assigned cluster
     cand = c.select(
@@ -235,6 +246,30 @@ def hyperplane_signature(
     return out.withColumn("bucket", F.concat(*bits)).drop("__q")
 
 
+def _hamming_ball(bucket_col: str, n_planes: int, radius: int) -> F.Column:
+    """Array of every bit-string within Hamming distance <= radius of
+    ``bucket_col`` (the query signature).  The subsets of flip positions
+    are enumerated driver-side (sum of C(n_planes, r) for r <= radius —
+    37 strings at 8 planes / radius 2) and compiled into pure string
+    expressions; each corpus row lives in exactly ONE bucket, so the
+    probed buckets are distinct and no candidate pair duplicates."""
+    from itertools import combinations
+
+    def flipped(positions: tuple[int, ...]) -> F.Column:
+        chars = []
+        for i in range(n_planes):
+            ch = F.substring(F.col(bucket_col), i + 1, 1)
+            if i in positions:
+                ch = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+            chars.append(ch)
+        return F.concat(*chars)
+
+    variants = [F.col(bucket_col)]
+    for r in range(1, radius + 1):
+        variants.extend(flipped(pos) for pos in combinations(range(n_planes), r))
+    return F.array(*variants)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -243,15 +278,28 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 8,
     k: int = 3,
+    hamming_radius: int = 0,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates share the query's full hyperplane
     signature; exact cosine re-ranks within the bucket.
 
+    ``hamming_radius`` is the multi-probe recall knob: radius r probes
+    every bucket within Hamming distance r of the query's signature
+    (r=1 → n_planes+1 buckets per query — the QUERY side fans out,
+    never the corpus, so the probe stays O(buckets-probed × occupancy)).
+
     Scale shape: the signature is a narrow map over the corpus; the
     candidate join is an equi-join on the bucket string (2^n_planes
     buckets → tune n_planes to the corpus size), so probe cost is the
-    bucket occupancy, not |corpus|.  Recall < 1.0 by design; widen by
-    lowering n_planes or probing Hamming-adjacent buckets.
+    bucket occupancy, not |corpus|.  Recall < 1.0 by design.
+
+    Measured recall floor (tests/test_ann_recall.py): on clustered
+    data, >= 0.8 recall@3 at radius 0 (a cluster ON a hyperplane
+    boundary splits buckets — the inherent LSH miss) and >= 0.9 at
+    radius 1 (1.0 measured); on structureless uniform-random vectors
+    (the gate table — near-orthogonal neighbours flip each bit with
+    p≈0.5) recall reaches >= 0.25 at 8 planes / radius 2 (0.42
+    measured at sf0.001).
     """
     c = hyperplane_signature(
         with_norm(corpus, vec_col), id_col, "__vec", dim, n_planes
@@ -266,6 +314,10 @@ def lsh_topk(
         F.col("__vec").alias("__qvec"),
         F.col("__norm").alias("__qnorm"),
     )
+    if hamming_radius > 0:
+        q = q.withColumn(
+            "bucket", F.explode(_hamming_ball("bucket", n_planes, hamming_radius))
+        )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -1,0 +1,117 @@
+"""Recall floors for the approximate ANN tier (VERDICT r4 gap #3).
+
+An approximate operator without a measured recall bound is untestable
+degradation at scale, so both ANN paths get quantitative floors against
+``cosine_topk`` ground truth:
+
+- on PLANTED clustered data (the workload ANN indexes are built for —
+  true neighbours share the query's cluster/bucket), recall@3 must be
+  high at the cheap single-probe setting;
+- on the gate ``embeddings`` table (uniform-random vectors: nearest
+  neighbours are near-orthogonal, so NO spatial index correlates with
+  them — the adversarial floor), the multi-probe knobs must buy the
+  documented recall.
+
+Thresholds here are the ones stated in the operator docstrings; keep
+them in sync.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import iot_elt_airflow_mongo_timescaledb_spark.operators.similarity as S
+from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import table
+
+
+def _neighbors(df) -> dict:
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(truth: dict, approx: dict) -> float:
+    hit = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    return hit / total
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """10 tight clusters x 30 points, dim 64 (deterministic seed):
+    every point's true top-3 neighbours live in its own cluster."""
+    rng = random.Random(42)
+    dim, n_clusters, per = 64, 10, 30
+    rows = []
+    for cl in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for j in range(per):
+            vec = [c + rng.gauss(0, 0.05) for c in center]
+            rows.append((cl * per + j, [float(x) for x in vec], cl))
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    ).cache()
+
+
+def test_ivf_recall_on_clustered_data(clustered):
+    q = clustered.filter(F.col("vec_id") % 30 == 0)  # one query per cluster
+    truth = _neighbors(S.cosine_topk(clustered, q, k=3))
+    approx = _neighbors(S.ivf_topk(clustered, q, k=3, n_probe=1))
+    r = _recall(truth, approx)
+    assert r >= 0.9, f"IVF clustered recall@3 {r}"
+
+
+def test_lsh_recall_on_clustered_data(clustered):
+    """Radius 0 floors at 0.8 — a cluster sitting ON a hyperplane
+    boundary splits buckets (the inherent LSH failure mode); radius 1
+    probes the 1-bit-adjacent buckets and recovers it (1.0 measured)."""
+    q = clustered.filter(F.col("vec_id") % 30 == 0)
+    truth = _neighbors(S.cosine_topk(clustered, q, k=3))
+    r0 = _recall(
+        truth,
+        _neighbors(
+            S.lsh_topk(clustered, q, dim=64, n_planes=8, k=3, hamming_radius=0)
+        ),
+    )
+    r1 = _recall(
+        truth,
+        _neighbors(
+            S.lsh_topk(clustered, q, dim=64, n_planes=8, k=3, hamming_radius=1)
+        ),
+    )
+    assert r0 >= 0.8, f"LSH clustered recall@3 radius0 {r0}"
+    assert r1 >= 0.9, f"LSH clustered recall@3 radius1 {r1}"
+
+
+@pytest.fixture(scope="module")
+def gate_truth(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    return e, q, _neighbors(S.cosine_topk(e, q, k=3))
+
+
+def test_ivf_multiprobe_recall_on_gate_table(gate_truth):
+    """n_probe is the recall knob: 4 probes must clear the documented
+    0.3 floor even on structureless vectors (0.45 measured)."""
+    e, q, truth = gate_truth
+    r = _recall(truth, _neighbors(S.ivf_topk(e, q, k=3, n_probe=4)))
+    assert r >= 0.3, f"IVF n_probe=4 gate recall@3 {r}"
+
+
+def test_lsh_multiprobe_recall_on_gate_table(gate_truth):
+    """Hamming radius 2 at 8 planes must clear the documented 0.25
+    floor (0.42 measured); radius must also be monotone in recall."""
+    e, q, truth = gate_truth
+    r0 = _recall(
+        truth, _neighbors(S.lsh_topk(e, q, dim=64, n_planes=8, k=3))
+    )
+    r2 = _recall(
+        truth,
+        _neighbors(S.lsh_topk(e, q, dim=64, n_planes=8, k=3, hamming_radius=2)),
+    )
+    assert r2 >= 0.25, f"LSH radius=2 gate recall@3 {r2}"
+    assert r2 >= r0, (r0, r2)

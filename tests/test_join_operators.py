@@ -189,3 +189,31 @@ def test_asof_map_valued_payload_attaches(spark):
         value_cols=["props"],
     ).collect()
     assert out[0]["props_asof"] == {"src": "web"}
+
+
+def test_asof_map_only_payload_tiebreak_deterministic(spark):
+    """r5: a payload with NO orderable column (map-typed) must still
+    resolve equal-ts ties identically across repartitions — the content
+    hash tiebreak replaces the old documented input-order fallback."""
+    from pyspark.sql import types as T
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u1", 40)], ["k", "lts"])
+    right_schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("rts", T.LongType()),
+        T.StructField("attrs", T.MapType(T.StringType(), T.LongType())),
+    ])
+    rows = [("u1", 30, {"x": i}) for i in range(8)]  # 8-way equal-ts tie
+    results = set()
+    for n_parts in (1, 3, 7):
+        right = spark.createDataFrame(rows, right_schema).repartition(n_parts)
+        out = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["attrs"],
+        )
+        got = [(r["k"], r["lts"], dict(r["attrs_asof"])) for r in out.collect()]
+        assert len(got) == 1
+        results.add(str(sorted(got)))
+    assert len(results) == 1, results  # identical across layouts
