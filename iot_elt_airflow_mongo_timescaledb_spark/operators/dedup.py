@@ -222,7 +222,12 @@ def _banded(signature: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
 
 
 def incremental_lsh_candidates(
-    old_sig: DataFrame, new_sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
+    old_sig: DataFrame,
+    new_sig: DataFrame,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    validate_ids: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs INVOLVING AT LEAST ONE NEW DOCUMENT:
     new-vs-corpus plus new-vs-new, without ever self-joining the old
@@ -235,11 +240,32 @@ def incremental_lsh_candidates(
     old-vs-old pair each batch — O(|corpus|) bucket work per batch;
     here the join's LEFT side is only the new batch's bands, so bucket
     work is O(|batch| × bucket occupancy) and the old corpus is stream-
-    probed once.  Id spaces must be disjoint (new docs get new ids).
+    probed once.  Id spaces must be disjoint (new docs get new ids): a
+    re-ingested id appearing on BOTH sides has its new-vs-old pairing
+    suppressed by the ``a.id != b.id`` guard and its duplicate
+    signature rows distort buckets.  ``validate_ids=True`` enforces
+    this with a batch-vs-corpus semi-join (cost bounded by the batch
+    side — the pipeline sync path turns it on; default off for callers
+    who guarantee disjointness upstream).
 
     Equivalent to the full recompute restricted to pairs touching a new
     id — asserted by tests/test_incremental_dedup.py.
     """
+    if validate_ids:
+        overlap = [
+            r[0]
+            for r in new_sig.select(id_col)
+            .join(old_sig, id_col, "left_semi")
+            .limit(5)
+            .collect()
+        ]
+        if overlap:
+            raise ValueError(
+                "incremental_lsh_candidates: old/new id spaces overlap "
+                f"(e.g. {overlap}); re-ingested ids suppress their "
+                "new-vs-old pairs — dedup/replace them before the "
+                "incremental check"
+            )
     # banded new batch materialized once (it is read twice: probe side
     # and inside the union) — batches are small relative to the corpus,
     # so the checkpoint is cheap by construction

@@ -79,12 +79,22 @@ def _file_size(spark: SparkSession, uri: str) -> int | None:
 
 
 def estimated_scan_splits(spark: SparkSession, files: list[str]) -> int | None:
-    """Estimate how many input splits Spark packs the scan's files into,
-    mirroring ``FilePartition.maxSplitBytes``:
+    """LOWER BOUND on how many input splits Spark packs the scan's files
+    into, saturating at ``defaultParallelism``.
+
+    Contract: the return value is exact (mirroring
+    ``FilePartition.maxSplitBytes``) while it is below
+    ``defaultParallelism``, and CAPPED at ``defaultParallelism`` once
+    the input is provably at least that wide — the early exit stops
+    stat'ing files at that point (a 50k-file S3 table would otherwise
+    cost one HEAD per file at plan time).  Callers comparing against
+    ``defaultParallelism`` (``ensure_min_parallelism``'s ``est >=
+    target``) get an exact answer; do NOT use the value as a
+    quantitative split count for wide scans.
 
         bytesPerCore = (totalBytes + openCost * nFiles) / defaultParallelism
         maxSplit     = min(maxPartitionBytes, max(openCost, bytesPerCore))
-        splits       ≈ ceil(totalPadded / maxSplit)
+        splits       ≈ ceil(totalPadded / maxSplit)   # while < parallelism
 
     Local paths stat via ``os``; remote schemes stat via the Hadoop
     FileSystem API (a metadata call, same cost class as the listing

@@ -207,6 +207,68 @@ class HealthPipeline:
         ]
 
 
+class IncrementalDedupSync:
+    """Batch-vs-corpus near-dup detection with a PERSISTED signature
+    table — the production shape of dedup at 100 TB, wired end-to-end.
+
+    The corpus MinHash signature table (|corpus| × k hashes, the cheap
+    tier) lives in the warehouse like any other incremental artifact;
+    each ``sync(batch)`` LSH-checks only the new batch against it
+    (``incremental_lsh_candidates`` — O(batch × bucket occupancy), the
+    corpus never self-joins) and then appends the batch's signatures.
+    The dedup analog of the document pipeline's T7 cursor: per-ingest
+    work is bounded by the batch, state is a warehouse table.
+
+    ``sync`` returns the candidate pairs MATERIALIZED
+    (``localCheckpoint``): the pair set is bounded (near-dup candidates,
+    not the corpus) and must be pinned before the signature append —
+    a lazy plan re-listing the signature table after the append would
+    see the batch's own rows on the corpus side and double-emit
+    new-vs-new pairs.
+    """
+
+    SIG_TABLE = "dedup.signatures"
+
+    def __init__(
+        self, spark: SparkSession, warehouse_root: str, k: int = 8, bands: int = 4
+    ):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+        self.k = k
+        self.bands = bands
+
+    def sync(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """One ingest batch -> candidate near-dup pairs touching it.
+
+        First batch: plain LSH self-join (new-vs-new).  Later batches:
+        incremental batch-vs-corpus with the overlapping-id guard ON —
+        a re-ingested id would silently suppress its own pairs."""
+        from ..operators.dedup import (
+            incremental_lsh_candidates,
+            lsh_candidate_pairs,
+            minhash_signature,
+            word_shingles,
+        )
+
+        new_sig = minhash_signature(
+            word_shingles(docs, id_col, text_col, n=3), id_col, k=self.k
+        ).localCheckpoint()
+        if self.wh.exists(self.SIG_TABLE):
+            old_sig = self.wh.read(self.SIG_TABLE)
+            pairs = incremental_lsh_candidates(
+                old_sig, new_sig, id_col,
+                k=self.k, bands=self.bands, validate_ids=True,
+            )
+        else:
+            pairs = lsh_candidate_pairs(new_sig, id_col, k=self.k, bands=self.bands)
+        pairs = pairs.localCheckpoint()  # pin BEFORE the append (see class doc)
+        # plain append — signatures are per-doc immutable, ids disjoint
+        self.wh.materialize_incremental(self.SIG_TABLE, new_sig)
+        return pairs
+
+
 def with_retries(fn, attempts: int = 3, delay_s: float = 0.0):
     """T6 — the reference's task retry policy (retries=3, 5-min delay,
     iot_mongo_extract_to_dwh.py:42-51) as an app-level wrapper; Spark's

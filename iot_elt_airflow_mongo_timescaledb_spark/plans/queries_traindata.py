@@ -882,7 +882,15 @@ def funnel_frontiers(docs):
     full funnel's reuse (shingles + semi-join) triggers materialization
     on first action."""
     lang = X.lang_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
-    qual = X.quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
+    # the ONE quality scan of the whole pipeline: checkpointed so both
+    # the quality frontier here and the full funnel's token-budget tier
+    # read the same materialized scores — the budget tier recomputing
+    # quality_scores over the corpus was a whole redundant scan per run
+    qual = (
+        X.quality_scores(docs, "doc_id", "text")
+        .select("doc_id", "n_words", "quality_score")
+        .localCheckpoint()
+    )
     d1 = (
         docs.join(lang, "doc_id")
         .filter(F.col("pred_lang") == "en")
@@ -890,7 +898,7 @@ def funnel_frontiers(docs):
         .localCheckpoint()
     )
     d2 = (
-        d1.join(qual, "doc_id")
+        d1.join(qual.select("doc_id", "quality_score"), "doc_id")
         .filter(F.col("quality_score") >= _FUNNEL_QUALITY_MIN)
         .select("doc_id", "text")
         .localCheckpoint()
@@ -911,6 +919,8 @@ def funnel_frontiers(docs):
         "quality": d2,
         "exact_dedup": d3,
         "near_dedup": d4,
+        # not a stage: the shared quality frame, for downstream tiers
+        "_quality_scores": qual,
     }
 
 
@@ -1218,9 +1228,9 @@ def curation_funnel_full(spark, sf_dir):
     fr = funnel_frontiers(docs)
     funnel = build_curation_funnel(docs, frontiers=fr)
     d4 = fr["near_dedup"]
-    qual = X.quality_scores(docs, "doc_id", "text").select(
-        "doc_id", "n_words", "quality_score"
-    )
+    # the checkpointed quality frame funnel_frontiers already built —
+    # NOT a second quality_scores pass over the corpus
+    qual = fr["_quality_scores"]
 
     src = docs.select("doc_id", "source")
     bench_sh = D.word_shingles(

@@ -137,22 +137,26 @@ def _drain_to_files(
     covers the zero-output case, where the sink directory has no
     footers to infer from.
     """
+    from ..fs import join_uri
+
     if sink_dir is None:
         # default local sink dirs are per-process scratch: register them
         # for interpreter-exit cleanup so repeated gate/bench runs don't
         # accumulate full result copies in /tmp.  An EXPLICIT sink_dir is
-        # the durable-output path (shared storage at cluster scale) and
+        # the durable-output path (shared storage at cluster scale —
+        # scheme-qualified URIs like hdfs://s3a: work: the sink, its
+        # checkpoint, and the read-back all resolve through Hadoop) and
         # is never auto-deleted.
         out = tempfile.mkdtemp(prefix=f"{name}_sink_")
         atexit.register(shutil.rmtree, out, True)
     else:
         out = sink_dir
-    data = os.path.join(out, "data")
+    data = join_uri(out, "data")
     q = (
         df.writeStream.outputMode("append")
         .format("parquet")
         .option("path", data)
-        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .option("checkpointLocation", join_uri(out, "_checkpoint"))
         .start()
     )
     try:

@@ -57,3 +57,62 @@ def test_full_chain_unchanged_by_banding_refactor(spark):
     sig = _sig(spark, OLD + NEW)
     pairs = lsh_candidate_pairs(sig, "doc_id").collect()
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_validate_ids_guard_raises_on_overlap(spark):
+    """ADVICE r4: a re-ingested id on both sides silently suppresses its
+    new-vs-old pairing — the validate flag must catch the misuse."""
+    import pytest
+
+    old_sig = _sig(spark, OLD)
+    new_with_overlap = _sig(spark, NEW + [(2, BASE + " eta")])  # id 2 re-ingested
+    with pytest.raises(ValueError, match="overlap"):
+        incremental_lsh_candidates(
+            old_sig, new_with_overlap, "doc_id", validate_ids=True
+        ).collect()
+    # disjoint ids pass the guard unchanged
+    assert incremental_lsh_candidates(
+        old_sig, _sig(spark, NEW), "doc_id", validate_ids=True
+    ).count() > 0
+
+
+def test_dedup_sync_end_to_end(spark, tmp_path):
+    """VERDICT r4 task 6: two syncs through the persisted signature
+    table — the second batch's candidates must equal the full-corpus
+    recompute restricted to pairs touching the new ids, and the corpus
+    table must accumulate both batches' signatures."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalDedupSync,
+    )
+
+    ds = IncrementalDedupSync(spark, str(tmp_path))
+    batch1 = spark.createDataFrame(OLD, ["doc_id", "text"])
+    batch2 = spark.createDataFrame(NEW, ["doc_id", "text"])
+
+    p1 = {(r["id_a"], r["id_b"]) for r in ds.sync(batch1).collect()}
+    full_old = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(_sig(spark, OLD), "doc_id").collect()
+    }
+    assert p1 == full_old  # first batch: plain self-join
+
+    p2 = {(r["id_a"], r["id_b"]) for r in ds.sync(batch2).collect()}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(_sig(spark, OLD + NEW), "doc_id").collect()
+    }
+    new_ids = {i for i, _ in NEW}
+    assert p2 == {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert p2, "second batch must produce candidates"
+
+    # signature table accumulated both batches
+    sigs = ds.wh.read(IncrementalDedupSync.SIG_TABLE)
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == (
+        {i for i, _ in OLD} | new_ids
+    )
+
+    # third sync re-ingesting an existing id trips the guard
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        ds.sync(spark.createDataFrame([(2, BASE)], ["doc_id", "text"]))
