@@ -697,3 +697,72 @@ def substring_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_ngrams"))
     )
+
+
+def doc_chunks(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int = 10
+) -> DataFrame:
+    """Segment each document into fixed-width word chunks (pseudo-
+    paragraphs): ``(id, chunk_idx, chunk)``.
+
+    The corpus in this environment carries no newline structure, so the
+    paragraph unit of line/paragraph-level dedup (C4's "discard every
+    repeated three-sentence span", RefinedWeb's line dedup) is
+    approximated by deterministic fixed-width segmentation — the
+    trailing partial chunk is kept.  Pure array expressions over one
+    split: no UDF, no shuffle; a narrow map over the corpus scan.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size("__words") / F.lit(float(chunk_words))).cast("int")
+    chunk_arr = F.expr(
+        f"transform(sequence(0, __n_chunks - 1), "
+        f"i -> concat_ws(' ', slice(__words, i * {chunk_words} + 1, {chunk_words})))"
+    )
+    return (
+        ensure_min_parallelism(df.select(id_col, text_col), id_col)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), words.alias("__words"))
+        .withColumn("__n_chunks", n_chunks)
+        .select(F.col(id_col), F.posexplode(chunk_arr).alias("chunk_idx", "chunk"))
+    )
+
+
+def chunk_dedup_stats(
+    chunks: DataFrame, id_col: str, min_doc_freq: int = 2
+) -> DataFrame:
+    """Cross-document chunk (pseudo-paragraph) duplication census:
+    per document, how many of its chunks appear in ≥``min_doc_freq``
+    DISTINCT documents — the measurement step of line/paragraph-level
+    dedup (the removal step is a filter on the same join).
+
+    ``chunks`` is a ``doc_chunks`` output.  Scale shape: one hash-agg on
+    the chunk key for the document-frequency table (map-side combinable;
+    distinct-doc counting via the (chunk, doc) pre-distinct), then an
+    equi-join back on the chunk key and a per-doc hash-agg — every
+    shuffle is on a bounded key, nothing is collected, and boilerplate
+    chunks (the high-df tail) cost one df row each, not a pair fan-out.
+    """
+    cdf = (
+        chunks.select("chunk", F.col(id_col)).distinct()
+        .groupBy("chunk")
+        .agg(F.count("*").alias("__doc_freq"))
+    )
+    return (
+        chunks.join(cdf, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("__doc_freq") >= min_doc_freq, 1).otherwise(0)
+            ).alias("n_dup_chunks"),
+            F.round(
+                F.try_divide(
+                    F.sum(
+                        F.when(F.col("__doc_freq") >= min_doc_freq, 1).otherwise(0)
+                    ),
+                    F.count("*"),
+                ),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )

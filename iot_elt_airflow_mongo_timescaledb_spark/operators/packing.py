@@ -188,3 +188,76 @@ def token_budget_cut(
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, "n_tokens", "score", "cum_tokens")
     )
+
+
+def shuffle_shard(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    writing: ``(id, shard, pos)`` where ``shard`` and the within-shard
+    order are both content-derived (seeded md5), so the SAME layout
+    comes out of any cluster size, any engine, and any re-run.
+
+    Pretraining ingestion ends by shuffling the curated corpus and
+    writing fixed-count shard files; a ``rand()``-based shuffle is
+    irreproducible and a global ``ORDER BY hash`` funnels the corpus
+    through one sort.  Here the hash IS the order: shard = hash mod
+    n_shards (one shuffle on the shard key), position = per-shard
+    ``row_number`` over (hash, id) — windows run per shard, never
+    globally, and changing ``seed`` re-deals the whole corpus.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("shard", F.col("__h") % n_shards)
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def mix_weights(
+    df: DataFrame,
+    stratum_col: str,
+    token_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights: per stratum (source,
+    language, domain), its token share ``p`` and the sampling weight
+    ``p^alpha / Σ p^alpha`` — the standard upsampling rule for
+    low-resource sources (alpha < 1 flattens the distribution, alpha = 1
+    keeps natural proportions).
+
+    One map-side-combinable hash-agg over the corpus; everything after
+    runs on the stratum-count-bounded aggregate (an unpartitioned window
+    over tens of rows, the same bounded-cardinality exception as the
+    budget histogram).  Ratios rounded to 6 dp.
+    """
+    agg = df.groupBy(stratum_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    scaled = F.pow(p, F.lit(alpha))
+    return agg.select(
+        F.col(stratum_col),
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("token_share"),
+        F.round(scaled / F.sum(scaled).over(w_all), 6).alias("mix_weight"),
+    )

@@ -245,3 +245,39 @@ def pii_scan(
         red = F.regexp_replace(red, pat, token)
     cols.append(red.alias("redacted"))
     return df.select(*cols)
+
+
+def corpus_ngram_topk(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 20
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams: ``(gram, n_occurrences,
+    n_docs)``, top-k by total occurrence count.
+
+    The boilerplate-discovery / stop-gram census of a curation pipeline
+    — the high-frequency grams this surfaces are what
+    ``substring_dup_pairs``' ``max_df`` band excludes and what
+    template-removal filters are built from.  Multiplicity is kept
+    (unlike the dedup shingles); distinct-doc counts ride the same
+    hash-agg.  Scale shape: explode → one map-side-combinable hash-agg
+    on the gram key → global top-k as ``ORDER BY … LIMIT k``, which
+    Spark executes as per-partition top-k + a k-row driver merge
+    (TakeOrderedAndProject) — no global sort materializes.
+    """
+    from .dedup import gram_expr
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = (
+        ensure_min_parallelism(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), words.alias("__w"))
+        .filter(F.size("__w") >= n)
+        .select(F.col(id_col), F.explode(F.expr(gram_expr("__w", n))).alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )

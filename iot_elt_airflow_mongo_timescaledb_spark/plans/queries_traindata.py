@@ -1256,3 +1256,133 @@ def curation_funnel_full(spark, sf_dir):
     out = out.unionByName(_stage_count(5, "decontaminated", d5))
     out = out.unionByName(_stage_count(6, "token_budget", d6))
     return out
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup / shuffle-shard / mixing weights / stop-gram census
+# (round 5)
+# ---------------------------------------------------------------------------
+
+_CHUNK_WORDS = 10
+
+
+@query(
+    "chunk_dedup_stats",
+    oracle=rf"""
+    WITH w AS ({_words_sql("SELECT * FROM documents WHERE len(trim(text)) > 0")}),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(ws) / {_CHUNK_WORDS}.0) AS BIGINT)),
+               i -> array_to_string(
+                      list_slice(ws, i * {_CHUNK_WORDS} + 1,
+                                 i * {_CHUNK_WORDS} + {_CHUNK_WORDS}), ' ')))
+               AS chunk
+      FROM w),
+    cdf AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS doc_freq
+      FROM chunks GROUP BY 1)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS dup_chunk_frac
+    FROM chunks JOIN cdf USING (chunk)
+    GROUP BY doc_id
+    """,
+    gate=False,
+)
+def chunk_dedup_stats(spark, sf_dir):
+    """Paragraph-level (fixed 10-word-chunk) cross-document duplication
+    census — the measurement step of C4/RefinedWeb-style line dedup,
+    approximated by deterministic fixed-width segmentation because this
+    corpus has no newline structure.  One hash-agg on the chunk key +
+    one equi-join back; no pair fan-out at any df
+    (operators/dedup.py:doc_chunks, chunk_dedup_stats)."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = D.doc_chunks(docs, "doc_id", "text", chunk_words=_CHUNK_WORDS)
+    return D.chunk_dedup_stats(chunks, "doc_id", min_doc_freq=2)
+
+
+_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS hv
+      FROM documents)
+    SELECT doc_id, hv % {_SHUFFLE_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % {_SHUFFLE_SHARDS}
+                                   ORDER BY hv ASC, doc_id ASC) AS INT) AS pos
+    FROM h
+    """,
+    gate=False,
+)
+def shuffle_shards(spark, sf_dir):
+    """Deterministic seeded shuffle + shard assignment for training-data
+    writing: content-derived shard and within-shard position, identical
+    on any cluster size / engine / re-run.  One shuffle on the shard
+    key; windows per shard, never global
+    (operators/packing.py:shuffle_shard)."""
+    docs = table(spark, sf_dir, "documents")
+    return P.shuffle_shard(docs, "doc_id", n_shards=_SHUFFLE_SHARDS, seed=0)
+
+
+@query(
+    "source_mix_weights",
+    oracle=r"""
+    WITH agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(regexp_extract_all(text, '\S+'))) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT *, n_tokens / SUM(n_tokens) OVER () AS p FROM agg)
+    SELECT source, n_docs, n_tokens,
+           ROUND(p, 6) AS token_share,
+           ROUND(pow(p, 0.5) / SUM(pow(p, 0.5)) OVER (), 6) AS mix_weight
+    FROM t
+    """,
+    gate=False,
+)
+def source_mix_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) source-mixing weights from per-
+    source token totals — the corpus-mixing knob computed from the data
+    instead of hand-set.  One hash-agg over the corpus; the window runs
+    on the source-count-bounded aggregate
+    (operators/packing.py:mix_weights)."""
+    docs = table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "source", X._count(r"\S+", F.col("text")).alias("n_tok")
+    )
+    return P.mix_weights(with_tokens, "source", "n_tok", alpha=0.5)
+
+
+_NGRAM_TOPK = 20
+
+
+@query(
+    "corpus_ngram_topk",
+    oracle=rf"""
+    WITH w AS ({_words_sql("SELECT * FROM documents")}),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      FROM w WHERE len(ws) >= 3)
+    SELECT gram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM grams GROUP BY gram
+    ORDER BY n_occurrences DESC, gram ASC
+    LIMIT {_NGRAM_TOPK}
+    """,
+    gate=False,
+)
+def corpus_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-20 word 3-grams with doc frequencies — the
+    boilerplate / stop-gram census that feeds template-removal filters
+    and substring_dup_pairs' max_df band.  Hash-agg + TakeOrdered top-k;
+    no global sort (operators/text.py:corpus_ngram_topk)."""
+    docs = table(spark, sf_dir, "documents")
+    return X.corpus_ngram_topk(docs, "doc_id", "text", n=3, k=_NGRAM_TOPK)

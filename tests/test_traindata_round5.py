@@ -1,0 +1,131 @@
+"""Round-5 training-data operators: chunk dedup segmentation edges,
+shuffle-shard determinism across partition layouts, mixing-weight
+normalization, and top-k gram tie determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+    chunk_dedup_stats,
+    doc_chunks,
+)
+from iot_elt_airflow_mongo_timescaledb_spark.operators.packing import (
+    mix_weights,
+    shuffle_shard,
+)
+from iot_elt_airflow_mongo_timescaledb_spark.operators.text import corpus_ngram_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_chunks_trailing_partial_and_short_docs(spark):
+    out = doc_chunks(
+        _docs(
+            spark,
+            [
+                (1, " ".join(f"w{i}" for i in range(25))),  # 3 chunks (10/10/5)
+                (2, "solo"),  # 1 chunk shorter than the width
+                (3, "   "),  # whitespace-only: no chunks
+            ],
+        ),
+        "doc_id",
+        "text",
+        chunk_words=10,
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3
+    assert sorted(r["chunk_idx"] for r in by_doc[1]) == [0, 1, 2]
+    trailing = next(r for r in by_doc[1] if r["chunk_idx"] == 2)
+    assert trailing["chunk"] == "w20 w21 w22 w23 w24"
+    assert [r["chunk"] for r in by_doc[2]] == ["solo"]
+    assert 3 not in by_doc
+
+
+def test_chunk_dedup_counts_cross_doc_only(spark):
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    # doc 3 repeats ITS OWN chunk twice — self-repetition is not a
+    # cross-document duplicate (doc_freq counts distinct docs)
+    self_rep = " ".join(f"c{i}" for i in range(10))
+    chunks = doc_chunks(
+        _docs(
+            spark,
+            [
+                (1, f"{shared} {uniq_a}"),
+                (2, f"{shared} {uniq_b}"),
+                (3, f"{self_rep} {self_rep}"),
+            ],
+        ),
+        "doc_id",
+        "text",
+    )
+    rows = {r["doc_id"]: r for r in chunk_dedup_stats(chunks, "doc_id").collect()}
+    assert rows[1]["n_chunks"] == 2 and rows[1]["n_dup_chunks"] == 1
+    assert rows[2]["n_chunks"] == 2 and rows[2]["n_dup_chunks"] == 1
+    assert rows[1]["dup_chunk_frac"] == 0.5
+    assert rows[3]["n_chunks"] == 2 and rows[3]["n_dup_chunks"] == 0
+
+
+def test_shuffle_shard_deterministic_across_layouts(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(300)], "doc_id long, payload string"
+    )
+    base = sorted(
+        shuffle_shard(df, "doc_id", n_shards=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    for parts in (1, 7):
+        again = sorted(
+            shuffle_shard(df.repartition(parts), "doc_id", n_shards=8).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert again == base
+    # positions are a 1..n_i permutation within each shard
+    by_shard: dict[int, list] = {}
+    for r in base:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a different seed re-deals the corpus
+    reseeded = sorted(
+        shuffle_shard(df, "doc_id", n_shards=8, seed=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert reseeded != base
+
+
+def test_mix_weights_normalized_and_monotone(spark):
+    df = spark.createDataFrame(
+        [("big", 900), ("mid", 90), ("small", 10)] * 5,
+        "source string, n_tok long",
+    )
+    rows = {r["source"]: r for r in mix_weights(df, "source", "n_tok").collect()}
+    assert abs(sum(r["mix_weight"] for r in rows.values()) - 1.0) < 1e-5
+    assert abs(sum(r["token_share"] for r in rows.values()) - 1.0) < 1e-5
+    # alpha=0.5 flattens: the small source's weight exceeds its share
+    assert rows["small"]["mix_weight"] > rows["small"]["token_share"]
+    assert rows["big"]["mix_weight"] < rows["big"]["token_share"]
+    # shares keep the natural order
+    assert rows["big"]["mix_weight"] > rows["mid"]["mix_weight"] > rows["small"]["mix_weight"]
+
+
+def test_corpus_ngram_topk_tiebreak_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "x y z x y z"),  # 'x y z' twice (plus bridging grams once)
+            (2, "x y z q r s"),
+            (3, "q r s q r s"),
+        ],
+    )
+    rows = corpus_ngram_topk(docs, "doc_id", "text", n=3, k=3).collect()
+    assert [r["gram"] for r in rows[:2]] == ["q r s", "x y z"]  # 3 each, tie → asc
+    assert rows[0]["n_occurrences"] == 3 and rows[0]["n_docs"] == 2
+    assert rows[1]["n_occurrences"] == 3 and rows[1]["n_docs"] == 2
