@@ -142,3 +142,35 @@ def test_props_json_stats_single_exchange(spark, sf_dir):
     the per-type aggregate."""
     facts = plan_facts(_Q["props_json_stats"](spark, sf_dir))
     assert facts["n_exchanges"] == 1, facts["plan"]
+
+
+def test_shuffle_shards_single_exchange_shard_window(spark, sf_dir):
+    """The training-shard shuffle is exactly one exchange (on the shard
+    key) and its window is partitioned — never a global row_number."""
+    df = _Q["shuffle_shards"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts["n_exchanges"] == 1, facts["plan"]
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "shard" in m.group(1), plan
+
+
+def test_chunk_dedup_no_cartesian_bounded_exchanges(spark, sf_dir):
+    """Chunk dedup joins back on the chunk key — equi-join only, and the
+    shuffle count stays at the 3 the shape needs (min-parallelism
+    repartition, chunk-df agg, doc agg reuses the repartition)."""
+    facts = plan_facts(_Q["chunk_dedup_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in facts["joins"], facts["plan"]
+    assert "BroadcastNestedLoopJoin" not in facts["joins"], facts["plan"]
+    assert facts["n_exchanges"] <= 3, facts["plan"]
+
+
+def test_corpus_ngram_topk_take_ordered(spark, sf_dir):
+    """Global top-k plans as TakeOrderedAndProject (per-partition top-k +
+    k-row driver merge), not a global Sort."""
+    df = _Q["corpus_ngram_topk"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert "TakeOrderedAndProject" in facts["plan"], facts["plan"]
+    assert facts["n_exchanges"] <= 2, facts["plan"]
