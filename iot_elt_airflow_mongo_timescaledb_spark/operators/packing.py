@@ -191,7 +191,11 @@ def token_budget_cut(
 
 
 def shuffle_shard(
-    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    keep_payload: bool = False,
 ) -> DataFrame:
     """Deterministic global shuffle + shard assignment for training-data
     writing: ``(id, shard, pos)`` where ``shard`` and the within-shard
@@ -205,6 +209,10 @@ def shuffle_shard(
     n_shards (one shuffle on the shard key), position = per-shard
     ``row_number`` over (hash, id) — windows run per shard, never
     globally, and changing ``seed`` re-deals the whole corpus.
+
+    ``keep_payload=True`` carries every input column through the same
+    single shuffle (for writers that land the sharded rows directly);
+    the default returns just the ``(id, shard, pos)`` assignment.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -222,12 +230,15 @@ def shuffle_shard(
         .alias("__h")
     )
     w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
-    return (
-        df.select(F.col(id_col), h)
+    base = (
+        (df if keep_payload else df.select(F.col(id_col)))
+        .withColumn("__h", h)
         .withColumn("shard", F.col("__h") % n_shards)
         .withColumn("pos", F.row_number().over(w))
-        .select(id_col, "shard", "pos")
     )
+    if keep_payload:
+        return base.drop("__h")
+    return base.select(id_col, "shard", "pos")
 
 
 def mix_weights(

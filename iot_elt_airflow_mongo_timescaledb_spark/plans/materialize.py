@@ -259,6 +259,42 @@ class Warehouse:
         self._swap_in(tmp, name)
         return self.read(name)
 
+    def materialize_training_shards(
+        self, name: str, df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+    ) -> DataFrame:
+        """Land a curated corpus as deterministically shuffled training
+        shards: ``shard=<k>/`` directories, ONE file per shard, rows
+        inside each file in the seeded shuffle order (``pos``).
+
+        The terminal step of a pretraining data pipeline — trainers
+        stream shard files sequentially, so the global shuffle must
+        happen at write time, be reproducible (content-derived, not
+        ``rand()``), and never funnel the corpus through a single sort.
+        Shape: ``shuffle_shard(keep_payload=True)`` is the ONE data
+        shuffle (on the shard key; the per-shard ``pos`` window rides
+        it); ``partitionBy(shard)`` then splits each task's rows into
+        its shard directory — a shard's rows all live in one task, so
+        each directory gets exactly one file, already pos-ordered.
+        Size shards via ``n_shards`` ≈ corpus_bytes / target_file_bytes;
+        parallelism scales with it.  Same two-phase staging + swap as
+        every other full rewrite.
+        """
+        from ..operators.packing import shuffle_shard
+
+        tmp = self.path(name) + "__staging"
+        self._recover_staging(name)
+        sharded = shuffle_shard(
+            df, id_col, n_shards=n_shards, seed=seed, keep_payload=True
+        )
+        (
+            sharded.sortWithinPartitions("shard", "pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(tmp)
+        )
+        self._swap_in(tmp, name)
+        return self.read(name)
+
     # ------------------------------------------------------------------
     # M3 — view materialization
     # ------------------------------------------------------------------

@@ -407,3 +407,62 @@ def test_recovery_on_scheme_qualified_uri(spark, tmp_path):
     rows = {(r["user_id"], r["age"]) for r in wh.read("stage.users").collect()}
     assert rows == {("a", 30), ("b", 40), ("c", 50)}
     assert not os.path.exists(local_staging)
+
+
+def test_training_shards_one_pos_ordered_file_per_shard(spark, tmp_path):
+    """materialize_training_shards: shard=<k>/ layout, exactly one data
+    file per shard, rows inside each file in seeded-shuffle (pos) order,
+    content round-trips."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.packing import (
+        shuffle_shard,
+    )
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(400)], "doc_id long, text string"
+    )
+    out = wh.materialize_training_shards("train.shards", df, "doc_id", n_shards=6)
+    assert out.count() == 400
+    root = os.path.join(str(tmp_path), "train", "shards")
+    shard_dirs = sorted(glob.glob(os.path.join(root, "shard=*")))
+    assert len(shard_dirs) == 6
+    expected = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shard(df, "doc_id", n_shards=6).collect()
+    }
+    seen = set()
+    for d in shard_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, f"{d}: expected one file, got {files}"
+        shard_k = int(d.rsplit("=", 1)[1])
+        tbl = pq.read_table(files[0]).to_pylist()
+        # file order IS the shuffle order
+        assert [r["pos"] for r in tbl] == list(range(1, len(tbl) + 1))
+        for r in tbl:
+            assert r["text"] == f"text-{r['doc_id']}"
+            seen.add((r["doc_id"], shard_k, r["pos"]))
+    assert seen == expected
+
+
+def test_training_shards_rewrite_replaces(spark, tmp_path):
+    """A second shard write fully replaces the first (two-phase swap),
+    and a different seed re-deals the layout."""
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "doc_id long, text string"
+    )
+    first = wh.materialize_training_shards(
+        "train.shards", df, "doc_id", n_shards=4, seed=0
+    ).collect()
+    second = wh.materialize_training_shards(
+        "train.shards", df, "doc_id", n_shards=4, seed=7
+    ).collect()
+    assert len(second) == 100
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted({r["doc_id"] for r in second}) == list(range(100))
+    assert sorted(first, key=key) != sorted(second, key=key)  # re-dealt
