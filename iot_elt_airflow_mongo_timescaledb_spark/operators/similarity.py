@@ -337,3 +337,25 @@ def lsh_topk(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def semantic_dedup_keepers(
+    vectors: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """SemDeDup-style keep-list: drop every vector that has a near-dup
+    pair with a SMALLER id, keep the rest — the greedy min-id removal
+    step applied to an embedding near-dup pair list (``pairs`` =
+    ``(id_a, id_b)`` with ``id_a < id_b``, from the threshold join over
+    LSH/IVF candidates; the exact all-pairs frame works too at test
+    scale).
+
+    Greedy-by-id is the standard deterministic tie-break for semantic
+    dedup (cluster-internal order is otherwise arbitrary); unlike
+    connected-components clustering it never chains A-B-C into one
+    family through a below-threshold A-C edge, which for SEMANTIC
+    similarity is the wanted behavior (chains drift in meaning).  Shape:
+    one distinct on the pair list + a left-anti equi-join — no new
+    shuffle over the vector payloads beyond the id key.
+    """
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return vectors.join(dropped, id_col, "left_anti")

@@ -1332,9 +1332,7 @@ def shuffle_shards(spark, sf_dir):
     return P.shuffle_shard(docs, "doc_id", n_shards=_SHUFFLE_SHARDS, seed=0)
 
 
-@query(
-    "source_mix_weights",
-    oracle=r"""
+_MIX_SQL = r"""
     WITH agg AS (
       SELECT source, COUNT(*) AS n_docs,
              SUM(len(regexp_extract_all(text, '\S+'))) AS n_tokens
@@ -1344,9 +1342,10 @@ def shuffle_shards(spark, sf_dir):
            ROUND(p, 6) AS token_share,
            ROUND(pow(p, 0.5) / SUM(pow(p, 0.5)) OVER (), 6) AS mix_weight
     FROM t
-    """,
-    gate=False,
-)
+"""
+
+
+@query("source_mix_weights", oracle=_MIX_SQL, gate=False)
 def source_mix_weights(spark, sf_dir):
     """Temperature-scaled (alpha=0.5) source-mixing weights from per-
     source token totals — the corpus-mixing knob computed from the data
@@ -1386,3 +1385,73 @@ def corpus_ngram_topk(spark, sf_dir):
     no global sort (operators/text.py:corpus_ngram_topk)."""
     docs = table(spark, sf_dir, "documents")
     return X.corpus_ngram_topk(docs, "doc_id", "text", n=3, k=_NGRAM_TOPK)
+
+
+@query(
+    "auto_mix_sample",
+    oracle=rf"""
+    WITH w AS ({_MIX_SQL}),
+    r AS (SELECT source, CAST(round(mix_weight * 100) AS BIGINT) AS rate FROM w),
+    s AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents)
+    SELECT s.source, r.rate AS rate_pct, COUNT(*) AS n_sampled
+    FROM s JOIN r ON s.source = r.source
+    WHERE s.bucket < r.rate
+    GROUP BY s.source, r.rate
+    """,
+    gate=False,
+)
+def auto_mix_sample(spark, sf_dir):
+    """Measure-then-mix: derive per-source sampling rates FROM the data
+    (temperature-scaled mixing weights → integer percentages) and apply
+    them with the deterministic hash-mod sampler — the closed loop a
+    mixing pipeline actually runs, composed from mix_weights +
+    stratified_sample.  The weights table is stratum-bounded, so the
+    driver-side rate read is a few rows (the watermark-cursor pattern),
+    never data-sized (operators/packing.py)."""
+    docs = table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "source", X._count(r"\S+", F.col("text")).alias("n_tok")
+    )
+    weights = P.mix_weights(with_tokens, "source", "n_tok", alpha=0.5).collect()
+    rates = {r["source"]: int(round(r["mix_weight"] * 100)) for r in weights}
+    kept = P.stratified_sample(docs, "doc_id", "source", rates, default_pct=0)
+    rate_col = F.lit(None).cast("long")
+    for src, pct in sorted(rates.items()):
+        rate_col = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate_col)
+    return kept.groupBy("source").agg(
+        F.max(rate_col).alias("rate_pct"), F.count("*").alias("n_sampled")
+    )
+
+
+@query(
+    "semantic_dedup_keepers",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS nrm
+               FROM embeddings),
+    p AS (SELECT b.vec_id AS id_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.4)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id_b FROM p)
+    """,
+    gate=False,
+)
+def semantic_dedup_keepers(spark, sf_dir):
+    """SemDeDup-style removal: keep every embedding that has no
+    above-threshold near-dup with a smaller id — the keep-list
+    completing the embedding_near_dup pair census (greedy min-id, no
+    transitive chaining).  Pairs come from the same threshold join; the
+    keep step adds one distinct + left-anti equi-join on the id key
+    (operators/similarity.py:semantic_dedup_keepers)."""
+    from ..operators.similarity import semantic_dedup_keepers as keepers
+    from .queries_analytics import embedding_near_dup
+
+    pairs = embedding_near_dup(spark, sf_dir)
+    vectors = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return keepers(vectors, pairs, "vec_id")
