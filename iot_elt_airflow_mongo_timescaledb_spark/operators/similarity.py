@@ -359,3 +359,54 @@ def semantic_dedup_keepers(
     """
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return vectors.join(dropped, id_col, "left_anti")
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding near-dup pairs through hyperplane-LSH buckets — the
+    100 TB path that replaces the exact all-pairs threshold join:
+    vectors only compare within their integer-exact signature bucket
+    (equi-join on the bucket key), then exact cosine thresholds the
+    candidates.
+
+    Recall contract: a pair is found iff its two vectors agree on all
+    ``n_planes`` sign bits; for cosine similarity s the per-plane
+    agreement probability is 1 - arccos(s)/π, so high-similarity pairs
+    (the ones dedup cares about) survive with probability
+    (1 - arccos(s)/π)^n_planes — raise recall by OR-ing runs with
+    different plane seeds or probing the Hamming ball (lsh_topk's
+    ``hamming_radius``).  Every shuffle is on the bucket key; a hot
+    bucket is AQE skew-split like any hot LSH band.
+    """
+    v = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__vec")
+    ).withColumn("__norm", l2_norm(F.col("__vec")))
+    s = hyperplane_signature(v, id_col, "__vec", dim, n_planes)
+    a = s.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__vec").alias("__ea"),
+        F.col("__norm").alias("__na"),
+        "bucket",
+    )
+    b = s.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__vec").alias("__eb"),
+        F.col("__norm").alias("__nb"),
+        "bucket",
+    )
+    cos = F.try_divide(
+        dot(F.col("__ea"), F.col("__eb")), F.col("__na") * F.col("__nb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__raw", cos)
+        .filter(F.col("__raw") > threshold)
+        .select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cosine"))
+    )

@@ -460,14 +460,21 @@ _DIM = 64
 _N_PLANES = 8
 
 
-def _ann_lsh_oracle() -> str:
+def _plane_bits_sql() -> str:
+    """The hyperplane signature bits as exact-integer SQL — shared by
+    every LSH-bucketed embedding oracle so Spark and DuckDB can never
+    disagree on a bucket."""
     planes = S.hyperplane_signs(_DIM, _N_PLANES)
-    bits = " || ".join(
+    return " || ".join(
         "(CASE WHEN list_dot_product(q, ["
         + ", ".join(str(s) for s in signs)
         + "]::BIGINT[]) >= 0 THEN '1' ELSE '0' END)"
         for signs in planes
     )
+
+
+def _ann_lsh_oracle() -> str:
+    bits = _plane_bits_sql()
     return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -1455,3 +1462,35 @@ def semantic_dedup_keepers(spark, sf_dir):
     pairs = embedding_near_dup(spark, sf_dir)
     vectors = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return keepers(vectors, pairs, "vec_id")
+
+
+def _emb_lsh_pairs_oracle() -> str:
+    bits = _plane_bits_sql()
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    s AS (SELECT vec_id, e, nrm, {bits} AS bucket FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+    FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.4
+    """
+
+
+@query("embedding_near_dup_lsh", oracle=_emb_lsh_pairs_oracle(), gate=False)
+def embedding_near_dup_lsh(spark, sf_dir):
+    """The bucketed scale path for embedding near-dup: pairs only form
+    inside an integer-exact hyperplane-signature bucket (equi-join on
+    the bucket key — no all-pairs join anywhere), exact cosine
+    thresholds the candidates.  Fully hash-oracled because the bucket
+    bits are exact integer arithmetic, like ann_lsh_topk
+    (operators/similarity.py:lsh_near_dup_pairs)."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.lsh_near_dup_pairs(
+        e, "vec_id", "embedding", dim=_DIM, n_planes=_N_PLANES, threshold=0.4
+    )

@@ -115,3 +115,25 @@ def test_lsh_multiprobe_recall_on_gate_table(gate_truth):
     )
     assert r2 >= 0.25, f"LSH radius=2 gate recall@3 {r2}"
     assert r2 >= r0, (r0, r2)
+
+
+def test_lsh_near_dup_pairs_subset_of_exact(spark, sf_dir):
+    """Bucketed near-dup pairs are exactly the exact-threshold pairs
+    whose vectors share a signature bucket — always a subset of the
+    all-pairs result, with identical cosines on the intersection."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import (
+        spark_queries,
+    )
+
+    q = spark_queries()
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in q["embedding_near_dup"](spark, sf_dir).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in q["embedding_near_dup_lsh"](spark, sf_dir).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert cos == exact[pair]
