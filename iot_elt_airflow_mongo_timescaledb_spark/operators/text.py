@@ -247,6 +247,42 @@ def pii_scan(
     return df.select(*cols)
 
 
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus-unigram language-model score per document: mean token
+    negative log-probability under the corpus's own unigram
+    distribution — the perplexity-filter shape (CCNet ranks documents
+    by LM perplexity and keeps the head; a KenLM model is not available
+    in-container, so the LM is the corpus unigram MLE, which already
+    separates gibberish/rare-token documents from ordinary prose).
+
+    Lower = more typical text; high scores flag documents dominated by
+    rare tokens.  Shape: one explode feeds BOTH the per-doc term counts
+    and the corpus term-frequency table (two map-side-combinable
+    hash-aggs off one exchange, the TF-IDF pattern), the corpus total
+    rides a 1-row broadcast, and the probe join is AQE-chosen on the
+    bounded term key.  Rounded to 6 dp (float log; same expression both
+    engines).
+    """
+    words = ensure_min_parallelism(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = F.broadcast(corpus.agg(F.sum("cf").alias("__total")))
+    scored = tf.join(corpus, "term").crossJoin(total)
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            (-F.sum(F.col("tf") * F.log(F.col("cf") / F.col("__total")))
+             / F.sum("tf")),
+            6,
+        ).alias("mean_neg_logprob"),
+    )
+
+
 def corpus_ngram_topk(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 20
 ) -> DataFrame:

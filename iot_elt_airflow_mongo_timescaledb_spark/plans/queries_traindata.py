@@ -1482,6 +1482,34 @@ def _emb_lsh_pairs_oracle() -> str:
     """
 
 
+@query(
+    "unigram_logprob_scores",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents),
+    w2 AS (SELECT * FROM words WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+    corpus AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(cf) AS total FROM corpus)
+    SELECT doc_id, SUM(tf) AS n_tokens,
+           ROUND(-SUM(tf * ln(cf / total)) / SUM(tf), 6) AS mean_neg_logprob
+    FROM tf JOIN corpus USING (term), tot
+    GROUP BY doc_id
+    """,
+    gate=False,
+)
+def unigram_logprob_scores(spark, sf_dir):
+    """Perplexity-style LM filter score: per-doc mean token negative
+    log-prob under the corpus's own unigram distribution (the CCNet
+    ranking shape; KenLM unavailable in-container).  One explode feeds
+    both hash-aggs; corpus total is a 1-row broadcast
+    (operators/text.py:unigram_logprob_scores)."""
+    return X.unigram_logprob_scores(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 @query("embedding_near_dup_lsh", oracle=_emb_lsh_pairs_oracle(), gate=False)
 def embedding_near_dup_lsh(spark, sf_dir):
     """The bucketed scale path for embedding near-dup: pairs only form
