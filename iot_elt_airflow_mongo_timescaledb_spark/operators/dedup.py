@@ -766,3 +766,85 @@ def chunk_dedup_stats(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+def chunk_dedup_clean(
+    chunks: DataFrame, id_col: str, min_doc_freq: int = 2
+) -> DataFrame:
+    """Paragraph-level dedup REMOVAL: rebuild each document keeping a
+    duplicated chunk only at its first occurrence corpus-wide (lowest
+    ``(doc, chunk_idx)``), all other occurrences dropped — the
+    RefinedWeb line-dedup rule (one copy survives; C4's drop-all is
+    this with the keeper filter removed).
+
+    Determinism without a global sort: the surviving occurrence is the
+    min doc id per chunk, then the min chunk_idx within that doc — two
+    map-side-combinable hash-aggs on the chunk key, joined back as
+    filters.  Reassembly is a per-doc ``collect_list`` of (idx, chunk)
+    structs sorted in-array — no window, no per-doc ordering shuffle
+    beyond the one hash-agg.  A doc whose every chunk was removed
+    disappears from the output (matches the SQL GROUP BY over
+    survivors).
+    """
+    cdf = (
+        chunks.select("chunk", F.col(id_col)).distinct()
+        .groupBy("chunk")
+        .agg(F.count("*").alias("__doc_freq"), F.min(id_col).alias("__kdoc"))
+    )
+    first_idx = (
+        chunks.join(cdf, "chunk")
+        .filter(F.col(id_col) == F.col("__kdoc"))
+        .groupBy("chunk", "__kdoc")
+        .agg(F.min("chunk_idx").alias("__kidx"))
+    )
+    survivors = (
+        chunks.join(cdf, "chunk")
+        .join(first_idx.select("chunk", "__kidx"), "chunk")
+        .filter(
+            (F.col("__doc_freq") < min_doc_freq)
+            | ((F.col(id_col) == F.col("__kdoc")) & (F.col("chunk_idx") == F.col("__kidx")))
+        )
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("chunk_idx").alias("i"), F.col("chunk").alias("c")))
+    )
+    return survivors.groupBy(id_col).agg(
+        F.count("*").alias("n_kept_chunks"),
+        F.array_join(F.transform(parts, lambda x: x["c"]), " ").alias("clean_text"),
+    )
+
+
+def best_quality_keepers(
+    clusters: DataFrame, scored: DataFrame, id_col: str, score_col: str
+) -> DataFrame:
+    """Quality-aware dedup keep-list: for every dup cluster keep the
+    member with the HIGHEST quality score (ties → lowest id); documents
+    in no cluster keep themselves.  Production dedup keeps the best
+    copy, not the lowest-id copy — a near-dup family often mixes a
+    clean original with truncated/boilerplate variants.
+
+    ``clusters`` is a ``connected_components`` output ``(node,
+    cluster_id)``; ``scored`` maps ``id_col`` → ``score_col``.  Null
+    scores rank lowest (null-safe max equality picks them only in
+    all-null clusters).  Shape: two hash-aggs on the bounded cluster
+    key + one anti-join for singletons; no window needed.
+    """
+    j = clusters.join(
+        scored.select(F.col(id_col), F.col(score_col)),
+        clusters["node"] == scored[id_col],
+    ).select(
+        F.col("node").alias(id_col), "cluster_id", F.col(score_col)
+    )
+    best = j.groupBy("cluster_id").agg(F.max(score_col).alias("__best"))
+    reps = (
+        j.join(best, "cluster_id")
+        .filter(F.col(score_col).eqNullSafe(F.col("__best")))
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias(id_col), F.max("__best").alias(score_col))
+    )
+    singles = scored.select(F.col(id_col), F.col(score_col)).join(
+        clusters.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    ).withColumn("cluster_id", F.lit(None).cast("long"))
+    return reps.select(id_col, "cluster_id", score_col).unionByName(
+        singles.select(id_col, "cluster_id", score_col)
+    )

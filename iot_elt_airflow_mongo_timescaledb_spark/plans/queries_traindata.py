@@ -557,10 +557,9 @@ def multimodal_features(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE pairs AS ({_PAIRS}),
+# the recursive-reachability cluster CTE chain, shared by dedup_clusters
+# and the quality-aware keeper query so "cluster" can never drift
+_CLUSTERS_CTES = f"""pairs AS ({_PAIRS}),
     exact_edges AS (
       SELECT k.id_a, d.doc_id AS id_b
       FROM (SELECT md5({_NORM_SQL}) AS fp, MIN(doc_id) AS id_a
@@ -577,8 +576,15 @@ def multimodal_features(spark, sf_dir):
       SELECT a, a FROM edges
       UNION
       SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    )
-    SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY 1
+    ),
+    clusters AS (SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY 1)"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTERS_CTES}
+    SELECT node, cluster_id FROM clusters
     """,
 )
 def dedup_clusters(spark, sf_dir):
@@ -1508,6 +1514,84 @@ def unigram_logprob_scores(spark, sf_dir):
     return X.unigram_logprob_scores(
         table(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+@query(
+    "chunk_dedup_clean",
+    oracle=rf"""
+    WITH w AS ({_words_sql("SELECT * FROM documents WHERE len(trim(text)) > 0")}),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(list_slice(ws, i * {_CHUNK_WORDS} + 1,
+                                        i * {_CHUNK_WORDS} + {_CHUNK_WORDS}), ' ')
+               AS chunk
+      FROM (SELECT doc_id, ws,
+                   unnest(range(0, CAST(ceil(len(ws) / {_CHUNK_WORDS}.0) AS BIGINT)))
+                     AS i
+            FROM w)),
+    cdf AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS doc_freq, MIN(doc_id) AS kdoc
+      FROM chunks GROUP BY 1),
+    fidx AS (
+      SELECT c.chunk, MIN(c.chunk_idx) AS kidx
+      FROM chunks c JOIN cdf ON c.chunk = cdf.chunk AND c.doc_id = cdf.kdoc
+      GROUP BY 1),
+    surv AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk
+      FROM chunks c JOIN cdf ON c.chunk = cdf.chunk
+                    JOIN fidx ON c.chunk = fidx.chunk
+      WHERE cdf.doc_freq < 2
+         OR (c.doc_id = cdf.kdoc AND c.chunk_idx = fidx.kidx))
+    SELECT doc_id, COUNT(*) AS n_kept_chunks,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+    FROM surv GROUP BY doc_id
+    """,
+    gate=False,
+)
+def chunk_dedup_clean(spark, sf_dir):
+    """Paragraph-dedup REMOVAL: rebuild every document keeping a
+    cross-document-duplicated chunk only at its corpus-first occurrence
+    (RefinedWeb line-dedup rule).  Two hash-aggs on the chunk key as
+    keeper filters + per-doc in-array sort reassembly — no window, no
+    pair fan-out (operators/dedup.py:chunk_dedup_clean)."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = D.doc_chunks(docs, "doc_id", "text", chunk_words=_CHUNK_WORDS)
+    return D.chunk_dedup_clean(chunks, "doc_id", min_doc_freq=2)
+
+
+@query(
+    "cluster_best_keepers",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTERS_CTES},
+    q AS ({_QUALITY_SQL}),
+    j AS (SELECT c.node AS doc_id, c.cluster_id, q.quality_score
+          FROM clusters c JOIN q ON q.doc_id = c.node),
+    best AS (SELECT cluster_id, MAX(quality_score) AS bq FROM j GROUP BY 1),
+    reps AS (SELECT j.cluster_id, MIN(j.doc_id) AS doc_id
+             FROM j JOIN best ON j.cluster_id = best.cluster_id
+             WHERE j.quality_score IS NOT DISTINCT FROM best.bq
+             GROUP BY j.cluster_id)
+    SELECT r.doc_id, r.cluster_id, b.bq AS quality_score
+    FROM reps r JOIN best b ON r.cluster_id = b.cluster_id
+    UNION ALL
+    SELECT q.doc_id, CAST(NULL AS BIGINT) AS cluster_id, q.quality_score
+    FROM q WHERE q.doc_id NOT IN (SELECT node FROM clusters)
+    """,
+    gate=False,
+)
+def cluster_best_keepers(spark, sf_dir):
+    """Quality-aware dedup keep-list: every dup cluster keeps its
+    highest-quality member (ties → lowest id), singletons keep
+    themselves — production dedup keeps the best copy, not the
+    lowest-id copy.  Composed from the gated cluster and quality
+    queries; two hash-aggs on the cluster key + one anti-join
+    (operators/dedup.py:best_quality_keepers)."""
+    docs = table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    scored = X.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    return D.best_quality_keepers(clusters, scored, "doc_id", "quality_score")
 
 
 @query("embedding_near_dup_lsh", oracle=_emb_lsh_pairs_oracle(), gate=False)
