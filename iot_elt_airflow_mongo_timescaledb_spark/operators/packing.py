@@ -131,6 +131,16 @@ def token_budget_cut(
     kept docs — bit-identical to the single-window oracle because
     bucket order refines score order and the within-bucket tiebreak is
     the same ``(score DESC, id ASC)``.
+
+    Scale contract: the histogram split assumes scores SPREAD across
+    buckets (quality scores do — they mix several continuous ratios).
+    A degenerate distribution (all docs sharing one score, or a score
+    range ≪ 1/n_buckets) collapses everything into one bucket and its
+    window into one task — the global-window trap re-entered through
+    the data.  Callers cutting on a low-cardinality score should raise
+    ``n_buckets`` toward the score cardinality or refine the score with
+    a deterministic secondary component (e.g. a content-hash fraction)
+    before cutting.
     """
     scored = (
         df.select(

@@ -129,3 +129,60 @@ def test_corpus_ngram_topk_tiebreak_and_counts(spark):
     assert [r["gram"] for r in rows[:2]] == ["q r s", "x y z"]  # 3 each, tie → asc
     assert rows[0]["n_occurrences"] == 3 and rows[0]["n_docs"] == 2
     assert rows[1]["n_occurrences"] == 3 and rows[1]["n_docs"] == 2
+
+
+def test_chunk_dedup_clean_first_occurrence_survives(spark):
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+        chunk_dedup_clean,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    other = " ".join(f"v{i}" for i in range(10))
+    rows = {
+        r["doc_id"]: r
+        for r in chunk_dedup_clean(
+            doc_chunks(
+                _docs(
+                    spark,
+                    [
+                        (1, f"{shared} {uniq}"),   # owns the first occurrence
+                        (2, f"{shared}"),          # loses its only chunk
+                        (3, f"{other} {shared}"),  # distinct first chunk, loses shared
+                    ],
+                ),
+                "doc_id",
+                "text",
+            ),
+            "doc_id",
+        ).collect()
+    }
+    assert rows[1]["n_kept_chunks"] == 2
+    assert rows[1]["clean_text"] == f"{shared} {uniq}"
+    assert 2 not in rows  # every chunk removed -> doc disappears
+    assert rows[3]["n_kept_chunks"] == 1 and shared not in rows[3]["clean_text"]
+
+
+def test_best_quality_keepers_ties_nulls_singletons(spark):
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+        best_quality_keepers,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, None), (11, None), (20, 0.3)],
+        "doc_id long, quality_score double",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in best_quality_keepers(
+            clusters, scored, "doc_id", "quality_score"
+        ).collect()
+    }
+    assert set(rows) == {2, 10, 20}
+    assert rows[2]["cluster_id"] == 1 and rows[2]["quality_score"] == 0.9  # tie -> min id
+    assert rows[10]["quality_score"] is None  # all-null cluster still keeps one
+    assert rows[20]["cluster_id"] is None  # singleton passes through
