@@ -195,17 +195,24 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
-def hyperplane_signs(dim: int, n_planes: int = 8) -> list[list[int]]:
+def hyperplane_signs(
+    dim: int, n_planes: int = 8, seed: int = 0
+) -> list[list[int]]:
     """Deterministic ±1 hyperplane components: sign(j, i) follows the
-    parity of the first hex digit of md5("j:i").  Both the Spark plan
-    and the SQL oracle embed the SAME literals, so the bucketing is
-    reproducible everywhere (and across runs — no RNG state)."""
+    parity of the first hex digit of md5("j:i") (seed 0; other seeds
+    prefix the key, giving an independent plane family for recall
+    OR-ing).  Both the Spark plan and the SQL oracle embed the SAME
+    literals, so the bucketing is reproducible everywhere (and across
+    runs — no RNG state)."""
     import hashlib
+
+    def key(j: int, i: int) -> str:
+        return f"{j}:{i}" if seed == 0 else f"{seed}:{j}:{i}"
 
     return [
         [
             1
-            if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            if int(hashlib.md5(key(j, i).encode()).hexdigest()[0], 16) % 2 == 0
             else -1
             for i in range(dim)
         ]
@@ -220,6 +227,7 @@ def hyperplane_signature(
     dim: int,
     n_planes: int = 8,
     quant: int = 1000,
+    seed: int = 0,
 ) -> DataFrame:
     """SimHash-style bucket signature for vectors: bit j = (v·h_j >= 0).
 
@@ -232,7 +240,7 @@ def hyperplane_signature(
     q = F.transform(
         as_double(F.col(vec_col)), lambda x: F.round(x * quant).cast("long")
     )
-    planes = hyperplane_signs(dim, n_planes)
+    planes = hyperplane_signs(dim, n_planes, seed)
     out = df.withColumn("__q", q)
     bits = []
     for signs in planes:
@@ -368,6 +376,7 @@ def lsh_near_dup_pairs(
     dim: int = 64,
     n_planes: int = 8,
     threshold: float = 0.4,
+    plane_seeds: tuple[int, ...] = (0,),
 ) -> DataFrame:
     """Embedding near-dup pairs through hyperplane-LSH buckets — the
     100 TB path that replaces the exact all-pairs threshold join:
@@ -375,38 +384,49 @@ def lsh_near_dup_pairs(
     (equi-join on the bucket key), then exact cosine thresholds the
     candidates.
 
-    Recall contract: a pair is found iff its two vectors agree on all
-    ``n_planes`` sign bits; for cosine similarity s the per-plane
-    agreement probability is 1 - arccos(s)/π, so high-similarity pairs
-    (the ones dedup cares about) survive with probability
-    (1 - arccos(s)/π)^n_planes — raise recall by OR-ing runs with
-    different plane seeds or probing the Hamming ball (lsh_topk's
-    ``hamming_radius``).  Every shuffle is on the bucket key; a hot
+    Recall contract: under one plane family a pair is found iff its two
+    vectors agree on all ``n_planes`` sign bits; for cosine similarity
+    s the per-plane agreement probability is 1 - arccos(s)/π, so
+    high-similarity pairs (the ones dedup cares about) survive with
+    probability p = (1 - arccos(s)/π)^n_planes — e.g. ~0.85 at s=0.998
+    with 8 planes (measured 0.78 on the planted-cluster test).  OR-ing
+    r independent plane families (``plane_seeds``) lifts that to
+    1-(1-p)^r — two seeds clear 0.9 on the same test (floor pinned in
+    tests/test_ann_recall.py) — at r× the bucket-join cost, each join
+    still bucket-bounded.  Every shuffle is on a bucket key; a hot
     bucket is AQE skew-split like any hot LSH band.
     """
+    if not plane_seeds:
+        raise ValueError("plane_seeds must not be empty")
     v = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__vec")
     ).withColumn("__norm", l2_norm(F.col("__vec")))
-    s = hyperplane_signature(v, id_col, "__vec", dim, n_planes)
-    a = s.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__vec").alias("__ea"),
-        F.col("__norm").alias("__na"),
-        "bucket",
-    )
-    b = s.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__vec").alias("__eb"),
-        F.col("__norm").alias("__nb"),
-        "bucket",
-    )
     cos = F.try_divide(
         dot(F.col("__ea"), F.col("__eb")), F.col("__na") * F.col("__nb")
     )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__raw", cos)
-        .filter(F.col("__raw") > threshold)
-        .select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cosine"))
-    )
+    out = None
+    for seed in plane_seeds:
+        s = hyperplane_signature(v, id_col, "__vec", dim, n_planes, seed=seed)
+        a = s.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__vec").alias("__ea"),
+            F.col("__norm").alias("__na"),
+            "bucket",
+        )
+        b = s.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__vec").alias("__eb"),
+            F.col("__norm").alias("__nb"),
+            "bucket",
+        )
+        pairs = (
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("__raw", cos)
+            .filter(F.col("__raw") > threshold)
+            .select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cosine"))
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    # a pair found under several plane families carries the same exact
+    # cosine — dedup on the pair key alone
+    return out if len(plane_seeds) == 1 else out.dropDuplicates(["id_a", "id_b"])

@@ -137,3 +137,58 @@ def test_lsh_near_dup_pairs_subset_of_exact(spark, sf_dir):
     assert set(bucketed) <= set(exact)
     for pair, cos in bucketed.items():
         assert cos == exact[pair]
+
+
+def test_lsh_near_dup_pairs_recall_on_clustered_data(clustered, spark):
+    """Pair recall floor for the bucketed near-dup path on the planted-
+    cluster workload: same-cluster points sit at cosine ≈ 1, so the
+    8-plane agreement probability (1 - arccos(s)/π)^8 is near 1 — the
+    bucketed join must recover ≥ 0.9 of the exact threshold pairs.
+    Documented in lsh_near_dup_pairs' docstring recall contract."""
+    from pyspark.sql import functions as F
+
+    v = clustered.select(
+        "vec_id",
+        S.as_double(F.col("embedding")).alias("e"),
+        S.l2_norm(S.as_double(F.col("embedding"))).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.try_divide(
+        S.dot(F.col("a.e"), F.col("b.e")), F.col("a.nrm") * F.col("b.nrm")
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") > 0.9)
+        .collect()
+    }
+    assert exact  # planted clusters must produce high-cosine pairs
+
+    def recall(seeds):
+        bucketed = {
+            (r["id_a"], r["id_b"])
+            for r in S.lsh_near_dup_pairs(
+                clustered,
+                "vec_id",
+                "embedding",
+                dim=64,
+                n_planes=8,
+                threshold=0.9,
+                plane_seeds=seeds,
+            ).collect()
+        }
+        assert bucketed <= exact
+        return len(bucketed & exact) / len(exact)
+
+    # one plane family: theory gives (1-arccos(s)/pi)^8 ~ 0.85 at the
+    # planted within-cluster cosine; floor at 0.7
+    r1 = recall((0,))
+    assert r1 >= 0.7, f"single-family pair recall {r1:.3f} < 0.7"
+    # OR-ing a second family: 1-(1-p)^2 — must clear 0.9
+    r2 = recall((0, 1))
+    assert r2 >= max(0.9, r1), f"two-family pair recall {r2:.3f} < 0.9"
