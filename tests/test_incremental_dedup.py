@@ -116,3 +116,51 @@ def test_dedup_sync_end_to_end(spark, tmp_path):
 
     with pytest.raises(ValueError, match="overlap"):
         ds.sync(spark.createDataFrame([(2, BASE)], ["doc_id", "text"]))
+
+
+def test_streaming_dedup_sync(spark, tmp_path):
+    """Streaming twin: two ingest files drained by two availableNow
+    runs land the same candidates as the batch sync path, with the
+    checkpoint (not a cursor table) guaranteeing each file is LSH-
+    checked exactly once."""
+    import json
+    import os
+
+    from iot_elt_airflow_mongo_timescaledb_spark.streaming.pipeline_stream import (
+        StreamingDedupSync,
+    )
+
+    src = tmp_path / "ingest"
+    src.mkdir()
+    wh_root = str(tmp_path / "wh")
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            json.dumps([{"doc_id": i, "text": t} for i, t in rows])
+        )
+
+    write_batch("b1.json", OLD)
+    sync = StreamingDedupSync(spark, wh_root, str(src))
+    sync.run_once()
+    write_batch("b2.json", NEW)
+    sync.run_once()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sync.wh.read(StreamingDedupSync.PAIRS_TABLE).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(_sig(spark, OLD + NEW), "doc_id").collect()
+    }
+    new_ids = {i for i, _ in NEW}
+    expected = {
+        p for p in full if p[0] in new_ids or p[1] in new_ids
+    } | {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(_sig(spark, OLD), "doc_id").collect()
+    }
+    assert got == expected and got
+    # a third drain with no new files is a no-op (checkpoint + isEmpty)
+    sync.run_once()
+    assert sync.wh.read(StreamingDedupSync.PAIRS_TABLE).count() == len(got)
