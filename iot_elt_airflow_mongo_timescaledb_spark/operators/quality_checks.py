@@ -68,3 +68,40 @@ def run_checks(checks: dict[str, DataFrame]) -> dict[str, int]:
     without pulling rows to the driver.
     """
     return {name: df.count() for name, df in checks.items()}
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass table profile: per column, null count, distinct count,
+    and min/max (as strings, for a uniform row shape) — the ANALYZE /
+    data-profiling step a warehouse runs after each load to drive
+    monitoring and join planning.
+
+    All metrics for every column ride ONE aggregate node (Spark plans
+    the multi-column COUNT DISTINCT as a single expand + hash-agg pass
+    — one scan regardless of column count), then a ``stack`` unpivots
+    the 1-row result into (column, metric...) rows driver-side-free.
+    Distinct counts are exact to stay oracle-comparable; at 100 TB
+    swap ``countDistinct`` for ``approx_count_distinct`` (HLL, one
+    pass, no expand) — the shape is otherwise identical.
+    """
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")

@@ -914,3 +914,30 @@ def props_json_stats(spark, sf_dir):
         F.sum(k).alias("sum_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
     )
+
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "props"]
+
+
+@query(
+    "table_profile",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+            COUNT(*) - COUNT({c}) AS n_nulls,
+            COUNT(DISTINCT {c}) AS n_distinct,
+            MIN(CAST({c} AS VARCHAR)) AS min_value,
+            MAX(CAST({c} AS VARCHAR)) AS max_value
+            FROM events"""
+        for c in _PROFILE_COLS
+    ),
+    gate=False,
+)
+def table_profile(spark, sf_dir):
+    """Post-load table profiling (the ANALYZE surface): per-column null
+    / distinct / min / max in ONE scan — all columns' metrics ride a
+    single expand + hash-agg pass, unpivoted with ``stack``; the SQL
+    oracle spells it as per-column scans because DuckDB optimizes that
+    freely at test scale (operators/quality_checks.py:profile_columns)."""
+    from ..operators.quality_checks import profile_columns
+
+    return profile_columns(table(spark, sf_dir, "events"), _PROFILE_COLS)
