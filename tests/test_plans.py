@@ -167,6 +167,31 @@ def test_chunk_dedup_no_cartesian_bounded_exchanges(spark, sf_dir):
     assert facts["n_exchanges"] <= 3, facts["plan"]
 
 
+def test_table_profile_single_scan(spark, sf_dir):
+    """Every column's null/distinct/min/max metric rides ONE expand +
+    hash-agg over ONE scan — per-column scans would multiply the
+    100 TB read by the column count."""
+    import re
+
+    facts = plan_facts(_Q["table_profile"](spark, sf_dir), execute=True)
+    tree = facts["plan"].split("== Initial Plan ==")[0]
+    tree = re.split(r"\n\n\(\d+\) ", tree)[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+
+
+def test_unigram_logprob_single_scan(spark, sf_dir):
+    """The per-doc tf, the corpus frequency table, and the corpus total
+    all hang off one tokenize exchange (AQE ReusedExchange) — the
+    TF-IDF sharing shape."""
+    import re
+
+    facts = plan_facts(_Q["unigram_logprob_scores"](spark, sf_dir), execute=True)
+    tree = facts["plan"].split("== Initial Plan ==")[0]
+    tree = re.split(r"\n\n\(\d+\) ", tree)[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert len(re.findall(r"ReusedExchange", tree)) >= 1, tree
+
+
 def test_corpus_ngram_topk_take_ordered(spark, sf_dir):
     """Global top-k plans as TakeOrderedAndProject (per-partition top-k +
     k-row driver merge), not a global Sort."""
