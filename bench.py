@@ -63,6 +63,15 @@ EXTENDED = [
     "props_json_stats",         # JSON payload extraction
     "substring_dup_pairs",      # exact long-n-gram partial-copy tier
     "curation_funnel_full",     # 7-stage composed pipeline
+    # round-5 additions
+    "chunk_dedup_clean",        # paragraph-chunk dedup removal
+    "shuffle_shards",           # deterministic shuffle-shard assignment
+    "unigram_logprob_scores",   # corpus-unigram LM filter score
+    "corpus_ngram_topk",        # stop-gram census (TakeOrdered)
+    "embedding_near_dup_lsh",   # bucketed near-dup pairs
+    "cluster_best_keepers",     # quality-aware cluster keep-list
+    "auto_mix_sample",          # measure-then-mix closed loop
+    "table_profile",            # one-pass column profiling
 ]
 
 
@@ -106,8 +115,8 @@ def main() -> None:
         best[name] = round(min(attempts), 3)
         median[name] = round(statistics.median(attempts), 3)
 
-    # round-4 additions, measured once each OUTSIDE the headline total so
-    # "value" stays comparable across rounds
+    # later-round additions, measured once each OUTSIDE the headline
+    # total so "value" stays comparable across rounds
     extended: dict[str, float] = {}
     for name in EXTENDED:
         t0 = time.perf_counter()

@@ -778,31 +778,24 @@ def chunk_dedup_clean(
     this with the keeper filter removed).
 
     Determinism without a global sort: the surviving occurrence is the
-    min doc id per chunk, then the min chunk_idx within that doc — two
-    map-side-combinable hash-aggs on the chunk key, joined back as
-    filters.  Reassembly is a per-doc ``collect_list`` of (idx, chunk)
-    structs sorted in-array — no window, no per-doc ordering shuffle
-    beyond the one hash-agg.  A doc whose every chunk was removed
-    disappears from the output (matches the SQL GROUP BY over
-    survivors).
+    lexicographic ``min(struct(doc, chunk_idx))`` per chunk — doc-
+    frequency and keeper ride ONE map-side-combinable hash-agg on the
+    chunk key, joined back once as the filter.  Reassembly is a per-doc
+    ``collect_list`` of (idx, chunk) structs sorted in-array — no
+    window, no per-doc ordering shuffle beyond the one hash-agg.  A doc
+    whose every chunk was removed disappears from the output (matches
+    the SQL GROUP BY over survivors).
     """
-    cdf = (
-        chunks.select("chunk", F.col(id_col)).distinct()
-        .groupBy("chunk")
-        .agg(F.count("*").alias("__doc_freq"), F.min(id_col).alias("__kdoc"))
+    cdf = chunks.groupBy("chunk").agg(
+        F.countDistinct(id_col).alias("__doc_freq"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("chunk_idx").alias("i")))
+        .alias("__keep"),
     )
-    first_idx = (
-        chunks.join(cdf, "chunk")
-        .filter(F.col(id_col) == F.col("__kdoc"))
-        .groupBy("chunk", "__kdoc")
-        .agg(F.min("chunk_idx").alias("__kidx"))
-    )
-    survivors = (
-        chunks.join(cdf, "chunk")
-        .join(first_idx.select("chunk", "__kidx"), "chunk")
-        .filter(
-            (F.col("__doc_freq") < min_doc_freq)
-            | ((F.col(id_col) == F.col("__kdoc")) & (F.col("chunk_idx") == F.col("__kidx")))
+    survivors = chunks.join(cdf, "chunk").filter(
+        (F.col("__doc_freq") < min_doc_freq)
+        | (
+            (F.col(id_col) == F.col("__keep.d"))
+            & (F.col("chunk_idx") == F.col("__keep.i"))
         )
     )
     parts = F.array_sort(
