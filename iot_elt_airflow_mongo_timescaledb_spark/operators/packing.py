@@ -273,12 +273,18 @@ def mix_weights(
         F.count("*").alias("n_docs"),
     )
     w_all = Window.partitionBy()
-    p = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    # try_divide: a zero-token corpus (or all-null strata) yields NULL
+    # shares instead of an ANSI DIVIDE_BY_ZERO abort — DuckDB's `/`
+    # NULLs on zero too, so the oracle agrees (same guard as
+    # quality_scores)
+    p = F.try_divide(F.col("n_tokens"), F.sum("n_tokens").over(w_all))
     scaled = F.pow(p, F.lit(alpha))
     return agg.select(
         F.col(stratum_col),
         "n_docs",
         "n_tokens",
         F.round(p, 6).alias("token_share"),
-        F.round(scaled / F.sum(scaled).over(w_all), 6).alias("mix_weight"),
+        F.round(F.try_divide(scaled, F.sum(scaled).over(w_all)), 6).alias(
+            "mix_weight"
+        ),
     )

@@ -186,3 +186,36 @@ def test_best_quality_keepers_ties_nulls_singletons(spark):
     assert rows[2]["cluster_id"] == 1 and rows[2]["quality_score"] == 0.9  # tie -> min id
     assert rows[10]["quality_score"] is None  # all-null cluster still keeps one
     assert rows[20]["cluster_id"] is None  # singleton passes through
+
+
+def test_mix_weights_zero_token_corpus_yields_nulls(spark):
+    """An all-zero-token corpus must score NULL shares, not abort the
+    job under ANSI (Spark 4 default) — the quality_scores try_divide
+    contract applied to the mixing aggregate."""
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "source string, n_tok long"
+    )
+    rows = {r["source"]: r for r in mix_weights(df, "source", "n_tok").collect()}
+    assert rows["a"]["token_share"] is None
+    assert rows["a"]["mix_weight"] is None
+    assert rows["a"]["n_docs"] == 1
+
+
+def test_chunk_clean_identity_when_no_cross_doc_dups(spark):
+    """With no cross-document duplicate chunk, cleaning must be the
+    identity (modulo whitespace normalization of the split)."""
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+        chunk_dedup_clean,
+    )
+
+    texts = {
+        i: " ".join(f"d{i}w{j}" for j in range(23)) for i in range(1, 6)
+    }
+    rows = {
+        r["doc_id"]: r["clean_text"]
+        for r in chunk_dedup_clean(
+            doc_chunks(_docs(spark, list(texts.items())), "doc_id", "text"),
+            "doc_id",
+        ).collect()
+    }
+    assert rows == texts
