@@ -302,3 +302,47 @@ def test_reextracted_doc_with_vanished_array_field_deletes_children(spark, tmp_p
     pipe.sync({"steps": str(src)})
     rows = pipe.wh.read("raw.steps__metrics").collect()
     assert {r["v"] for r in rows} == {90}, rows
+
+
+def test_incremental_agg_sync_matches_full_recompute(spark, tmp_path):
+    """Two disjoint fact batches merged through IncrementalAggSync must
+    equal the one-shot aggregate over their union, including groups
+    touched by both batches, batch-only groups, and derived means."""
+    from pyspark.sql import functions as F
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalAggSync,
+    )
+
+    b1 = spark.createDataFrame(
+        [("u1", "d1", 10.0), ("u1", "d1", 20.0), ("u2", "d1", 5.0)],
+        "user string, day string, value double",
+    )
+    b2 = spark.createDataFrame(
+        [("u1", "d1", 30.0), ("u2", "d2", 7.0), ("u3", "d1", 1.0)],
+        "user string, day string, value double",
+    )
+    agg = IncrementalAggSync(
+        spark, str(tmp_path), "agg.user_day", ("user", "day"), ("value",)
+    )
+    agg.sync(b1)
+    got = {
+        (r["user"], r["day"]): (r["sum_value"], r["n_rows"], r["avg_value"])
+        for r in agg.sync(b2).collect()
+    }
+    full = {
+        (r["user"], r["day"]): (r["sum_value"], r["n_rows"], r["avg_value"])
+        for r in b1.unionByName(b2)
+        .groupBy("user", "day")
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn(
+            "avg_value", F.round(F.try_divide(F.col("sum_value"), F.col("n_rows")), 6)
+        )
+        .collect()
+    }
+    assert got == full
+    assert got[("u1", "d1")] == (60.0, 3, 20.0)  # merged across batches
+    assert got[("u3", "d1")] == (1.0, 1, 1.0)    # batch-2-only group
