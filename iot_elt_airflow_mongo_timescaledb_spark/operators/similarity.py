@@ -430,3 +430,63 @@ def lsh_near_dup_pairs(
     # a pair found under several plane families carries the same exact
     # cosine — dedup on the pair key alone
     return out if len(plane_seeds) == 1 else out.dropDuplicates(["id_a", "id_b"])
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str = "embedding", bits: int = 8
+) -> DataFrame:
+    """Per-vector symmetric integer quantization — the storage tier for
+    vectors at corpus scale: float32 embeddings ship as int8 + one
+    float scale (4x smaller, and int dot products SIMD well), with
+    exactness bounded per vector instead of assumed.
+
+    scale = max|x| / (2^(bits-1) - 1); q_i = round(x_i / scale) (a
+    zero vector quantizes to zeros via the NULL-safe divide).  Output:
+    (id, scale, q, rel_err) where rel_err = ||x - scale*q|| / ||x|| —
+    the reconstruction bound callers threshold before switching the ANN
+    tier to quantized dot products.  All expressions are per-element
+    array folds (deterministic order — no partition-dependent float
+    summation), so the whole operator is hash-oracle-able.
+    """
+    qmax = 2 ** (bits - 1) - 1
+    e = as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(float(qmax))
+    out = df.select(F.col(id_col), e.alias("__e"), scale.alias("scale"))
+    q = F.transform(
+        F.col("__e"),
+        lambda x: F.coalesce(
+            F.round(F.try_divide(x, F.col("scale"))).cast("int"), F.lit(0)
+        ),
+    )
+    out = out.withColumn("q", q)
+    # Residual in UNITS OF SCALE: r_i = x_i/scale - q_i, then scaled
+    # back — NOT x_i - q_i*scale.  The multiply-subtract form is an FMA
+    # candidate, and whether codegen fuses it depends on which sibling
+    # columns share subexpressions in the surrounding projection
+    # (observed: adding `q` to the select shifted rel_err by ~1e-8 and
+    # flipped a 6-dp rounding).  A division cannot fuse, so this form
+    # is bit-stable across plan shapes AND matches the SQL oracle
+    # op-for-op.
+    resid = F.zip_with(
+        F.col("__e"),
+        F.col("q"),
+        lambda x, qx: F.coalesce(F.try_divide(x, F.col("scale")), F.lit(0.0))
+        - qx.cast("double"),
+    )
+    rel_err = F.try_divide(
+        F.col("scale")
+        * F.sqrt(
+            F.aggregate(
+                F.zip_with(resid, resid, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        l2_norm(F.col("__e")),
+    )
+    return out.select(
+        F.col(id_col),
+        F.round(F.col("scale"), 9).alias("scale"),
+        "q",
+        F.round(rel_err, 6).alias("rel_err"),
+    )

@@ -1621,6 +1621,51 @@ def cluster_best_keepers(spark, sf_dir):
     return D.best_quality_keepers(clusters, scored, "doc_id", "quality_score")
 
 
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    m AS (SELECT vec_id, e,
+            list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM v),
+    q AS (SELECT vec_id, e, scale,
+            list_transform(e, x -> coalesce(CAST(round(x / scale) AS INT), 0))
+              AS qv
+          FROM m)
+    SELECT vec_id, ROUND(scale, 9) AS scale,
+           list_sum(qv) AS q_sum,
+           list_sum(list_transform(qv, x -> abs(x))) AS q_l1,
+           len(list_filter(qv, x -> abs(x) = 127)) AS n_saturated
+    FROM q
+    """,
+    gate=False,
+)
+def embedding_quantization(spark, sf_dir):
+    """int8 vector storage tier: per-vector symmetric quantization
+    (scale = max|x|/127) — 4× smaller embeddings for the 100 TB corpus.
+    The hash oracle anchors on the INTEGER-EXACT columns (signed and
+    absolute checksums of the int8 codes, saturation count) plus the
+    one-division scale; the float reconstruction bound ``rel_err`` is
+    deliberately NOT hash-compared — its last-ulp value shifts with
+    codegen subexpression sharing (plan-shape-dependent FMA-style
+    fusion, observed ±1e-8) — and is tolerance-pinned in
+    tests/test_quantization.py instead
+    (operators/similarity.py:quantize_embeddings)."""
+    out = S.quantize_embeddings(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", bits=8
+    )
+    return out.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("q_sum"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x).cast("long")
+        ).alias("q_l1"),
+        F.size(F.filter("q", lambda x: F.abs(x) == 127)).alias("n_saturated"),
+    )
+
+
 @query("embedding_near_dup_lsh", oracle=_emb_lsh_pairs_oracle(), gate=False)
 def embedding_near_dup_lsh(spark, sf_dir):
     """The bucketed scale path for embedding near-dup: pairs only form

@@ -1,0 +1,50 @@
+"""quantize_embeddings: reconstruction-bound and code-range contracts.
+
+The int checksums are hash-oracled by the embedding_quantization query;
+the float reconstruction error is tolerance-pinned here because its
+last ulp shifts with codegen subexpression sharing (see the query
+docstring)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from iot_elt_airflow_mongo_timescaledb_spark.operators.similarity import (
+    quantize_embeddings,
+)
+
+
+def test_reconstruction_error_bound_and_python_agreement(spark, sf_dir):
+    import os
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = quantize_embeddings(e, "vec_id").collect()
+    src = {r["vec_id"]: r["embedding"] for r in e.collect()}
+    assert rows
+    for r in rows:
+        vec = [float(x) for x in src[r["vec_id"]]]
+        q, sc = r["q"], r["scale"]
+        assert all(-127 <= x <= 127 for x in q)
+        den = math.sqrt(sum(x * x for x in vec))
+        num = sc * math.sqrt(sum((x / sc - qq) ** 2 for x, qq in zip(vec, q)))
+        ref = num / den if den else None
+        if ref is None:
+            assert r["rel_err"] is None
+        else:
+            # 8-bit symmetric quantization of a unit-ish vector: worst
+            # case 0.5*scale per dim -> rel_err well under 1%
+            assert r["rel_err"] < 0.01
+            assert abs(r["rel_err"] - ref) < 1e-5
+
+
+def test_zero_vector_quantizes_to_zeros(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df, "vec_id").collect()}
+    assert rows[1]["q"] == [0, 0, 0, 0]
+    assert rows[1]["rel_err"] is None  # 0/0 -> NULL, never an ANSI abort
+    assert rows[2]["q"][1] == -127  # max-abs element saturates by construction
