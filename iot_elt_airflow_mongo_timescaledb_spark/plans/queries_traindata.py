@@ -1622,6 +1622,46 @@ def cluster_best_keepers(spark, sf_dir):
 
 
 @query(
+    "dataset_split_counts",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket = 98 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM s GROUP BY 1
+    """,
+    gate=False,
+)
+def dataset_split_counts(spark, sf_dir):
+    """Deterministic train/valid/test assignment (98/1/1) by salted
+    content hash — the split a training pipeline must reproduce across
+    engines, re-runs, and cluster sizes; hash-mod like the mixing
+    sampler, one narrow map + one hash-agg."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket == 98, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(split.alias("split")).groupBy("split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@query(
     "embedding_quantization",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
