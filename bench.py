@@ -72,6 +72,8 @@ EXTENDED = [
     "cluster_best_keepers",     # quality-aware cluster keep-list
     "auto_mix_sample",          # measure-then-mix closed loop
     "table_profile",            # one-pass column profiling
+    "semantic_dedup_keepers",   # bucketed SemDeDup keep-list
+    "embedding_quantization",   # int8 storage tier
 ]
 
 
