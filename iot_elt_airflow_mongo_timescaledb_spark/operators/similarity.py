@@ -490,3 +490,61 @@ def quantize_embeddings(
         "q",
         F.round(rel_err, 6).alias("rel_err"),
     )
+
+
+def int_dot(a, b) -> F.Column:
+    """Exact integer dot product (long accumulation — order-free)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bits: int = 8,
+) -> DataFrame:
+    """Top-k cosine over the int8 storage tier: because symmetric
+    quantization scales every component by one per-vector factor, the
+    factor CANCELS in cosine — score = intdot(qa, qb) /
+    sqrt(intdot(qa,qa) * intdot(qb,qb)) — so the whole ranking runs on
+    exact integer dot products (SIMD-friendly, 4x less memory traffic)
+    with one float division at the end.  No float accumulation
+    anywhere: the score is bit-reproducible on any engine, which is why
+    the query carries a full hash oracle (unlike IVF).
+
+    Quality bound: quantization perturbs each cosine by O(rel_err) of
+    the operands (see ``quantize_embeddings``); recall@k vs the exact
+    ``cosine_topk`` is pinned in tests/test_quantization.py.
+    """
+    cq = quantize_embeddings(corpus, id_col, vec_col, bits).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("__cq")
+    )
+    qq = quantize_embeddings(queries, id_col, vec_col, bits).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("__qq")
+    )
+    num = int_dot(F.col("__cq"), F.col("__qq")).cast("double")
+    den = F.sqrt(
+        (
+            int_dot(F.col("__cq"), F.col("__cq"))
+            * int_dot(F.col("__qq"), F.col("__qq"))
+        ).cast("double")
+    )
+    scored = (
+        cq.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.try_divide(num, den), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -1622,6 +1622,44 @@ def cluster_best_keepers(spark, sf_dir):
 
 
 @query(
+    "ann_quantized_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    m AS (SELECT vec_id, e,
+            list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM v),
+    q AS (SELECT vec_id,
+            list_transform(e, x -> coalesce(CAST(round(x / scale) AS INT), 0))
+              AS qv
+          FROM m),
+    qs AS (SELECT * FROM q WHERE vec_id < 5),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qs.qv, c.qv)
+                   / sqrt(list_dot_product(c.qv, c.qv)
+                          * list_dot_product(qs.qv, qs.qv)), 6) AS score
+      FROM qs JOIN q c ON c.vec_id <> qs.vec_id)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+    gate=False,
+)
+def ann_quantized_topk(spark, sf_dir):
+    """Cosine top-3 over the int8 storage tier: the per-vector scale
+    cancels in cosine, so ranking runs on EXACT integer dot products
+    (order-free — no float accumulation anywhere) with one final float
+    division — fully hash-oracled, unlike any float-accumulating ANN
+    tier.  Recall vs the exact float path is pinned in
+    tests/test_quantization.py
+    (operators/similarity.py:quantized_cosine_topk)."""
+    e = table(spark, sf_dir, "embeddings")
+    out = S.quantized_cosine_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+    return out.select("query_id", "neighbor_id", "score", "rk")
+
+
+@query(
     "dataset_split_counts",
     oracle="""
     WITH s AS (

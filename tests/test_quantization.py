@@ -48,3 +48,36 @@ def test_zero_vector_quantizes_to_zeros(spark):
     assert rows[1]["q"] == [0, 0, 0, 0]
     assert rows[1]["rel_err"] is None  # 0/0 -> NULL, never an ANSI abort
     assert rows[2]["q"][1] == -127  # max-abs element saturates by construction
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 cosine ranking must track the float ranking closely: on the
+    gate table, recall@3 vs cosine_topk >= 0.85 (8-bit error is ~1e-2
+    relative, far below typical neighbor score gaps) and every returned
+    score within 0.02 of the exact cosine for that pair."""
+    import os
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = e.filter("vec_id < 5")
+    exact_rows = cosine_topk(e, q, k=3).collect()
+    quant_rows = quantized_cosine_topk(e, q, k=3).collect()
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    quant = {}
+    for r in quant_rows:
+        quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(len(exact[k] & quant.get(k, set())) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hit / total >= 0.85, f"quantized recall {hit}/{total}"
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in cosine_topk(e, q, k=10**6).collect()
+    }
+    for r in quant_rows:
+        assert abs(r["score"] - exact_scores[(r["query_id"], r["neighbor_id"])]) < 0.02
