@@ -164,3 +164,60 @@ class StreamingDedupSync:
             .start()
         )
         q.awaitTermination()
+
+
+class StreamingAggSync:
+    """Streaming rollup maintenance: each micro-batch's partial sums
+    merge into the warehouse aggregate (``IncrementalAggSync`` inside
+    ``foreachBatch``) — the stored rollup is always current and is
+    NEVER recomputed from fact history.
+
+    The streaming checkpoint supplies the disjoint-batch contract the
+    merge requires (each fact file processed exactly once), closing the
+    loop the batch class documents: checkpoint/cursor upstream, additive
+    merge downstream.  State is an ordinary warehouse table, so the
+    15-minute reference cadence becomes "rollup lag = one trigger" at
+    any corpus size.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        source_dir: str,
+        table_name: str,
+        group_cols: tuple[str, ...],
+        sum_cols: tuple[str, ...],
+        checkpoint_root: str | None = None,
+    ):
+        from ..plans.pipeline import IncrementalAggSync
+
+        self.spark = spark
+        self.agg = IncrementalAggSync(
+            spark, warehouse_root, table_name, group_cols, sum_cols
+        )
+        self.source_dir = source_dir
+        self.checkpoint = os.path.join(
+            checkpoint_root or os.path.join(warehouse_root, "_checkpoints"),
+            f"agg_sync_{table_name.replace('.', '_')}",
+        )
+        self.schema = spark.read.parquet(source_dir).schema
+
+    def _process_batch(self, batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.agg.sync(batch_df)
+
+    def run_once(self) -> None:
+        """Drain every not-yet-checkpointed fact file, then stop."""
+        stream = self.spark.readStream.schema(self.schema).parquet(self.source_dir)
+        q = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def read(self):
+        return self.agg.read()

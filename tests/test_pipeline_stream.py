@@ -53,3 +53,50 @@ def test_stream_sync_exactly_once_and_incremental(spark, tmp_path):
     assert parents.count() == 3
     assert parents.select("_id").distinct().count() == 3
     assert sync.wh.read("raw.heart_rates__metrics").count() == 4
+
+
+def test_streaming_agg_sync_matches_full_recompute(spark, tmp_path):
+    """Two drained fact files merged through the streaming rollup equal
+    the one-shot aggregate over their union; an empty third drain is a
+    no-op."""
+    from pyspark.sql import functions as F
+
+    from iot_elt_airflow_mongo_timescaledb_spark.streaming.pipeline_stream import (
+        StreamingAggSync,
+    )
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [("u1", "d1", 10.0), ("u2", "d1", 5.0)], "user string, day string, value double"
+    )
+    b2 = spark.createDataFrame(
+        [("u1", "d1", 30.0), ("u3", "d2", 1.0)], "user string, day string, value double"
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    sync = StreamingAggSync(
+        spark, str(tmp_path / "wh"), str(src), "agg.user_day", ("user", "day"), ("value",)
+    )
+    sync.run_once()
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    sync.run_once()
+    got = {
+        (r["user"], r["day"]): (r["sum_value"], r["n_rows"], r["avg_value"])
+        for r in sync.read().collect()
+    }
+    full = {
+        (r["user"], r["day"]): (r["sum_value"], r["n_rows"], r["avg_value"])
+        for r in b1.unionByName(b2)
+        .groupBy("user", "day")
+        .agg(F.sum("value").alias("sum_value"), F.count("*").alias("n_rows"))
+        .withColumn(
+            "avg_value", F.round(F.try_divide(F.col("sum_value"), F.col("n_rows")), 6)
+        )
+        .collect()
+    }
+    assert got == full
+    assert got[("u1", "d1")] == (40.0, 2, 20.0)
+    sync.run_once()  # nothing new
+    assert {
+        (r["user"], r["day"]): r["sum_value"] for r in sync.read().collect()
+    } == {k: v[0] for k, v in full.items()}
