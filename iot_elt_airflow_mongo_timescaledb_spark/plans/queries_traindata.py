@@ -1622,6 +1622,59 @@ def cluster_best_keepers(spark, sf_dir):
 
 
 @query(
+    "packed_sequences",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_PACK_SHARDS} AS shard
+      FROM documents),
+    b AS (
+      SELECT doc_id, text, n_tokens, shard,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {_PACK_BUDGET}) AS BIGINT) AS bin_idx
+      FROM t)
+    SELECT shard, bin_idx, COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+           string_agg(text, '<|eos|>' ORDER BY doc_id) AS packed_text
+    FROM b GROUP BY shard, bin_idx
+    """,
+    gate=False,
+)
+def packed_sequences(spark, sf_dir):
+    """The materialized packing artifact: per (shard, bin) the
+    concatenated training sequence with document boundaries — what the
+    trainer actually consumes after ``sequence_packing`` assigns slots.
+    One extra hash-agg on the (shard, bin) key; concatenation order is
+    the same content-derived (doc id) order as the bin assignment, via
+    an in-array sort — no window beyond the packing's own
+    (operators/packing.py:pack_sequences)."""
+    docs = table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "text", X._count(r"\S+", F.col("text")).alias("n_tok")
+    )
+    packed = P.pack_sequences(
+        with_tokens.select("doc_id", "n_tok"),
+        "doc_id",
+        "n_tok",
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+    joined = packed.join(with_tokens.select("doc_id", "text"), "doc_id")
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id").alias("i"), F.col("text").alias("t")))
+    )
+    return joined.groupBy("shard", "bin_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.array_join(
+            F.transform(parts, lambda x: x["t"]), "<|eos|>"
+        ).alias("packed_text"),
+    )
+
+
+@query(
     "ann_quantized_topk",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
