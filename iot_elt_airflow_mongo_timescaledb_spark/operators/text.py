@@ -247,6 +247,34 @@ def pii_scan(
     return df.select(*cols)
 
 
+# ASCII control characters except \t \n \r (those become whitespace and
+# collapse); kept to \xNN escapes valid in BOTH Java regex and RE2 —
+# \uXXXX zero-width classes spell differently in the two engines and
+# would break oracle parity.
+CONTROL_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pre-filter text normalization: strip control characters, collapse
+    all whitespace runs to single spaces, trim — the cleanup every
+    downstream operator (shingles, chunks, token counts) assumes.
+    Reports per-doc characters removed so the cleaning rate is
+    monitorable.  Pure codegen regexp chain: zero shuffle, a narrow map
+    over the corpus scan.
+    """
+    t = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(t, CONTROL_CHARS, ""), r"\s+", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        (F.length(t) - F.length(cleaned)).alias("n_removed_chars"),
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

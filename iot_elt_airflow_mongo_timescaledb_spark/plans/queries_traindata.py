@@ -1622,6 +1622,27 @@ def cluster_best_keepers(spark, sf_dir):
 
 
 @query(
+    "text_normalization",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '\s+', ' ', 'g')) AS clean_text,
+           length(text) - length(trim(regexp_replace(
+             regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '\s+', ' ', 'g'))) AS n_removed_chars
+    FROM documents
+    """,
+    gate=False,
+)
+def text_normalization(spark, sf_dir):
+    """Pre-filter cleanup: control-char strip + whitespace collapse +
+    trim with the per-doc removal count — zero-shuffle codegen map
+    (operators/text.py:normalize_corpus)."""
+    return X.normalize_corpus(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
     "packed_sequences",
     oracle=rf"""
     WITH t AS (

@@ -219,3 +219,28 @@ def test_chunk_clean_identity_when_no_cross_doc_dups(spark):
         ).collect()
     }
     assert rows == texts
+
+
+def test_normalize_corpus_strips_controls_and_collapses(spark):
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.text import (
+        normalize_corpus,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in normalize_corpus(
+            _docs(
+                spark,
+                [
+                    (1, "a\x00b\x07c"),           # control chars stripped
+                    (2, "  hello \t\n  world  "),  # collapse + trim
+                    (3, "clean already"),
+                ],
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert rows[1]["clean_text"] == "abc" and rows[1]["n_removed_chars"] == 2
+    assert rows[2]["clean_text"] == "hello world"
+    assert rows[3]["clean_text"] == "clean already" and rows[3]["n_removed_chars"] == 0
