@@ -125,6 +125,44 @@ def exact_dup_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def lsh_band_tuning(k: int, target_threshold: float) -> dict:
+    """Calibrate banded-LSH parameters for a target Jaccard threshold.
+
+    With a k-hash signature split into b bands of r = k/b rows, a pair
+    of Jaccard similarity s collides in at least one band with
+    probability 1 - (1 - s^r)^b; the S-curve's midpoint is
+    approximately (1/b)^(1/r).  This picks the divisor b of k whose
+    midpoint lands closest to ``target_threshold`` and reports the
+    collision probability AT the target (the false-negative rate for
+    pairs exactly at threshold is its complement) — so a pipeline can
+    state its dedup recall instead of inheriting a default.
+
+    Driver-side arithmetic over the handful of divisors of k — use it
+    to choose ``bands`` for ``lsh_candidate_pairs`` /
+    ``minhash_signature``'s k.
+    """
+    if k < 1 or not 0 < target_threshold < 1:
+        raise ValueError(f"need k >= 1 and 0 < threshold < 1, got {k}, {target_threshold}")
+    best = None
+    for b in range(1, k + 1):
+        if k % b:
+            continue
+        r = k // b
+        midpoint = (1.0 / b) ** (1.0 / r)
+        p_at_target = 1.0 - (1.0 - target_threshold**r) ** b
+        cand = {
+            "bands": b,
+            "rows_per_band": r,
+            "threshold_midpoint": round(midpoint, 6),
+            "p_collide_at_target": round(p_at_target, 6),
+        }
+        if best is None or abs(midpoint - target_threshold) < abs(
+            best["threshold_midpoint"] - target_threshold
+        ):
+            best = cand
+    return best
+
+
 def gram_expr(words_col: str, n: int) -> str:
     """SQL expression producing the word n-gram array of a split-words
     column — the ONE definition of gram construction, shared by the

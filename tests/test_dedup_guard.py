@@ -146,3 +146,23 @@ def test_simhash_high_bit_signatures_pair_up(spark):
     for bands in (2, 4, 8, 16):
         rows = D.simhash_hamming_pairs(sig, "doc_id", bands=bands).collect()
         assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_lsh_band_tuning_picks_matching_divisor():
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+        lsh_band_tuning,
+    )
+
+    # k=8, target 0.5: b=4, r=2 gives midpoint (1/4)^(1/2) = 0.5 exactly
+    t = lsh_band_tuning(8, 0.5)
+    assert (t["bands"], t["rows_per_band"]) == (4, 2)
+    assert t["threshold_midpoint"] == 0.5
+    # at the midpoint the collision probability is substantial (~0.68)
+    assert 0.6 < t["p_collide_at_target"] < 0.8
+    # a high threshold pushes toward fewer bands (longer rows)
+    hi = lsh_band_tuning(8, 0.95)
+    assert hi["rows_per_band"] > 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_band_tuning(8, 1.5)
