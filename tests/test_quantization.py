@@ -81,3 +81,57 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     }
     for r in quant_rows:
         assert abs(r["score"] - exact_scores[(r["query_id"], r["neighbor_id"])]) < 0.02
+
+
+def test_quantized_store_and_rank_roundtrip(spark, sf_dir, tmp_path):
+    """The storage-tier loop: quantize the corpus, land the int8 codes
+    as a warehouse table, read them back, and rank queries against the
+    STORED codes — results identical to ranking computed in-flight
+    (the whole point of the integer tier: storage round-trips are
+    exact, unlike floats re-accumulated per plan)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.similarity import (
+        int_dot,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import Warehouse
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    wh = Warehouse(spark, str(tmp_path))
+    wh.materialize_upsert(
+        "vectors.int8", quantize_embeddings(e, "vec_id").drop("rel_err"), "vec_id"
+    )
+    stored = wh.read("vectors.int8")
+
+    qq = stored.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("__qq")
+    )
+    cq = stored.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("__cq"))
+    num = int_dot(F.col("__cq"), F.col("__qq")).cast("double")
+    den = F.sqrt(
+        (int_dot(F.col("__cq"), F.col("__cq")) * int_dot(F.col("__qq"), F.col("__qq")))
+        .cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    from_store = (
+        cq.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(F.try_divide(num, den), 6).alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .collect()
+    )
+    in_flight = quantized_cosine_topk(e, e.filter("vec_id < 5"), k=3).collect()
+    key = lambda r: (r["query_id"], r["rk"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["rk"], r["neighbor_id"], r["score"]) for r in from_store]
+    ) == sorted(
+        [(r["query_id"], r["rk"], r["neighbor_id"], r["score"]) for r in in_flight]
+    )
