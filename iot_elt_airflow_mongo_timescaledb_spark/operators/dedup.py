@@ -873,9 +873,12 @@ def best_quality_keepers(
         .groupBy("cluster_id")
         .agg(F.min(id_col).alias(id_col), F.max("__best").alias(score_col))
     )
+    # singletons carry a NULL cluster_id of the CLUSTERS frame's own
+    # type — a hardcoded long would break the union for string ids
+    cluster_type = clusters.schema["cluster_id"].dataType
     singles = scored.select(F.col(id_col), F.col(score_col)).join(
         clusters.select(F.col("node").alias(id_col)), id_col, "left_anti"
-    ).withColumn("cluster_id", F.lit(None).cast("long"))
+    ).withColumn("cluster_id", F.lit(None).cast(cluster_type))
     return reps.select(id_col, "cluster_id", score_col).unionByName(
         singles.select(id_col, "cluster_id", score_col)
     )

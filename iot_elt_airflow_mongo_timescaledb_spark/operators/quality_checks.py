@@ -86,17 +86,24 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("profile_columns needs at least one column")
+    # internal aliases are INDEX-based and column names enter the stack
+    # expression only as escaped string literals — a name with spaces,
+    # dashes, quotes, or keyword spelling must not corrupt the
+    # generated SQL (this is a generic post-load profiler)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{i}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{i}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{i}"),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+        "'{}', __nulls_{i}, __nd_{i}, __min_{i}, __max_{i}".format(
+            c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return one.select(
         F.expr(

@@ -398,9 +398,16 @@ def lsh_near_dup_pairs(
     """
     if not plane_seeds:
         raise ValueError("plane_seeds must not be empty")
-    v = df.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("__vec")
-    ).withColumn("__norm", l2_norm(F.col("__vec")))
+    # one corpus scan total: the (vec, norm) projection is checkpointed
+    # because every seed's self-join references it from BOTH aliases —
+    # without pinning, 2×len(plane_seeds) full scans re-cast and
+    # re-norm the corpus (the incremental_lsh_candidates "read twice →
+    # pin" convention)
+    v = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__vec"))
+        .withColumn("__norm", l2_norm(F.col("__vec")))
+        .localCheckpoint()
+    )
     cos = F.try_divide(
         dot(F.col("__ea"), F.col("__eb")), F.col("__na") * F.col("__nb")
     )

@@ -25,6 +25,45 @@ from .models import AGG_MODELS, EXAMPLE_VIEWS, STAGE_MODELS
 COLLECTIONS = ("users", "heart_rates", "sleeps", "steps")
 
 
+def list_raw_tables(wh: Warehouse) -> list[str]:
+    """Raw-layer table names via Hadoop FileSystem listing (the root may
+    be hdfs://s3a:), excluding leftover two-phase staging dirs — listing
+    one would make recovery crash on its own artifact."""
+    from ..fs import join_uri
+
+    return [
+        d
+        for d in wh.fs.list_subdirs(join_uri(wh.root, "raw"))
+        if not d.endswith(Warehouse._STAGING_SUFFIXES)
+    ]
+
+
+def root_key_merge(wh: Warehouse, collection: str, tables: dict) -> None:
+    """dlt's root-key merge, shared by the batch and streaming document
+    syncs so the two paths can never diverge: a re-extracted document
+    replaces ALL its child rows.  The delete set for every child table
+    is the PARENT batch's document ids — not the keys present in the
+    child batch: an array that shrank to EMPTY (or whose field vanished
+    from the re-extracted doc) contributes no child rows, so deriving
+    deletes from the child batch would leave its stale rows behind
+    forever.  Child tables that exist in the warehouse but got NO rows
+    at all from this batch still owe deletes for re-extracted parents.
+    """
+    parent_keys = (
+        tables[collection].select(F.col("_dlt_id").alias("_dlt_root_id")).distinct()
+    )
+    for name, df in tables.items():
+        if name == collection:
+            wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
+        else:
+            wh.materialize_upsert(
+                f"raw.{name}", df, "_dlt_root_id", delete_keys=parent_keys
+            )
+    for raw_name in list_raw_tables(wh):
+        if raw_name.startswith(f"{collection}__") and raw_name not in tables:
+            wh.materialize_delete(f"raw.{raw_name}", parent_keys, "_dlt_root_id")
+
+
 class HealthPipeline:
     """End-to-end equivalent of the reference deployment."""
 
@@ -52,34 +91,7 @@ class HealthPipeline:
             # mid-sync cannot advance the cursor past unloaded documents.
             fresh = dedup_by_pk(cursor.filter(docs), pk="_id").localCheckpoint()
             tables = flatten_document_table(fresh, coll, primary_key="_id")
-            # dlt's root-key merge: a re-extracted document replaces ALL
-            # its child rows.  The delete set for every child table is
-            # the PARENT batch's document ids — not the keys present in
-            # the child batch: an array that shrank to EMPTY (or whose
-            # field vanished from the re-extracted doc) contributes no
-            # child rows, so deriving deletes from the child batch would
-            # leave its stale rows behind forever.
-            parent_keys = (
-                tables[coll]
-                .select(F.col("_dlt_id").alias("_dlt_root_id"))
-                .distinct()
-            )
-            for name, df in tables.items():
-                if name == coll:
-                    self.wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
-                else:
-                    self.wh.materialize_upsert(
-                        f"raw.{name}", df, "_dlt_root_id", delete_keys=parent_keys
-                    )
-            # child tables that exist in the warehouse but got NO rows
-            # at all from this batch (the array field disappeared from
-            # every batch document — flatten does not even emit them)
-            # still owe deletes for the re-extracted parents
-            for raw_name in self._raw_tables():
-                if raw_name.startswith(f"{coll}__") and raw_name not in tables:
-                    self.wh.materialize_delete(
-                        f"raw.{raw_name}", parent_keys, "_dlt_root_id"
-                    )
+            root_key_merge(self.wh, coll, tables)
             cursor.commit(fresh)
 
     # -- stage transforms (§3.2) ----------------------------------------
@@ -191,20 +203,7 @@ class HealthPipeline:
         )
 
     def _raw_tables(self) -> list[str]:
-        from ..fs import join_uri
-        from .materialize import Warehouse
-
-        # Hadoop FileSystem listing, not os.listdir — the warehouse root
-        # may be hdfs://s3a: (see fs.py); leftover __staging/__compact
-        # dirs from a dead two-phase rewrite are recovery artifacts, not
-        # tables — listing one would make the recovery run itself crash
-        # (read of the parent table moves the staging dir away, then the
-        # staging "table" read PATH_NOT_FOUNDs)
-        return [
-            d
-            for d in self.wh.fs.list_subdirs(join_uri(self.wh.root, "raw"))
-            if not d.endswith(Warehouse._STAGING_SUFFIXES)
-        ]
+        return list_raw_tables(self.wh)
 
 
 class IncrementalDedupSync:
@@ -238,13 +237,31 @@ class IncrementalDedupSync:
         self.bands = bands
 
     def sync(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        on_redelivery: str = "raise",
     ) -> DataFrame:
         """One ingest batch -> candidate near-dup pairs touching it.
 
         First batch: plain LSH self-join (new-vs-new).  Later batches:
-        incremental batch-vs-corpus with the overlapping-id guard ON —
-        a re-ingested id would silently suppress its own pairs."""
+        incremental batch-vs-corpus.
+
+        ``on_redelivery`` is the replay policy for ids already present
+        in the corpus table:
+
+        - ``"raise"`` (default, the batch-cursor contract): the
+          overlapping-id guard aborts loudly — a re-ingested id under
+          the plain incremental join would silently suppress its own
+          pairs.
+        - ``"recover"`` (for at-least-once callers — foreachBatch): the
+          batch's own ids are EXCLUDED from the corpus side first, so a
+          replayed batch recomputes exactly its original candidate
+          pairs instead of wedging, and only genuinely-new signatures
+          are appended.  A replay after a partial prior run is then a
+          clean re-run, not a poison pill.
+        """
         from ..operators.dedup import (
             incremental_lsh_candidates,
             lsh_candidate_pairs,
@@ -255,8 +272,18 @@ class IncrementalDedupSync:
         new_sig = minhash_signature(
             word_shingles(docs, id_col, text_col, n=3), id_col, k=self.k
         ).localCheckpoint()
+        to_append = new_sig
         if self.wh.exists(self.SIG_TABLE):
             old_sig = self.wh.read(self.SIG_TABLE)
+            if on_redelivery == "recover":
+                old_sig = old_sig.join(
+                    new_sig.select(id_col), id_col, "left_anti"
+                )
+                to_append = new_sig.join(
+                    self.wh.read(self.SIG_TABLE).select(id_col),
+                    id_col,
+                    "left_anti",
+                )
             pairs = incremental_lsh_candidates(
                 old_sig, new_sig, id_col,
                 k=self.k, bands=self.bands, validate_ids=True,
@@ -264,8 +291,11 @@ class IncrementalDedupSync:
         else:
             pairs = lsh_candidate_pairs(new_sig, id_col, k=self.k, bands=self.bands)
         pairs = pairs.localCheckpoint()  # pin BEFORE the append (see class doc)
-        # plain append — signatures are per-doc immutable, ids disjoint
-        self.wh.materialize_incremental(self.SIG_TABLE, new_sig)
+        # append is pinned too: in recover mode its anti-join reads the
+        # signature table, and appending through a lazy plan that lists
+        # the same table it writes would race its own output files
+        to_append = to_append.localCheckpoint()
+        self.wh.materialize_incremental(self.SIG_TABLE, to_append)
         return pairs
 
 
@@ -304,13 +334,15 @@ class IncrementalAggSync:
 
     Caller contract: batches must be DISJOINT fact sets (each event
     delivered exactly once — the streaming checkpoint or the strict-``>``
-    watermark upstream provides this); re-delivering a batch would
-    double-count, which is why the cursor/checkpoint machinery feeds
-    this, never raw re-reads.
+    watermark upstream provides this).  For callers that can only offer
+    at-least-once delivery with a monotonically increasing batch id
+    (Structured Streaming's ``foreachBatch``), pass ``batch_id`` to
+    ``sync``: the id is committed INSIDE the same atomic table swap as
+    the merged data (a ``__meta__`` sentinel row), so a replayed batch
+    is detected and skipped — exactly-once effect on plain parquet.
     """
 
-    # unit separator avoids key collisions like ("ab","c") vs ("a","bc")
-    _SEP = "|#|"
+    _META_KEY = "__meta__"
 
     def __init__(
         self,
@@ -329,23 +361,63 @@ class IncrementalAggSync:
         self.sum_cols = list(sum_cols)
         self._metrics = [f"sum_{c}" for c in self.sum_cols] + ["n_rows"]
 
+    def _key(self):
+        """Group key as md5 over length-prefixed components.  NULL
+        encodes as a token no real value maps to, and length prefixes
+        make the concatenation unambiguous — neither NULL-skipping
+        (``("a", NULL)`` vs ``(NULL, "a")``) nor separator containment
+        (``("a|b", "c")`` vs ``("a", "b|c")``) can collide."""
+        from pyspark.sql import functions as F
+
+        parts = []
+        for c in self.group_cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.coalesce(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                    F.lit("N"),
+                )
+            )
+        return F.md5(F.concat_ws("|", *parts))
+
     def _partial(self, batch: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
-        aggs = [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
+        # coalesce: a group whose sum column is all-NULL contributes 0,
+        # so a later merge can never NULL-wipe accumulated totals
+        aggs = [
+            F.coalesce(F.sum(c), F.lit(0)).alias(f"sum_{c}") for c in self.sum_cols
+        ]
         aggs.append(F.count("*").alias("n_rows"))
-        key = F.concat_ws(
-            self._SEP, *[F.col(c).cast("string") for c in self.group_cols]
-        )
         return batch.groupBy(*self.group_cols).agg(*aggs).withColumn(
-            "__agg_key", key
+            "__agg_key", self._key()
         )
 
-    def sync(self, batch: DataFrame) -> DataFrame:
-        """Merge one fact batch into the stored rollup; returns the
-        post-merge rollup."""
+    def _applied_batch_id(self):
         from pyspark.sql import functions as F
 
+        if not self.wh.exists(self.table_name):
+            return None
+        stored = self.wh.read(self.table_name)
+        if "__last_batch_id" not in stored.columns:  # batch-only history
+            return None
+        row = (
+            stored.filter(F.col("__agg_key") == self._META_KEY)
+            .select("__last_batch_id")
+            .first()
+        )
+        return None if row is None else row["__last_batch_id"]
+
+    def sync(self, batch: DataFrame, batch_id: int | None = None) -> DataFrame:
+        """Merge one fact batch into the stored rollup; returns the
+        post-merge rollup.  With ``batch_id`` (monotone), a replayed
+        batch (id <= the last committed id) is a no-op."""
+        from pyspark.sql import functions as F
+
+        if batch_id is not None:
+            applied = self._applied_batch_id()
+            if applied is not None and batch_id <= applied:
+                return self.read()
         delta = self._partial(batch)
         if self.wh.exists(self.table_name):
             prev = self.wh.read(self.table_name).select(
@@ -356,18 +428,35 @@ class IncrementalAggSync:
                 "__agg_key",
                 *self.group_cols,
                 *[
-                    (F.col(m) + F.coalesce(F.col(f"__old_{m}"), F.lit(0))).alias(m)
+                    (
+                        F.coalesce(F.col(m), F.lit(0))
+                        + F.coalesce(F.col(f"__old_{m}"), F.lit(0))
+                    ).alias(m)
                     for m in self._metrics
                 ],
             )
+        if batch_id is not None:
+            # the batch id rides the SAME staged swap as the data —
+            # committed together or not at all, which is what makes the
+            # replay check above exactly-once on plain parquet
+            meta = self.spark.createDataFrame(
+                [(self._META_KEY, int(batch_id))],
+                "__agg_key string, __last_batch_id long",
+            )
+            delta = delta.unionByName(meta, allowMissingColumns=True)
         self.wh.materialize_upsert(self.table_name, delta, unique_key="__agg_key")
         return self.read()
 
     def read(self) -> DataFrame:
-        """The rollup with derived means; the storage key stays internal."""
+        """The rollup with derived means; the storage key and replay
+        meta row stay internal."""
         from pyspark.sql import functions as F
 
-        df = self.wh.read(self.table_name).drop("__agg_key")
+        df = self.wh.read(self.table_name).filter(
+            F.col("__agg_key") != self._META_KEY
+        ).drop("__agg_key")
+        if "__last_batch_id" in df.columns:
+            df = df.drop("__last_batch_id")
         for c in self.sum_cols:
             df = df.withColumn(
                 f"avg_{c}",

@@ -47,39 +47,14 @@ class DocumentStreamSync:
         self.schema = spark.read.option("multiLine", "true").json(source_dir).schema
 
     def _process_batch(self, batch_df, batch_id: int) -> None:
-        from pyspark.sql import functions as F
+        from ..plans.pipeline import root_key_merge
 
         fresh = dedup_by_pk(batch_df, pk="_id")
         tables = flatten_document_table(fresh, self.collection, primary_key="_id")
-        # root-key merge, same semantics as HealthPipeline.sync: child
-        # deletes come from the PARENT batch's ids (an array shrunk to
-        # empty emits no child rows, so child-batch keys can't drive the
-        # delete), and warehouse child tables absent from this batch
-        # still owe deletes for re-extracted parents
-        parent_keys = (
-            tables[self.collection]
-            .select(F.col("_dlt_id").alias("_dlt_root_id"))
-            .distinct()
-        )
-        for name, df in tables.items():
-            if name == self.collection:
-                self.wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
-            else:
-                self.wh.materialize_upsert(
-                    f"raw.{name}", df, "_dlt_root_id", delete_keys=parent_keys
-                )
-        from ..fs import join_uri
-        from ..plans.materialize import Warehouse
-
-        for raw_name in self.wh.fs.list_subdirs(join_uri(self.wh.root, "raw")):
-            if (
-                raw_name.startswith(f"{self.collection}__")
-                and raw_name not in tables
-                and not raw_name.endswith(Warehouse._STAGING_SUFFIXES)
-            ):
-                self.wh.materialize_delete(
-                    f"raw.{raw_name}", parent_keys, "_dlt_root_id"
-                )
+        # ONE root-key merge implementation, shared with
+        # HealthPipeline.sync — the batch and streaming paths cannot
+        # diverge on delete-set semantics
+        root_key_merge(self.wh, self.collection, tables)
 
     def run_once(self) -> None:
         """One micro-batch drain (≈ one 15-minute Airflow run): process
@@ -139,16 +114,28 @@ class StreamingDedupSync:
         self.schema = spark.read.option("multiLine", "true").json(source_dir).schema
 
     def _process_batch(self, batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         docs = batch_df.select(self.id_col, self.text_col)
         if docs.isEmpty():  # no new files this trigger — no state change
             return
-        pairs = self.dedup.sync(docs, self.id_col, self.text_col)
-        # Replay semantics: if a run dies between sync()'s signature
-        # append and the checkpoint commit, the replayed batch hits the
-        # overlapping-id guard in incremental_lsh_candidates and ABORTS
-        # loudly — at-least-once with a loud duplicate trip, never a
-        # silent double-count of the same ids in the corpus state.
-        self.wh.materialize_incremental(self.PAIRS_TABLE, pairs)
+        # Replay semantics (foreachBatch is at-least-once): sync runs in
+        # "recover" mode — a replayed batch whose signatures already
+        # landed excludes its own ids from the corpus side and
+        # recomputes exactly its original candidate pairs — and the
+        # pairs land as an UPSERT on the pair key, so re-landing them is
+        # idempotent.  No crash window wedges the stream or
+        # double-counts state.
+        pairs = self.dedup.sync(
+            docs, self.id_col, self.text_col, on_redelivery="recover"
+        )
+        keyed = pairs.withColumn(
+            "__pair_key",
+            F.concat_ws(
+                ":", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+            ),
+        )
+        self.wh.materialize_upsert(self.PAIRS_TABLE, keyed, "__pair_key")
 
     def run_once(self) -> None:
         """Drain every not-yet-checkpointed ingest file, then stop."""
@@ -172,10 +159,12 @@ class StreamingAggSync:
     ``foreachBatch``) — the stored rollup is always current and is
     NEVER recomputed from fact history.
 
-    The streaming checkpoint supplies the disjoint-batch contract the
-    merge requires (each fact file processed exactly once), closing the
-    loop the batch class documents: checkpoint/cursor upstream, additive
-    merge downstream.  State is an ordinary warehouse table, so the
+    foreachBatch is AT-LEAST-once (a crash between the sink write and
+    the streaming commit replays the batch), so the micro-batch id is
+    passed into ``IncrementalAggSync.sync`` and committed inside the
+    same atomic table swap as the merged sums — a replayed batch is
+    detected there and skipped, making the additive merge exactly-once
+    end to end.  State is an ordinary warehouse table, so the
     15-minute reference cadence becomes "rollup lag = one trigger" at
     any corpus size.
     """
@@ -206,7 +195,7 @@ class StreamingAggSync:
     def _process_batch(self, batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        self.agg.sync(batch_df)
+        self.agg.sync(batch_df, batch_id=batch_id)
 
     def run_once(self) -> None:
         """Drain every not-yet-checkpointed fact file, then stop."""

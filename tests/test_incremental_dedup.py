@@ -164,3 +164,30 @@ def test_streaming_dedup_sync(spark, tmp_path):
     # a third drain with no new files is a no-op (checkpoint + isEmpty)
     sync.run_once()
     assert sync.wh.read(StreamingDedupSync.PAIRS_TABLE).count() == len(got)
+
+
+def test_recover_mode_survives_redelivery(spark, tmp_path):
+    """At-least-once replay: re-syncing the SAME batch in recover mode
+    recomputes its original candidate pairs (no wedge, no raise) and
+    leaves the signature table duplicate-free."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalDedupSync,
+    )
+
+    ds = IncrementalDedupSync(spark, str(tmp_path))
+    b1 = spark.createDataFrame(OLD, ["doc_id", "text"])
+    b2 = spark.createDataFrame(NEW, ["doc_id", "text"])
+    ds.sync(b1, on_redelivery="recover")
+    first = {
+        (r["id_a"], r["id_b"])
+        for r in ds.sync(b2, on_redelivery="recover").collect()
+    }
+    replay = {
+        (r["id_a"], r["id_b"])
+        for r in ds.sync(b2, on_redelivery="recover").collect()
+    }
+    assert replay == first and first
+    sigs = ds.wh.read(IncrementalDedupSync.SIG_TABLE).select("doc_id").collect()
+    ids = [r["doc_id"] for r in sigs]
+    assert sorted(ids) == sorted(set(ids))  # no duplicate signatures
+    assert set(ids) == {i for i, _ in OLD} | {i for i, _ in NEW}

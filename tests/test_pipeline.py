@@ -346,3 +346,73 @@ def test_incremental_agg_sync_matches_full_recompute(spark, tmp_path):
     assert got == full
     assert got[("u1", "d1")] == (60.0, 3, 20.0)  # merged across batches
     assert got[("u3", "d1")] == (1.0, 1, 1.0)    # batch-2-only group
+
+
+def test_incremental_agg_sync_replay_is_noop_with_batch_id(spark, tmp_path):
+    """foreachBatch replay safety: re-syncing the same batch_id changes
+    nothing (the id commits inside the same swap as the data), and the
+    next id applies normally."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalAggSync,
+    )
+
+    agg = IncrementalAggSync(
+        spark, str(tmp_path), "agg.t", ("user",), ("value",)
+    )
+    b = spark.createDataFrame([("u1", 10.0)], "user string, value double")
+    agg.sync(b, batch_id=0)
+    agg.sync(b, batch_id=0)  # replayed micro-batch
+    rows = {r["user"]: r for r in agg.read().collect()}
+    assert rows["u1"]["sum_value"] == 10.0 and rows["u1"]["n_rows"] == 1
+    agg.sync(b, batch_id=1)  # genuinely new batch
+    rows = {r["user"]: r for r in agg.read().collect()}
+    assert rows["u1"]["sum_value"] == 20.0 and rows["u1"]["n_rows"] == 2
+
+
+def test_incremental_agg_sync_null_groups_stay_distinct(spark, tmp_path):
+    """concat_ws silently skips NULLs; the md5 length-prefixed key must
+    keep ('a', NULL) and (NULL, 'a') apart — and separator-containing
+    values too."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalAggSync,
+    )
+
+    agg = IncrementalAggSync(
+        spark, str(tmp_path), "agg.t", ("city", "device"), ("value",)
+    )
+    agg.sync(
+        spark.createDataFrame(
+            [("a", None, 1.0), (None, "a", 2.0), ("a|b", "c", 4.0), ("a", "b|c", 8.0)],
+            "city string, device string, value double",
+        )
+    )
+    agg.sync(
+        spark.createDataFrame(
+            [(None, "a", 16.0)], "city string, device string, value double"
+        )
+    )
+    rows = {
+        (r["city"], r["device"]): r["sum_value"] for r in agg.read().collect()
+    }
+    assert rows == {
+        ("a", None): 1.0,
+        (None, "a"): 18.0,
+        ("a|b", "c"): 4.0,
+        ("a", "b|c"): 8.0,
+    }
+
+
+def test_incremental_agg_sync_all_null_batch_does_not_wipe(spark, tmp_path):
+    """A batch whose sum column is entirely NULL for a stored group adds
+    0 (and counts rows) instead of NULL-wiping the accumulated total."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalAggSync,
+    )
+
+    agg = IncrementalAggSync(spark, str(tmp_path), "agg.t", ("user",), ("value",))
+    agg.sync(spark.createDataFrame([("u1", 10.0)], "user string, value double"))
+    agg.sync(spark.createDataFrame([("u1", None)], "user string, value double"))
+    rows = {r["user"]: r for r in agg.read().collect()}
+    assert rows["u1"]["sum_value"] == 10.0 and rows["u1"]["n_rows"] == 2
+    agg.sync(spark.createDataFrame([("u1", 5.0)], "user string, value double"))
+    assert {r["user"]: r["sum_value"] for r in agg.read().collect()} == {"u1": 15.0}
