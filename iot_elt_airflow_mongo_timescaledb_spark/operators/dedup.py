@@ -765,6 +765,57 @@ def doc_chunks(
     )
 
 
+def window_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_words: int = 100,
+    stride_words: int = 80,
+) -> DataFrame:
+    """Split long documents into overlapping training-window pieces:
+    ``(id, piece_idx, piece, n_words)`` — the long-document split of a
+    pretraining pipeline (documents beyond the context length become
+    strided windows so no text is dropped and boundaries overlap by
+    ``window - stride`` words for continuity).
+
+    Piece i covers words ``[i*stride, i*stride + window)``; the final
+    piece truncates at the document end, and a document at or under the
+    window size yields exactly itself.  Pure array expressions over one
+    split — no UDF, no shuffle.
+    """
+    if not 0 < stride_words <= window_words:
+        raise ValueError(
+            f"need 0 < stride <= window, got {stride_words}, {window_words}"
+        )
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_pieces = F.when(F.size("__words") <= window_words, F.lit(1)).otherwise(
+        F.ceil(
+            (F.size("__words") - F.lit(window_words))
+            / F.lit(float(stride_words))
+        ).cast("int")
+        + 1
+    )
+    piece_arr = F.expr(
+        f"transform(sequence(0, __n_pieces - 1), "
+        f"i -> slice(__words, i * {stride_words} + 1, {window_words}))"
+    )
+    return (
+        ensure_min_parallelism(df.select(id_col, text_col), id_col)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), words.alias("__words"))
+        .withColumn("__n_pieces", n_pieces)
+        .select(
+            F.col(id_col), F.posexplode(piece_arr).alias("piece_idx", "__pw")
+        )
+        .select(
+            F.col(id_col),
+            "piece_idx",
+            F.concat_ws(" ", F.col("__pw")).alias("piece"),
+            F.size("__pw").alias("n_words"),
+        )
+    )
+
+
 def chunk_dedup_stats(
     chunks: DataFrame, id_col: str, min_doc_freq: int = 2
 ) -> DataFrame:

@@ -1621,6 +1621,45 @@ def cluster_best_keepers(spark, sf_dir):
     return D.best_quality_keepers(clusters, scored, "doc_id", "quality_score")
 
 
+_WIN_W, _WIN_S = 40, 30
+
+
+@query(
+    "long_doc_windows",
+    oracle=rf"""
+    WITH w AS ({_words_sql("SELECT * FROM documents WHERE len(trim(text)) > 0")}),
+    n AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) <= {_WIN_W} THEN 1
+                  ELSE CAST(ceil((len(ws) - {_WIN_W}) / {_WIN_S}.0) AS BIGINT) + 1
+             END AS n_pieces
+      FROM w),
+    p AS (
+      SELECT doc_id,
+             unnest(range(0, n_pieces)) AS piece_idx,
+             ws
+      FROM n)
+    SELECT doc_id, CAST(piece_idx AS INT) AS piece_idx,
+           array_to_string(list_slice(ws, piece_idx * {_WIN_S} + 1,
+                                      piece_idx * {_WIN_S} + {_WIN_W}), ' ')
+             AS piece,
+           len(list_slice(ws, piece_idx * {_WIN_S} + 1,
+                          piece_idx * {_WIN_S} + {_WIN_W})) AS n_words
+    FROM p
+    """,
+    gate=False,
+)
+def long_doc_windows(spark, sf_dir):
+    """Long-document splitting: strided overlapping windows (40 words,
+    stride 30) so documents beyond the context length are kept whole-
+    coverage with boundary overlap — one split + posexplode, no
+    shuffle (operators/dedup.py:window_chunks)."""
+    docs = table(spark, sf_dir, "documents")
+    return D.window_chunks(
+        docs, "doc_id", "text", window_words=_WIN_W, stride_words=_WIN_S
+    )
+
+
 @query(
     "text_normalization",
     oracle=r"""

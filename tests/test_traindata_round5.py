@@ -244,3 +244,39 @@ def test_normalize_corpus_strips_controls_and_collapses(spark):
     assert rows[1]["clean_text"] == "abc" and rows[1]["n_removed_chars"] == 2
     assert rows[2]["clean_text"] == "hello world"
     assert rows[3]["clean_text"] == "clean already" and rows[3]["n_removed_chars"] == 0
+
+
+def test_window_chunks_coverage_and_overlap(spark):
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.dedup import (
+        window_chunks,
+    )
+
+    words = [f"w{i}" for i in range(25)]
+    rows = sorted(
+        window_chunks(
+            _docs(spark, [(1, " ".join(words)), (2, "short doc")]),
+            "doc_id",
+            "text",
+            window_words=10,
+            stride_words=5,
+        ).collect(),
+        key=lambda r: (r["doc_id"], r["piece_idx"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # 25 words, window 10, stride 5 -> ceil(15/5)+1 = 4 pieces
+    assert [r["piece_idx"] for r in d1] == [0, 1, 2, 3]
+    assert d1[0]["piece"].split() == words[0:10]
+    assert d1[1]["piece"].split() == words[5:15]   # 5-word overlap
+    assert d1[3]["piece"].split() == words[15:25]  # tail covered exactly
+    assert all(r["n_words"] == 10 for r in d1)
+    # every word appears in some piece (full coverage)
+    covered = set()
+    for r in d1:
+        covered.update(r["piece"].split())
+    assert covered == set(words)
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["piece"] == "short doc"
+    import pytest
+
+    with pytest.raises(ValueError):
+        window_chunks(_docs(spark, [(1, "a")]), "doc_id", "text", 10, 11)
