@@ -311,6 +311,44 @@ def unigram_logprob_scores(
     )
 
 
+def vocab_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_vocab: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked vocabulary: the top ``max_vocab`` terms with
+    contiguous ``token_id``s assigned by ``(count DESC, term ASC)`` —
+    the tokenizer-vocabulary construction step (word-level here; a BPE
+    trainer consumes the same table as its seed counts).
+
+    Scale shape: one explode + one map-side-combinable hash-agg on the
+    term key, then the cap runs as ``ORDER BY … LIMIT`` (per-partition
+    top-K + a K-row merge, no global sort) and id assignment is a
+    window over the ALREADY-CAPPED K rows — the single-partition window
+    touches ``max_vocab`` rows, never the vocabulary tail (which by
+    Zipf is almost all of it).
+    """
+    words = ensure_min_parallelism(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = words.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n_occurrences") >= min_count)
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("term").asc()
+    ).limit(max_vocab)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    return top.withColumn("token_id", F.row_number().over(w))
+
+
 def corpus_ngram_topk(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 20
 ) -> DataFrame:

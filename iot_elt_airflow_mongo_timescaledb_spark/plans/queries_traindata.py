@@ -1621,6 +1621,38 @@ def cluster_best_keepers(spark, sf_dir):
     return D.best_quality_keepers(clusters, scored, "doc_id", "quality_score")
 
 
+_VOCAB_K = 200
+
+
+@query(
+    "vocab_table",
+    oracle=rf"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents),
+    w2 AS (SELECT * FROM words WHERE term <> ''),
+    counts AS (
+      SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      FROM w2 GROUP BY term),
+    top AS (
+      SELECT * FROM counts
+      ORDER BY n_occurrences DESC, term ASC LIMIT {_VOCAB_K})
+    SELECT term, n_occurrences, n_docs,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term ASC)
+                AS INT) AS token_id
+    FROM top
+    """,
+    gate=False,
+)
+def vocab_table(spark, sf_dir):
+    """Frequency-ranked tokenizer vocabulary: top-200 terms with
+    contiguous token ids.  The cap runs as TakeOrdered; the id window
+    touches only the capped rows, never the Zipf tail
+    (operators/text.py:vocab_table)."""
+    docs = table(spark, sf_dir, "documents")
+    return X.vocab_table(docs, "doc_id", "text", max_vocab=_VOCAB_K)
+
+
 _WIN_W, _WIN_S = 40, 30
 
 
