@@ -274,20 +274,49 @@ class IncrementalDedupSync:
         ).localCheckpoint()
         to_append = new_sig
         if self.wh.exists(self.SIG_TABLE):
-            old_sig = self.wh.read(self.SIG_TABLE)
+            stored = self.wh.read(self.SIG_TABLE)
             if on_redelivery == "recover":
-                old_sig = old_sig.join(
+                # a true foreachBatch replay re-delivers IDENTICAL
+                # content; an already-present id whose signature
+                # CHANGED is a content re-ingest this layer cannot
+                # merge (the stale signature would shadow the new text
+                # forever) — that still aborts loudly
+                sig_cols = [c for c in new_sig.columns if c != id_col]
+                changed = (
+                    new_sig.alias("n")
+                    .join(stored.alias("o"), id_col)
+                    .filter(
+                        ~F.expr(
+                            " AND ".join(
+                                f"n.{c} <=> o.{c}" for c in sig_cols
+                            )
+                        )
+                    )
+                )
+                n_changed = changed.count()
+                if n_changed:
+                    raise ValueError(
+                        f"{n_changed} re-delivered id(s) have CHANGED "
+                        "signatures — content re-ingest, not a replay; "
+                        "recover mode cannot merge it"
+                    )
+                corpus_side = stored.join(
                     new_sig.select(id_col), id_col, "left_anti"
                 )
                 to_append = new_sig.join(
-                    self.wh.read(self.SIG_TABLE).select(id_col),
-                    id_col,
-                    "left_anti",
+                    stored.select(id_col), id_col, "left_anti"
                 )
-            pairs = incremental_lsh_candidates(
-                old_sig, new_sig, id_col,
-                k=self.k, bands=self.bands, validate_ids=True,
-            )
+                # ids were just excluded -> the overlap guard can never
+                # fire; skip its batch-vs-corpus collect
+                pairs = incremental_lsh_candidates(
+                    corpus_side, new_sig, id_col,
+                    k=self.k, bands=self.bands, validate_ids=False,
+                )
+            else:
+                pairs = incremental_lsh_candidates(
+                    stored, new_sig, id_col,
+                    k=self.k, bands=self.bands, validate_ids=True,
+                )
         else:
             pairs = lsh_candidate_pairs(new_sig, id_col, k=self.k, bands=self.bands)
         pairs = pairs.localCheckpoint()  # pin BEFORE the append (see class doc)
@@ -340,6 +369,12 @@ class IncrementalAggSync:
     ``sync``: the id is committed INSIDE the same atomic table swap as
     the merged data (a ``__meta__`` sentinel row), so a replayed batch
     is detected and skipped — exactly-once effect on plain parquet.
+
+    Storage-format note: the group key is md5 over length-prefixed
+    NULL-encoded components (v2, round-5 review).  A rollup table
+    written by the earlier ``concat_ws`` key format cannot be merged
+    into — its keys match nothing — and must be rebuilt from facts
+    once; there is no silent migration.
     """
 
     _META_KEY = "__meta__"
@@ -383,11 +418,10 @@ class IncrementalAggSync:
     def _partial(self, batch: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
-        # coalesce: a group whose sum column is all-NULL contributes 0,
-        # so a later merge can never NULL-wipe accumulated totals
-        aggs = [
-            F.coalesce(F.sum(c), F.lit(0)).alias(f"sum_{c}") for c in self.sum_cols
-        ]
+        # plain SUM: NULL means "no non-NULL value ever seen", exactly
+        # like a full recompute — the merge below preserves that (NULL +
+        # NULL = NULL) while never letting a NULL side wipe a real total
+        aggs = [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
         aggs.append(F.count("*").alias("n_rows"))
         return batch.groupBy(*self.group_cols).agg(*aggs).withColumn(
             "__agg_key", self._key()
@@ -416,24 +450,38 @@ class IncrementalAggSync:
 
         if batch_id is not None:
             applied = self._applied_batch_id()
-            if applied is not None and batch_id <= applied:
-                return self.read()
+            if applied is not None and batch_id == applied:
+                return self.read()  # foreachBatch replay of the last batch
+            if applied is not None and batch_id < applied:
+                # a batch id BELOW the committed one is not a replay —
+                # it is a reset streaming checkpoint re-reading history
+                # against a surviving rollup; silently skipping would
+                # freeze the rollup and then double-count once ids pass
+                # the old mark
+                raise ValueError(
+                    f"batch_id {batch_id} < committed {applied}: streaming "
+                    "checkpoint was reset against an existing rollup — "
+                    "rebuild the rollup table or restore the checkpoint"
+                )
         delta = self._partial(batch)
         if self.wh.exists(self.table_name):
             prev = self.wh.read(self.table_name).select(
                 "__agg_key",
                 *[F.col(m).alias(f"__old_{m}") for m in self._metrics],
             )
+
+            def merge(m):
+                new, old = F.col(m), F.col(f"__old_{m}")
+                # both NULL -> NULL (recompute semantics: no value ever
+                # measured); otherwise NULL-safe addition
+                return F.when(new.isNull() & old.isNull(), F.lit(None)).otherwise(
+                    F.coalesce(new, F.lit(0)) + F.coalesce(old, F.lit(0))
+                ).alias(m)
+
             delta = delta.join(prev, "__agg_key", "left").select(
                 "__agg_key",
                 *self.group_cols,
-                *[
-                    (
-                        F.coalesce(F.col(m), F.lit(0))
-                        + F.coalesce(F.col(f"__old_{m}"), F.lit(0))
-                    ).alias(m)
-                    for m in self._metrics
-                ],
+                *[merge(m) for m in self._metrics],
             )
         if batch_id is not None:
             # the batch id rides the SAME staged swap as the data —

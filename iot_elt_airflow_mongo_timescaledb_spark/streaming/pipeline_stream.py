@@ -122,20 +122,31 @@ class StreamingDedupSync:
         # Replay semantics (foreachBatch is at-least-once): sync runs in
         # "recover" mode — a replayed batch whose signatures already
         # landed excludes its own ids from the corpus side and
-        # recomputes exactly its original candidate pairs — and the
-        # pairs land as an UPSERT on the pair key, so re-landing them is
-        # idempotent.  No crash window wedges the stream or
-        # double-counts state.
+        # recomputes exactly its original candidate pairs — and pairs
+        # already present in the candidates table are anti-joined away
+        # before an APPEND-ONLY write, so re-landing is idempotent at
+        # O(batch) write cost (an upsert here would rewrite the whole
+        # accumulated pair table every 15-minute trigger).  The key is
+        # md5 over length-prefixed components: ids containing the
+        # separator cannot collide distinct pairs.
         pairs = self.dedup.sync(
             docs, self.id_col, self.text_col, on_redelivery="recover"
         )
+
+        def enc(c):
+            s = F.col(c).cast("string")
+            return F.concat(F.length(s).cast("string"), F.lit(":"), s)
+
         keyed = pairs.withColumn(
-            "__pair_key",
-            F.concat_ws(
-                ":", F.col("id_a").cast("string"), F.col("id_b").cast("string")
-            ),
+            "__pair_key", F.md5(F.concat_ws("|", enc("id_a"), enc("id_b")))
         )
-        self.wh.materialize_upsert(self.PAIRS_TABLE, keyed, "__pair_key")
+        if self.wh.exists(self.PAIRS_TABLE):
+            keyed = keyed.join(
+                self.wh.read(self.PAIRS_TABLE).select("__pair_key"),
+                "__pair_key",
+                "left_anti",
+            ).localCheckpoint()  # pin: the append lists the table it reads
+        self.wh.materialize_incremental(self.PAIRS_TABLE, keyed)
 
     def run_once(self) -> None:
         """Drain every not-yet-checkpointed ingest file, then stop."""

@@ -191,3 +191,24 @@ def test_recover_mode_survives_redelivery(spark, tmp_path):
     ids = [r["doc_id"] for r in sigs]
     assert sorted(ids) == sorted(set(ids))  # no duplicate signatures
     assert set(ids) == {i for i, _ in OLD} | {i for i, _ in NEW}
+
+
+def test_recover_mode_rejects_changed_content(spark, tmp_path):
+    """recover mode only forgives IDENTICAL re-delivery (a foreachBatch
+    replay); an already-present id with CHANGED text is a content
+    re-ingest whose stale signature would shadow the new text forever —
+    it must abort loudly."""
+    import pytest
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalDedupSync,
+    )
+
+    ds = IncrementalDedupSync(spark, str(tmp_path))
+    ds.sync(spark.createDataFrame(OLD, ["doc_id", "text"]))
+    changed = spark.createDataFrame(
+        [(1, "completely different text now with new words")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="CHANGED"):
+        ds.sync(changed, on_redelivery="recover")

@@ -416,3 +416,39 @@ def test_incremental_agg_sync_all_null_batch_does_not_wipe(spark, tmp_path):
     assert rows["u1"]["sum_value"] == 10.0 and rows["u1"]["n_rows"] == 2
     agg.sync(spark.createDataFrame([("u1", 5.0)], "user string, value double"))
     assert {r["user"]: r["sum_value"] for r in agg.read().collect()} == {"u1": 15.0}
+
+
+def test_incremental_agg_sync_checkpoint_reset_raises(spark, tmp_path):
+    """A batch id BELOW the committed one is a reset streaming
+    checkpoint, not a replay — silent skipping would freeze then
+    double-count; it must raise."""
+    import pytest
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalAggSync,
+    )
+
+    agg = IncrementalAggSync(spark, str(tmp_path), "agg.t", ("user",), ("value",))
+    b = spark.createDataFrame([("u1", 1.0)], "user string, value double")
+    agg.sync(b, batch_id=5)
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        agg.sync(b, batch_id=0)
+
+
+def test_incremental_agg_sync_never_measured_stays_null(spark, tmp_path):
+    """Full-recompute NULL semantics: a group whose sum column was only
+    ever NULL reports NULL (not 0) — while a real total still survives
+    a later all-NULL batch."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalAggSync,
+    )
+
+    agg = IncrementalAggSync(spark, str(tmp_path), "agg.t", ("user",), ("value",))
+    agg.sync(spark.createDataFrame([("u9", None)], "user string, value double"))
+    agg.sync(spark.createDataFrame([("u9", None)], "user string, value double"))
+    rows = {r["user"]: r for r in agg.read().collect()}
+    assert rows["u9"]["sum_value"] is None and rows["u9"]["n_rows"] == 2
+    assert rows["u9"]["avg_value"] is None
+    agg.sync(spark.createDataFrame([("u9", 7.0)], "user string, value double"))
+    rows = {r["user"]: r for r in agg.read().collect()}
+    assert rows["u9"]["sum_value"] == 7.0 and rows["u9"]["n_rows"] == 3
