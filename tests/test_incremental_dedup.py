@@ -212,3 +212,46 @@ def test_recover_mode_rejects_changed_content(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="CHANGED"):
         ds.sync(changed, on_redelivery="recover")
+
+
+def test_streaming_dedup_process_batch_replay_idempotent(spark, tmp_path):
+    """Simulated foreachBatch replay: invoking the batch handler twice
+    with the same micro-batch (as Structured Streaming does after a
+    crash between sink write and commit) leaves the candidates and
+    signature tables exactly as after the first invocation."""
+    import json
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalDedupSync,
+    )
+    from iot_elt_airflow_mongo_timescaledb_spark.streaming.pipeline_stream import (
+        StreamingDedupSync,
+    )
+
+    src = tmp_path / "ingest"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps([{"doc_id": i, "text": t} for i, t in OLD + NEW])
+    )
+    sync = StreamingDedupSync(spark, str(tmp_path / "wh"), str(src))
+    batch = spark.read.option("multiLine", "true").json(str(src))
+    sync._process_batch(batch, 0)
+    pairs_1 = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sync.wh.read(StreamingDedupSync.PAIRS_TABLE).collect()
+    )
+    sigs_1 = sorted(
+        r["doc_id"]
+        for r in sync.wh.read(IncrementalDedupSync.SIG_TABLE).collect()
+    )
+    sync._process_batch(batch, 0)  # replay
+    pairs_2 = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sync.wh.read(StreamingDedupSync.PAIRS_TABLE).collect()
+    )
+    sigs_2 = sorted(
+        r["doc_id"]
+        for r in sync.wh.read(IncrementalDedupSync.SIG_TABLE).collect()
+    )
+    assert pairs_2 == pairs_1 and pairs_1
+    assert sigs_2 == sigs_1 == sorted({i for i, _ in OLD + NEW})
