@@ -167,6 +167,42 @@ def test_chunk_dedup_no_cartesian_bounded_exchanges(spark, sf_dir):
     assert facts["n_exchanges"] <= 3, facts["plan"]
 
 
+_NESTED_LOOP_OK = {
+    # broadcast 1-row or tiny-side crossJoins, and the documented exact
+    # all-pairs baselines — every other query must plan equi-joins only
+    "ann_ivf_topk",        # broadcast centroid assignment
+    "ann_quantized_topk",  # broadcast query side
+    "cosine_topk",         # broadcast query side (exact baseline)
+    "embedding_near_dup",  # documented exact all-pairs baseline
+    "array_membership_region",  # 5-row dim broadcast (scale path = explode rewrite)
+    "tfidf_top_terms",     # 1-row broadcast N
+    "unigram_logprob_scores",  # 1-row broadcast corpus total
+}
+
+
+def test_registry_sweep_no_unexpected_nested_loops(spark, sf_dir):
+    """Every registered batch query plans equi-joins only, except the
+    whitelisted broadcast-tiny/exact-baseline cases — a new query that
+    accidentally cartesian-joins fails here, not in production."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import (
+        spark_queries,
+    )
+
+    offenders = {}
+    for name, fn in sorted(spark_queries().items()):
+        if name.startswith("streaming"):
+            continue
+        facts = plan_facts(fn(spark, sf_dir))
+        bad = [
+            j
+            for j in facts["joins"]
+            if j in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        ]
+        if bad and name not in _NESTED_LOOP_OK:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_table_profile_single_scan(spark, sf_dir):
     """Every column's null/distinct/min/max metric rides ONE expand +
     hash-agg over ONE scan — per-column scans would multiply the
