@@ -1,0 +1,250 @@
+"""Hypertable analytics queries — the TimescaleDB hyperfunction family.
+
+The reference's warehouse is TimescaleDB (docker-compose.yaml:307), so
+its users run these against the same staged tables this engine writes:
+``time_bucket_gapfill`` + ``locf``/``interpolate``, ``first``/``last``
+ordered aggregates, ``histogram``, counter ``rate``, time-weighted
+averages, and the toolkit ``lttb`` downsampler.  Each query pairs the
+Spark plan (operators/timeseries.py) with a DuckDB oracle computing the
+identical arithmetic in the identical expression order, so the
+order-insensitive value hash matches bit-for-bit.
+
+All entries register gate=False — the driver gate is at its 50-row cap
+with one representative per operator family — and are verified by the
+pytest oracle-parity suite at sf0.001 and the parity CLI at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import (
+    bucket_gapfill,
+    counter_rate,
+    first_last_by,
+    histogram_fixed,
+    lttb_downsample,
+    time_weighted_sums,
+)
+from .registry import query, table
+
+# One gapfill week keeps the dense grid at series x 168 buckets —
+# the Timescale shape where the WHERE clause bounds the gapfill range.
+_GAPFILL_HOURS = 167
+
+_GAPFILL_ORACLE_PREFIX = f"""
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               round(avg(value), 4) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', min(ts)) + INTERVAL {_GAPFILL_HOURS} HOUR AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT u.user_id, g.bucket
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        ) g
+    ),
+    j AS (
+        SELECT grid.user_id, grid.bucket, b.v
+        FROM grid LEFT JOIN b USING (user_id, bucket)
+    )
+"""
+
+
+def _gapfilled_hourly(spark, sf_dir):
+    """Shared sparse-hourly-agg -> dense weekly grid (series x bucket)."""
+    e = table(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    bounds = e.agg(F.date_trunc("hour", F.min("ts")).alias("lo")).withColumn(
+        "hi", F.col("lo") + F.expr(f"INTERVAL {_GAPFILL_HOURS} HOURS")
+    )
+    return bucket_gapfill(b, "user_id", "bucket", bounds)
+
+
+@query(
+    "gapfill_locf",
+    oracle=_GAPFILL_ORACLE_PREFIX
+    + """
+    SELECT user_id, bucket, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_locf
+    FROM j
+    """,
+    gate=False,
+)
+def gapfill_locf(spark, sf_dir):
+    """time_bucket_gapfill + locf: dense per-user hourly grid over the
+    first week, missing buckets carry the last observed hourly average
+    forward (leading gaps stay NULL).  Grid generated distributively
+    (explode(sequence)); LOCF is one window pass per series."""
+    from ..operators.timeseries import locf
+
+    return locf(_gapfilled_hourly(spark, sf_dir), "user_id", "bucket", "v", "v_locf")
+
+
+@query(
+    "gapfill_interpolate",
+    oracle=_GAPFILL_ORACLE_PREFIX
+    + """
+    SELECT user_id, bucket, v,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                    prev_v + (next_v - prev_v) * (
+                        CAST(t_us - prev_t AS DOUBLE)
+                        / CAST(next_t - prev_t AS DOUBLE))
+           END AS v_interp
+    FROM (
+        SELECT user_id, bucket, v, epoch_us(bucket) AS t_us,
+               last_value(v IGNORE NULLS) OVER w1 AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END
+                          IGNORE NULLS) OVER w1 AS prev_t,
+               first_value(v IGNORE NULLS) OVER w2 AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END
+                           IGNORE NULLS) OVER w2 AS next_t
+        FROM j
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ) s
+    """,
+    gate=False,
+)
+def gapfill_interpolate(spark, sf_dir):
+    """time_bucket_gapfill + interpolate: NULL buckets between two
+    observations get the linear interpolant at their timestamp; edges
+    stay NULL.  Integer-microsecond arithmetic in a fixed expression
+    order makes the doubles reproduce exactly in the oracle."""
+    from ..operators.timeseries import interpolate_linear
+
+    return interpolate_linear(
+        _gapfilled_hourly(spark, sf_dir), "user_id", "bucket", "v", "v_interp"
+    )
+
+
+@query(
+    "first_last_daily",
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS day,
+           first(value ORDER BY ts, event_id) AS first_value,
+           last(value ORDER BY ts, event_id) AS last_value
+    FROM events GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def first_last_daily(spark, sf_dir):
+    """Timescale first(value, ts) / last(value, ts) per user-day as ONE
+    aggregate (min_by/max_by over a (ts, event_id) struct) — no
+    row_number window; partial extrema combine map-side, so the shuffle
+    is one row per group.  event_id is the deterministic tiebreak."""
+    e = table(spark, sf_dir, "events")
+    return first_last_by(
+        e.withColumn("day", F.to_date(F.col("ts"))),
+        ["user_id", "day"],
+        "value",
+        ["ts", "event_id"],
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(GREATEST(LEAST(FLOOR((value - 0.0) / (500.0 - 0.0) * 20),
+                               19), 0) AS INT) AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def value_histogram(spark, sf_dir):
+    """Timescale histogram(value, 0, 500, 20) per event_type — explicit
+    clamped fixed-width bucket formula (identical double arithmetic in
+    both engines), pure codegen + one hash agg."""
+    e = table(spark, sf_dir, "events")
+    return histogram_fixed(e, "value", ["event_type"], 20, 0.0, 500.0)
+
+
+@query(
+    "counter_rate_stats",
+    oracle="""
+    WITH r AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w = 0 THEN NULL
+                    ELSE (value - lag(value) OVER w) * 1000000.0
+                         / CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                AS DOUBLE)
+               END AS rate_per_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, round(avg(rate_per_s), 4) + 0.0 AS avg_rate,
+           count(rate_per_s) AS n_samples
+    FROM r GROUP BY 1
+    """,
+    gate=False,
+)
+def counter_rate_stats(spark, sf_dir):
+    """Per-sample instantaneous rate (counter-agg rate shape): lag
+    deltas on integer microseconds within each user series, NULL on
+    zero-width intervals, then a per-user average.  One shuffle on the
+    series key; the window sort rides it."""
+    e = table(spark, sf_dir, "events")
+    rated = counter_rate(e, "user_id", "ts", "value", "event_id")
+    return rated.groupBy("user_id").agg(
+        # + 0.0 canonicalizes IEEE signed zero: round can yield -0.0,
+        # and the engines disagree on its sign bit rendering
+        (F.round(F.avg("rate_per_s"), 4) + F.lit(0.0)).alias("avg_rate"),
+        F.count("rate_per_s").alias("n_samples"),
+    )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts) AS DOUBLE) AS dt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CASE WHEN sum(dt) = 0 THEN NULL
+                ELSE round(sum(value * dt) / sum(dt), 4) END AS twa
+    FROM s GROUP BY 1
+    """,
+    gate=False,
+)
+def time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user (time_weight('LOCF') -> average):
+    each sample weighted by the interval to the NEXT sample of its
+    series; the final sample carries no weight.  lead window + one hash
+    agg; try_divide mirrors the oracle's zero-width NULL."""
+    e = table(spark, sf_dir, "events")
+    out = time_weighted_sums(
+        e, ["user_id"], "user_id", "ts", "value", "event_id"
+    )
+    return out.select("user_id", F.round(F.col("twa"), 4).alias("twa"))
+
+
+@query("lttb_downsample", oracle=None, gate=False)
+def lttb_downsample_q(spark, sf_dir):
+    """Toolkit lttb(ts, value, 20) per user series — sequential by
+    definition, so applyInPandas per series (Arrow-batched NumPy); no
+    SQL oracle exists, correctness is pinned by the contract tests in
+    tests/test_timeseries.py (spike retention, endpoints, subset and
+    monotonicity, identity for short series, determinism under
+    repartitioning)."""
+    e = table(spark, sf_dir, "events")
+    return lttb_downsample(e, "user_id", "ts", "value", 20)

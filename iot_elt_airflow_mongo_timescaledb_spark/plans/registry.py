@@ -101,5 +101,6 @@ def _load_all() -> None:
     from . import queries_streaming  # noqa: F401
     from . import queries_relational  # noqa: F401
     from . import queries_analytics  # noqa: F401
+    from . import queries_timeseries  # noqa: F401
 
     _LOADED = True
