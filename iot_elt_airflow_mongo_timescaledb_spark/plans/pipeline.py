@@ -346,29 +346,43 @@ def with_retries(fn, attempts: int = 3, delay_s: float = 0.0):
     raise last
 
 
-class IncrementalAggSync:
-    """Incremental MAINTENANCE of a stored aggregate: each fact batch
-    contributes partial sums that MERGE into the warehouse rollup by
-    group key — the aggregate is never recomputed from full history.
+def agg_group_key(group_cols: list[str]):
+    """Rollup storage key: md5 over length-prefixed components.  NULL
+    encodes as a token no real value maps to, and length prefixes make
+    the concatenation unambiguous — neither NULL-skipping (``("a",
+    NULL)`` vs ``(NULL, "a")``) nor separator containment (``("a|b",
+    "c")`` vs ``("a", "b|c")``) can collide."""
+    from pyspark.sql import functions as F
 
-    The reference recomputes its daily/weekly/monthly aggregates from
-    the staged tables every run (aggregate DAGs, SURVEY §3.3) — fine at
-    ~100 GB, cost-proportional-to-history at 100 TB.  Spark-native
-    shape: additive metrics (SUM/COUNT; AVG derives as sum/count at
-    read time) make the rollup a semigroup, so per-sync cost is
-    O(batch + touched groups) — the batch aggregates map-side, the
-    merge join touches only the batch's group keys, untouched groups
-    ride ``materialize_upsert``'s anti-join untouched, and the write is
-    the one-write staging swap.
+    parts = []
+    for c in group_cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                F.lit("N"),
+            )
+        )
+    return F.md5(F.concat_ws("|", *parts))
+
+
+class _RollupSyncBase:
+    """Shared machinery for incremental rollup maintenance: a stored
+    per-group state table that fact batches MERGE into — never a
+    recompute from history.  Subclasses define what the per-group state
+    is (additive sums, HLL sketches, ...) via ``_partial`` and
+    ``_merge_metric``; this base owns the storage key, the
+    exactly-once batch-id sentinel, and the one-write upsert.
 
     Caller contract: batches must be DISJOINT fact sets (each event
-    delivered exactly once — the streaming checkpoint or the strict-``>``
-    watermark upstream provides this).  For callers that can only offer
-    at-least-once delivery with a monotonically increasing batch id
-    (Structured Streaming's ``foreachBatch``), pass ``batch_id`` to
-    ``sync``: the id is committed INSIDE the same atomic table swap as
-    the merged data (a ``__meta__`` sentinel row), so a replayed batch
-    is detected and skipped — exactly-once effect on plain parquet.
+    delivered exactly once — the streaming checkpoint or the
+    strict-``>`` watermark upstream provides this).  For callers that
+    can only offer at-least-once delivery with a monotonically
+    increasing batch id (Structured Streaming's ``foreachBatch``), pass
+    ``batch_id`` to ``sync``: the id is committed INSIDE the same
+    atomic table swap as the merged data (a ``__meta__`` sentinel row),
+    so a replayed batch is detected and skipped — exactly-once effect
+    on plain parquet.
 
     Storage-format note: the group key is md5 over length-prefixed
     NULL-encoded components (v2, round-5 review).  A rollup table
@@ -385,7 +399,6 @@ class IncrementalAggSync:
         warehouse_root: str,
         table_name: str,
         group_cols: tuple[str, ...],
-        sum_cols: tuple[str, ...],
     ):
         from .materialize import Warehouse
 
@@ -393,39 +406,19 @@ class IncrementalAggSync:
         self.wh = Warehouse(spark, warehouse_root)
         self.table_name = table_name
         self.group_cols = list(group_cols)
-        self.sum_cols = list(sum_cols)
-        self._metrics = [f"sum_{c}" for c in self.sum_cols] + ["n_rows"]
+        self._metrics: list[str] = []  # set by subclass __init__
 
     def _key(self):
-        """Group key as md5 over length-prefixed components.  NULL
-        encodes as a token no real value maps to, and length prefixes
-        make the concatenation unambiguous — neither NULL-skipping
-        (``("a", NULL)`` vs ``(NULL, "a")``) nor separator containment
-        (``("a|b", "c")`` vs ``("a", "b|c")``) can collide."""
-        from pyspark.sql import functions as F
-
-        parts = []
-        for c in self.group_cols:
-            s = F.col(c).cast("string")
-            parts.append(
-                F.coalesce(
-                    F.concat(F.length(s).cast("string"), F.lit(":"), s),
-                    F.lit("N"),
-                )
-            )
-        return F.md5(F.concat_ws("|", *parts))
+        return agg_group_key(self.group_cols)
 
     def _partial(self, batch: DataFrame) -> DataFrame:
-        from pyspark.sql import functions as F
+        """Per-group state of ONE batch, keyed by ``__agg_key``."""
+        raise NotImplementedError
 
-        # plain SUM: NULL means "no non-NULL value ever seen", exactly
-        # like a full recompute — the merge below preserves that (NULL +
-        # NULL = NULL) while never letting a NULL side wipe a real total
-        aggs = [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
-        aggs.append(F.count("*").alias("n_rows"))
-        return batch.groupBy(*self.group_cols).agg(*aggs).withColumn(
-            "__agg_key", self._key()
-        )
+    def _merge_metric(self, m: str):
+        """Column merging ``m`` (the batch side) with ``__old_<m>`` (the
+        stored side), aliased back to ``m``."""
+        raise NotImplementedError
 
     def _applied_batch_id(self):
         from pyspark.sql import functions as F
@@ -445,7 +438,7 @@ class IncrementalAggSync:
     def sync(self, batch: DataFrame, batch_id: int | None = None) -> DataFrame:
         """Merge one fact batch into the stored rollup; returns the
         post-merge rollup.  With ``batch_id`` (monotone), a replayed
-        batch (id <= the last committed id) is a no-op."""
+        batch (id == the last committed id) is a no-op."""
         from pyspark.sql import functions as F
 
         if batch_id is not None:
@@ -469,19 +462,10 @@ class IncrementalAggSync:
                 "__agg_key",
                 *[F.col(m).alias(f"__old_{m}") for m in self._metrics],
             )
-
-            def merge(m):
-                new, old = F.col(m), F.col(f"__old_{m}")
-                # both NULL -> NULL (recompute semantics: no value ever
-                # measured); otherwise NULL-safe addition
-                return F.when(new.isNull() & old.isNull(), F.lit(None)).otherwise(
-                    F.coalesce(new, F.lit(0)) + F.coalesce(old, F.lit(0))
-                ).alias(m)
-
             delta = delta.join(prev, "__agg_key", "left").select(
                 "__agg_key",
                 *self.group_cols,
-                *[merge(m) for m in self._metrics],
+                *[self._merge_metric(m) for m in self._metrics],
             )
         if batch_id is not None:
             # the batch id rides the SAME staged swap as the data —
@@ -495,19 +479,154 @@ class IncrementalAggSync:
         self.wh.materialize_upsert(self.table_name, delta, unique_key="__agg_key")
         return self.read()
 
+    def _stored(self) -> DataFrame:
+        """Stored per-group state minus the meta sentinel and internals."""
+        from pyspark.sql import functions as F
+
+        df = self.wh.read(self.table_name).filter(
+            F.col("__agg_key") != self._META_KEY
+        )
+        if "__last_batch_id" in df.columns:
+            df = df.drop("__last_batch_id")
+        return df
+
+    def read(self) -> DataFrame:
+        raise NotImplementedError
+
+
+class IncrementalAggSync(_RollupSyncBase):
+    """Incremental MAINTENANCE of a stored aggregate: each fact batch
+    contributes partial sums that MERGE into the warehouse rollup by
+    group key — the aggregate is never recomputed from full history.
+
+    The reference recomputes its daily/weekly/monthly aggregates from
+    the staged tables every run (aggregate DAGs, SURVEY §3.3) — fine at
+    ~100 GB, cost-proportional-to-history at 100 TB.  Spark-native
+    shape: additive metrics (SUM/COUNT; AVG derives as sum/count at
+    read time) make the rollup a semigroup, so per-sync cost is
+    O(batch + touched groups) — the batch aggregates map-side, the
+    merge join touches only the batch's group keys, untouched groups
+    ride ``materialize_upsert``'s anti-join untouched, and the write is
+    the one-write staging swap.  Delivery/replay contract and storage
+    key: see ``_RollupSyncBase``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        table_name: str,
+        group_cols: tuple[str, ...],
+        sum_cols: tuple[str, ...],
+    ):
+        super().__init__(spark, warehouse_root, table_name, group_cols)
+        self.sum_cols = list(sum_cols)
+        self._metrics = [f"sum_{c}" for c in self.sum_cols] + ["n_rows"]
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        # plain SUM: NULL means "no non-NULL value ever seen", exactly
+        # like a full recompute — the merge below preserves that (NULL +
+        # NULL = NULL) while never letting a NULL side wipe a real total
+        aggs = [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
+        aggs.append(F.count("*").alias("n_rows"))
+        return batch.groupBy(*self.group_cols).agg(*aggs).withColumn(
+            "__agg_key", self._key()
+        )
+
+    def _merge_metric(self, m: str):
+        from pyspark.sql import functions as F
+
+        new, old = F.col(m), F.col(f"__old_{m}")
+        # both NULL -> NULL (recompute semantics: no value ever
+        # measured); otherwise NULL-safe addition
+        return F.when(new.isNull() & old.isNull(), F.lit(None)).otherwise(
+            F.coalesce(new, F.lit(0)) + F.coalesce(old, F.lit(0))
+        ).alias(m)
+
     def read(self) -> DataFrame:
         """The rollup with derived means; the storage key and replay
         meta row stay internal."""
         from pyspark.sql import functions as F
 
-        df = self.wh.read(self.table_name).filter(
-            F.col("__agg_key") != self._META_KEY
-        ).drop("__agg_key")
-        if "__last_batch_id" in df.columns:
-            df = df.drop("__last_batch_id")
+        df = self._stored().drop("__agg_key")
         for c in self.sum_cols:
             df = df.withColumn(
                 f"avg_{c}",
                 F.round(F.try_divide(F.col(f"sum_{c}"), F.col("n_rows")), 6),
             )
         return df
+
+
+class IncrementalDistinctSync(_RollupSyncBase):
+    """Incremental COUNT DISTINCT maintenance via mergeable HLL
+    sketches (Apache DataSketches, built into Spark:
+    ``hll_sketch_agg`` / ``hll_union`` / ``hll_sketch_estimate``).
+
+    Exact distinct counting is the one aggregate that is NOT a cheap
+    semigroup — the state is the value set itself, so a 100 TB
+    "distinct users per day" rollup either rescans history per refresh
+    or stores every user id per group.  The sketch rollup stores a
+    fixed ~2^lgk-register binary per group instead: each batch
+    contributes partial sketches (one hash-agg, map-side combined), the
+    merge is a register-wise max (``hll_union``) against only the
+    touched groups, and — the real payoff — stored sketches re-merge to
+    ANY coarser grain at read time (``estimate(["day"])`` from a
+    (day, event_type) table) without touching facts.  Union is
+    order-independent, so merged-by-batches equals sketched-in-one-shot
+    EXACTLY, a property the tests pin.  Estimates carry the usual HLL
+    relative error (~1.6% at lgk=12).  Delivery/replay contract:
+    ``_RollupSyncBase``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        table_name: str,
+        group_cols: tuple[str, ...],
+        distinct_col: str,
+        lgk: int = 12,
+    ):
+        super().__init__(spark, warehouse_root, table_name, group_cols)
+        self.distinct_col = distinct_col
+        self.lgk = lgk
+        self._metrics = ["hll"]
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return batch.groupBy(*self.group_cols).agg(
+            F.hll_sketch_agg(self.distinct_col, F.lit(self.lgk)).alias("hll")
+        ).withColumn("__agg_key", self._key())
+
+    def _merge_metric(self, m: str):
+        from pyspark.sql import functions as F
+
+        new, old = F.col(m), F.col(f"__old_{m}")
+        return (
+            F.when(new.isNull(), old)
+            .when(old.isNull(), new)
+            .otherwise(F.hll_union(new, old))
+            .alias(m)
+        )
+
+    def read(self) -> DataFrame:
+        """Stored grain with estimates; sketches stay internal."""
+        from pyspark.sql import functions as F
+
+        return self._stored().select(
+            *self.group_cols,
+            F.hll_sketch_estimate("hll").alias("distinct_est"),
+        )
+
+    def estimate(self, to_grain: list[str]) -> DataFrame:
+        """Re-merge the STORED sketches to any coarser grain — distinct
+        counts at (e.g.) event_type level from a (event_type, day)
+        rollup, no fact scan, no double counting across days."""
+        from pyspark.sql import functions as F
+
+        return self._stored().groupBy(*to_grain).agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_est")
+        )

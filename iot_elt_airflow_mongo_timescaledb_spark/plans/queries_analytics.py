@@ -219,6 +219,61 @@ def approx_distinct_users(spark, sf_dir):
 
 
 @query(
+    "hll_rollup_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol,
+           CAST(0 AS BIGINT) AS err_tol_buckets
+    FROM events GROUP BY 1
+    """,
+    gate=False,  # family represented in the gate by approx_distinct_users
+)
+def hll_rollup_distinct(spark, sf_dir):
+    """Mergeable-sketch distinct rollup — the 100 TB count-distinct
+    MAINTENANCE shape: per-(event_type, day) DataSketches HLL partials
+    (``hll_sketch_agg``, one hash agg, map-side combined) are re-merged
+    to event_type grain with ``hll_union_agg`` and estimated — the fact
+    table is scanned once to build the daily partials and NEVER again
+    for any coarser grain, and sketch union never double-counts a user
+    appearing on many days (register-wise max, unlike summing daily
+    distinct counts).
+
+    Same deterministic-verdict oracle as ``approx_distinct_users``:
+    the estimate itself is engine-specific, so the query emits
+    ``within_tol`` (merged estimate within 5% of exact) + an error
+    bucket, which the oracle pins as TRUE/0.  Note merged-daily and
+    direct-whole-column sketches can differ by a few counts at larger
+    SFs (sparse->dense mode promotion during union), which is why the
+    verdict is a tolerance, not equality — the near-equality bound is
+    pinned in tests/test_sketches.py.  ``IncrementalDistinctSync``
+    (plans/pipeline.py) is this query's maintenance twin: the daily
+    sketches live in a warehouse table that fact batches merge into.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyyMMdd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("hll"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("est_m")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    err = F.abs(F.col("est_m") - F.col("exact_users"))
+    tol = 0.05 * F.col("exact_users")
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (err <= tol).alias("within_tol"),
+        F.when(err <= tol, F.lit(0))
+        .otherwise(F.floor(err / tol))
+        .cast("long")
+        .alias("err_tol_buckets"),
+    )
+
+
+@query(
     "value_percentiles",
     oracle="""
     SELECT event_type,
