@@ -900,6 +900,134 @@ def window_frames_user_value(spark, sf_dir):
 
 
 @query(
+    "ranking_functions",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, user_id, ROUND(SUM(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, total,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY total DESC, user_id) AS rn,
+           NTILE(4) OVER (PARTITION BY event_type
+                          ORDER BY total DESC, user_id) AS quartile,
+           RANK() OVER (PARTITION BY event_type ORDER BY total DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY event_type
+                              ORDER BY total DESC) AS drnk,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                                      ORDER BY total DESC), 6) AS prnk,
+           ROUND(CUME_DIST() OVER (PARTITION BY event_type
+                                   ORDER BY total DESC), 6) AS cdist
+    FROM t
+    """,
+    gate=False,  # driver row via window_frames_user_value (window family)
+)
+def ranking_functions(spark, sf_dir):
+    """The full SQL ranking surface in one pass: row_number + ntile on
+    the fully-tiebroken order (deterministic positions), rank /
+    dense_rank / percent_rank / cume_dist on the value order alone
+    (tie-AWARE — equal totals share ranks, which is deterministic
+    without a tiebreak).  Both orderings share one partitioning, so
+    Catalyst plans a single shuffle on event_type with two Window
+    nodes riding the same sort prefix."""
+    e = table(spark, sf_dir, "events")
+    t = e.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    pos = Window.partitionBy("event_type").orderBy(
+        F.col("total").desc(), "user_id"
+    )
+    ties = Window.partitionBy("event_type").orderBy(F.col("total").desc())
+    return t.select(
+        "event_type",
+        "user_id",
+        "total",
+        F.row_number().over(pos).alias("rn"),
+        F.ntile(4).over(pos).alias("quartile"),
+        F.rank().over(ties).alias("rnk"),
+        F.dense_rank().over(ties).alias("drnk"),
+        F.round(F.percent_rank().over(ties), 6).alias("prnk"),
+        F.round(F.cume_dist().over(ties), 6).alias("cdist"),
+    )
+
+
+@query(
+    "unpivot_event_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, 'clicks' AS metric, clicks AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'views' AS metric, views AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'purchases' AS metric, purchases AS n FROM wide
+    """,
+    gate=False,  # driver row via pivot_daily_event_values (reshape family)
+)
+def unpivot_event_metrics(spark, sf_dir):
+    """Wide -> long reshape (`DataFrame.unpivot`, the inverse of the
+    gated pivot): conditional-count columns melt into (metric, n)
+    rows.  Unpivot is a zero-shuffle Expand node — each input row fans
+    to k output rows map-side, so the only shuffle is the upstream
+    aggregate's."""
+    e = table(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        ),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["clicks", "views", "purchases"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
+
+
+@query(
+    "null_safe_join_counts",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(event_type, 'error') AS k, COUNT(*) AS n_a
+        FROM events WHERE value >= 100 GROUP BY 1
+    ),
+    b AS (
+        SELECT NULLIF(event_type, 'error') AS k, COUNT(*) AS n_b
+        FROM events WHERE value < 100 GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    gate=False,  # driver row via semi_anti_join_counts (join family)
+)
+def null_safe_join_counts(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantics SQL
+    users reach for when a nullable dimension key must still join.
+    Spark plans EqualNullSafe keys as an ordinary hash join (keys are
+    coalesced into a null-distinguishing struct), NOT a nested-loop —
+    same shuffle economics as a plain equi join."""
+    e = table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error")).alias("k")
+    a = e.filter(F.col("value") >= 100).select(k).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = e.filter(F.col("value") < 100).select(k).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"]), "inner").select(
+        a["k"].alias("k"), "n_a", "n_b"
+    )
+
+
+@query(
     "subquery_filters",
     oracle="""
     SELECT 'scalar' AS op, o_orderpriority AS key, COUNT(*) AS n,

@@ -22,6 +22,26 @@ from ..sources.flatten import flatten_document_table
 from ..sources.ingest import dedup_by_pk
 
 
+def _drain_once(spark, schema, source_dir, checkpoint, process_batch, fmt="json"):
+    """Shared drain-then-stop runner (≈ one 15-minute Airflow run):
+    ``foreachBatch`` over every not-yet-checkpointed source file with
+    ``trigger(availableNow=True)``.  One implementation so the sync
+    classes cannot drift on checkpoint/trigger semantics."""
+    reader = spark.readStream.schema(schema)
+    stream = (
+        reader.option("multiLine", "true").json(source_dir)
+        if fmt == "json"
+        else reader.parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 class DocumentStreamSync:
     """Streams one document collection directory into the raw layer."""
 
@@ -57,20 +77,12 @@ class DocumentStreamSync:
         root_key_merge(self.wh, self.collection, tables)
 
     def run_once(self) -> None:
-        """One micro-batch drain (≈ one 15-minute Airflow run): process
-        every not-yet-checkpointed file, then stop."""
-        stream = (
-            self.spark.readStream.schema(self.schema)
-            .option("multiLine", "true")
-            .json(self.source_dir)
+        """One micro-batch drain: process every not-yet-checkpointed
+        file, then stop."""
+        _drain_once(
+            self.spark, self.schema, self.source_dir, self.checkpoint,
+            self._process_batch,
         )
-        q = (
-            stream.writeStream.foreachBatch(self._process_batch)
-            .option("checkpointLocation", self.checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
 
 
 class StreamingDedupSync:
@@ -150,18 +162,10 @@ class StreamingDedupSync:
 
     def run_once(self) -> None:
         """Drain every not-yet-checkpointed ingest file, then stop."""
-        stream = (
-            self.spark.readStream.schema(self.schema)
-            .option("multiLine", "true")
-            .json(self.source_dir)
+        _drain_once(
+            self.spark, self.schema, self.source_dir, self.checkpoint,
+            self._process_batch,
         )
-        q = (
-            stream.writeStream.foreachBatch(self._process_batch)
-            .option("checkpointLocation", self.checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
 
 
 class StreamingAggSync:
@@ -210,14 +214,63 @@ class StreamingAggSync:
 
     def run_once(self) -> None:
         """Drain every not-yet-checkpointed fact file, then stop."""
-        stream = self.spark.readStream.schema(self.schema).parquet(self.source_dir)
-        q = (
-            stream.writeStream.foreachBatch(self._process_batch)
-            .option("checkpointLocation", self.checkpoint)
-            .trigger(availableNow=True)
-            .start()
+        _drain_once(
+            self.spark, self.schema, self.source_dir, self.checkpoint,
+            self._process_batch, fmt="parquet",
         )
-        q.awaitTermination()
 
     def read(self):
         return self.agg.read()
+
+
+class StreamingDistinctSync:
+    """Streaming distinct-count maintenance: each micro-batch's partial
+    HLL sketches merge into the warehouse sketch rollup
+    (``IncrementalDistinctSync`` inside ``foreachBatch``) — the twin of
+    ``StreamingAggSync`` for the one metric that is not an additive
+    semigroup.  The micro-batch id rides the same atomic swap as the
+    merged sketches, so at-least-once replays are exactly-once on the
+    stored state; stored sketches regrain to any coarser level at read
+    time with no fact rescan."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        source_dir: str,
+        table_name: str,
+        group_cols: tuple[str, ...],
+        distinct_col: str,
+        lgk: int = 12,
+        checkpoint_root: str | None = None,
+    ):
+        from ..plans.pipeline import IncrementalDistinctSync
+
+        self.spark = spark
+        self.agg = IncrementalDistinctSync(
+            spark, warehouse_root, table_name, group_cols, distinct_col, lgk
+        )
+        self.source_dir = source_dir
+        self.checkpoint = os.path.join(
+            checkpoint_root or os.path.join(warehouse_root, "_checkpoints"),
+            f"hll_sync_{table_name.replace('.', '_')}",
+        )
+        self.schema = spark.read.parquet(source_dir).schema
+
+    def _process_batch(self, batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.agg.sync(batch_df, batch_id=batch_id)
+
+    def run_once(self) -> None:
+        """Drain every not-yet-checkpointed fact file, then stop."""
+        _drain_once(
+            self.spark, self.schema, self.source_dir, self.checkpoint,
+            self._process_batch, fmt="parquet",
+        )
+
+    def read(self):
+        return self.agg.read()
+
+    def estimate(self, to_grain: list[str]):
+        return self.agg.estimate(to_grain)

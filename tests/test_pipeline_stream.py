@@ -100,3 +100,46 @@ def test_streaming_agg_sync_matches_full_recompute(spark, tmp_path):
     assert {
         (r["user"], r["day"]): r["sum_value"] for r in sync.read().collect()
     } == {k: v[0] for k, v in full.items()}
+
+
+def test_streaming_distinct_sync_merges_sketches(spark, tmp_path):
+    """StreamingDistinctSync: two drained micro-batches land the same
+    sketch state as one-shot sketching of all facts; replays (rerun
+    with nothing new) leave the rollup untouched; stored sketches
+    regrain with no double counting."""
+    from iot_elt_airflow_mongo_timescaledb_spark.streaming.pipeline_stream import (
+        StreamingDistinctSync,
+    )
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [("click", "d1", 1), ("click", "d1", 2), ("view", "d1", 1)],
+        "etype string, day string, uid long",
+    )
+    b2 = spark.createDataFrame(
+        [("click", "d2", 2), ("click", "d2", 3), ("view", "d2", 1)],
+        "etype string, day string, uid long",
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    sync = StreamingDistinctSync(
+        spark, str(tmp_path / "wh"), str(src), "agg.hll", ("etype", "day"), "uid"
+    )
+    sync.run_once()
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    sync.run_once()
+    per_day = {
+        (r["etype"], r["day"]): r["distinct_est"] for r in sync.read().collect()
+    }
+    assert per_day == {
+        ("click", "d1"): 2,
+        ("click", "d2"): 2,
+        ("view", "d1"): 1,
+        ("view", "d2"): 1,
+    }
+    # regrain to etype: uid 2 clicked on BOTH days but counts once
+    total = {r["etype"]: r["distinct_est"] for r in sync.estimate(["etype"]).collect()}
+    assert total == {"click": 3, "view": 1}
+    before = sorted(map(tuple, sync.read().collect()))
+    sync.run_once()  # nothing new
+    assert sorted(map(tuple, sync.read().collect())) == before

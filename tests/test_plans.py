@@ -177,6 +177,8 @@ _NESTED_LOOP_OK = {
     "array_membership_region",  # 5-row dim broadcast (scale path = explode rewrite)
     "tfidf_top_terms",     # 1-row broadcast N
     "unigram_logprob_scores",  # 1-row broadcast corpus total
+    "gapfill_locf",        # 1-row broadcast gapfill [lo, hi] range
+    "gapfill_interpolate",  # 1-row broadcast gapfill [lo, hi] range
 }
 
 
