@@ -74,6 +74,13 @@ EXTENDED = [
     "table_profile",            # one-pass column profiling
     "semantic_dedup_keepers",   # bucketed SemDeDup keep-list
     "embedding_quantization",   # int8 storage tier
+    # hypertable analytics + sketch rollup (round-5 late additions)
+    "gapfill_locf",             # dense grid + LOCF window
+    "first_last_daily",         # min_by/max_by ordered aggregate
+    "counter_rate_stats",       # lag-delta rates
+    "lttb_downsample",          # applyInPandas LTTB
+    "hll_rollup_distinct",      # mergeable sketch rollup
+    "ranking_functions",        # full ranking surface, one shuffle
 ]
 
 
