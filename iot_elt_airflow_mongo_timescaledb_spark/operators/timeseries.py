@@ -28,10 +28,11 @@ idiomatic Spark plan:
   expression + hash agg.
 - rate / time-weighted avg: lag/lead windows on integer microseconds —
   deterministic arithmetic, NULL on zero-width intervals.
-- lttb: the only per-row sequential algorithm here, so it runs as
-  ``applyInPandas`` per series — Arrow-batched, one shuffle on the
-  series key; requires each single series to fit one task (Timescale's
-  own per-chunk assumption).
+- lttb: the only per-row sequential algorithm here — one shuffle on the
+  series key, then a single ``mapInPandas`` stream over sorted
+  partitions (NOT per-group applyInPandas: its ~5 ms/group harness
+  overhead dwarfs the O(n) math on short device series); requires each
+  single series to fit one task (Timescale's own per-chunk assumption).
 """
 
 from __future__ import annotations

@@ -241,8 +241,9 @@ def time_weighted_avg(spark, sf_dir):
 @query("lttb_downsample", oracle=None, gate=False)
 def lttb_downsample_q(spark, sf_dir):
     """Toolkit lttb(ts, value, 20) per user series — sequential by
-    definition, so applyInPandas per series (Arrow-batched NumPy); no
-    SQL oracle exists, correctness is pinned by the contract tests in
+    definition, so Arrow-batched NumPy behind one partition-streaming
+    mapInPandas (see operators/timeseries.py for why not grouped-map);
+    no SQL oracle exists, correctness is pinned by the contract tests in
     tests/test_timeseries.py (spike retention, endpoints, subset and
     monotonicity, identity for short series, determinism under
     repartitioning)."""
