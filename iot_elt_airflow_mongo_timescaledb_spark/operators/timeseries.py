@@ -161,6 +161,10 @@ def histogram_fixed(
     values below ``lo`` land in bucket 0) rather than ``width_bucket``
     so any ANSI oracle reproduces the identical double arithmetic.
     Pure codegen + one hash agg."""
+    if not hi > lo:
+        raise ValueError(f"histogram bounds must satisfy lo < hi, got [{lo}, {hi}]")
+    if n_buckets < 1:
+        raise ValueError(f"histogram needs >= 1 bucket, got {n_buckets}")
     v = F.col(value_col)
     span = F.lit(float(hi)) - F.lit(float(lo))
     idx = F.least(

@@ -576,8 +576,11 @@ class IncrementalDistinctSync(_RollupSyncBase):
     (day, event_type) table) without touching facts.  Union is
     order-independent, so merged-by-batches equals sketched-in-one-shot
     EXACTLY, a property the tests pin.  Estimates carry the usual HLL
-    relative error (~1.6% at lgk=12).  Delivery/replay contract:
-    ``_RollupSyncBase``.
+    relative error (~1.6% at lgk=12).  ``lgk`` is part of the stored
+    table's format: merging with a different lgk raises loudly inside
+    ``hll_union`` (allowDifferentLgConfigK stays false on purpose) —
+    rebuild the rollup rather than silently degrading to the coarser
+    sketch.  Delivery/replay contract: ``_RollupSyncBase``.
     """
 
     def __init__(

@@ -228,3 +228,13 @@ def test_lttb_keeps_spikes(spark):
     vals = {r["value"] for r in out}
     assert 500.0 in vals and -400.0 in vals
     assert len(out) == 20
+
+
+def test_histogram_rejects_degenerate_bounds(spark):
+    import pytest
+
+    df = spark.createDataFrame([("t", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="lo < hi"):
+        histogram_fixed(df, "v", ["g"], 10, 5.0, 5.0)
+    with pytest.raises(ValueError, match=">= 1 bucket"):
+        histogram_fixed(df, "v", ["g"], 0, 0.0, 1.0)
