@@ -295,6 +295,41 @@ class Warehouse:
         self._swap_in(tmp, name)
         return self.read(name)
 
+    def retention_drop(
+        self, name: str, partition_col: str, cutoff: str
+    ) -> int:
+        """Data retention (TimescaleDB ``drop_chunks`` /
+        ``add_retention_policy``): drop every partition whose value is
+        strictly below ``cutoff``.  Metadata-only — whole hive
+        directories (``col=value/``) are deleted, never a rewrite, so
+        the cost is per-partition not per-byte: dropping 90 old days of
+        a 100 TB table is 90 directory deletes.  This is why stage
+        tables partition by the day key in the first place.
+
+        Values compare as STRINGS: day keys are fixed-width
+        (``yyyyMMdd``) by design, so lexicographic == chronological;
+        a non-fixed-width numeric partition scheme must not use this.
+        Only a table whose TOP-level partition column is
+        ``partition_col`` is accepted (anything else would need a
+        recursive scan-and-rewrite — a different, data-moving
+        operation).  Returns the number of partitions dropped.
+        """
+        self._recover_staging(name)
+        root = self.path(name)
+        layout = self._partition_columns(name)
+        if not layout or layout[0] != partition_col:
+            raise ValueError(
+                f"retention_drop needs '{partition_col}' as the top-level "
+                f"partition column; table {name} has layout {layout or None}"
+            )
+        dropped = 0
+        for d in self.fs.list_subdirs(root):
+            col, _, val = d.partition("=")
+            if col == partition_col and val < cutoff:
+                self.fs.delete(join_uri(root, d))
+                dropped += 1
+        return dropped
+
     # ------------------------------------------------------------------
     # M3 — view materialization
     # ------------------------------------------------------------------

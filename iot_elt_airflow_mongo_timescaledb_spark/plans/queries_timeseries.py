@@ -17,6 +17,7 @@ pytest oracle-parity suite at sf0.001 and the parity CLI at sf0.01.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.timeseries import (
     bucket_gapfill,
@@ -236,6 +237,67 @@ def time_weighted_avg(spark, sf_dir):
         e, ["user_id"], "user_id", "ts", "value", "event_id"
     )
     return out.select("user_id", F.round(F.col("twa"), 4).alias("twa"))
+
+
+@query(
+    "ohlc_bars",
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS day,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           count(*) AS n_samples
+    FROM events GROUP BY 1, 2
+    """,
+    gate=False,
+)
+def ohlc_bars(spark, sf_dir):
+    """Timescale ``candlestick_agg`` / OHLC bars per user-day: open and
+    close via the same min_by/max_by ordered-aggregate shape as
+    first_last_daily, high/low/count riding the SAME single aggregate —
+    one partial-combined pass, one row per bar on the shuffle."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("user_id", "day").agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+@query(
+    "threshold_alerts",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT user_id, event_id, value
+    FROM w WHERE prev < 400 AND value >= 400
+    """,
+    gate=False,
+)
+def threshold_alerts(spark, sf_dir):
+    """Monitoring threshold-crossing detection: emit a row exactly when
+    a series crosses INTO the alert band (prev < 400 <= current) — not
+    for every sample above it.  One lag window per series; a series
+    whose first sample is already above the threshold raises no alert
+    (no prior state), matching alerting-engine semantics."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return (
+        e.withColumn("prev", prev)
+        .filter((F.col("prev") < 400) & (F.col("value") >= 400))
+        .select("user_id", "event_id", "value")
+    )
 
 
 @query("lttb_downsample", oracle=None, gate=False)

@@ -466,3 +466,45 @@ def test_training_shards_rewrite_replaces(spark, tmp_path):
     key = lambda r: r["doc_id"]  # noqa: E731
     assert sorted({r["doc_id"] for r in second}) == list(range(100))
     assert sorted(first, key=key) != sorted(second, key=key)  # re-dealt
+
+
+def test_retention_drop_is_metadata_only(spark, tmp_path):
+    """retention_drop removes whole day partitions below the cutoff by
+    directory delete — surviving partitions keep their exact files (no
+    rewrite), and the dropped count is reported."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for i, d in enumerate(
+            ["20240101", "20240102", "20240103", "20240104"])],
+        "day string, id long, v double",
+    )
+    wh.materialize_incremental("stage.t", df, partition_by=("day",))
+    root = wh.path("stage.t")
+
+    def files_under(day):
+        p = os.path.join(root, f"day={day}")
+        return sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(p) for f in fs
+        )
+
+    keep_before = {d: files_under(d) for d in ("20240103", "20240104")}
+    dropped = wh.retention_drop("stage.t", "day", "20240103")
+    assert dropped == 2
+    left = wh.read("stage.t")
+    assert sorted(r["day"] for r in left.collect()) == ["20240103", "20240104"]
+    # metadata-only: surviving partition files untouched (same paths)
+    assert {d: files_under(d) for d in keep_before} == keep_before
+    # idempotent: nothing below the cutoff remains
+    assert wh.retention_drop("stage.t", "day", "20240103") == 0
+
+
+def test_retention_drop_rejects_wrong_layout(spark, tmp_path):
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path))
+    flat = spark.createDataFrame([(1, "a")], "id long, s string")
+    wh.materialize_incremental("stage.flat", flat)
+    with pytest.raises(ValueError, match="top-level partition column"):
+        wh.retention_drop("stage.flat", "day", "20240101")
