@@ -112,3 +112,31 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         ),
         F.col("__n").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def tag_violations(df: DataFrame, rules: dict) -> DataFrame:
+    """Row-level contract evaluation: ``rules`` maps a reason name to a
+    boolean Column a row must satisfy; the returned frame carries a
+    ``__violations`` array of every rule the row FAILS (empty = clean).
+    A rule evaluating to NULL counts as a violation — a contract must
+    affirmatively hold, so un-evaluatable (malformed payload) rows
+    quarantine rather than slide through.  Pure codegen expressions:
+    zero shuffles, evaluated inline with whatever scan feeds it."""
+    tags = [
+        F.when(~F.coalesce(rule, F.lit(False)), F.lit(name))
+        for name, rule in rules.items()
+    ]
+    return df.withColumn("__violations", F.array_compact(F.array(*tags)))
+
+
+def quarantine_split(df: DataFrame, rules: dict) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter routing: returns ``(good, bad)`` — clean rows with
+    the marker column dropped, and quarantined rows carrying their
+    ``__violations`` reasons for the dead-letter table.  The two frames
+    partition the input exactly (pinned in tests); land ``bad`` with
+    ``Warehouse.materialize_incremental`` to get the quarantine table
+    every ELT deployment needs when a contract breaks at 3am."""
+    tagged = tag_violations(df, rules)
+    good = tagged.filter(F.size("__violations") == 0).drop("__violations")
+    bad = tagged.filter(F.size("__violations") > 0)
+    return good, bad

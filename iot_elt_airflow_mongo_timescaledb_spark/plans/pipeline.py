@@ -490,8 +490,45 @@ class _RollupSyncBase:
             df = df.drop("__last_batch_id")
         return df
 
-    def read(self) -> DataFrame:
+    def _derive(self, df: DataFrame) -> DataFrame:
+        """Presentation pass over (group_cols + metrics) — derived means
+        / estimates; subclass-specific."""
         raise NotImplementedError
+
+    def read(self) -> DataFrame:
+        """The rollup; storage key and replay meta row stay internal."""
+        return self._derive(self._stored().drop("__agg_key"))
+
+    def read_realtime(self, tail: DataFrame) -> DataFrame:
+        """Timescale REAL-TIME continuous aggregate: the stored rollup
+        merged on the fly with the not-yet-materialized fact tail —
+        fresh answers between refreshes, nothing written.  The tail
+        aggregates map-side to one row per touched group, the merge is
+        a full-outer join on the group key (stored-only groups pass
+        through, tail-only groups appear), and the same presentation
+        derivations apply — so ``read_realtime(tail)`` is exactly what
+        ``read()`` would return after ``sync(tail)``, a property the
+        tests pin.  The caller supplies the tail (facts past the last
+        synced watermark), mirroring Timescale's
+        materialized-watermark union."""
+        from pyspark.sql import functions as F
+
+        delta = self._partial(tail)
+        if not self.wh.exists(self.table_name):
+            return self._derive(delta.drop("__agg_key"))
+        prev = self._stored().select(
+            "__agg_key",
+            *[F.col(c).alias(f"__old_{c}") for c in self.group_cols],
+            *[F.col(m).alias(f"__old_{m}") for m in self._metrics],
+        )
+        merged = delta.join(prev, "__agg_key", "full_outer").select(
+            *[
+                F.coalesce(F.col(c), F.col(f"__old_{c}")).alias(c)
+                for c in self.group_cols
+            ],
+            *[self._merge_metric(m) for m in self._metrics],
+        )
+        return self._derive(merged)
 
 
 class IncrementalAggSync(_RollupSyncBase):
@@ -545,12 +582,11 @@ class IncrementalAggSync(_RollupSyncBase):
             F.coalesce(new, F.lit(0)) + F.coalesce(old, F.lit(0))
         ).alias(m)
 
-    def read(self) -> DataFrame:
-        """The rollup with derived means; the storage key and replay
-        meta row stay internal."""
+    def _derive(self, df: DataFrame) -> DataFrame:
+        """Means derive from sums at read time (AVG of AVGs is wrong
+        under merge; sum/count is exact)."""
         from pyspark.sql import functions as F
 
-        df = self._stored().drop("__agg_key")
         for c in self.sum_cols:
             df = df.withColumn(
                 f"avg_{c}",
@@ -615,11 +651,11 @@ class IncrementalDistinctSync(_RollupSyncBase):
             .alias(m)
         )
 
-    def read(self) -> DataFrame:
-        """Stored grain with estimates; sketches stay internal."""
+    def _derive(self, df: DataFrame) -> DataFrame:
+        """Estimates at the stored grain; sketches stay internal."""
         from pyspark.sql import functions as F
 
-        return self._stored().select(
+        return df.select(
             *self.group_cols,
             F.hll_sketch_estimate("hll").alias("distinct_est"),
         )

@@ -1068,6 +1068,63 @@ def subquery_filters(spark, sf_dir):
 
 
 @query(
+    "quarantine_stats",
+    oracle="""
+    SELECT 'value_le_400' AS reason,
+           COUNT(*) FILTER (WHERE NOT coalesce(value <= 400, FALSE)) AS n
+    FROM events
+    UNION ALL
+    SELECT 'k_le_90' AS reason,
+           COUNT(*) FILTER (WHERE NOT coalesce(
+               CAST(json_extract_string(props, '$.k') AS BIGINT) <= 90,
+               FALSE)) AS n
+    FROM events
+    UNION ALL
+    SELECT 'clean' AS reason,
+           COUNT(*) FILTER (WHERE
+               coalesce(value <= 400, FALSE)
+               AND coalesce(
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) <= 90,
+                   FALSE)) AS n
+    FROM events
+    """,
+    gate=False,
+)
+def quarantine_stats(spark, sf_dir):
+    """Contract-enforcement census over the dead-letter router
+    (operators/quality_checks.py tag_violations): per-rule violation
+    counts plus the clean count, as ONE hash-free aggregate unpivoted
+    to (reason, n) rows — every reason always present, even at zero,
+    so the dashboard the quarantine feeds never loses a series.  Rules
+    evaluating NULL (malformed payload) count as violations by
+    contract."""
+    from ..operators.quality_checks import tag_violations
+
+    e = table(spark, sf_dir, "events")
+    rules = {
+        "value_le_400": F.col("value") <= 400,
+        "k_le_90": F.get_json_object(F.col("props"), "$.k").cast("long")
+        <= 90,
+    }
+    tagged = tag_violations(e, rules)
+    agg = tagged.agg(
+        F.sum(
+            F.array_contains("__violations", "value_le_400").cast("long")
+        ).alias("value_le_400"),
+        F.sum(F.array_contains("__violations", "k_le_90").cast("long")).alias(
+            "k_le_90"
+        ),
+        F.sum((F.size("__violations") == 0).cast("long")).alias("clean"),
+    )
+    return agg.unpivot(
+        ids=[],
+        values=["value_le_400", "k_le_90", "clean"],
+        variableColumnName="reason",
+        valueColumnName="n",
+    )
+
+
+@query(
     "props_json_stats",
     oracle="""
     SELECT event_type,
