@@ -383,3 +383,52 @@ def corpus_ngram_topk(
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def tokenize_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Apply a ``(term, token_id)`` vocabulary to a corpus — the
+    tokenization step between ``vocab_table`` and sequence packing:
+    each document becomes its positional token-id array, with
+    out-of-vocabulary words mapped to ``oov_id`` (the UNK id; vocab ids
+    are 1-based so 0 is free).
+
+    Scale shape: posexplode -> equi-join on the term key -> one hash
+    agg per document.  The vocabulary is capped (max_vocab rows) so AQE
+    broadcasts the join side — the corpus never shuffles on the term
+    key; the per-document array rebuild sorts (pos, id) structs INSIDE
+    the aggregated list (sort_array on collected structs), not as a
+    global window.  Returns (id, token_ids, n_tokens, n_oov); documents
+    with no words yield no row, same as the word-split census queries.
+    """
+    words = (
+        ensure_min_parallelism(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                "pos", "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    joined = words.join(
+        vocab.select("term", F.col("token_id").cast("int").alias("token_id")),
+        "term",
+        "left",
+    )
+    tid = F.coalesce(F.col("token_id"), F.lit(int(oov_id))).cast("int")
+    return joined.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), tid.alias("tid")))
+            ),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("token_id").isNull().cast("long")).alias("n_oov"),
+    )

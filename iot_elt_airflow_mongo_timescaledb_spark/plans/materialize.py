@@ -330,6 +330,40 @@ class Warehouse:
                 dropped += 1
         return dropped
 
+    def backfill_partitions(
+        self, name: str, df: DataFrame, partition_col: str
+    ) -> DataFrame:
+        """Backfill: re-land a historical slice by replacing EXACTLY the
+        partitions present in ``df`` (dynamic partition overwrite),
+        leaving every other partition's files untouched — the
+        production answer to "day 2024-03-07 was wrong, recompute it"
+        on an incremental table, without disturbing the watermark or
+        rewriting the other 99.9% of a 100 TB table.
+
+        Spark's commit protocol stages each task's output and commits
+        per-partition directories; unlike the staging-swap methods this
+        is atomic per PARTITION, not per table — a mid-backfill crash
+        can leave some days new and some old (each day internally
+        consistent), so re-run the same backfill to converge.  Layout
+        is validated like ``retention_drop``.
+        """
+        self._recover_staging(name)
+        if self.exists(name):
+            layout = self._partition_columns(name)
+            if not layout or layout[0] != partition_col:
+                raise ValueError(
+                    f"backfill_partitions needs '{partition_col}' as the "
+                    f"top-level partition column; table {name} has layout "
+                    f"{layout or None}"
+                )
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self.path(name))
+        )
+        return self.read(name)
+
     # ------------------------------------------------------------------
     # M3 — view materialization
     # ------------------------------------------------------------------

@@ -1653,6 +1653,48 @@ def vocab_table(spark, sf_dir):
     return X.vocab_table(docs, "doc_id", "text", max_vocab=_VOCAB_K)
 
 
+@query(
+    "tokenize_docs",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents),
+    words AS (
+      SELECT doc_id, unnest(ws) AS term,
+             unnest(range(1, len(ws) + 1)) AS pos
+      FROM w),
+    counts AS (
+      SELECT term, COUNT(*) AS n_occurrences
+      FROM words WHERE term <> '' GROUP BY term),
+    vocab AS (
+      SELECT term,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term ASC)
+                  AS INT) AS token_id
+      FROM (SELECT * FROM counts
+            ORDER BY n_occurrences DESC, term ASC LIMIT {{k}}) t)
+    SELECT doc_id,
+           array_agg(coalesce(v.token_id, 0) ORDER BY pos) AS token_ids,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS n_oov
+    FROM words LEFT JOIN vocab v USING (term)
+    WHERE term <> ''
+    GROUP BY doc_id
+    """.replace("{k}", str(_VOCAB_K)),
+    gate=False,
+)
+def tokenize_docs(spark, sf_dir):
+    """Corpus tokenization against the built vocabulary: every document
+    becomes its positional token-id array with OOV -> 0 (UNK; vocab
+    ids are 1-based).  The tokenization step between vocab_table and
+    sequence packing — posexplode, broadcast-size vocab equi-join (the
+    corpus never shuffles on the term key), one hash agg per doc with
+    the (pos, id) sort INSIDE the collected array
+    (operators/text.py:tokenize_docs)."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = X.vocab_table(docs, "doc_id", "text", max_vocab=_VOCAB_K)
+    return X.tokenize_docs(docs, "doc_id", "text", vocab)
+
+
 _WIN_W, _WIN_S = 40, 30
 
 

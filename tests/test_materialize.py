@@ -508,3 +508,54 @@ def test_retention_drop_rejects_wrong_layout(spark, tmp_path):
     wh.materialize_incremental("stage.flat", flat)
     with pytest.raises(ValueError, match="top-level partition column"):
         wh.retention_drop("stage.flat", "day", "20240101")
+
+
+def test_backfill_replaces_only_named_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: the backfilled day is replaced (not
+    appended), sibling days keep their exact files."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [("20240101", 1, 1.0), ("20240102", 2, 2.0), ("20240103", 3, 3.0)],
+        "day string, id long, v double",
+    )
+    wh.materialize_incremental("stage.t", df, partition_by=("day",))
+    root = wh.path("stage.t")
+
+    def files_under(day):
+        p = os.path.join(root, f"day={day}")
+        return sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(p) for f in fs
+        )
+
+    before_d1 = files_under("20240101")
+    before_d3 = files_under("20240103")
+    fix = spark.createDataFrame(
+        [("20240102", 20, 20.0), ("20240102", 21, 21.0)],
+        "day string, id long, v double",
+    )
+    out = wh.backfill_partitions("stage.t", fix, "day")
+    got = {(r["day"], r["id"]): r["v"] for r in out.collect()}
+    assert got == {
+        ("20240101", 1): 1.0,
+        ("20240102", 20): 20.0,  # replaced, old id=2 row gone
+        ("20240102", 21): 21.0,
+        ("20240103", 3): 3.0,
+    }
+    assert files_under("20240101") == before_d1
+    assert files_under("20240103") == before_d3
+
+
+def test_backfill_rejects_wrong_layout(spark, tmp_path):
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path))
+    flat = spark.createDataFrame([(1, "a")], "id long, s string")
+    wh.materialize_incremental("stage.flat", flat)
+    with pytest.raises(ValueError, match="top-level partition column"):
+        wh.backfill_partitions(
+            "stage.flat",
+            spark.createDataFrame([("d", 1)], "day string, id long"),
+            "day",
+        )
