@@ -81,6 +81,8 @@ EXTENDED = [
     "lttb_downsample",          # applyInPandas LTTB
     "hll_rollup_distinct",      # mergeable sketch rollup
     "ranking_functions",        # full ranking surface, one shuffle
+    "tokenize_docs",            # vocab application (broadcast term join)
+    "quarantine_stats",         # contract-violation census
 ]
 
 

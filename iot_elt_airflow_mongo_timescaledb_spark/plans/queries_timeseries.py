@@ -9,9 +9,10 @@ Spark plan (operators/timeseries.py) with a DuckDB oracle computing the
 identical arithmetic in the identical expression order, so the
 order-insensitive value hash matches bit-for-bit.
 
-All entries register gate=False — the driver gate is at its 50-row cap
-with one representative per operator family — and are verified by the
-pytest oracle-parity suite at sf0.001 and the parity CLI at sf0.01.
+``gapfill_locf`` is the family's driver-gated representative (the gate
+holds one row per operator family at its 50-row cap); the other
+entries register gate=False and are verified by the pytest
+oracle-parity suite at sf0.001 and the parity CLI at sf0.01.
 """
 
 from __future__ import annotations
@@ -82,7 +83,8 @@ def _gapfilled_hourly(spark, sf_dir):
            ) AS v_locf
     FROM j
     """,
-    gate=False,
+    # gated since the round-5 continuation: the hypertable-analytics
+    # family's driver-visible representative
 )
 def gapfill_locf(spark, sf_dir):
     """time_bucket_gapfill + locf: dense per-user hourly grid over the

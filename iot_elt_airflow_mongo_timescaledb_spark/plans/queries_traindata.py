@@ -227,6 +227,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     JOIN sig a ON a.doc_id = p.id_a
     JOIN sig b ON b.doc_id = p.id_b
     """,
+    gate=False,  # family rows: lsh_candidate_pairs + ngram_jaccard_pairs
 )
 def minhash_jaccard_estimate(spark, sf_dir):
     """Sketch-tier Jaccard: slot-agreement fraction of the MinHash
@@ -762,7 +763,7 @@ def _frames_oracle() -> str:
     """
 
 
-@query("multimodal_frame_sample", oracle=_frames_oracle())
+@query("multimodal_frame_sample", oracle=_frames_oracle(), gate=False)  # family row: multimodal_features
 def multimodal_frame_sample(spark, sf_dir):
     """Frame sampling over binary blobs: one Arrow ``mapInPandas`` pass
     fanning each blob into 3 frame rows (checksum + stub feature) —
@@ -1680,7 +1681,8 @@ def vocab_table(spark, sf_dir):
     WHERE term <> ''
     GROUP BY doc_id
     """.replace("{k}", str(_VOCAB_K)),
-    gate=False,
+    # gated since the round-5 continuation: the tokenization step's
+    # driver-visible representative
 )
 def tokenize_docs(spark, sf_dir):
     """Corpus tokenization against the built vocabulary: every document
