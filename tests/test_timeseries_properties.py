@@ -1,0 +1,111 @@
+"""Property-based checks for the hypertable operators: LOCF, linear
+interpolation, and time-weighted averages must agree with a brute-force
+pure-Python reference on arbitrary generated series — coverage the
+fixed-seed oracle data cannot give (runs of leading NULLs, all-NULL
+series, single observations, adversarial gap placement)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iot_elt_airflow_mongo_timescaledb_spark.operators.timeseries import (
+    interpolate_linear,
+    locf,
+    time_weighted_sums,
+)
+
+# one series: up to 12 hourly buckets, each observed (float) or a gap
+_SERIES = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _frame(spark, values):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("s", base + datetime.timedelta(hours=i), v)
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "sid string, bucket timestamp, v double")
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=_SERIES)
+def test_locf_matches_reference(spark, values):
+    out = {
+        r["bucket"]: r["f"]
+        for r in locf(_frame(spark, values), "sid", "bucket", "v", "f").collect()
+    }
+    got = [out[datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i)]
+           for i in range(len(values))]
+    ref, last = [], None
+    for v in values:
+        if v is not None:
+            last = v
+        ref.append(last)
+    assert got == ref
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=_SERIES)
+def test_interpolate_matches_reference(spark, values):
+    out = {
+        r["bucket"]: r["f"]
+        for r in interpolate_linear(
+            _frame(spark, values), "sid", "bucket", "v", "f"
+        ).collect()
+    }
+    got = [out[datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i)]
+           for i in range(len(values))]
+    obs = [i for i, v in enumerate(values) if v is not None]
+    for i, v in enumerate(values):
+        if v is not None:
+            assert got[i] == v
+            continue
+        prev = max((j for j in obs if j < i), default=None)
+        nxt = min((j for j in obs if j > i), default=None)
+        if prev is None or nxt is None:
+            assert got[i] is None
+        else:
+            expect = values[prev] + (values[nxt] - values[prev]) * (
+                (i - prev) / (nxt - prev)
+            )
+            assert got[i] is not None
+            assert abs(got[i] - expect) <= 1e-9 * max(1.0, abs(expect))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_time_weighted_avg_matches_reference(spark, values):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("s", base + datetime.timedelta(hours=i), i, v)
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "sid string, ts timestamp, id long, v double"
+    )
+    row = time_weighted_sums(df, ["sid"], "sid", "ts", "v", "id").collect()[0]
+    if len(values) == 1:
+        assert row["twa"] is None  # no interval to weight
+    else:
+        # equal hourly spacing: LOCF weights degenerate to the plain
+        # mean of all but the last sample
+        expect = sum(values[:-1]) / (len(values) - 1)
+        assert abs(row["twa"] - expect) <= 1e-9 * max(1.0, abs(expect))
