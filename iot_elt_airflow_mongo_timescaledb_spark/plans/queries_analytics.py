@@ -274,6 +274,50 @@ def hll_rollup_distinct(spark, sf_dir):
 
 
 @query(
+    "value_percentiles_approx",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           TRUE AS w50, TRUE AS w90, TRUE AS w99
+    FROM events GROUP BY 1
+    """,
+    gate=False,  # family row: stats_summary (exact percentiles)
+)
+def value_percentiles_approx(spark, sf_dir):
+    """percentile_approx (KLL-style sketch) — the 100 TB quantile path
+    where the exact percentile's full per-group sort is the bottleneck.
+
+    Sketch values are engine-specific, so the deterministic verdict
+    (approx_distinct_users pattern) pins a RANK tolerance instead: the
+    approximate p-quantile must land between the exact (p-0.01)- and
+    (p+0.01)-quantiles.  accuracy=1000 bounds rank error at 0.001, ten
+    times tighter than the asserted window, so the verdict is stable
+    across data refreshes; both quantile families are interpolation-
+    compatible with the oracle engine (see value_percentiles)."""
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1000)
+        ).alias("ap"),
+        F.expr("percentile(value, array(0.49, 0.89, 0.98))").alias("lo"),
+        F.expr("percentile(value, array(0.51, 0.91, 1.0))").alias("hi"),
+    )
+
+    def w(i):
+        return (F.col("ap")[i] >= F.col("lo")[i]) & (
+            F.col("ap")[i] <= F.col("hi")[i]
+        )
+
+    return agg.select(
+        "event_type",
+        "n",
+        w(0).alias("w50"),
+        w(1).alias("w90"),
+        w(2).alias("w99"),
+    )
+
+
+@query(
     "value_percentiles",
     oracle="""
     SELECT event_type,
