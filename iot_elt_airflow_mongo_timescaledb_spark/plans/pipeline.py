@@ -48,6 +48,17 @@ def root_key_merge(wh: Warehouse, collection: str, tables: dict) -> None:
     deletes from the child batch would leave its stale rows behind
     forever.  Child tables that exist in the warehouse but got NO rows
     at all from this batch still owe deletes for re-extracted parents.
+
+    Crash model: each per-table upsert is individually atomic (staging
+    swap), but the MERGE spans tables — a death between the parent and
+    a child upsert leaves the parent new and that child stale.  The
+    contract is the Airflow/dlt one the reference also relies on: the
+    failed run is RETRIED with the same batch (T6), and every step here
+    is idempotent on re-run (same-key upserts, same delete set), so the
+    retry converges to the clean-run state — pinned by
+    tests/test_pipeline.py::test_root_key_merge_retry_converges.
+    Cross-table snapshot atomicity would come from a table format
+    (Delta/Iceberg multi-table transactions), not from this layer.
     """
     parent_keys = (
         tables[collection].select(F.col("_dlt_id").alias("_dlt_root_id")).distinct()

@@ -452,3 +452,54 @@ def test_incremental_agg_sync_never_measured_stays_null(spark, tmp_path):
     agg.sync(spark.createDataFrame([("u9", 7.0)], "user string, value double"))
     rows = {r["user"]: r for r in agg.read().collect()}
     assert rows["u9"]["sum_value"] == 7.0 and rows["u9"]["n_rows"] == 3
+
+
+def test_root_key_merge_retry_converges(spark, tmp_path):
+    """Crash model of the multi-table merge: a death between the parent
+    upsert and the child upserts leaves the child stale — the contract
+    is Airflow-style retry of the same batch, and every step is
+    idempotent, so the retry must land the exact clean-run state."""
+    import json
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import (
+        Warehouse,
+    )
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        root_key_merge,
+    )
+    from iot_elt_airflow_mongo_timescaledb_spark.sources.flatten import (
+        flatten_document_table,
+    )
+
+    def tables_for(doc):
+        p = tmp_path / f"doc_{doc['created_at']}.json"
+        p.write_text(json.dumps([doc]))
+        df = spark.read.option("multiLine", "true").json(str(p))
+        return flatten_document_table(df, "steps", primary_key="_id")
+
+    v1 = tables_for(
+        {"_id": "d1", "created_at": 100,
+         "metrics": [{"ts": 1, "v": 10}, {"ts": 2, "v": 20}]}
+    )
+    v2 = tables_for(
+        {"_id": "d1", "created_at": 200, "metrics": [{"ts": 9, "v": 90}]}
+    )
+
+    crashed = Warehouse(spark, str(tmp_path / "a"))
+    clean = Warehouse(spark, str(tmp_path / "b"))
+    for wh in (crashed, clean):
+        root_key_merge(wh, "steps", v1)
+
+    # crash: parent upsert landed, children never ran
+    crashed.materialize_upsert("raw.steps", v2["steps"], "_dlt_id")
+    stale = crashed.read("raw.steps__metrics").collect()
+    assert {r["v"] for r in stale} == {10, 20}  # visibly inconsistent
+
+    # retry with the SAME batch vs the clean path
+    root_key_merge(crashed, "steps", v2)
+    root_key_merge(clean, "steps", v2)
+    for t in ("raw.steps", "raw.steps__metrics"):
+        a = sorted(map(tuple, crashed.read(t).collect()))
+        b = sorted(map(tuple, clean.read(t).collect()))
+        assert a == b, t
+    assert {r["v"] for r in crashed.read("raw.steps__metrics").collect()} == {90}
