@@ -28,6 +28,36 @@ def streaming_hourly_rollup(spark, sf_dir):
 
 
 @query(
+    "streaming_session_rollup",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    gate=False,  # driver row via batch session_windows (same semantics)
+)
+def streaming_session_rollup(spark, sf_dir):
+    """Streaming session_window state operator — merges per-user
+    sessions as events arrive, watermark-evicted; equals the batch
+    gaps-and-islands oracle row for row."""
+    from ..streaming.micro_batch import session_rollup_stream
+
+    return session_rollup_stream(spark, sf_dir)
+
+
+@query(
     "streaming_dedup_counts",
     oracle="""
     SELECT event_type, COUNT(DISTINCT event_id) AS n_unique

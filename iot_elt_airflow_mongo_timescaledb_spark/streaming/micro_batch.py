@@ -78,6 +78,37 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(spark, agg, "hourly_rollup", "complete")
 
 
+def session_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via the built-in ``session_window``
+    state operator: per-user 30-min-gap sessions with count/sum,
+    merging windows as events arrive — the streaming twin of the batch
+    gaps-and-islands query (same output, same oracle).
+
+    State is one open window per (user, session); the watermark closes
+    and evicts sessions once event time passes last_event + gap +
+    delay.  Complete output mode for the drain (append would hold back
+    sessions the final watermark never closes — the same choice as the
+    hourly rollup); the result is a bounded aggregate table, inside
+    the memory-sink contract."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain_to_memory(spark, agg, "session_rollup", "complete")
+
+
 def dedup_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (T8 as a stream): per-key dedup whose
     state is ACTUALLY bounded by the event-time watermark, then a
