@@ -58,6 +58,25 @@ def streaming_session_rollup(spark, sf_dir):
 
 
 @query(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n, ROUND(SUM(e.value), 2) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    gate=False,  # stream-join family row: streaming_stream_join
+)
+def streaming_enriched_counts(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins the customer
+    dimension per micro-batch (stateless, broadcast-size dim) and rolls
+    up per segment — equals the batch join oracle."""
+    from ..streaming.micro_batch import enriched_counts_stream
+
+    return enriched_counts_stream(spark, sf_dir)
+
+
+@query(
     "streaming_dedup_counts",
     oracle="""
     SELECT event_type, COUNT(DISTINCT event_id) AS n_unique

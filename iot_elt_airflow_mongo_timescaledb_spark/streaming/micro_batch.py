@@ -109,6 +109,28 @@ def session_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(spark, agg, "session_rollup", "complete")
 
 
+def enriched_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join: the event stream joins a static
+    dimension table (customer segment) per micro-batch — stateless (no
+    watermark bookkeeping, no join state store), the dimension is just
+    re-planned into each batch, broadcast when it fits.  This is the
+    standard streaming-enrichment shape; only stream-STREAM joins need
+    the watermarked state machinery of ``stream_join_stream``."""
+    import os
+
+    stream = events_stream(spark, sf_dir)
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+    )
+    agg = (
+        stream.join(dim, "user_id")  # inner: events without a dim row drop
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    return _drain_to_memory(spark, agg, "enriched_counts", "complete")
+
+
 def dedup_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (T8 as a stream): per-key dedup whose
     state is ACTUALLY bounded by the event-time watermark, then a
