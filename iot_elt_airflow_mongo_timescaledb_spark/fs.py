@@ -100,6 +100,17 @@ class HadoopFS:
             if st.isDirectory()
         )
 
+    def tree_bytes(self, uri: str) -> int:
+        """Total bytes under ``uri`` via ``getContentSummary`` — one
+        filesystem call for the whole tree (HDFS answers from the
+        namenode; object stores list server-side), never a driver loop
+        over files.  0 for an absent path."""
+        p = self._jpath(uri)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return 0
+        return int(fs.getContentSummary(p).getLength())
+
     # -- mutation -------------------------------------------------------
 
     def delete(self, uri: str) -> None:

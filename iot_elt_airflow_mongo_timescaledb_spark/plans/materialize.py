@@ -234,11 +234,23 @@ class Warehouse:
         self._swap_in(tmp, name)
         return self.read(name)
 
-    def compact(self, name: str, target_files: int = 1) -> DataFrame:
+    def compact(
+        self,
+        name: str,
+        target_files: int | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> DataFrame:
         """Small-file compaction.  A 15-minute incremental append writes
         ~96 files/day/partition; scans degrade with file count (driver
         listing + per-file open cost), so periodic compaction rewrites
         the table into ``target_files`` per partition.
+
+        With ``target_files=None`` the count auto-sizes from the
+        table's on-disk bytes (one ``getContentSummary`` metadata call)
+        at ``target_file_bytes`` per file (default 128 MB — the HDFS
+        block / ``maxPartitionBytes`` sweet spot), so a nightly
+        compaction job needs no per-table tuning and keeps working as
+        tables grow 100x.
 
         Plain-parquet version of OPTIMIZE on Delta/Iceberg: one data
         write into ``__compact`` staging, then the same metadata-only
@@ -247,11 +259,20 @@ class Warehouse:
         """
         tmp = self.path(name) + "__compact"
         self._recover_staging(name)  # may restore the target, any suffix
+        if target_files is None:
+            nbytes = self.fs.tree_bytes(self.path(name))
+            target_files = max(1, -(-nbytes // int(target_file_bytes)))
         df = self.read(name)
         part_cols = self._partition_columns(name)
-        writer = df.coalesce(max(1, target_files)) if not part_cols else df.repartition(
-            max(1, target_files), *part_cols
-        )
+        n = max(1, target_files)
+        if part_cols:
+            writer = df.repartition(n, *part_cols)
+        elif n <= df.rdd.getNumPartitions():
+            writer = df.coalesce(n)  # merge-only: no shuffle
+        else:
+            # splitting (oversized files after growth) needs a real
+            # repartition — coalesce can only reduce partition count
+            writer = df.repartition(n)
         w = writer.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)

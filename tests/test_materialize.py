@@ -559,3 +559,28 @@ def test_backfill_rejects_wrong_layout(spark, tmp_path):
             spark.createDataFrame([("d", 1)], "day string, id long"),
             "day",
         )
+
+
+def test_compact_auto_sizes_from_table_bytes(spark, tmp_path):
+    """target_files=None derives the file count from on-disk bytes at
+    target_file_bytes per file — tiny tables compact to one file, and
+    the arithmetic is pinned with a small synthetic byte budget."""
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(2000).selectExpr("id", "id * 1.5 AS v")
+    wh.materialize_incremental("stage.t", df.repartition(8))
+    n_before = wh.read("stage.t").rdd.getNumPartitions()
+    out = wh.compact("stage.t")  # auto: well under 128 MB -> 1 file
+    assert out.count() == 2000
+    files = [
+        f for f in __import__("os").listdir(wh.path("stage.t"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1 and n_before > 1
+    # tiny budget -> multiple files, ceil(bytes / budget)
+    nbytes = wh.fs.tree_bytes(wh.path("stage.t"))
+    wh.compact("stage.t", target_file_bytes=max(1, nbytes // 3))
+    files = [
+        f for f in __import__("os").listdir(wh.path("stage.t"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 3
