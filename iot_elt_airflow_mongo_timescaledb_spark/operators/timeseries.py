@@ -198,6 +198,37 @@ def counter_rate(
     )
 
 
+def counter_increase(
+    df: DataFrame,
+    group_cols: list[str],
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Monotonic-counter total increase WITH reset handling — the core
+    of Timescale ``counter_agg``/``increase``: a sample below its
+    predecessor means the counter reset (process restart), so that
+    step contributes the new reading itself, not the (negative) delta.
+    ``sum(delta >= 0 ? delta : current)`` per group; the first sample
+    of a series contributes nothing (no predecessor).  One lag window
+    per series + one hash agg."""
+    w = Window.partitionBy(series_col).orderBy(ts_col, order_tiebreak)
+    v = F.col(value_col)
+    prev = F.lag(value_col).over(w)
+    stepped = df.withColumn(
+        "_inc",
+        F.when(prev.isNull(), F.lit(None)).otherwise(
+            F.when(v >= prev, v - prev).otherwise(v)
+        ),
+    ).withColumn("_reset", (prev.isNotNull() & (v < prev)).cast("long"))
+    return stepped.groupBy(*group_cols).agg(
+        F.round(F.sum("_inc"), 2).alias("total_increase"),
+        F.count("_inc").alias("n_steps"),
+        F.sum("_reset").alias("n_resets"),
+    )
+
+
 def time_weighted_sums(
     df: DataFrame,
     group_cols: list[str],

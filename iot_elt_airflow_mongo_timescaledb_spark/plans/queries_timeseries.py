@@ -214,6 +214,44 @@ def counter_rate_stats(spark, sf_dir):
 
 
 @query(
+    "counter_total_increase",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    st AS (
+        SELECT user_id,
+               CASE WHEN prev IS NULL THEN NULL
+                    WHEN value >= prev THEN value - prev
+                    ELSE value END AS inc,
+               CASE WHEN prev IS NOT NULL AND value < prev
+                    THEN 1 ELSE 0 END AS reset
+        FROM s
+    )
+    SELECT user_id, ROUND(SUM(inc), 2) AS total_increase,
+           COUNT(inc) AS n_steps, SUM(reset) AS n_resets
+    FROM st GROUP BY 1
+    """,
+    gate=False,
+)
+def counter_total_increase(spark, sf_dir):
+    """Timescale counter_agg / increase with RESET handling: a sample
+    below its predecessor means the counter restarted, so that step
+    contributes the new reading, not a negative delta.  The events
+    `value` column is not monotone, so resets fire constantly here —
+    which is exactly what makes the reset path oracle-verifiable."""
+    from ..operators.timeseries import counter_increase
+
+    e = table(spark, sf_dir, "events")
+    return counter_increase(
+        e, ["user_id"], "user_id", "ts", "value", "event_id"
+    )
+
+
+@query(
     "time_weighted_avg",
     oracle="""
     WITH s AS (

@@ -238,3 +238,24 @@ def test_histogram_rejects_degenerate_bounds(spark):
         histogram_fixed(df, "v", ["g"], 10, 5.0, 5.0)
     with pytest.raises(ValueError, match=">= 1 bucket"):
         histogram_fixed(df, "v", ["g"], 0, 0.0, 1.0)
+
+
+def test_counter_increase_reset_semantics(spark):
+    # counter: 10 -> 25 (+15), reset to 3 (counts 3), -> 10 (+7)
+    df = spark.createDataFrame(
+        [
+            ("c", _ts(0), 0, 10.0),
+            ("c", _ts(1), 1, 25.0),
+            ("c", _ts(2), 2, 3.0),   # reset
+            ("c", _ts(3), 3, 10.0),
+        ],
+        "u string, ts timestamp, id long, v double",
+    )
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.timeseries import (
+        counter_increase,
+    )
+
+    row = counter_increase(df, ["u"], "u", "ts", "v", "id").collect()[0]
+    assert row["total_increase"] == 15.0 + 3.0 + 7.0
+    assert row["n_steps"] == 3  # first sample contributes nothing
+    assert row["n_resets"] == 1
