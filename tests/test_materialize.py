@@ -584,3 +584,43 @@ def test_compact_auto_sizes_from_table_bytes(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) >= 3
+
+
+def test_day_partitioned_table_gets_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a day-partitioned warehouse table to a filtered dimension
+    on the partition key plans a dynamicpruning expression in the scan's
+    PartitionFilters — at 100 TB this is what turns "join 30 days to 2
+    selected days" into a 2-day scan.  useStats is disabled ONLY here:
+    the toy table sizes fail DPP's benefit heuristic that real tables
+    pass naturally."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try:
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        facts = spark.range(5000).select(
+            (F.col("id") % 30 + 1).cast("string").alias("day"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        wh.materialize_incremental("stage.f", facts, partition_by=("day",))
+        dim_path = str(tmp_path / "dim")
+        spark.createDataFrame(
+            [(str(i), "x" if i < 3 else "y") for i in range(1, 31)],
+            "day string, tag string",
+        ).write.parquet(dim_path)
+        dim = spark.read.parquet(dim_path).filter(F.col("tag") == "x")
+        j = wh.read("stage.f").join(dim, "day").groupBy("tag").agg(
+            F.sum("v").alias("s")
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "dynamicpruningexpression" in plan.lower(), plan
+        assert j.collect()[0]["tag"] == "x"  # and it still answers right
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats", old
+        )
