@@ -83,6 +83,8 @@ EXTENDED = [
     "ranking_functions",        # full ranking surface, one shuffle
     "tokenize_docs",            # vocab application (broadcast term join)
     "quarantine_stats",         # contract-violation census
+    "counter_total_increase",   # reset-aware counter increase
+    "streaming_session_rollup",  # session_window state operator drain
 ]
 
 

@@ -243,7 +243,11 @@ class Warehouse:
         """Small-file compaction.  A 15-minute incremental append writes
         ~96 files/day/partition; scans degrade with file count (driver
         listing + per-file open cost), so periodic compaction rewrites
-        the table into ``target_files`` per partition.
+        the table into ``target_files`` output tasks (a partitioned
+        table then lands ONE file per partition directory — each hive
+        key hashes to a single task — with ``target_files`` governing
+        rewrite parallelism; an unpartitioned table lands exactly
+        ``target_files`` files).
 
         With ``target_files=None`` the count auto-sizes from the
         table's on-disk bytes (one ``getContentSummary`` metadata call)
