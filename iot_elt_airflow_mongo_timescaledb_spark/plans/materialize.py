@@ -389,6 +389,93 @@ class Warehouse:
         )
         return self.read(name)
 
+    def materialize_snapshot(
+        self, name: str, df: DataFrame, unique_key: str, batch_ts: str
+    ) -> DataFrame:
+        """SCD Type-2 snapshot — the dbt ``snapshot`` materialization
+        (check strategy), completing the dbt materialization family
+        next to view/table/incremental/upsert: history of every value a
+        key has held, as (``valid_from``, ``valid_to``) intervals with
+        ``valid_to IS NULL`` marking the current row.
+
+        Per batch: a NEW key inserts open at ``batch_ts``; a key whose
+        non-key columns CHANGED (shared ``row_fingerprint`` — NULL-safe,
+        separator-safe) closes its current row at ``batch_ts`` and
+        inserts the new version; an unchanged key is untouched; a key
+        ABSENT from the batch stays open (dbt's default — sources
+        export deltas, absence is not deletion).  ``batch_ts`` is
+        caller-supplied (the run's logical timestamp), never wall
+        clock, so re-running a batch is deterministic — and re-running
+        the SAME batch is a no-op (fingerprints match).
+
+        Scale shape: change detection is one equi-join of the CURRENT
+        rows against the batch on the key (both sides pre-hashed to one
+        fingerprint column); closed history rows pass through
+        untouched via the union.  One data write + the atomic staging
+        swap, like every other full rewrite here.  (On a table format
+        this becomes MERGE; the interval-history modeling is
+        identical.)
+        """
+        tmp = self.path(name) + "__staging"
+        self._recover_staging(name)
+        data_cols = [c for c in df.columns if c != unique_key]
+        batch = df.withColumn("__fp", row_fingerprint(data_cols))
+        if self.exists(name):
+            target = self.read(name)
+            hist = target.filter(F.col("valid_to").isNotNull())
+            cur = target.filter(F.col("valid_to").isNull()).withColumn(
+                "__fp", row_fingerprint(data_cols)
+            )
+            probe = batch.select(
+                F.col(unique_key).alias("__b_key"),
+                F.col("__fp").alias("__b_fp"),
+            )
+            matched = cur.join(
+                probe, cur[unique_key] == probe["__b_key"], "left"
+            )
+            # keys the batch re-delivers with different values: close
+            closed = (
+                matched.filter(
+                    F.col("__b_key").isNotNull()
+                    & (F.col("__fp") != F.col("__b_fp"))
+                )
+                .drop("__b_key", "__b_fp", "__fp")
+                .withColumn("valid_to", F.lit(batch_ts))
+            )
+            # unchanged, or absent from the batch: stay open untouched
+            unchanged = matched.filter(
+                F.col("__b_key").isNull() | (F.col("__fp") == F.col("__b_fp"))
+            ).drop("__b_key", "__b_fp", "__fp")
+            # new keys, or new versions of changed keys: insert open
+            cur_probe = cur.select(
+                F.col(unique_key).alias("__c_key"),
+                F.col("__fp").alias("__c_fp"),
+            )
+            incoming = (
+                batch.join(
+                    cur_probe, batch[unique_key] == cur_probe["__c_key"], "left"
+                )
+                .filter(
+                    F.col("__c_key").isNull()
+                    | (F.col("__fp") != F.col("__c_fp"))
+                )
+                .drop("__c_key", "__c_fp", "__fp")
+                .withColumn("valid_from", F.lit(batch_ts))
+                .withColumn("valid_to", F.lit(None).cast("string"))
+            )
+            out = hist.unionByName(closed).unionByName(unchanged).unionByName(
+                incoming
+            )
+        else:
+            out = (
+                batch.drop("__fp")
+                .withColumn("valid_from", F.lit(batch_ts))
+                .withColumn("valid_to", F.lit(None).cast("string"))
+            )
+        out.write.mode("overwrite").parquet(tmp)
+        self._swap_in(tmp, name)
+        return self.read(name)
+
     # ------------------------------------------------------------------
     # M3 — view materialization
     # ------------------------------------------------------------------
@@ -411,6 +498,25 @@ class Warehouse:
             col = subdirs[0].split("=", 1)[0]
             cols.append(col)
             cur = join_uri(cur, subdirs[0])
+
+
+def row_fingerprint(cols: list[str]):
+    """md5 over length-prefixed NULL-encoded column values — the
+    collision-safe row/tuple fingerprint shared by the rollup syncs'
+    group key and the SCD-2 snapshot's change detection.  NULL encodes
+    as a token no real value maps to; length prefixes make the
+    concatenation unambiguous (neither NULL-skipping nor separator
+    containment can collide)."""
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                F.lit("N"),
+            )
+        )
+    return F.md5(F.concat_ws("|", *parts))
 
 
 def align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -358,23 +358,13 @@ def with_retries(fn, attempts: int = 3, delay_s: float = 0.0):
 
 
 def agg_group_key(group_cols: list[str]):
-    """Rollup storage key: md5 over length-prefixed components.  NULL
-    encodes as a token no real value maps to, and length prefixes make
-    the concatenation unambiguous — neither NULL-skipping (``("a",
-    NULL)`` vs ``(NULL, "a")``) nor separator containment (``("a|b",
-    "c")`` vs ``("a", "b|c")``) can collide."""
-    from pyspark.sql import functions as F
+    """Rollup storage key — the shared length-prefixed NULL-encoded md5
+    fingerprint (``materialize.row_fingerprint``) over the group
+    columns; one implementation so the rollup key and the SCD-2 change
+    hash can never diverge on encoding."""
+    from .materialize import row_fingerprint
 
-    parts = []
-    for c in group_cols:
-        s = F.col(c).cast("string")
-        parts.append(
-            F.coalesce(
-                F.concat(F.length(s).cast("string"), F.lit(":"), s),
-                F.lit("N"),
-            )
-        )
-    return F.md5(F.concat_ws("|", *parts))
+    return row_fingerprint(group_cols)
 
 
 class _RollupSyncBase:

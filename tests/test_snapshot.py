@@ -1,0 +1,92 @@
+"""SCD Type-2 snapshots (Warehouse.materialize_snapshot) — the dbt
+snapshot materialization: version history per key with
+valid_from/valid_to intervals, change detection by NULL-safe row
+fingerprint, deterministic under re-runs."""
+
+from __future__ import annotations
+
+from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import Warehouse
+
+
+def _wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path))
+
+
+def _rows(df):
+    return {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"]) for r in df.collect()
+    }
+
+
+def test_snapshot_lifecycle(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    t1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    out = wh.materialize_snapshot("snap.t", t1, "k", "T1")
+    assert _rows(out) == {("a", 1, "T1", None), ("b", 2, "T1", None)}
+
+    # a changes, b unchanged, c new
+    t2 = spark.createDataFrame(
+        [("a", 10), ("b", 2), ("c", 3)], "k string, v long"
+    )
+    out = wh.materialize_snapshot("snap.t", t2, "k", "T2")
+    assert _rows(out) == {
+        ("a", 1, "T1", "T2"),   # closed old version
+        ("a", 10, "T2", None),  # new current version
+        ("b", 2, "T1", None),   # untouched (same values)
+        ("c", 3, "T2", None),   # new key
+    }
+
+    # a key absent from the batch stays open (dbt default), and an
+    # unchanged re-delivered key gains no version
+    t3 = spark.createDataFrame([("a", 10)], "k string, v long")
+    out = wh.materialize_snapshot("snap.t", t3, "k", "T3")
+    assert _rows(out) == {
+        ("a", 1, "T1", "T2"),
+        ("a", 10, "T2", None),  # re-delivered unchanged: still T2-open
+        ("b", 2, "T1", None),   # absent: stays open
+        ("c", 3, "T2", None),   # absent: stays open
+    }
+
+
+def test_snapshot_rerun_same_batch_is_noop(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    t = spark.createDataFrame([("a", 1), ("b", None)], "k string, v long")
+    wh.materialize_snapshot("snap.t", t, "k", "T1")
+    before = _rows(wh.read("snap.t"))
+    wh.materialize_snapshot("snap.t", t, "k", "T2")  # identical values
+    assert _rows(wh.read("snap.t")) == before  # no version churn
+
+
+def test_snapshot_null_transitions_are_changes(spark, tmp_path):
+    """NULL -> value and value -> NULL are real changes (the NULL-safe
+    fingerprint), not silently-equal rows."""
+    wh = _wh(spark, tmp_path)
+    wh.materialize_snapshot(
+        "snap.t",
+        spark.createDataFrame([("a", None)], "k string, v long"),
+        "k",
+        "T1",
+    )
+    out = wh.materialize_snapshot(
+        "snap.t",
+        spark.createDataFrame([("a", 5)], "k string, v long"),
+        "k",
+        "T2",
+    )
+    assert _rows(out) == {("a", None, "T1", "T2"), ("a", 5, "T2", None)}
+
+
+def test_snapshot_three_version_chain(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    for i, ts in enumerate(["T1", "T2", "T3"], start=1):
+        wh.materialize_snapshot(
+            "snap.t",
+            spark.createDataFrame([("a", i)], "k string, v long"),
+            "k",
+            ts,
+        )
+    assert _rows(wh.read("snap.t")) == {
+        ("a", 1, "T1", "T2"),
+        ("a", 2, "T2", "T3"),
+        ("a", 3, "T3", None),
+    }
