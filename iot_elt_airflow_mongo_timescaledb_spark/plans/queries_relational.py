@@ -770,3 +770,46 @@ def top5_orders(spark, sf_dir):
         .orderBy(F.col("totalprice").desc(), F.col("orderkey").asc())
         .limit(5)
     )
+
+
+@query(
+    "scd2_snapshot_history",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey AS k, c_acctbal AS bal,
+               ROUND(c_acctbal * 1.1, 2) AS bal2
+        FROM customer
+    )
+    SELECT k, bal, 'T1' AS valid_from,
+           CASE WHEN k % 10 = 0 AND bal2 <> bal THEN 'T2' END AS valid_to
+    FROM c
+    UNION ALL
+    SELECT k, bal2 AS bal, 'T2' AS valid_from, NULL AS valid_to
+    FROM c WHERE k % 10 = 0 AND bal2 <> bal
+    """,
+    gate=False,  # warehouse-machinery family; unit-pinned in test_snapshot
+)
+def scd2_snapshot_history(spark, sf_dir):
+    """SCD Type-2 snapshot end-to-end (Warehouse.materialize_snapshot):
+    snapshot the customer balances at T1, re-snapshot at T2 with every
+    10th key's balance repriced — changed keys close their T1 row and
+    open a T2 version, everyone else keeps one open T1 row.  The oracle
+    reconstructs the interval algebra directly, so the check covers the
+    fingerprint change detection, close/insert mechanics, and the
+    unchanged-key no-op in one hash."""
+    import tempfile
+
+    from .materialize import Warehouse
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    repriced = c.withColumn(
+        "bal",
+        F.when(
+            F.col("k") % 10 == 0, F.round(F.col("bal") * 1.1, 2)
+        ).otherwise(F.col("bal")),
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="scd2_"))
+    wh.materialize_snapshot("snap.cust", c, "k", "T1")
+    return wh.materialize_snapshot("snap.cust", repriced, "k", "T2")
