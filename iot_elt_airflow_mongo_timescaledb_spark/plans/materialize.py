@@ -418,14 +418,29 @@ class Warehouse:
         """
         tmp = self.path(name) + "__staging"
         self._recover_staging(name)
-        data_cols = [c for c in df.columns if c != unique_key]
-        batch = df.withColumn("__fp", row_fingerprint(data_cols))
+
+        def fp_over(frame, cols):
+            # fingerprint over the UNION of data columns: a column the
+            # frame lacks hashes as NULL ("N") WITHOUT being added to
+            # the frame, so a batch that grows a column registers as a
+            # change for every key (dbt check-all) and old stored rows
+            # stay hashable; the union later fills real NULLs
+            exprs = [
+                F.col(c) if c in frame.columns else F.lit(None).cast("string")
+                for c in cols
+            ]
+            return frame.withColumn("__fp", fingerprint_exprs(exprs))
+
         if self.exists(name):
             target = self.read(name)
-            hist = target.filter(F.col("valid_to").isNotNull())
-            cur = target.filter(F.col("valid_to").isNull()).withColumn(
-                "__fp", row_fingerprint(data_cols)
+            target, df = align_schemas(target, df)  # widen shared types
+            data_cols = sorted(
+                (set(df.columns) | set(target.columns))
+                - {unique_key, "valid_from", "valid_to"}
             )
+            batch = fp_over(df, data_cols)
+            hist = target.filter(F.col("valid_to").isNotNull())
+            cur = fp_over(target.filter(F.col("valid_to").isNull()), data_cols)
             probe = batch.select(
                 F.col(unique_key).alias("__b_key"),
                 F.col("__fp").alias("__b_fp"),
@@ -463,13 +478,17 @@ class Warehouse:
                 .withColumn("valid_from", F.lit(batch_ts))
                 .withColumn("valid_to", F.lit(None).cast("string"))
             )
-            out = hist.unionByName(closed).unionByName(unchanged).unionByName(
-                incoming
+            # allowMissing: a grown column exists only on the batch
+            # side; stored history fills it with NULL, matching the
+            # fingerprint's view of those rows
+            out = (
+                hist.unionByName(closed, allowMissingColumns=True)
+                .unionByName(unchanged, allowMissingColumns=True)
+                .unionByName(incoming, allowMissingColumns=True)
             )
         else:
             out = (
-                batch.drop("__fp")
-                .withColumn("valid_from", F.lit(batch_ts))
+                df.withColumn("valid_from", F.lit(batch_ts))
                 .withColumn("valid_to", F.lit(None).cast("string"))
             )
         out.write.mode("overwrite").parquet(tmp)
@@ -500,16 +519,16 @@ class Warehouse:
             cur = join_uri(cur, subdirs[0])
 
 
-def row_fingerprint(cols: list[str]):
-    """md5 over length-prefixed NULL-encoded column values — the
-    collision-safe row/tuple fingerprint shared by the rollup syncs'
-    group key and the SCD-2 snapshot's change detection.  NULL encodes
-    as a token no real value maps to; length prefixes make the
-    concatenation unambiguous (neither NULL-skipping nor separator
-    containment can collide)."""
+def fingerprint_exprs(exprs: list):
+    """md5 over length-prefixed NULL-encoded column expressions — the
+    collision-safe tuple fingerprint shared by the rollup syncs' group
+    key and the SCD-2 snapshot's change detection.  NULL encodes as a
+    token no real value maps to; length prefixes make the concatenation
+    unambiguous (neither NULL-skipping nor separator containment can
+    collide)."""
     parts = []
-    for c in cols:
-        s = F.col(c).cast("string")
+    for e in exprs:
+        s = e.cast("string")
         parts.append(
             F.coalesce(
                 F.concat(F.length(s).cast("string"), F.lit(":"), s),
@@ -517,6 +536,11 @@ def row_fingerprint(cols: list[str]):
             )
         )
     return F.md5(F.concat_ws("|", *parts))
+
+
+def row_fingerprint(cols: list[str]):
+    """``fingerprint_exprs`` over named columns."""
+    return fingerprint_exprs([F.col(c) for c in cols])
 
 
 def align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -90,3 +90,42 @@ def test_snapshot_three_version_chain(spark, tmp_path):
         ("a", 2, "T2", "T3"),
         ("a", 3, "T3", None),
     }
+
+
+def test_snapshot_schema_evolution_new_column(spark, tmp_path):
+    """A batch that grows a column: the new column's arrival is a
+    change (dbt check-all) — old versions close, new versions open
+    carrying the column; history rows read back with NULL there."""
+    wh = _wh(spark, tmp_path)
+    wh.materialize_snapshot(
+        "snap.t",
+        spark.createDataFrame([("a", 1)], "k string, v long"),
+        "k",
+        "T1",
+    )
+    out = wh.materialize_snapshot(
+        "snap.t",
+        spark.createDataFrame([("a", 1, "x")], "k string, v long, extra string"),
+        "k",
+        "T2",
+    )
+    rows = {
+        (r["k"], r["v"], r["extra"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    }
+    assert rows == {
+        ("a", 1, None, "T1", "T2"),  # old version closed, extra=NULL
+        ("a", 1, "x", "T2", None),   # new version carries the column
+    }
+    # and a re-delivery of the SAME widened row is then a no-op
+    before = rows
+    out2 = wh.materialize_snapshot(
+        "snap.t",
+        spark.createDataFrame([("a", 1, "x")], "k string, v long, extra string"),
+        "k",
+        "T3",
+    )
+    assert {
+        (r["k"], r["v"], r["extra"], r["valid_from"], r["valid_to"])
+        for r in out2.collect()
+    } == before
