@@ -495,6 +495,19 @@ class Warehouse:
         self._swap_in(tmp, name)
         return self.read(name)
 
+    def read_asof(self, name: str, as_of: str) -> DataFrame:
+        """Point-in-time read of an SCD-2 snapshot table: the version of
+        every key that was current at ``as_of`` (``valid_from <= as_of <
+        valid_to``, open intervals unbounded).  Timestamps compare as
+        the same strings ``materialize_snapshot`` stored — pass the
+        run's logical timestamp, not wall clock.  A plain filter: at
+        scale it rides the parquet scan as pushed predicates."""
+        snap = self.read(name)
+        return snap.filter(
+            (F.col("valid_from") <= F.lit(as_of))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(as_of)))
+        ).drop("valid_from", "valid_to")
+
     # ------------------------------------------------------------------
     # M3 — view materialization
     # ------------------------------------------------------------------

@@ -400,6 +400,7 @@ class _RollupSyncBase:
         warehouse_root: str,
         table_name: str,
         group_cols: tuple[str, ...],
+        watermark_col: str | None = None,
     ):
         from .materialize import Warehouse
 
@@ -407,6 +408,7 @@ class _RollupSyncBase:
         self.wh = Warehouse(spark, warehouse_root)
         self.table_name = table_name
         self.group_cols = list(group_cols)
+        self.watermark_col = watermark_col
         self._metrics: list[str] = []  # set by subclass __init__
 
     def _key(self):
@@ -468,13 +470,31 @@ class _RollupSyncBase:
                 *self.group_cols,
                 *[self._merge_metric(m) for m in self._metrics],
             )
-        if batch_id is not None:
-            # the batch id rides the SAME staged swap as the data —
-            # committed together or not at all, which is what makes the
-            # replay check above exactly-once on plain parquet
+        wm_new = None
+        if self.watermark_col is not None:
+            # one bounded driver scalar per sync — the same cost class
+            # as the reference's watermark macro.  Stored as the CAST
+            # string; timestamps cast fixed-width, so lexicographic
+            # comparison is chronological (the read_realtime_auto
+            # contract).
+            batch_wm = batch.agg(
+                F.max(F.col(self.watermark_col).cast("string"))
+            ).first()[0]
+            stored_wm = self.materialized_watermark()
+            wm_new = max((w for w in (batch_wm, stored_wm) if w is not None),
+                         default=None)
+        if batch_id is not None or wm_new is not None:
+            # the batch id + watermark ride the SAME staged swap as the
+            # data — committed together or not at all, which is what
+            # makes the replay check above exactly-once and the
+            # materialized watermark trustworthy on plain parquet
             meta = self.spark.createDataFrame(
-                [(self._META_KEY, int(batch_id))],
-                "__agg_key string, __last_batch_id long",
+                [(
+                    self._META_KEY,
+                    None if batch_id is None else int(batch_id),
+                    wm_new,
+                )],
+                "__agg_key string, __last_batch_id long, __watermark string",
             )
             delta = delta.unionByName(meta, allowMissingColumns=True)
         self.wh.materialize_upsert(self.table_name, delta, unique_key="__agg_key")
@@ -487,9 +507,53 @@ class _RollupSyncBase:
         df = self.wh.read(self.table_name).filter(
             F.col("__agg_key") != self._META_KEY
         )
-        if "__last_batch_id" in df.columns:
-            df = df.drop("__last_batch_id")
+        for c in ("__last_batch_id", "__watermark"):
+            if c in df.columns:
+                df = df.drop(c)
         return df
+
+    def materialized_watermark(self) -> str | None:
+        """The max ``watermark_col`` value covered by the stored rollup
+        (cast-string form), or None before the first tracked sync."""
+        from pyspark.sql import functions as F
+
+        if not self.wh.exists(self.table_name):
+            return None
+        stored = self.wh.read(self.table_name)
+        if "__watermark" not in stored.columns:
+            return None
+        row = (
+            stored.filter(F.col("__agg_key") == self._META_KEY)
+            .select("__watermark")
+            .first()
+        )
+        return None if row is None else row["__watermark"]
+
+    def read_realtime_auto(self, facts: DataFrame) -> DataFrame:
+        """``read_realtime`` with the tail derived from the MATERIALIZED
+        WATERMARK (Timescale's real-time continuous-aggregate shape
+        exactly): rows of ``facts`` strictly past the stored watermark
+        are the unmaterialized tail; everything at or below it is
+        already in the rollup.  Requires ``watermark_col`` tracking;
+        the strict ``>`` pairs with ``sync`` recording the max so a row
+        AT the watermark is never double-counted.  The filter is a
+        plan-level predicate — at scale it prunes the fact scan."""
+        from pyspark.sql import functions as F
+
+        if self.watermark_col is None:
+            raise ValueError(
+                "read_realtime_auto needs watermark_col tracking; "
+                "construct the sync with watermark_col=..."
+            )
+        wm = self.materialized_watermark()
+        tail = (
+            facts
+            if wm is None
+            else facts.filter(
+                F.col(self.watermark_col).cast("string") > F.lit(wm)
+            )
+        )
+        return self.read_realtime(tail)
 
     def _derive(self, df: DataFrame) -> DataFrame:
         """Presentation pass over (group_cols + metrics) — derived means
@@ -556,8 +620,11 @@ class IncrementalAggSync(_RollupSyncBase):
         table_name: str,
         group_cols: tuple[str, ...],
         sum_cols: tuple[str, ...],
+        watermark_col: str | None = None,
     ):
-        super().__init__(spark, warehouse_root, table_name, group_cols)
+        super().__init__(
+            spark, warehouse_root, table_name, group_cols, watermark_col
+        )
         self.sum_cols = list(sum_cols)
         self._metrics = [f"sum_{c}" for c in self.sum_cols] + ["n_rows"]
 
@@ -628,8 +695,11 @@ class IncrementalDistinctSync(_RollupSyncBase):
         group_cols: tuple[str, ...],
         distinct_col: str,
         lgk: int = 12,
+        watermark_col: str | None = None,
     ):
-        super().__init__(spark, warehouse_root, table_name, group_cols)
+        super().__init__(
+            spark, warehouse_root, table_name, group_cols, watermark_col
+        )
         self.distinct_col = distinct_col
         self.lgk = lgk
         self._metrics = ["hll"]

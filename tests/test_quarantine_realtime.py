@@ -128,3 +128,42 @@ def test_distinct_read_realtime_equals_sync_then_read(spark, sf_dir, tmp_path):
     b.sync(head)
     b.sync(tail)
     assert rt == sorted(map(tuple, b.read().collect()))
+
+
+def test_read_realtime_auto_from_materialized_watermark(spark, sf_dir, tmp_path):
+    """watermark_col tracking: sync records the max event time inside
+    the same atomic swap; read_realtime_auto derives the tail from it
+    (strict >) — handing it the FULL fact table double-counts nothing
+    and equals sync-then-read."""
+    e = table(spark, sf_dir, "events")
+    head = e.filter(F.dayofmonth("ts") <= 15)
+    a = IncrementalAggSync(
+        spark, str(tmp_path / "a"), "agg.rt", ("event_type",), ("value",),
+        watermark_col="ts",
+    )
+    a.sync(head)
+    assert a.materialized_watermark() is not None
+    rt = sorted(map(tuple, a.read_realtime_auto(e).collect()))
+    b = IncrementalAggSync(
+        spark, str(tmp_path / "b"), "agg.rt", ("event_type",), ("value",),
+        watermark_col="ts",
+    )
+    b.sync(head)
+    b.sync(e.filter(F.dayofmonth("ts") > 15))
+    assert rt == sorted(map(tuple, b.read().collect()))
+    # fully-materialized facts: the auto tail is empty, read == realtime
+    assert sorted(map(tuple, b.read_realtime_auto(e).collect())) == sorted(
+        map(tuple, b.read().collect())
+    )
+
+
+def test_read_realtime_auto_requires_tracking(spark, sf_dir, tmp_path):
+    import pytest
+
+    e = table(spark, sf_dir, "events")
+    s = IncrementalAggSync(
+        spark, str(tmp_path), "agg.rt", ("event_type",), ("value",)
+    )
+    s.sync(e.limit(100))
+    with pytest.raises(ValueError, match="watermark_col"):
+        s.read_realtime_auto(e)

@@ -129,3 +129,23 @@ def test_snapshot_schema_evolution_new_column(spark, tmp_path):
         (r["k"], r["v"], r["extra"], r["valid_from"], r["valid_to"])
         for r in out2.collect()
     } == before
+
+
+def test_read_asof_point_in_time(spark, tmp_path):
+    wh = _wh(spark, tmp_path)
+    for i, ts in enumerate(["T1", "T2", "T3"], start=1):
+        wh.materialize_snapshot(
+            "snap.t",
+            spark.createDataFrame([("a", i), ("b", 0)], "k string, v long"),
+            "k",
+            ts,
+        )
+    # b never changes; a has three versions
+    def at(ts):
+        return {(r["k"], r["v"]) for r in wh.read_asof("snap.t", ts).collect()}
+
+    assert at("T1") == {("a", 1), ("b", 0)}
+    assert at("T2") == {("a", 2), ("b", 0)}
+    assert at("T3") == {("a", 3), ("b", 0)}
+    assert at("T9") == {("a", 3), ("b", 0)}  # open versions persist
+    assert at("T0") == set()  # before history began
