@@ -813,3 +813,50 @@ def scd2_snapshot_history(spark, sf_dir):
     wh = Warehouse(spark, tempfile.mkdtemp(prefix="scd2_"))
     wh.materialize_snapshot("snap.cust", c, "k", "T1")
     return wh.materialize_snapshot("snap.cust", repriced, "k", "T2")
+
+
+@query(
+    "table_diff_summary",
+    oracle="""
+    WITH b AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN ROUND(c_acctbal + 1.0, 2) ELSE c_acctbal
+               END AS c_acctbal
+        FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    a AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer),
+    d AS (
+        SELECT COALESCE(a.c_custkey, b.c_custkey) AS k,
+               CASE WHEN a.c_custkey IS NULL THEN 'added'
+                    WHEN b.c_custkey IS NULL THEN 'removed'
+                    WHEN a.c_acctbal = b.c_acctbal THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+    )
+    SELECT status, COUNT(*) AS n FROM d GROUP BY 1
+    """,
+    gate=False,  # warehouse-tooling family; mechanics pinned in unit tests
+)
+def table_diff_summary(spark, sf_dir):
+    """Keyed table diff (operators/joins.py:table_diff): customer vs a
+    mutated copy (every 11th key dropped, every 7th repriced) —
+    added/removed/changed/unchanged census.  Both sides hash to one
+    fingerprint before the full-outer join, so the shuffle carries
+    (key, md5), never the payload."""
+    from ..operators.joins import table_diff
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    mutated = c.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 1.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    return (
+        table_diff(c, mutated, "c_custkey")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

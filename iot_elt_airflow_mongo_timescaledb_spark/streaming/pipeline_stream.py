@@ -193,12 +193,14 @@ class StreamingAggSync:
         group_cols: tuple[str, ...],
         sum_cols: tuple[str, ...],
         checkpoint_root: str | None = None,
+        watermark_col: str | None = None,
     ):
         from ..plans.pipeline import IncrementalAggSync
 
         self.spark = spark
         self.agg = IncrementalAggSync(
-            spark, warehouse_root, table_name, group_cols, sum_cols
+            spark, warehouse_root, table_name, group_cols, sum_cols,
+            watermark_col=watermark_col,
         )
         self.source_dir = source_dir
         self.checkpoint = os.path.join(
@@ -243,12 +245,14 @@ class StreamingDistinctSync:
         distinct_col: str,
         lgk: int = 12,
         checkpoint_root: str | None = None,
+        watermark_col: str | None = None,
     ):
         from ..plans.pipeline import IncrementalDistinctSync
 
         self.spark = spark
         self.agg = IncrementalDistinctSync(
-            spark, warehouse_root, table_name, group_cols, distinct_col, lgk
+            spark, warehouse_root, table_name, group_cols, distinct_col, lgk,
+            watermark_col=watermark_col,
         )
         self.source_dir = source_dir
         self.checkpoint = os.path.join(

@@ -217,3 +217,29 @@ def test_asof_map_only_payload_tiebreak_deterministic(spark):
         assert len(got) == 1
         results.add(str(sorted(got)))
     assert len(results) == 1, results  # identical across layouts
+
+
+def test_table_diff_classifies_all_statuses(spark):
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.joins import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", None)],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(2, "y", 2.0), (3, "z", 9.0), (4, "w", 4.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["status"] for r in table_diff(a, b, "k").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_table_diff_rejects_schema_mismatch(spark):
+    import pytest
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.joins import table_diff
+
+    a = spark.createDataFrame([(1, "x")], "k long, s string")
+    b = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="matching schemas"):
+        table_diff(a, b, "k")
