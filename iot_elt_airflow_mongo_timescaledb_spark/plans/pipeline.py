@@ -78,32 +78,48 @@ def root_key_merge(wh: Warehouse, collection: str, tables: dict) -> None:
 class HealthPipeline:
     """End-to-end equivalent of the reference deployment."""
 
-    def __init__(self, spark: SparkSession, warehouse_root: str):
+    def __init__(
+        self, spark: SparkSession, warehouse_root: str, run_log: bool = False
+    ):
+        from .runlog import RunLog
+
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_root)
+        self.run_log = RunLog(self.wh) if run_log else None
 
     # -- extract + normalize -> raw (§3.1) ------------------------------
 
-    def sync(self, source_paths: dict[str, str]) -> None:
+    def sync(self, source_paths: dict[str, str], run_id: str = "manual") -> None:
         """One micro-batch: per collection (T3 parallel in the reference;
         here independent lazy plans), incremental-filter (S9), pk-dedup
-        (T8), flatten (S10), append to raw, commit cursor (T7)."""
+        (T8), flatten (S10), append to raw, commit cursor (T7).  With
+        ``run_log=True`` each collection's extract is timed + counted
+        into ``meta.run_log`` (the Airflow task-instance / dlt
+        load_info surface), failures recorded then re-raised."""
         for coll, path in source_paths.items():
-            docs = read_documents(self.spark, path)
-            cursor = IncrementalCursor(
-                self.spark, self.wh.root, coll, "created_at"
-            )
-            # localCheckpoint = the batch SNAPSHOT: every flattened
-            # table's upsert and the cursor commit read ONE materialized
-            # extract instead of re-scanning the live source per action
-            # (3+ scans per collection otherwise) — and, like dlt's
-            # cursor protocol, the committed watermark is derived from
-            # the rows actually loaded, so a source file rewritten
-            # mid-sync cannot advance the cursor past unloaded documents.
-            fresh = dedup_by_pk(cursor.filter(docs), pk="_id").localCheckpoint()
-            tables = flatten_document_table(fresh, coll, primary_key="_id")
-            root_key_merge(self.wh, coll, tables)
-            cursor.commit(fresh)
+            if self.run_log is not None:
+                with self.run_log.step(run_id, f"extract.{coll}") as info:
+                    info["rows_out"] = self._sync_one(coll, path)
+            else:
+                self._sync_one(coll, path)
+
+    def _sync_one(self, coll: str, path: str) -> int:
+        docs = read_documents(self.spark, path)
+        cursor = IncrementalCursor(
+            self.spark, self.wh.root, coll, "created_at"
+        )
+        # localCheckpoint = the batch SNAPSHOT: every flattened
+        # table's upsert and the cursor commit read ONE materialized
+        # extract instead of re-scanning the live source per action
+        # (3+ scans per collection otherwise) — and, like dlt's
+        # cursor protocol, the committed watermark is derived from
+        # the rows actually loaded, so a source file rewritten
+        # mid-sync cannot advance the cursor past unloaded documents.
+        fresh = dedup_by_pk(cursor.filter(docs), pk="_id").localCheckpoint()
+        tables = flatten_document_table(fresh, coll, primary_key="_id")
+        root_key_merge(self.wh, coll, tables)
+        cursor.commit(fresh)
+        return fresh.count()
 
     # -- stage transforms (§3.2) ----------------------------------------
 

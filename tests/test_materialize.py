@@ -624,3 +624,46 @@ def test_day_partitioned_table_gets_dynamic_partition_pruning(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.useStats", old
         )
+
+
+def test_new_lifecycle_methods_on_scheme_qualified_uri(spark, tmp_path):
+    """retention_drop, backfill_partitions, snapshot + read_asof, and
+    auto-compact all run through the FileSystem layer at a
+    scheme-qualified root (file:/ standing in for hdfs://s3a:)."""
+    root = f"file:{tmp_path}"
+    wh = Warehouse(spark, root)
+    df = spark.createDataFrame(
+        [("20240101", 1, 1.0), ("20240102", 2, 2.0), ("20240103", 3, 3.0)],
+        "day string, id long, v double",
+    )
+    wh.materialize_incremental("stage.t", df, partition_by=("day",))
+    assert wh.retention_drop("stage.t", "day", "20240102") == 1
+    fix = spark.createDataFrame(
+        [("20240102", 20, 20.0)], "day string, id long, v double"
+    )
+    out = wh.backfill_partitions("stage.t", fix, "day")
+    assert {(r["day"], r["id"]) for r in out.collect()} == {
+        ("20240102", 20),
+        ("20240103", 3),
+    }
+    wh.compact("stage.t")  # auto-sized, through tree_bytes on the URI
+    assert wh.read("stage.t").count() == 2
+
+    wh.materialize_snapshot(
+        "snap.s",
+        spark.createDataFrame([("a", 1)], "k string, v long"),
+        "k",
+        "T1",
+    )
+    wh.materialize_snapshot(
+        "snap.s",
+        spark.createDataFrame([("a", 2)], "k string, v long"),
+        "k",
+        "T2",
+    )
+    assert {(r["k"], r["v"]) for r in wh.read_asof("snap.s", "T1").collect()} == {
+        ("a", 1)
+    }
+    assert {(r["k"], r["v"]) for r in wh.read_asof("snap.s", "T2").collect()} == {
+        ("a", 2)
+    }
