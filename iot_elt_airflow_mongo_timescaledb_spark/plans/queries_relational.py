@@ -860,3 +860,42 @@ def table_diff_summary(spark, sf_dir):
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "full_outer_join_coverage",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+    ),
+    o AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1
+    )
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS k,
+           c.c_mktsegment, o.n_orders
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+    gate=False,  # join-family completion; semi/anti/left gated elsewhere
+)
+def full_outer_join_coverage(spark, sf_dir):
+    """FULL OUTER equi join — the join type the reference never uses
+    (SURVEY §2.3 'not present') but its users can: disjoint filters on
+    both sides force left-only, right-only, and matched rows through
+    one SortMergeJoin FullOuter.  (The engine also uses full-outer
+    internally: read_realtime's state merge and table_diff.)"""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 == 0
+    ).select("c_custkey", "c_mktsegment")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce(c["c_custkey"], o["o_custkey"]).alias("k"),
+        "c_mktsegment",
+        "n_orders",
+    )
