@@ -15,8 +15,6 @@ import time
 import traceback
 from contextlib import contextmanager
 
-from pyspark.sql import functions as F  # noqa: F401 (callers query the log)
-
 from .materialize import Warehouse
 
 
