@@ -490,9 +490,23 @@ class _RollupSyncBase:
         if self.watermark_col is not None:
             # one bounded driver scalar per sync — the same cost class
             # as the reference's watermark macro.  Stored as the CAST
-            # string; timestamps cast fixed-width, so lexicographic
-            # comparison is chronological (the read_realtime_auto
-            # contract).
+            # string; timestamp/date strings compare lexicographically
+            # == chronologically (the read_realtime_auto contract).
+            # Plain numerics do NOT ("9" > "10") — reject them loudly
+            # instead of silently mis-filtering the tail.
+            from pyspark.sql import types as T
+
+            wm_type = batch.schema[self.watermark_col].dataType
+            if not isinstance(
+                wm_type, (T.TimestampType, T.TimestampNTZType, T.DateType,
+                          T.StringType)
+            ):
+                raise ValueError(
+                    f"watermark_col '{self.watermark_col}' has type "
+                    f"{wm_type.simpleString()}: string-ordered watermark "
+                    "tracking supports timestamp/date/string columns only "
+                    "(variable-width numeric strings do not order)"
+                )
             batch_wm = batch.agg(
                 F.max(F.col(self.watermark_col).cast("string"))
             ).first()[0]

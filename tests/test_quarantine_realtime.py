@@ -167,3 +167,16 @@ def test_read_realtime_auto_requires_tracking(spark, sf_dir, tmp_path):
     s.sync(e.limit(100))
     with pytest.raises(ValueError, match="watermark_col"):
         s.read_realtime_auto(e)
+
+
+def test_watermark_tracking_rejects_numeric_columns(spark, tmp_path):
+    """Numeric watermark columns would mis-order as strings ("9" >
+    "10") — sync refuses rather than silently mis-filtering the tail."""
+    import pytest
+
+    facts = spark.createDataFrame([("a", 9, 1.0)], "g string, seq long, v double")
+    s = IncrementalAggSync(
+        spark, str(tmp_path), "agg.n", ("g",), ("v",), watermark_col="seq"
+    )
+    with pytest.raises(ValueError, match="timestamp/date/string"):
+        s.sync(facts)
