@@ -1945,3 +1945,60 @@ def embedding_near_dup_lsh(spark, sf_dir):
     return S.lsh_near_dup_pairs(
         e, "vec_id", "embedding", dim=_DIM, n_planes=_N_PLANES, threshold=0.4
     )
+
+
+@query(
+    "split_leakage_pairs",
+    oracle=f"""
+    WITH p AS ({_PAIRS}),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT % 100 < 50
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM documents)
+    SELECT p.id_a AS id_a, p.id_b AS id_b,
+           sa.split AS split_a, sb.split AS split_b
+    FROM p
+    JOIN s sa ON sa.doc_id = p.id_a
+    JOIN s sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    """,
+    gate=False,  # dedup-family composition; lsh_candidate_pairs gated
+)
+def split_leakage_pairs(spark, sf_dir):
+    """Train/heldout LEAKAGE audit: near-duplicate candidate pairs that
+    CROSS the split boundary — the eval-hygiene check a training
+    pipeline runs before committing a split (a held-out doc with a
+    near-dup in train inflates eval).  Composes the keeper-guarded LSH
+    candidates with the deterministic hash-mod split (50/50 audit
+    variant so the boundary is dense); two broadcast-size joins onto
+    the bounded pair set — the corpus is never re-shuffled."""
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    s = docs.select(
+        "doc_id",
+        F.when(bucket < 50, F.lit("train")).otherwise(F.lit("heldout")).alias(
+            "split"
+        ),
+    )
+    sa = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )
