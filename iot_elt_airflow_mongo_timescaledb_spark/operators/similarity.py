@@ -555,3 +555,96 @@ def quantized_cosine_topk(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def ivf_int_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    k: int = 3,
+    n_probe: int = 1,
+    bits: int = 8,
+) -> DataFrame:
+    """IVF ANN with INTEGER centroids — the deterministic twin of
+    ``ivf_topk``: every accumulation that touches more than one row
+    happens in integer space (per-dimension SUMS of int8 codes), which
+    is order-independent, so unlike the float-mean variant the whole
+    query is bit-reproducible and carries a full hash oracle.
+
+    The probe target is the per-cluster sum of quantized codes.  Each
+    vector's symmetric scale normalizes it to max|x| = 2^(bits-1)-1, so
+    the code sum approximates the cluster's DIRECTION mean up to
+    per-vector magnitude — an approximation of an approximation, which
+    is fine: IVF's cluster assignment only has to pick good probe
+    buckets (recall floors pinned in tests/test_ann_recall.py), it
+    never scores final candidates.  Final candidate ranking is the
+    exact integer-dot cosine of ``quantized_cosine_topk``.
+
+    Integer ranges at 100 TB: codes <= 127, so a 64-dim centroid sum
+    stays exact in int64 up to ~7e16 member vectors per cluster, and
+    every dot fits a double's 2^53 integer window until cluster
+    membership passes ~1e9 — validate lgk/bits before that, don't
+    discover it in production.
+    """
+    cq = quantize_embeddings(corpus, id_col, vec_col, bits).join(
+        corpus.select(id_col, cluster_col), id_col
+    )
+    # per-cluster integer centroid: posexplode -> integer sums -> re-collect
+    cent = (
+        cq.select(cluster_col, F.posexplode("q").alias("i", "x"))
+        .groupBy(cluster_col, "i")
+        .agg(F.sum("x").alias("s"))
+        .groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("im"))
+        .select(
+            F.col(cluster_col).alias("__cluster"),
+            F.transform("im", lambda t: t.getField("s")).alias("__cvec"),
+        )
+    )
+    qq = quantize_embeddings(queries, id_col, vec_col, bits).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("__qq")
+    )
+    # probe scores: exact integer dots -> one float division (bit-stable)
+    pnum = int_dot(F.col("__cvec"), F.col("__qq")).cast("double")
+    pden = F.sqrt(
+        (
+            int_dot(F.col("__cvec"), F.col("__cvec"))
+            * int_dot(F.col("__qq"), F.col("__qq"))
+        ).cast("double")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.try_divide(pnum, pden).desc(), F.col("__cluster").asc()
+    )
+    probes = (
+        qq.crossJoin(F.broadcast(cent))
+        .withColumn("__prk", F.row_number().over(pw))
+        .filter(F.col("__prk") <= n_probe)
+        .select("query_id", "__qq", "__cluster")
+    )
+    # candidates: equi-join on the probed cluster — n_probe occupancies
+    cand = probes.join(
+        cq.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("q").alias("__cq"),
+            F.col(cluster_col).alias("__cluster"),
+        ),
+        "__cluster",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    num = int_dot(F.col("__cq"), F.col("__qq")).cast("double")
+    den = F.sqrt(
+        (
+            int_dot(F.col("__cq"), F.col("__cq"))
+            * int_dot(F.col("__qq"), F.col("__qq"))
+        ).cast("double")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.try_divide(num, den), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -2002,3 +2002,63 @@ def split_leakage_pairs(spark, sf_dir):
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b")
     )
+
+
+@query(
+    "ann_ivf_int_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    m AS (SELECT vec_id, label, e,
+            list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM v),
+    q AS (SELECT vec_id, label,
+            list_transform(e, x -> coalesce(CAST(round(x / scale) AS BIGINT), 0))
+              AS qv
+          FROM m),
+    pos AS (SELECT label, unnest(qv) AS x,
+                   unnest(range(1, len(qv) + 1)) AS i FROM q),
+    cent AS (
+      SELECT label, array_agg(s ORDER BY i) AS cvec
+      FROM (SELECT label, i, CAST(SUM(x) AS BIGINT) AS s
+            FROM pos GROUP BY 1, 2) t
+      GROUP BY label),
+    qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, label FROM (
+        SELECT qs.query_id, cent.label,
+               ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+                 list_dot_product(cent.cvec, qs.qv)
+                 / sqrt(list_dot_product(cent.cvec, cent.cvec)
+                        * list_dot_product(qs.qv, qs.qv)) DESC,
+                 cent.label ASC) AS prk
+        FROM qs CROSS JOIN cent) p
+      WHERE prk <= 4),
+    cand AS (
+      SELECT qs.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(c.qv, qs.qv)
+                   / sqrt(list_dot_product(c.qv, c.qv)
+                          * list_dot_product(qs.qv, qs.qv)), 6) AS score
+      FROM probe
+      JOIN qs ON qs.query_id = probe.query_id
+      JOIN q c ON c.label = probe.label AND c.vec_id <> qs.query_id)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rk
+      FROM cand) r
+    WHERE rk <= 3
+    """,
+    gate=False,
+)
+def ann_ivf_int_topk(spark, sf_dir):
+    """IVF ANN with INTEGER centroids — the deterministic twin of
+    ann_ivf_topk: per-cluster probe targets are integer SUMS of int8
+    codes (order-free), candidate ranking is the exact integer-dot
+    cosine, so the whole plan is bit-reproducible and carries the full
+    hash oracle the float-mean IVF cannot (its centroid depends on
+    float accumulation order).  n_probe=4, matching the float path's
+    setting on this unstructured gate table
+    (operators/similarity.py:ivf_int_topk; recall floor pinned in
+    tests/test_ann_recall.py)."""
+    e = table(spark, sf_dir, "embeddings")
+    out = S.ivf_int_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_probe=4)
+    return out.select("query_id", "neighbor_id", "score", "rk")
