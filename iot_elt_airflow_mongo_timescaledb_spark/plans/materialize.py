@@ -431,8 +431,33 @@ class Warehouse:
             ]
             return frame.withColumn("__fp", fingerprint_exprs(exprs))
 
+        # contract guards — cheap bounded aggregates, each a real
+        # corruption mode if skipped: a duplicate key would land TWO
+        # open versions; an out-of-order batch_ts would write inverted
+        # (valid_from > valid_to) intervals that read_asof then
+        # misresolves silently
+        dup = (
+            df.groupBy(unique_key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"materialize_snapshot: batch has duplicate "
+                f"{unique_key}={dup[0][unique_key]!r}; snapshots need one "
+                "row per key per batch (dedup upstream)"
+            )
         if self.exists(name):
             target = self.read(name)
+            seen = target.agg(F.max("valid_from").alias("m")).first()["m"]
+            if seen is not None and batch_ts < seen:
+                raise ValueError(
+                    f"materialize_snapshot: batch_ts {batch_ts!r} precedes "
+                    f"the latest recorded valid_from {seen!r}; snapshots "
+                    "must apply in non-decreasing logical time"
+                )
             target, df = align_schemas(target, df)  # widen shared types
             data_cols = sorted(
                 (set(df.columns) | set(target.columns))

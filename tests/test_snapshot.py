@@ -149,3 +149,27 @@ def test_read_asof_point_in_time(spark, tmp_path):
     assert at("T3") == {("a", 3), ("b", 0)}
     assert at("T9") == {("a", 3), ("b", 0)}  # open versions persist
     assert at("T0") == set()  # before history began
+
+
+def test_snapshot_rejects_duplicate_batch_keys(spark, tmp_path):
+    import pytest
+
+    wh = _wh(spark, tmp_path)
+    dup = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        wh.materialize_snapshot("snap.t", dup, "k", "T1")
+
+
+def test_snapshot_rejects_time_travel_backwards(spark, tmp_path):
+    import pytest
+
+    wh = _wh(spark, tmp_path)
+    t = spark.createDataFrame([("a", 1)], "k string, v long")
+    wh.materialize_snapshot("snap.t", t, "k", "T5")
+    with pytest.raises(ValueError, match="precedes"):
+        wh.materialize_snapshot(
+            "snap.t",
+            spark.createDataFrame([("a", 2)], "k string, v long"),
+            "k",
+            "T3",
+        )
