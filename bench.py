@@ -85,6 +85,9 @@ EXTENDED = [
     "quarantine_stats",         # contract-violation census
     "counter_total_increase",   # reset-aware counter increase
     "streaming_session_rollup",  # session_window state operator drain
+    "ann_ivf_int_topk",         # deterministic integer-IVF
+    "split_leakage_pairs",      # train/heldout leakage audit
+    "scd2_snapshot_history",    # SCD-2 snapshot end-to-end
 ]
 
 

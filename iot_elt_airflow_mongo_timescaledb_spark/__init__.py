@@ -12,7 +12,10 @@ computes as idiomatic PySpark:
                  age-group bucketing, watermark coalesce).
 - ``operators``  join/agg idioms from the reference plus the
                  training-data-pipeline operators (dedup, similarity
-                 search, text analysis, multimodal plumbing).
+                 search, text analysis, tokenization, multimodal
+                 plumbing) and the TimescaleDB hyperfunction surface
+                 (gapfill/LOCF/interpolate, first/last, OHLC, counter
+                 rates, time-weighted averages, LTTB).
 - ``plans``      the 13 stage/agg models + 3 example views, the
                  incremental-materialization helper, and the query
                  registry used by ``__spark_entry__.py``.

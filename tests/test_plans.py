@@ -171,6 +171,7 @@ _NESTED_LOOP_OK = {
     # broadcast 1-row or tiny-side crossJoins, and the documented exact
     # all-pairs baselines — every other query must plan equi-joins only
     "ann_ivf_topk",        # broadcast centroid assignment
+    "ann_ivf_int_topk",    # broadcast integer-centroid assignment
     "ann_quantized_topk",  # broadcast query side
     "cosine_topk",         # broadcast query side (exact baseline)
     "embedding_near_dup",  # documented exact all-pairs baseline
