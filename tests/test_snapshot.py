@@ -173,3 +173,57 @@ def test_snapshot_rejects_time_travel_backwards(spark, tmp_path):
             "k",
             "T3",
         )
+
+
+def test_snapshot_random_batch_sequences_match_reference(spark, tmp_path):
+    """Property: any sequence of batches produces exactly the interval
+    table a pure-Python SCD-2 simulator predicts — covering branch
+    interactions (change-then-revert, absent-then-return, NULL flips)
+    the hand-written cases cannot enumerate."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = ["a", "b", "c"]
+    # one batch: per key, either absent or carrying a small value/NULL
+    batch_st = st.dictionaries(
+        st.sampled_from(keys),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        max_size=3,
+    )
+    counter = itertools.count()
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(batches=st.lists(batch_st, min_size=1, max_size=4))
+    def run(batches):
+        name = f"snap.prop_{next(counter)}"
+        wh = _wh(spark, tmp_path)
+        # reference simulator: history list + open dict
+        hist: list = []
+        open_rows: dict = {}
+        for i, b in enumerate(batches):
+            ts = f"T{i + 1}"
+            rows = [(k, v) for k, v in sorted(b.items())]
+            if not rows:
+                continue  # empty frame has no schema; skip like a no-op run
+            df = spark.createDataFrame(rows, "k string, v long")
+            wh.materialize_snapshot(name, df, "k", ts)
+            for k, v in rows:
+                if k not in open_rows:
+                    open_rows[k] = (v, ts)
+                elif open_rows[k][0] != v:
+                    ov, ofrom = open_rows.pop(k)
+                    hist.append((k, ov, ofrom, ts))
+                    open_rows[k] = (v, ts)
+        if not wh.exists(name):
+            return
+        expect = set(hist) | {
+            (k, v, ts, None) for k, (v, ts) in open_rows.items()
+        }
+        got = _rows(wh.read(name))
+        assert got == expect, (batches, got, expect)
+
+    run()
