@@ -103,6 +103,40 @@ class Warehouse:
         self.fs.delete(self.path(name))
         self.fs.rename(tmp, self.path(name))
 
+    def tables(self) -> list[str]:
+        """Every ``schema.table`` under the root — two levels of
+        FileSystem listing, metadata-only (the catalog surface a
+        warehouse needs for ops tooling; staging leftovers excluded)."""
+        out = []
+        for schema in self.fs.list_subdirs(self.root):
+            if schema.startswith("_"):
+                continue  # _checkpoints and friends
+            for tbl in self.fs.list_subdirs(join_uri(self.root, schema)):
+                if tbl.endswith(("__staging", "__compact")):
+                    continue
+                out.append(f"{schema}.{tbl}")
+        return sorted(out)
+
+    def table_info(self, name: str) -> dict:
+        """Operational metadata for one table: bytes (one
+        getContentSummary), partition layout, and top-level partition
+        values — all FileSystem calls, no data read."""
+        path = self.path(name)
+        layout = self._partition_columns(name)
+        return {
+            "name": name,
+            "path": path,
+            "bytes": self.fs.tree_bytes(path),
+            "partition_columns": layout,
+            "partitions": sorted(
+                d.split("=", 1)[1]
+                for d in self.fs.list_subdirs(path)
+                if "=" in d
+            )
+            if layout
+            else [],
+        }
+
     # ------------------------------------------------------------------
     # M1 — incremental append with strict > watermark
     # ------------------------------------------------------------------

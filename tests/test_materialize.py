@@ -667,3 +667,22 @@ def test_new_lifecycle_methods_on_scheme_qualified_uri(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in wh.read_asof("snap.s", "T2").collect()} == {
         ("a", 2)
     }
+
+
+def test_tables_and_table_info(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [("20240101", 1, 1.0), ("20240102", 2, 2.0)],
+        "day string, id long, v double",
+    )
+    wh.materialize_incremental("stage.part", df, partition_by=("day",))
+    wh.materialize_incremental(
+        "raw.flat", spark.createDataFrame([(1,)], "id long")
+    )
+    assert wh.tables() == ["raw.flat", "stage.part"]
+    info = wh.table_info("stage.part")
+    assert info["partition_columns"] == ["day"]
+    assert info["partitions"] == ["20240101", "20240102"]
+    assert info["bytes"] > 0
+    flat = wh.table_info("raw.flat")
+    assert flat["partition_columns"] == [] and flat["partitions"] == []
