@@ -1225,3 +1225,67 @@ def table_profile(spark, sf_dir):
     from ..operators.quality_checks import profile_columns
 
     return profile_columns(table(spark, sf_dir, "events"), _PROFILE_COLS)
+
+
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1
+    )
+    SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 'view>click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 'view>click>purchase', (SELECT COUNT(*) FROM p)
+    """,
+    gate=False,  # event-sequence family; asof/session queries gated
+)
+def conversion_funnel(spark, sf_dir):
+    """Ordered event-sequence funnel (the product-analytics staple):
+    users whose first view precedes a later click precedes a later
+    purchase — each stage is one aggregate + one equi-join back to the
+    events of the next type, so the plan is three hash-agg/join rounds
+    on the user key, never a per-user Python loop or a sort of the
+    whole event log."""
+    e = table(spark, sf_dir, "events")
+
+    def first_after(etype, prev, prev_ts_col, out_col):
+        ev = e.filter(F.col("event_type") == etype)
+        if prev is None:
+            return ev.groupBy("user_id").agg(F.min("ts").alias(out_col))
+        return (
+            ev.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_col))
+        )
+
+    v = first_after("view", None, None, "t_view")
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    rows = [
+        ("view", v),
+        ("view>click", c),
+        ("view>click>purchase", p),
+    ]
+    out = None
+    for label, frame in rows:
+        one = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
