@@ -1289,3 +1289,48 @@ def conversion_funnel(spark, sf_dir):
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY 1
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id, CAST(f.cohort AS DATE) AS cohort_week,
+               date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7
+                 AS weeks_since
+        FROM events e JOIN first f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, weeks_since, COUNT(*) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+    gate=False,  # event-sequence family; session/asof queries gated
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (the other product-analytics staple):
+    users grouped by first-activity week, counted once per subsequent
+    active week — one first-touch aggregate, one equi-join back to the
+    events, a distinct, and one hash agg; the week arithmetic is plain
+    day-diff integer division so both engines agree exactly."""
+    e = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            F.col("cohort").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(wk.cast("date"), F.col("cohort").cast("date")) / 7
+            ).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
