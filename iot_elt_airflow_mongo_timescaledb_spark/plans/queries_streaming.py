@@ -58,6 +58,41 @@ def streaming_session_rollup(spark, sf_dir):
 
 
 @query(
+    "streaming_session_rollup_append",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked),
+    sess AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+      FROM numbered GROUP BY user_id, session_no)
+    SELECT * FROM sess
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+    gate=False,  # family row: batch session_windows
+)
+def streaming_session_rollup_append(spark, sf_dir):
+    """APPEND-mode streaming sessionization (the production emission
+    shape): only watermark-CLOSED sessions emit, exactly once, through
+    the executor-side file sink — the oracle is the batch
+    gaps-and-islands result restricted to sessions ending at or before
+    the final watermark (max event time − 1h delay)."""
+    from ..streaming.micro_batch import session_rollup_stream_append
+
+    return session_rollup_stream_append(spark, sf_dir)
+
+
+@query(
     "streaming_enriched_counts",
     oracle="""
     SELECT c.c_mktsegment, e.event_type,

@@ -109,6 +109,35 @@ def session_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(spark, agg, "session_rollup", "complete")
 
 
+def session_rollup_stream_append(
+    spark: SparkSession, sf_dir: str, sink_dir: str | None = None
+) -> DataFrame:
+    """APPEND-mode streaming sessionization — the production shape
+    (unlike the complete-mode drain, which restates every session per
+    trigger): only sessions CLOSED by the watermark emit, exactly once,
+    through the executor-side file sink; open sessions stay in state.
+    At drain end the emitted set is precisely the batch sessions whose
+    ``session_end <= max(ts) - delay`` (the final watermark) — pinned
+    by the registry oracle."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain_to_files(spark, agg, "session_append", sink_dir=sink_dir)
+
+
 def enriched_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC enrichment join: the event stream joins a static
     dimension table (customer segment) per micro-batch — stateless (no
