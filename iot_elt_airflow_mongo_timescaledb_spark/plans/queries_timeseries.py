@@ -140,8 +140,8 @@ def gapfill_interpolate(spark, sf_dir):
     "first_last_daily",
     oracle="""
     SELECT user_id, date_trunc('day', ts) AS day,
-           first(value ORDER BY ts, event_id) AS first_value,
-           last(value ORDER BY ts, event_id) AS last_value
+           first(value ORDER BY epoch_us(ts), event_id) AS first_value,
+           last(value ORDER BY epoch_us(ts), event_id) AS last_value
     FROM events GROUP BY 1, 2
     """,
     gate=False,
@@ -190,7 +190,7 @@ def value_histogram(spark, sf_dir):
                                 AS DOUBLE)
                END AS rate_per_s
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     )
     SELECT user_id, round(avg(rate_per_s), 4) + 0.0 AS avg_rate,
            count(rate_per_s) AS n_samples
@@ -219,7 +219,7 @@ def counter_rate_stats(spark, sf_dir):
     WITH s AS (
         SELECT user_id, value,
                lag(value) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS prev
+                                ORDER BY epoch_us(ts), event_id) AS prev
         FROM events
     ),
     st AS (
@@ -258,7 +258,7 @@ def counter_total_increase(spark, sf_dir):
         SELECT user_id, value,
                CAST(lead(epoch_us(ts)) OVER w - epoch_us(ts) AS DOUBLE) AS dt
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     )
     SELECT user_id,
            CASE WHEN sum(dt) = 0 THEN NULL
@@ -283,10 +283,10 @@ def time_weighted_avg(spark, sf_dir):
     "ohlc_bars",
     oracle="""
     SELECT user_id, date_trunc('day', ts) AS day,
-           first(value ORDER BY ts, event_id) AS open,
+           first(value ORDER BY epoch_us(ts), event_id) AS open,
            max(value) AS high,
            min(value) AS low,
-           last(value ORDER BY ts, event_id) AS close,
+           last(value ORDER BY epoch_us(ts), event_id) AS close,
            count(*) AS n_samples
     FROM events GROUP BY 1, 2
     """,
@@ -316,7 +316,7 @@ def ohlc_bars(spark, sf_dir):
     WITH w AS (
         SELECT user_id, event_id, value,
                lag(value) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS prev
+                                ORDER BY epoch_us(ts), event_id) AS prev
         FROM events
     )
     SELECT user_id, event_id, value
