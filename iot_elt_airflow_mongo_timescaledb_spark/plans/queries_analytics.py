@@ -1231,19 +1231,19 @@ def table_profile(spark, sf_dir):
     "conversion_funnel",
     oracle="""
     WITH v AS (
-        SELECT user_id, MIN(ts) AS t_view
+        SELECT user_id, MIN(epoch_us(ts)) AS t_view
         FROM events WHERE event_type = 'view' GROUP BY 1
     ),
     c AS (
-        SELECT e.user_id, MIN(e.ts) AS t_click
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
         FROM events e JOIN v ON v.user_id = e.user_id
-        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
         GROUP BY 1
     ),
     p AS (
-        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
         FROM events e JOIN c ON c.user_id = e.user_id
-        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
         GROUP BY 1
     )
     SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
