@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import SparkSession
 
+from ..fs import join_uri
 from ..plans.materialize import Warehouse
 from ..sources.flatten import flatten_document_table
 from ..sources.ingest import dedup_by_pk
@@ -57,8 +58,8 @@ class DocumentStreamSync:
         self.wh = Warehouse(spark, warehouse_root)
         self.collection = collection
         self.source_dir = source_dir
-        self.checkpoint = os.path.join(
-            checkpoint_root or os.path.join(warehouse_root, "_checkpoints"),
+        self.checkpoint = join_uri(
+            checkpoint_root or join_uri(warehouse_root, "_checkpoints"),
             collection,
         )
         # file streams need a declared schema: infer once from the files
@@ -119,8 +120,8 @@ class StreamingDedupSync:
         self.source_dir = source_dir
         self.id_col = id_col
         self.text_col = text_col
-        self.checkpoint = os.path.join(
-            checkpoint_root or os.path.join(warehouse_root, "_checkpoints"),
+        self.checkpoint = join_uri(
+            checkpoint_root or join_uri(warehouse_root, "_checkpoints"),
             "dedup_sync",
         )
         self.schema = spark.read.option("multiLine", "true").json(source_dir).schema
@@ -203,8 +204,8 @@ class StreamingAggSync:
             watermark_col=watermark_col,
         )
         self.source_dir = source_dir
-        self.checkpoint = os.path.join(
-            checkpoint_root or os.path.join(warehouse_root, "_checkpoints"),
+        self.checkpoint = join_uri(
+            checkpoint_root or join_uri(warehouse_root, "_checkpoints"),
             f"agg_sync_{table_name.replace('.', '_')}",
         )
         self.schema = spark.read.parquet(source_dir).schema
@@ -255,8 +256,8 @@ class StreamingDistinctSync:
             watermark_col=watermark_col,
         )
         self.source_dir = source_dir
-        self.checkpoint = os.path.join(
-            checkpoint_root or os.path.join(warehouse_root, "_checkpoints"),
+        self.checkpoint = join_uri(
+            checkpoint_root or join_uri(warehouse_root, "_checkpoints"),
             f"hll_sync_{table_name.replace('.', '_')}",
         )
         self.schema = spark.read.parquet(source_dir).schema
