@@ -13,8 +13,6 @@ drain-then-stop semantics of one Airflow run.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 
 from ..fs import join_uri
