@@ -350,3 +350,90 @@ def lttb_downsample(
         .sortWithinPartitions(*cols)
         .mapInPandas(_run, schema=schema)
     )
+
+
+def hourly_profile(
+    df: DataFrame, series_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Dense 24-slot hour-of-day profile per series: slot = rounded mean
+    value for that hour, missing hours 0.0 — the fixed-length feature
+    vector that makes series comparable by plain array arithmetic.  One
+    hash agg + a map rebuild; the rounding pins the (order-dependent)
+    float means so every downstream fold is deterministic."""
+    prof = df.groupBy(
+        series_col, F.hour(F.col(ts_col)).alias("__h")
+    ).agg(F.round(F.avg(value_col), 4).alias("__m"))
+    return prof.groupBy(series_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__h", "__m"))).alias("__mm")
+    ).select(
+        series_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda h: F.coalesce(F.element_at(F.col("__mm"), h), F.lit(0.0)),
+        ).alias("profile"),
+    )
+
+
+def series_similarity_topk(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    query_filter,
+    k: int = 3,
+) -> DataFrame:
+    """Distributed time-series similarity search (the EDBT'19 streaming
+    similarity-search shape): which series behave like this one?
+    Pearson correlation between dense hour-of-day profiles, ranked
+    top-k per query series.
+
+    Determinism by construction: profiles are rounded means in FIXED
+    24-slot arrays, and every Pearson component (sums, dots) is a
+    sequential left fold over that fixed order — no partition-dependent
+    float accumulation, so the query carries a full hash oracle.  Scale
+    shape: profile table is one row per series; the query side
+    broadcasts (few probe series against the fleet), so the compare is
+    a broadcast nested-loop over ROWS-per-series, not events.
+    """
+    profiles = hourly_profile(df, series_col, ts_col, value_col)
+    q = profiles.filter(query_filter).select(
+        F.col(series_col).alias("query_id"), F.col("profile").alias("__qp")
+    )
+    c = profiles.select(
+        F.col(series_col).alias("neighbor_id"), F.col("profile").alias("__cp")
+    )
+
+    def fsum(a):
+        return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+
+    def fdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    n = F.lit(24.0)
+    sx, sy = fsum(F.col("__qp")), fsum(F.col("__cp"))
+    sxy = fdot(F.col("__qp"), F.col("__cp"))
+    sxx = fdot(F.col("__qp"), F.col("__qp"))
+    syy = fdot(F.col("__cp"), F.col("__cp"))
+    corr = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(corr, 6).alias("corr"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("corr").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

@@ -351,3 +351,60 @@ def lttb_downsample_q(spark, sf_dir):
     repartitioning)."""
     e = table(spark, sf_dir, "events")
     return lttb_downsample(e, "user_id", "ts", "value", 20)
+
+
+@query(
+    "series_similarity_topk",
+    oracle="""
+    WITH prof AS (
+        SELECT user_id, extract(hour FROM ts) AS h,
+               round(avg(value), 4) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    hours AS (SELECT unnest(range(0, 24)) AS h),
+    grid AS (
+        SELECT u.user_id, hours.h
+        FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN hours
+    ),
+    dense AS (
+        SELECT g.user_id,
+               array_agg(coalesce(p.m, 0.0) ORDER BY g.h) AS prof
+        FROM grid g LEFT JOIN prof p ON p.user_id = g.user_id AND p.h = g.h
+        GROUP BY 1
+    ),
+    q AS (SELECT user_id AS query_id, prof AS qp FROM dense
+          WHERE user_id < 5),
+    scored AS (
+        SELECT q.query_id, c.user_id AS neighbor_id,
+               ROUND(
+                 (24.0 * list_dot_product(q.qp, c.prof)
+                  - list_sum(q.qp) * list_sum(c.prof))
+                 / sqrt((24.0 * list_dot_product(q.qp, q.qp)
+                         - list_sum(q.qp) * list_sum(q.qp))
+                        * (24.0 * list_dot_product(c.prof, c.prof)
+                           - list_sum(c.prof) * list_sum(c.prof))), 6)
+                 AS corr
+        FROM q CROSS JOIN dense c WHERE c.user_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, corr, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY corr DESC NULLS LAST,
+                                              neighbor_id ASC) AS rk
+        FROM scored) r
+    WHERE rk <= 3
+    """,
+    gate=False,
+)
+def series_similarity_topk_q(spark, sf_dir):
+    """Time-series similarity search: which users' value series behave
+    like this one?  Pearson correlation of dense 24-slot hour-of-day
+    profiles, top-3 per probe series — profiles are rounded means in
+    fixed-order arrays and every Pearson component is a sequential
+    fold, so the whole ranking is bit-deterministic and hash-oracled
+    (operators/timeseries.py:series_similarity_topk)."""
+    from ..operators.timeseries import series_similarity_topk
+
+    e = table(spark, sf_dir, "events")
+    return series_similarity_topk(
+        e, "user_id", "ts", "value", F.col("user_id") < 5, k=3
+    )
