@@ -174,6 +174,7 @@ _NESTED_LOOP_OK = {
     "ann_ivf_int_topk",    # broadcast integer-centroid assignment
     "ann_quantized_topk",  # broadcast query side
     "cosine_topk",         # broadcast query side (exact baseline)
+    "series_similarity_topk",  # broadcast probe-profile side
     "embedding_near_dup",  # documented exact all-pairs baseline
     "array_membership_region",  # 5-row dim broadcast (scale path = explode rewrite)
     "tfidf_top_terms",     # 1-row broadcast N
