@@ -164,3 +164,39 @@ def streaming_stream_join(spark, sf_dir):
     from ..streaming.micro_batch import view_purchase_join_stream
 
     return view_purchase_join_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_left_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+    gw AS (
+        SELECT LEAST((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM v))
+               - INTERVAL 1 HOUR AS wm
+    )
+    SELECT p.user_id AS user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+           p.value AS purchase_value, v.value AS view_value
+    FROM p JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+    UNION ALL
+    SELECT p.user_id, p.ts, NULL, p.value, NULL
+    FROM p, gw
+    WHERE p.ts < gw.wm
+      AND NOT EXISTS (
+        SELECT 1 FROM v WHERE v.user_id = p.user_id
+          AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR)
+    """,
+    gate=False,  # stream-join family row: streaming_stream_join
+)
+def streaming_stream_left_join(spark, sf_dir):
+    """LEFT OUTER stream-stream range join: matched rows equal the
+    batch interval join; unmatched purchases emit NULL-view rows
+    exactly when the global (min-of-both-sides) watermark passed their
+    event time — the oracle reproduces both halves, including the
+    watermark cutoff for the NULL side."""
+    from ..streaming.micro_batch import view_purchase_left_join_stream
+
+    return view_purchase_left_join_stream(spark, sf_dir)

@@ -299,3 +299,44 @@ def view_purchase_join_stream(
         F.col("v_value").alias("view_value"),
     )
     return _drain_to_files(spark, joined, "view_purchase_join", sink_dir)
+
+
+def view_purchase_left_join_stream(
+    spark: SparkSession, sf_dir: str, sink_dir: str | None = None
+) -> DataFrame:
+    """LEFT OUTER stream-stream range join — the abandoned-conversion
+    detector: every purchase joined to the user's prior-hour views,
+    and purchases with NO qualifying view emit a NULL-view row once the
+    global watermark (min of both sides, Spark's default
+    multipleWatermarkPolicy) passes their event time — state-bounded
+    like the inner join, but the unmatched rows are first-class
+    output, not silence.  Same file-sink drain as the inner variant."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def side(event_type: str, alias_prefix: str) -> DataFrame:
+        return (
+            events_stream(spark, sf_dir, schema=file_schema)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias_prefix}_user"),
+                F.col("ts").alias(f"{alias_prefix}_ts"),
+                F.col("value").alias(f"{alias_prefix}_value"),
+            )
+            .withWatermark(f"{alias_prefix}_ts", "1 hour")
+        )
+
+    joined = side("purchase", "p").join(
+        side("view", "v"),
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("v_ts").alias("view_ts"),
+        F.col("p_value").alias("purchase_value"),
+        F.col("v_value").alias("view_value"),
+    )
+    return _drain_to_files(spark, joined, "view_purchase_left_join", sink_dir)
