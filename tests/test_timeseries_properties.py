@@ -109,3 +109,41 @@ def test_time_weighted_avg_matches_reference(spark, values):
         # mean of all but the last sample
         expect = sum(values[:-1]) / (len(values) - 1)
         assert abs(row["twa"] - expect) <= 1e-9 * max(1.0, abs(expect))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(
+        st.floats(min_value=0.0, max_value=1e3, allow_nan=False),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_counter_increase_matches_reference(spark, values):
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.timeseries import (
+        counter_increase,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("s", base + datetime.timedelta(minutes=i), i, v)
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, id long, v double")
+    row = counter_increase(df, ["u"], "u", "ts", "v", "id").collect()[0]
+    inc, resets = 0.0, 0
+    for prev, cur in zip(values, values[1:]):
+        if cur >= prev:
+            inc += cur - prev
+        else:
+            inc += cur
+            resets += 1
+    if len(values) == 1:
+        assert row["total_increase"] is None and row["n_steps"] == 0
+    else:
+        # 0.011: both sides round to 2dp from float sums whose
+        # accumulation order differs — a boundary value may flip one
+        # rounding step
+        assert abs(row["total_increase"] - round(inc, 2)) <= 0.011
+        assert row["n_steps"] == len(values) - 1
+    assert row["n_resets"] == resets
