@@ -96,3 +96,54 @@ def test_stream_reader_normalizes(spark, fixture, request):
     assert len(rows) == 1
     assert rows[0]["ts"] == TS
     assert rows[0]["event_id"] == ROW["event_id"]
+
+
+def test_timeseries_queries_survive_nanos_events(spark, tmp_path):
+    """End-to-end ns-flip drill for the hypertable family: DuckDB writes
+    a genuine TIMESTAMP_NS events.parquet (the rounds-1-3 physical
+    type, which Spark itself cannot write), and the order-sensitive
+    timeseries queries must match their DuckDB oracles on it — pinning
+    both the reader normalization and the epoch_us() oracle hardening."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import (
+        spark_queries,
+        oracle_queries,
+    )
+    from tools.parity import compare_query
+
+    out = str(tmp_path / "events.parquet")
+    base_ns = 1704067200_000_000_000  # 2024-01-01T00:00:00Z in ns
+    n = 400
+    etypes = ["click", "view", "purchase", "signup", "error"]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            # 17-minute grid plus an i*13 NANOSECOND offset: sub-microsecond
+            # detail the reader must truncate and the oracle must ignore
+            "ts": pa.array(
+                [base_ns + i * 17 * 60 * 1_000_000_000 + i * 13 for i in range(n)],
+                type=pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([i % 7 for i in range(n)], type=pa.int64()),
+            "event_type": pa.array([etypes[i % 5] for i in range(n)]),
+            "value": pa.array([round(0.5 + (i * 37 % 1000) / 7.0, 3) for i in range(n)]),
+            "props": pa.array(['{"k": %d}' % (i % 100) for i in range(n)]),
+        }
+    )
+    pq.write_table(tbl, out, version="2.6")  # 2.6 keeps TIMESTAMP(NANOS)
+    con = duckdb.connect()
+    # confirm the fixture really is nanosecond-typed
+    (ltype,) = con.execute(
+        f"SELECT logical_type FROM parquet_schema('{out}') WHERE name = 'ts'"
+    ).fetchone()
+    assert "Nano" in str(ltype), ltype
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{out}')")
+
+    qs, os_ = spark_queries(), oracle_queries()
+    for name in ("first_last_daily", "counter_rate_stats", "ohlc_bars",
+                 "threshold_alerts", "counter_total_increase"):
+        problems = compare_query(spark, con, qs[name], os_[name], str(tmp_path))
+        assert not problems, f"{name}: " + " | ".join(problems)
