@@ -259,3 +259,37 @@ def test_counter_increase_reset_semantics(spark):
     assert row["total_increase"] == 15.0 + 3.0 + 7.0
     assert row["n_steps"] == 3  # first sample contributes nothing
     assert row["n_resets"] == 1
+
+
+def test_hourly_profile_zero_fills_missing_hours(spark):
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.timeseries import (
+        hourly_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("s", _ts(3), 6.0), ("s", _ts(3, 30), 10.0), ("s", _ts(20), 2.0)],
+        "sid string, ts timestamp, value double",
+    )
+    prof = hourly_profile(df, "sid", "ts", "value").collect()[0]["profile"]
+    assert len(prof) == 24
+    assert prof[3] == 8.0   # mean of the two hour-3 samples
+    assert prof[20] == 2.0
+    assert all(prof[h] == 0.0 for h in range(24) if h not in (3, 20))
+
+
+def test_series_similarity_deterministic_and_self_excluded(spark, sf_dir):
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.timeseries import (
+        series_similarity_topk,
+    )
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import table
+
+    e = table(spark, sf_dir, "events")
+    a = sorted(map(tuple, series_similarity_topk(
+        e, "user_id", "ts", "value", F.col("user_id") < 3, k=3
+    ).collect()))
+    b = sorted(map(tuple, series_similarity_topk(
+        e.repartition(11), "user_id", "ts", "value", F.col("user_id") < 3, k=3
+    ).collect()))
+    assert a == b  # bit-deterministic under repartitioning
+    assert all(r[0] != r[1] for r in a)  # never its own neighbour
+    assert {r[3] for r in a} <= {1, 2, 3}  # rk within k
