@@ -88,6 +88,8 @@ EXTENDED = [
     "ann_ivf_int_topk",         # deterministic integer-IVF
     "split_leakage_pairs",      # train/heldout leakage audit
     "scd2_snapshot_history",    # SCD-2 snapshot end-to-end
+    "series_similarity_topk",   # Pearson series similarity search
+    "streaming_stream_left_join",  # left-outer stream-stream join drain
 ]
 
 
