@@ -1674,7 +1674,8 @@ def vocab_table(spark, sf_dir):
       FROM (SELECT * FROM counts
             ORDER BY n_occurrences DESC, term ASC LIMIT {{k}}) t)
     SELECT doc_id,
-           array_agg(coalesce(v.token_id, 0) ORDER BY pos) AS token_ids,
+           array_to_string(array_agg(coalesce(v.token_id, 0) ORDER BY pos),
+                           ' ') AS token_ids,
            COUNT(*) AS n_tokens,
            SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS n_oov
     FROM words LEFT JOIN vocab v USING (term)
@@ -1691,10 +1692,23 @@ def tokenize_docs(spark, sf_dir):
     sequence packing — posexplode, broadcast-size vocab equi-join (the
     corpus never shuffles on the term key), one hash agg per doc with
     the (pos, id) sort INSIDE the collected array
-    (operators/text.py:tokenize_docs)."""
+    (operators/text.py:tokenize_docs).
+
+    Gate-facing projection only: ``token_ids`` is emitted as a
+    space-joined string on BOTH sides (order is positional, no sort
+    needed) because the driver's canonicalizer hashes flat values and
+    chokes on list-typed cells — the stage_users pattern
+    (queries_relational.py:333-347).  operators/text.py keeps the real
+    ARRAY<INT> type for the packing pipeline."""
     docs = table(spark, sf_dir, "documents")
     vocab = X.vocab_table(docs, "doc_id", "text", max_vocab=_VOCAB_K)
-    return X.tokenize_docs(docs, "doc_id", "text", vocab)
+    toks = X.tokenize_docs(docs, "doc_id", "text", vocab)
+    return toks.select(
+        "doc_id",
+        F.array_join("token_ids", " ").alias("token_ids"),
+        "n_tokens",
+        "n_oov",
+    )
 
 
 _WIN_W, _WIN_S = 40, 30

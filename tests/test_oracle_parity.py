@@ -47,3 +47,23 @@ def test_gate_is_full_and_fully_oracled():
     gated_oracles = oracle_queries(gated_only=True)
     assert len(gated) == 50
     assert set(gated_oracles) == set(gated)
+
+
+def test_gated_schemas_are_flat(spark, sf_dir):
+    """The driver's canonicalizer sorts raw pandas cells before hashing
+    and dies on unhashable (list/dict) values — r1's and r5's one red
+    row, both times an ARRAY column in a gated projection.  Guard the
+    whole class: no gated query may emit an array/map/struct column.
+    Stringify in the gate-facing projection instead (the stage_users /
+    tokenize_docs pattern)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in sorted(spark_queries(gated_only=True).items()):
+        for field in fn(spark, sf_dir).schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, (
+        "gated queries must emit flat columns (driver canonicalizer "
+        "cannot hash nested cells): " + "; ".join(offenders)
+    )
