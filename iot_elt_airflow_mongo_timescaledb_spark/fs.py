@@ -25,7 +25,30 @@ this module is the shared home for the rest of the verbs.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import SparkSession
+
+
+def scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """A fresh driver-local scratch directory for transient warehouse
+    state (harness queries, test sinks).
+
+    Derives the base from the cluster's configured scratch space —
+    ``spark.local.dir`` then ``SPARK_LOCAL_DIRS`` (first entry of the
+    comma list; that's where Spark itself spills) — falling back to the
+    system tempdir only when neither is set.  A bare
+    ``tempfile.mkdtemp()`` would silently land on ``/tmp`` even on
+    clusters whose root disk is tiny and whose scratch volumes are the
+    point of ``spark.local.dir``.
+    """
+    base = spark.conf.get("spark.local.dir", None) or os.environ.get(
+        "SPARK_LOCAL_DIRS"
+    )
+    base = base.split(",")[0].strip() if base else tempfile.gettempdir()
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
 def join_uri(base: str, *parts: str) -> str:

@@ -797,8 +797,7 @@ def scd2_snapshot_history(spark, sf_dir):
     reconstructs the interval algebra directly, so the check covers the
     fingerprint change detection, close/insert mechanics, and the
     unchanged-key no-op in one hash."""
-    import tempfile
-
+    from ..fs import scratch_dir
     from .materialize import Warehouse
 
     c = table(spark, sf_dir, "customer").select(
@@ -810,7 +809,7 @@ def scd2_snapshot_history(spark, sf_dir):
             F.col("k") % 10 == 0, F.round(F.col("bal") * 1.1, 2)
         ).otherwise(F.col("bal")),
     )
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="scd2_"))
+    wh = Warehouse(spark, scratch_dir(spark, "scd2_"))
     wh.materialize_snapshot("snap.cust", c, "k", "T1")
     return wh.materialize_snapshot("snap.cust", repriced, "k", "T2")
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -219,17 +218,18 @@ def _drain_to_files(
     covers the zero-output case, where the sink directory has no
     footers to infer from.
     """
-    from ..fs import join_uri
+    from ..fs import join_uri, scratch_dir
 
     if sink_dir is None:
-        # default local sink dirs are per-process scratch: register them
-        # for interpreter-exit cleanup so repeated gate/bench runs don't
+        # default local sink dirs are per-process scratch (rooted at
+        # spark.local.dir when configured): register them for
+        # interpreter-exit cleanup so repeated gate/bench runs don't
         # accumulate full result copies in /tmp.  An EXPLICIT sink_dir is
         # the durable-output path (shared storage at cluster scale —
         # scheme-qualified URIs like hdfs://s3a: work: the sink, its
         # checkpoint, and the read-back all resolve through Hadoop) and
         # is never auto-deleted.
-        out = tempfile.mkdtemp(prefix=f"{name}_sink_")
+        out = scratch_dir(spark, f"{name}_sink_")
         atexit.register(shutil.rmtree, out, True)
     else:
         out = sink_dir

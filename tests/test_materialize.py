@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import Row
@@ -686,3 +687,26 @@ def test_tables_and_table_info(spark, tmp_path):
     assert info["bytes"] > 0
     flat = wh.table_info("raw.flat")
     assert flat["partition_columns"] == [] and flat["partitions"] == []
+
+
+def test_scratch_dir_honors_cluster_scratch_space(spark, tmp_path, monkeypatch):
+    """scratch_dir roots transient warehouse state at the cluster's
+    configured scratch volume (spark.local.dir / SPARK_LOCAL_DIRS), not
+    bare /tmp — the gated scd2 query and streaming file sinks must land
+    where Spark itself spills."""
+    from iot_elt_airflow_mongo_timescaledb_spark.fs import scratch_dir
+
+    # env path: SPARK_LOCAL_DIRS comma list -> first entry wins
+    monkeypatch.setenv(
+        "SPARK_LOCAL_DIRS", f"{tmp_path}/scratch_a,{tmp_path}/scratch_b"
+    )
+    d = scratch_dir(spark, "unit_")
+    assert d.startswith(str(tmp_path / "scratch_a"))
+    assert os.path.isdir(d)
+
+    # two calls never collide
+    assert scratch_dir(spark, "unit_") != d
+
+    # fallback: no conf, no env -> system tempdir still works
+    monkeypatch.delenv("SPARK_LOCAL_DIRS")
+    assert os.path.isdir(scratch_dir(spark, "unit_"))
