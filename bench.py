@@ -97,6 +97,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    loadavg_start = round(os.getloadavg()[0], 2)
 
     spark = get_spark("bench")
     queries = spark_queries()
@@ -141,6 +142,22 @@ def main() -> None:
         queries[name](spark, sf_dir).collect()
         extended[name] = round(time.perf_counter() - t0, 3)
 
+    # warm per-trigger twins: the one-shot streaming entries above time
+    # cold-start + full-history drain; the production number for a
+    # long-running sync is the steady-state second-micro-batch latency
+    # (see PERF_NOTES "Warm streaming methodology")
+    from iot_elt_airflow_mongo_timescaledb_spark.streaming.micro_batch import (
+        warm_session_rollup_trigger,
+        warm_stream_left_join_trigger,
+    )
+
+    extended["streaming_session_rollup_warm"] = round(
+        warm_session_rollup_trigger(spark, sf_dir), 3
+    )
+    extended["streaming_stream_left_join_warm"] = round(
+        warm_stream_left_join_trigger(spark, sf_dir), 3
+    )
+
     print(
         json.dumps(
             {
@@ -153,6 +170,8 @@ def main() -> None:
                 "queries_extended": extended,
                 "runs_per_query": n_runs,
                 "sf": sf,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -340,3 +341,137 @@ def view_purchase_left_join_stream(
         F.col("v_value").alias("view_value"),
     )
     return _drain_to_files(spark, joined, "view_purchase_left_join", sink_dir)
+
+
+# --------------------------------------------------------------------------
+# Warm per-trigger measurement (bench methodology, not a query)
+# --------------------------------------------------------------------------
+
+
+def _warm_trigger_seconds(spark, sf_dir, transform) -> float:
+    """Steady-state micro-batch latency for a streaming pipeline.
+
+    The one-shot drains above measure cold-start + full-history drain —
+    the wrong number for a long-running 15-minute sync, whose cost per
+    trigger is what matters.  This helper measures the SECOND
+    micro-batch: events are split at the median event time into two
+    parquet chunks in a watched directory; chunk 0 drains first (query
+    start, codegen, state-store bootstrap — the cold trigger), then
+    chunk 1 is dropped in and only that trigger is timed.  The time
+    split keeps chunk-1 rows above the chunk-0 watermark, so no row is
+    late-dropped and state transitions are the production ones
+    (sessions spanning the boundary merge in state; join state carries
+    over).
+
+    ``transform`` maps the watched-directory streaming reader factory to
+    the output streaming DataFrame; the factory returns a fresh stream
+    per call so stream-stream joins can open two readers over the same
+    watched directory.
+    """
+    import glob as globmod
+    import shutil as sh
+
+    from ..fs import scratch_dir
+    from ..plans.registry import table
+
+    root = scratch_dir(spark, "warm_trigger_")
+    try:
+        watch = os.path.join(root, "src")
+        os.makedirs(watch)
+        ev = table(spark, sf_dir, "events")
+        mid = ev.agg(
+            F.percentile_approx(F.unix_micros("ts"), F.lit(0.5)).alias("m")
+        ).first()["m"]
+        chunks = (
+            ev.filter(F.unix_micros("ts") <= mid),
+            ev.filter(F.unix_micros("ts") > mid),
+        )
+        staged = []
+        for i, chunk in enumerate(chunks):
+            stage = os.path.join(root, f"stage{i}")
+            chunk.coalesce(1).write.parquet(stage)
+            staged.append(globmod.glob(os.path.join(stage, "part-*.parquet"))[0])
+        os.replace(staged[0], os.path.join(watch, "chunk0.parquet"))
+
+        schema = ev.schema
+
+        def reader() -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(watch)
+            )
+
+        q = (
+            transform(reader)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(root, "data"))
+            .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # cold: start + chunk-0 trigger
+            os.replace(staged[1], os.path.join(watch, "chunk1.parquet"))
+            t0 = time.perf_counter()
+            q.processAllAvailable()  # exactly the chunk-1 micro-batch
+            warm = time.perf_counter() - t0
+        finally:
+            q.stop()
+        # outside the timed window: a measurement over a silently-empty
+        # sink would be meaningless, so pin that the drain emitted rows
+        assert spark.read.parquet(os.path.join(root, "data")).count() > 0
+        return warm
+    finally:
+        sh.rmtree(root, ignore_errors=True)
+
+
+def warm_session_rollup_trigger(spark: SparkSession, sf_dir: str) -> float:
+    """Warm per-trigger latency of the append-mode session rollup."""
+
+    def build(reader):
+        return (
+            reader()
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return _warm_trigger_seconds(spark, sf_dir, build)
+
+
+def warm_stream_left_join_trigger(spark: SparkSession, sf_dir: str) -> float:
+    """Warm per-trigger latency of the left-outer stream-stream join."""
+
+    def build(reader):
+        def side(event_type: str, p: str) -> DataFrame:
+            return (
+                reader()
+                .filter(F.col("event_type") == event_type)
+                .select(
+                    F.col("user_id").alias(f"{p}_user"),
+                    F.col("ts").alias(f"{p}_ts"),
+                    F.col("value").alias(f"{p}_value"),
+                )
+                .withWatermark(f"{p}_ts", "1 hour")
+            )
+
+        return side("purchase", "p").join(
+            side("view", "v"),
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+
+    return _warm_trigger_seconds(spark, sf_dir, build)
