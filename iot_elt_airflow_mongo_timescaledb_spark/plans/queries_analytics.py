@@ -1174,7 +1174,8 @@ def quarantine_stats(spark, sf_dir):
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
              AS avg_k
     FROM events GROUP BY event_type

@@ -232,7 +232,8 @@ def counter_rate_stats(spark, sf_dir):
         FROM s
     )
     SELECT user_id, ROUND(SUM(inc), 2) AS total_increase,
-           COUNT(inc) AS n_steps, SUM(reset) AS n_resets
+           COUNT(inc) AS n_steps,
+           CAST(SUM(reset) AS BIGINT) AS n_resets
     FROM st GROUP BY 1
     """,
     gate=False,

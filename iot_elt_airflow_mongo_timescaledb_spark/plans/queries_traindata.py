@@ -1038,7 +1038,7 @@ def dataset_mixing_sample(spark, sf_dir):
       FROM w WHERE len(ws) >= 2),
     per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
     SELECT doc_id,
-           SUM(c) AS n_grams,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
            MAX(c) AS top_gram_count,
            ROUND(MAX(c) / SUM(c), 6) AS top_gram_frac,
            ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c), 6)
@@ -1096,9 +1096,9 @@ _BUDGET = 25_000  # words — cuts mid-corpus at sf0.01, everything at tiny SFs
     WITH q AS ({_QUALITY_SQL}),
     c AS (
       SELECT doc_id, n_words AS n_tokens, quality_score AS score,
-             SUM(n_words) OVER (ORDER BY quality_score DESC, doc_id ASC
+             CAST(SUM(n_words) OVER (ORDER BY quality_score DESC, doc_id ASC
                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum_tokens
+                                AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM q
       WHERE quality_score IS NOT NULL AND n_words IS NOT NULL)
     SELECT doc_id, n_tokens, score, cum_tokens
@@ -1298,7 +1298,8 @@ _CHUNK_WORDS = 10
       FROM chunks GROUP BY 1)
     SELECT doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
            ROUND(SUM(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
              AS dup_chunk_frac
     FROM chunks JOIN cdf USING (chunk)
@@ -1349,7 +1350,7 @@ def shuffle_shards(spark, sf_dir):
 _MIX_SQL = r"""
     WITH agg AS (
       SELECT source, COUNT(*) AS n_docs,
-             SUM(len(regexp_extract_all(text, '\S+'))) AS n_tokens
+             CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source),
     t AS (SELECT *, n_tokens / SUM(n_tokens) OVER () AS p FROM agg)
     SELECT source, n_docs, n_tokens,
@@ -1526,7 +1527,7 @@ def _emb_lsh_pairs_oracle() -> str:
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
     corpus AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1),
     tot AS (SELECT SUM(cf) AS total FROM corpus)
-    SELECT doc_id, SUM(tf) AS n_tokens,
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
            ROUND(-SUM(tf * ln(cf / total)) / SUM(tf), 6) AS mean_neg_logprob
     FROM tf JOIN corpus USING (term), tot
     GROUP BY doc_id
@@ -1677,7 +1678,8 @@ def vocab_table(spark, sf_dir):
            array_to_string(array_agg(coalesce(v.token_id, 0) ORDER BY pos),
                            ' ') AS token_ids,
            COUNT(*) AS n_tokens,
-           SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS n_oov
+           CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov
     FROM words LEFT JOIN vocab v USING (term)
     WHERE term <> ''
     GROUP BY doc_id
@@ -1786,7 +1788,7 @@ def text_normalization(spark, sf_dir):
                            ROWS UNBOUNDED PRECEDING) - n_tokens)
                         / {_PACK_BUDGET}) AS BIGINT) AS bin_idx
       FROM t)
-    SELECT shard, bin_idx, COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+    SELECT shard, bin_idx, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            string_agg(text, '<|eos|>' ORDER BY doc_id) AS packed_text
     FROM b GROUP BY shard, bin_idx
     """,
@@ -1913,8 +1915,8 @@ def dataset_split_counts(spark, sf_dir):
               AS qv
           FROM m)
     SELECT vec_id, ROUND(scale, 9) AS scale,
-           list_sum(qv) AS q_sum,
-           list_sum(list_transform(qv, x -> abs(x))) AS q_l1,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
            len(list_filter(qv, x -> abs(x) = 127)) AS n_saturated
     FROM q
     """,

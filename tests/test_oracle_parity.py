@@ -67,3 +67,25 @@ def test_gated_schemas_are_flat(spark, sf_dir):
         "gated queries must emit flat columns (driver canonicalizer "
         "cannot hash nested cells): " + "; ".join(offenders)
     )
+
+
+def test_gated_oracle_types_are_pandas_safe(duck):
+    """r5/r6's red row, other side of the coin: the *oracle* side of the
+    driver gate goes through duckdb ``.df()`` (pandas), where HUGEINT —
+    DuckDB's SUM-over-integers result type — and DECIMAL widen to
+    float64 ("0.0" vs Spark's long "0": rows match, schema matches, hash
+    fails).  DESCRIBE every gated oracle and reject any pandas-lossy
+    column type; the fix is always a one-line CAST in the oracle SQL."""
+    import re
+
+    from tools.parity import PANDAS_LOSSY_TYPE_RE, oracle_column_types
+
+    offenders = []
+    for name, sql in sorted(oracle_queries(gated_only=True).items()):
+        for col, typ in oracle_column_types(duck, sql):
+            if re.search(PANDAS_LOSSY_TYPE_RE, typ):
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "gated oracle emits pandas-lossy column type(s) — CAST to "
+        "BIGINT/DOUBLE/VARCHAR in the oracle SQL: " + "; ".join(offenders)
+    )

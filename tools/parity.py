@@ -20,16 +20,28 @@ import sys
 from datetime import date, datetime
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
 
 def _norm(v):
+    if isinstance(v, np.generic):
+        v = v.item()  # numpy scalar -> plain Python (pandas .df() path)
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # the driver canonicalizes through pandas, where a float NULL
+            # IS NaN — None and NaN are indistinguishable in the gate
+            # (proved by window_frames_user_value: Spark NULL deltas vs
+            # DuckDB-via-pandas NaN, hash_match=true in CORRECTNESS_r06).
+            # Mirror that: NaN collapses to the same token as None.
+            return None
         return f"{v:.9g}"
     if isinstance(v, datetime):
+        if v != v:  # pd.NaT — a NULL timestamp in the pandas path
+            return None
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, date):
         return v.isoformat()
@@ -57,24 +69,86 @@ def duck_connection(sf_dir: str):
     return con
 
 
+#: DuckDB types whose pandas (`.df()`) representation is lossy vs what a
+#: Spark query emits for the same logical value — HUGEINT/DECIMAL become
+#: float64 ("0.0" vs Spark's long "0"), nested types become ndarrays/dicts
+#: the driver's canonicalizer cannot hash.  r6's red row (`tokenize_docs`)
+#: was a HUGEINT `SUM(CASE ...)` in the oracle.
+PANDAS_LOSSY_TYPE_RE = (
+    r"HUGEINT|UHUGEINT|DECIMAL|\[\]$|^STRUCT|^MAP|^LIST|^UNION"
+)
+
+
+def oracle_column_types(con, sql: str) -> list[tuple[str, str]]:
+    """(column_name, duckdb_type) for an oracle SQL, via DESCRIBE."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows]
+
+
+def _kind(dtype_or_spark_type) -> str:
+    """Collapse a type to 'i' (integer), 'f' (float), or 'o' (other)."""
+    s = str(dtype_or_spark_type).lower()
+    if any(k in s for k in ("int", "long", "short", "byte", "uint")):
+        return "i"
+    if any(k in s for k in ("float", "double")):
+        return "f"
+    return "o"
+
+
 def compare_query(spark, con, fn, sql, sf_dir: str) -> list[str]:
     """Run one Spark query + its DuckDB oracle; return a list of problems
-    (empty == parity).  Raises nothing: engine errors become problems."""
+    (empty == parity).  Raises nothing: engine errors become problems.
+
+    The DuckDB side is fetched through ``.df()`` (pandas) — the driver's
+    canonicalization path — NOT ``fetchall()``: DuckDB HUGEINT comes back
+    from fetchall() as a plain Python int but from pandas as float64,
+    which is exactly the representation divergence that kept
+    `tokenize_docs` red in rounds 5-6 while this harness passed."""
     try:
         sdf = fn(spark, sf_dir)
         s_cols = sdf.columns
+        s_kinds = {f.name: _kind(f.dataType.simpleString()) for f in sdf.schema.fields}
         s_rows = [tuple(r) for r in sdf.collect()]
     except Exception as e:  # noqa: BLE001
         return [f"spark error: {e}"]
     try:
-        res = con.execute(sql)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        ddf = con.execute(sql).df()
+        d_cols = list(ddf.columns)
+        d_kinds = {c: _kind(ddf[c].dtype) for c in d_cols}
+        # pandas widens DuckDB DATE to datetime64[ns]; Spark emits
+        # datetime.date.  Fold back to date where Spark's schema says so.
+        for f in sdf.schema.fields:
+            if f.dataType.simpleString() == "date" and f.name in ddf.columns:
+                if np.issubdtype(ddf[f.name].dtype, np.datetime64):
+                    ddf[f.name] = ddf[f.name].dt.date
+        d_rows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
     except Exception as e:  # noqa: BLE001
         return [f"duckdb error: {e}"]
     problems = []
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    else:
+        # A Spark integer column vs a pandas float64 oracle column means the
+        # driver sees "0" vs "0.0" on every row — rows+schema match, hash
+        # fails.  Surface it as a type problem, not a value diff.  EXCEPT
+        # when the column actually contains NULLs: then the driver's Spark
+        # side widens to float64 through pandas too (nullable int64 ->
+        # float64 is a pandas rule, not a DuckDB one), both sides render
+        # identically, and there is no divergence to flag.
+        lossy = [
+            c
+            for c in s_cols
+            if s_kinds[c] == "i"
+            and d_kinds.get(c) == "f"
+            and not ddf[c].isna().any()
+        ]
+        if lossy:
+            problems.append(
+                "pandas-lossy oracle column(s) "
+                f"{lossy}: Spark integer vs DuckDB-via-pandas float64 "
+                "(HUGEINT/DECIMAL or NULL-widened int) — cast the oracle "
+                "to BIGINT"
+            )
     if len(s_rows) != len(d_rows):
         problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
     if not problems:
