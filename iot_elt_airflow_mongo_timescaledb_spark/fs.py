@@ -31,7 +31,9 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
-def scratch_dir(spark: SparkSession, prefix: str) -> str:
+def scratch_dir(
+    spark: SparkSession, prefix: str, cleanup_atexit: bool = False
+) -> str:
     """A fresh driver-local scratch directory for transient warehouse
     state (harness queries, test sinks).
 
@@ -42,13 +44,25 @@ def scratch_dir(spark: SparkSession, prefix: str) -> str:
     ``tempfile.mkdtemp()`` would silently land on ``/tmp`` even on
     clusters whose root disk is tiny and whose scratch volumes are the
     point of ``spark.local.dir``.
+
+    ``cleanup_atexit`` removes the directory at interpreter exit — for
+    callers whose result DataFrame is lazily read FROM the scratch dir
+    and must outlive the calling function (the gate/bench harness
+    queries); callers with a bounded lifetime should ``rmtree`` in a
+    ``finally`` instead.
     """
     base = spark.conf.get("spark.local.dir", None) or os.environ.get(
         "SPARK_LOCAL_DIRS"
     )
     base = base.split(",")[0].strip() if base else tempfile.gettempdir()
     os.makedirs(base, exist_ok=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    path = tempfile.mkdtemp(prefix=prefix, dir=base)
+    if cleanup_atexit:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, path, True)
+    return path
 
 
 def join_uri(base: str, *parts: str) -> str:

@@ -16,11 +16,18 @@ Cluster-real storage: every metadata operation (existence, staging
 recovery, partition discovery, the atomic promote) goes through the
 Hadoop FileSystem API (``..fs``), so the warehouse root may be any
 scheme Spark can reach — ``file:``, ``hdfs://``, ``s3a://`` — exactly
-like the reference's network-addressed TimescaleDB.  The upsert/compact
-rewrite is ONE data write (batch -> ``__staging``) followed by a
-metadata-only directory swap; on raw object stores where rename is a
-copy, a real deployment would put Delta/Iceberg MERGE under this same
-interface — called out rather than hidden.
+like the reference's network-addressed TimescaleDB.
+
+Storage verbs live behind the :class:`~.table_format.TableFormat` seam
+(``table_format.py``): ``Warehouse`` owns the engine-independent
+semantics (watermark predicates, merge-plan construction, SCD-2
+interval modeling, compaction sizing, retention validation) and the
+format owns the physics.  The default :class:`~.table_format.
+ParquetFormat` does ONE data write per rewrite (batch -> ``__staging``)
+plus a metadata-only directory swap; on raw object stores where rename
+is a copy, a Delta/Iceberg format slots into the same seam with
+transactional commits and MERGE INTO — the role TimescaleDB plays for
+the reference (docker-compose.yaml:307).
 """
 
 from __future__ import annotations
@@ -30,111 +37,65 @@ from pyspark.sql import functions as F
 
 from ..fs import HadoopFS, join_uri
 from ..functions import DEFAULT_DATESTRING_WATERMARK, DEFAULT_EPOCH_WATERMARK
+from .table_format import ParquetFormat, TableFormat
 
 
 class Warehouse:
-    """Parquet-backed warehouse with ``schema.table`` namespacing (M4)."""
+    """Warehouse with ``schema.table`` namespacing (M4), parquet-backed
+    by default; pass any :class:`TableFormat` to swap the storage."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        table_format: TableFormat | None = None,
+    ):
         self.spark = spark
         self.root = root
-        self.fs = HadoopFS(spark)
+        self.fmt = table_format or ParquetFormat(spark, root)
+
+    @property
+    def fs(self) -> HadoopFS:
+        """The format's FileSystem handle — parquet-format convenience
+        for callers doing raw listings (``root_key_merge``, ops tests).
+        A transactional format that has no directory layout would not
+        offer this; such callers must use the catalog verbs instead."""
+        return self.fmt.fs
 
     def path(self, name: str) -> str:
-        schema, _, tbl = name.rpartition(".")
-        return join_uri(self.root, schema or "default", tbl)
+        return self.fmt.path(name)
 
     def exists(self, name: str) -> bool:
-        """True iff the target holds data.  Walks into partition
-        subdirectories — a day-partitioned table has no parquet files at
-        its root, and missing them would silently turn every incremental
-        append into a full overwrite.  Early-exits at the first data
-        file, so a 100 TB table answers after one listing page, not a
-        full tree walk."""
-        return self.fs.contains_file_with_suffix(self.path(name), ".parquet")
+        """True iff the target holds committed data."""
+        return self.fmt.exists(name)
 
     def read(self, name: str) -> DataFrame:
-        # a committed staging copy facing an uncommitted target (a dead
-        # two-phase rewrite, whichever method ran it) is restored before
-        # reading — never hand out a half-written table
-        self._recover_staging(name)
-        # mergeSchema: batches may have evolved (documents grow fields);
-        # appended files with new columns must still read as one table
-        return self.spark.read.option("mergeSchema", "true").parquet(self.path(name))
-
-    # every two-phase rewrite suffix — recovery must check them ALL, not
-    # just the calling method's own: a compact() phase-2 death must be
-    # recovered by the next upsert()/read() too, or they would silently
-    # merge against the half-written target
-    _STAGING_SUFFIXES = ("__staging", "__compact")
+        """Committed contents; the format resolves any died rewrite
+        first — never hands out a half-written table."""
+        return self.fmt.read(name)
 
     def _recover_staging(self, name: str) -> None:
-        for suf in self._STAGING_SUFFIXES:
-            self._recover_or_clear_staging(name, self.path(name) + suf)
-
-    def _recover_or_clear_staging(self, name: str, tmp: str) -> None:
-        """Resolve a staging dir left by a previous two-phase rewrite.
-
-        If that run died mid swap the target is gone or partial (no
-        _SUCCESS commit marker) and staging is the sole intact copy —
-        deleting it here would silently lose the table.  So: a committed
-        staging copy facing an uncommitted target is RESTORED (renamed
-        in); only a staging dir whose target did commit (the swap never
-        started — the batch will simply re-run) or which itself never
-        committed (phase-1 death, target untouched) is deleted as stale.
-        """
-        if not self.fs.is_dir(tmp):
-            return
-        staging_committed = self.fs.exists(join_uri(tmp, "_SUCCESS"))
-        target_committed = self.fs.exists(join_uri(self.path(name), "_SUCCESS"))
-        if staging_committed and not target_committed:
-            self.fs.delete(self.path(name))
-            self.fs.rename(tmp, self.path(name))
-        else:
-            self.fs.delete(tmp)
-
-    def _swap_in(self, tmp: str, name: str) -> None:
-        """Atomic promote of a committed staging dir: drop the target,
-        rename staging into its place.  Metadata-only on HDFS/local.
-        Crash windows are all recovered by ``_recover_or_clear_staging``:
-        die before the delete -> staging stale vs committed target,
-        cleared, batch re-runs; die between delete and rename -> staging
-        is the sole committed copy, restored."""
-        self.fs.delete(self.path(name))
-        self.fs.rename(tmp, self.path(name))
+        self.fmt.recover(name)
 
     def tables(self) -> list[str]:
-        """Every ``schema.table`` under the root — two levels of
-        FileSystem listing, metadata-only (the catalog surface a
-        warehouse needs for ops tooling; staging leftovers excluded)."""
-        out = []
-        for schema in self.fs.list_subdirs(self.root):
-            if schema.startswith("_"):
-                continue  # _checkpoints and friends
-            for tbl in self.fs.list_subdirs(join_uri(self.root, schema)):
-                if tbl.endswith(("__staging", "__compact")):
-                    continue
-                out.append(f"{schema}.{tbl}")
-        return sorted(out)
+        """Every ``schema.table`` under the root — the catalog surface a
+        warehouse needs for ops tooling; transient leftovers excluded."""
+        return self.fmt.list_tables()
+
+    def _partition_columns(self, name: str) -> list[str]:
+        return self.fmt.partition_columns(name)
 
     def table_info(self, name: str) -> dict:
-        """Operational metadata for one table: bytes (one
-        getContentSummary), partition layout, and top-level partition
-        values — all FileSystem calls, no data read."""
-        path = self.path(name)
-        layout = self._partition_columns(name)
+        """Operational metadata for one table: bytes, partition layout,
+        and top-level partition values — all metadata calls, no data
+        read."""
+        layout = self.fmt.partition_columns(name)
         return {
             "name": name,
-            "path": path,
-            "bytes": self.fs.tree_bytes(path),
+            "path": self.fmt.path(name),
+            "bytes": self.fmt.table_bytes(name),
             "partition_columns": layout,
-            "partitions": sorted(
-                d.split("=", 1)[1]
-                for d in self.fs.list_subdirs(path)
-                if "=" in d
-            )
-            if layout
-            else [],
+            "partitions": self.fmt.partition_values(name) if layout else [],
         }
 
     # ------------------------------------------------------------------
@@ -170,15 +131,9 @@ class Warehouse:
                     F.coalesce(F.max(watermark_col), F.lit(default)).alias("wm")
                 ).first()
                 df = df.filter(F.col(watermark_col) > F.lit(row["wm"]))
-            writer = df.write.mode("append")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(self.path(name))
+            self.fmt.write(name, df, "append", partition_by)
         else:
-            writer = df.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(self.path(name))
+            self.fmt.write(name, df, "overwrite", partition_by)
         return self.read(name)
 
     # ------------------------------------------------------------------
@@ -206,41 +161,15 @@ class Warehouse:
         so the delete set must come from the PARENT batch's document
         ids, not from the keys present in the child batch, or the old
         child rows survive forever.
+
+        The merge verb belongs to the format: ``ParquetFormat`` runs
+        the generic anti-join + union plan with ONE data write and the
+        metadata-only swap (partition layout preserved — the merged
+        frame carries partition values as plain columns, and the format
+        re-applies partitionBy so a day-partitioned table keeps
+        pruning); a Delta/Iceberg format overrides it with MERGE INTO.
         """
-        # resolve any staging dir from a previous failed run FIRST —
-        # whichever method left it: it may be the sole intact copy of
-        # the table (swap died mid-flight), in which case it is
-        # restored, not deleted — see _recover_or_clear_staging
-        tmp = self.path(name) + "__staging"
-        self._recover_staging(name)
-        if self.exists(name):
-            target = self.read(name)
-            target, df = align_schemas(target, df)
-            anti = (
-                delete_keys.select(unique_key).distinct()
-                if delete_keys is not None
-                else df.select(unique_key).distinct()
-            )
-            keep = target.join(anti, unique_key, "left_anti")
-            merged = keep.unionByName(df, allowMissingColumns=True)
-            # Partition layout survives the rewrite: the merged frame
-            # carries partition values as plain columns, so without
-            # re-applying partitionBy the upsert would silently flatten
-            # a day-partitioned table and readers would lose pruning.
-            part_cols = self._partition_columns(name)
-        else:
-            merged = df
-            part_cols = []
-        w = merged.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(tmp)
-        # the ONLY data write; what follows is metadata.  (The previous
-        # design re-read tmp and rewrote it into the target — 2x full-
-        # table I/O per 15-minute batch, growing with TABLE size not
-        # batch size, plus a partition-type re-inference hazard on the
-        # read-back.  The swap does neither.)
-        self._swap_in(tmp, name)
+        self.fmt.merge(name, df, unique_key, delete_keys)
         return self.read(name)
 
     def materialize_delete(
@@ -252,7 +181,6 @@ class Warehouse:
         array field vanished from every batch document — flatten then
         does not even emit the child table, but stale rows of
         re-extracted parents must still go)."""
-        tmp = self.path(name) + "__staging"
         self._recover_staging(name)
         if not self.exists(name):
             raise ValueError(f"materialize_delete: no such table {name}")
@@ -260,12 +188,8 @@ class Warehouse:
         keep = target.join(
             delete_keys.select(unique_key).distinct(), unique_key, "left_anti"
         )
-        part_cols = self._partition_columns(name)
-        w = keep.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(tmp)
-        self._swap_in(tmp, name)
+        part_cols = tuple(self._partition_columns(name))
+        self.fmt.replace_atomic(name, keep, part_cols)
         return self.read(name)
 
     def compact(
@@ -295,13 +219,12 @@ class Warehouse:
         swap as upsert.  Partition columns are restored on rewrite
         (coalesce only bounds files per partition directory).
         """
-        tmp = self.path(name) + "__compact"
         self._recover_staging(name)  # may restore the target, any suffix
         if target_files is None:
-            nbytes = self.fs.tree_bytes(self.path(name))
+            nbytes = self.fmt.table_bytes(name)
             target_files = max(1, -(-nbytes // int(target_file_bytes)))
         df = self.read(name)
-        part_cols = self._partition_columns(name)
+        part_cols = tuple(self._partition_columns(name))
         n = max(1, target_files)
         if part_cols:
             writer = df.repartition(n, *part_cols)
@@ -311,11 +234,7 @@ class Warehouse:
             # splitting (oversized files after growth) needs a real
             # repartition — coalesce can only reduce partition count
             writer = df.repartition(n)
-        w = writer.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(tmp)
-        self._swap_in(tmp, name)
+        self.fmt.replace_atomic(name, writer, part_cols, suffix="__compact")
         return self.read(name)
 
     def materialize_training_shards(
@@ -340,18 +259,12 @@ class Warehouse:
         """
         from ..operators.packing import shuffle_shard
 
-        tmp = self.path(name) + "__staging"
-        self._recover_staging(name)
         sharded = shuffle_shard(
             df, id_col, n_shards=n_shards, seed=seed, keep_payload=True
         )
-        (
-            sharded.sortWithinPartitions("shard", "pos")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(tmp)
+        self.fmt.replace_atomic(
+            name, sharded.sortWithinPartitions("shard", "pos"), ("shard",)
         )
-        self._swap_in(tmp, name)
         return self.read(name)
 
     def retention_drop(
@@ -373,21 +286,13 @@ class Warehouse:
         recursive scan-and-rewrite — a different, data-moving
         operation).  Returns the number of partitions dropped.
         """
-        self._recover_staging(name)
-        root = self.path(name)
         layout = self._partition_columns(name)
         if not layout or layout[0] != partition_col:
             raise ValueError(
                 f"retention_drop needs '{partition_col}' as the top-level "
                 f"partition column; table {name} has layout {layout or None}"
             )
-        dropped = 0
-        for d in self.fs.list_subdirs(root):
-            col, _, val = d.partition("=")
-            if col == partition_col and val < cutoff:
-                self.fs.delete(join_uri(root, d))
-                dropped += 1
-        return dropped
+        return self.fmt.drop_partitions_below(name, partition_col, cutoff)
 
     def backfill_partitions(
         self, name: str, df: DataFrame, partition_col: str
@@ -415,12 +320,7 @@ class Warehouse:
                     f"top-level partition column; table {name} has layout "
                     f"{layout or None}"
                 )
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
-            .parquet(self.path(name))
-        )
+        self.fmt.dynamic_partition_overwrite(name, df, partition_col)
         return self.read(name)
 
     def materialize_snapshot(
@@ -450,7 +350,6 @@ class Warehouse:
         this becomes MERGE; the interval-history modeling is
         identical.)
         """
-        tmp = self.path(name) + "__staging"
         self._recover_staging(name)
 
         def fp_over(frame, cols):
@@ -550,8 +449,7 @@ class Warehouse:
                 df.withColumn("valid_from", F.lit(batch_ts))
                 .withColumn("valid_to", F.lit(None).cast("string"))
             )
-        out.write.mode("overwrite").parquet(tmp)
-        self._swap_in(tmp, name)
+        self.fmt.replace_atomic(name, out)
         return self.read(name)
 
     def read_asof(self, name: str, as_of: str) -> DataFrame:
@@ -713,11 +611,5 @@ def materialize_replace(
     next to a missing/uncommitted target, which ``_recover_staging``
     (run by every read) restores — an in-place overwrite would instead
     leave a silently readable half-table."""
-    tmp = wh.path(name) + "__staging"
-    wh._recover_staging(name)
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
-    wh._swap_in(tmp, name)
+    wh.fmt.replace_atomic(name, df, partition_by)
     return wh.read(name)

@@ -34,7 +34,7 @@ def list_raw_tables(wh: Warehouse) -> list[str]:
     return [
         d
         for d in wh.fs.list_subdirs(join_uri(wh.root, "raw"))
-        if not d.endswith(Warehouse._STAGING_SUFFIXES)
+        if not d.endswith(wh.fmt.STAGING_SUFFIXES)
     ]
 
 
@@ -79,13 +79,37 @@ class HealthPipeline:
     """End-to-end equivalent of the reference deployment."""
 
     def __init__(
-        self, spark: SparkSession, warehouse_root: str, run_log: bool = False
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        run_log: bool = False,
+        maintained_rollups: bool = False,
     ):
         from .runlog import RunLog
 
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_root)
         self.run_log = RunLog(self.wh) if run_log else None
+        # T5 through the maintained-rollup path: the reference refreshes
+        # its daily steps aggregate on a schedule by RECOMPUTING from
+        # stage (dags/iot_dwh_agg_transform_daily.py:75) — cost grows
+        # with history.  With maintained_rollups=True, sync() also
+        # merges each batch's strictly-new steps into a stored
+        # continuous aggregate (IncrementalAggSync): per-sync cost is
+        # O(batch + touched groups), and the rollup equals the
+        # recompute at every point (pinned by the pipeline test).
+        self.steps_rollup = (
+            IncrementalAggSync(
+                spark,
+                warehouse_root,
+                "agg.daily_steps_rollup",
+                group_cols=("day", "device_id"),
+                sum_cols=("step_count",),
+                watermark_col="created_at",
+            )
+            if maintained_rollups
+            else None
+        )
 
     # -- extract + normalize -> raw (§3.1) ------------------------------
 
@@ -108,6 +132,7 @@ class HealthPipeline:
         cursor = IncrementalCursor(
             self.spark, self.wh.root, coll, "created_at"
         )
+        lv = cursor.last_value()
         # localCheckpoint = the batch SNAPSHOT: every flattened
         # table's upsert and the cursor commit read ONE materialized
         # extract instead of re-scanning the live source per action
@@ -118,8 +143,62 @@ class HealthPipeline:
         fresh = dedup_by_pk(cursor.filter(docs), pk="_id").localCheckpoint()
         tables = flatten_document_table(fresh, coll, primary_key="_id")
         root_key_merge(self.wh, coll, tables)
+        if self.steps_rollup is not None and coll == "steps":
+            # BEFORE the cursor commit: a crash between rollup merge and
+            # commit retries the whole batch, and the rollup's batch-id
+            # sentinel makes the re-merge a no-op (see _sync_steps_rollup)
+            self._sync_steps_rollup(tables, lv)
         cursor.commit(fresh)
         return fresh.count()
+
+    def _sync_steps_rollup(self, tables: dict, lv) -> None:
+        """Continuous-aggregate refresh riding the sync cadence: the
+        strictly-new slice of this batch's flattened steps tables is
+        stage-transformed and MERGED into the stored daily rollup.
+
+        Disjointness: the cursor's ``>=`` re-reads boundary docs; the
+        strict ``> lv`` filter here excludes them (already merged by the
+        previous sync).  Exactly-once across sync RETRIES: the batch's
+        max raw ``created_at`` is a monotone batch id committed inside
+        the same atomic swap as the merged data — a retried batch
+        re-delivers the same id and no-ops.  Insert-only contract: like
+        any additive rollup, in-place UPDATES to already-merged docs are
+        not re-reflected (raw/stage handle those via upsert; a modified
+        history needs a rollup rebuild from stage)."""
+        parent, child = tables.get("steps"), tables.get("steps__metrics")
+        if parent is None or child is None:
+            return
+        if lv is not None:
+            parent = parent.filter(F.col("created_at") > F.lit(lv))
+        batch_id = parent.agg(F.max("created_at").alias("m")).first()["m"]
+        if batch_id is None:
+            return  # boundary-only re-read: nothing strictly new
+        delta = STAGE_MODELS["stage.steps"][0](
+            {"steps": parent, "steps__metrics": child}
+        )
+        self.steps_rollup.sync(delta, batch_id=int(batch_id))
+
+    def daily_steps_rollup(self) -> DataFrame:
+        """``agg.daily_steps`` served from the MAINTAINED rollup — same
+        columns and values as the scheduled recompute (pipeline test
+        pins the equality), without rescanning stage history."""
+        return self.steps_rollup.read().select(
+            "day",
+            "device_id",
+            F.col("sum_step_count").alias("step_count"),
+        )
+
+    def daily_steps_realtime(self) -> DataFrame:
+        """Real-time continuous aggregate (Timescale's
+        ``materialized_only = false``): the stored rollup merged on the
+        fly with staged facts past the materialized watermark — fresh
+        answers mid-cadence, nothing written."""
+        facts = self.wh.read("stage.steps")
+        return self.steps_rollup.read_realtime_auto(facts).select(
+            "day",
+            "device_id",
+            F.col("sum_step_count").alias("step_count"),
+        )
 
     # -- stage transforms (§3.2) ----------------------------------------
 

@@ -809,7 +809,11 @@ def scd2_snapshot_history(spark, sf_dir):
             F.col("k") % 10 == 0, F.round(F.col("bal") * 1.1, 2)
         ).otherwise(F.col("bal")),
     )
-    wh = Warehouse(spark, scratch_dir(spark, "scd2_"))
+    # atexit cleanup: the returned frame lazily reads FROM this scratch
+    # warehouse, so it must outlive the function — but repeated gate/
+    # bench/test runs must not accumulate snapshot copies on the
+    # spark.local.dir volume (same pattern as _drain_to_files)
+    wh = Warehouse(spark, scratch_dir(spark, "scd2_", cleanup_atexit=True))
     wh.materialize_snapshot("snap.cust", c, "k", "T1")
     return wh.materialize_snapshot("snap.cust", repriced, "k", "T2")
 

@@ -1,0 +1,371 @@
+"""Pluggable table-format seam under ``Warehouse`` — the storage verbs.
+
+The reference delegates storage transactionality to TimescaleDB (its
+warehouse is a Postgres service, ``docker-compose.yaml:307``): dbt's
+incremental/upsert materializations compile to transactional
+INSERT/UPDATE inside that server, so a died run never leaves a
+half-visible table.  This repo's default storage is plain parquet on a
+Hadoop-compatible filesystem, where the equivalent guarantee is
+hand-built from a two-phase staging write + metadata-only directory
+swap (single-table atomic on HDFS/local rename).  On raw object stores
+that rename is a server-side COPY, and nothing here gives CROSS-table
+atomicity (``root_key_merge`` commits parent and child tables one
+rename at a time — reader-visible skew in between, documented at
+``plans/pipeline.py``).
+
+Both gaps are exactly what Delta Lake / Iceberg exist to close — and
+both expose the same verbs this module factors out.  ``Warehouse``
+keeps every piece of ENGINE-independent semantics (watermark append
+predicate, merge plan construction, SCD-2 interval modeling, compaction
+sizing, retention policy validation) and speaks to storage only through
+a :class:`TableFormat`:
+
+======================  ==========================  =======================
+verb                    ParquetFormat (here)        Delta/Iceberg impl
+======================  ==========================  =======================
+``exists/read``         FS listing / parquet scan   catalog lookup / scan
+``write(append)``       parquet append              transactional append
+``replace_atomic``      staging write + dir swap    overwrite txn commit
+``merge``               anti-join+union+replace     MERGE INTO
+``dyn_part_overwrite``  per-partition dir commit    replaceWhere txn
+``drop_partitions``     hive dir deletes            DELETE WHERE + compact
+``recover``             staging-dir restoration     no-op (log truncation)
+======================  ==========================  =======================
+
+No Delta/Iceberg jars ship in this image, so ``ParquetFormat`` is the
+one concrete implementation; the seam is proven by the materialize /
+recovery test matrix running through it unchanged
+(tests/test_materialize.py, tests/test_table_format.py).
+"""
+
+from __future__ import annotations
+
+import abc
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..fs import HadoopFS, join_uri
+
+
+class TableFormat(abc.ABC):
+    """Storage verbs a warehouse table format must provide.
+
+    Contract (what ``Warehouse`` and the recovery matrix rely on):
+
+    - ``replace_atomic`` / ``merge`` are all-or-nothing per TABLE: a
+      reader (same or later session) sees the old committed contents or
+      the new, never a partial write — and a crashed run's leftovers are
+      resolved by ``recover`` before any subsequent read or rewrite.
+    - ``write(mode="append")`` may be non-atomic per table but must
+      never corrupt previously committed files.
+    - ``dynamic_partition_overwrite`` is atomic per PARTITION (the
+      parquet commit protocol's guarantee); callers re-run to converge.
+    - Nothing here is atomic across TABLES.  A multi-table commit
+      (Iceberg REST-catalog transactions) would slot in as a wider verb;
+      on parquet, ``root_key_merge`` documents the visible skew instead.
+    """
+
+    spark: SparkSession
+    root: str
+
+    # -- reads / metadata ------------------------------------------------
+
+    @abc.abstractmethod
+    def path(self, name: str) -> str:
+        """Physical location of ``schema.table`` (M4 namespacing)."""
+
+    @abc.abstractmethod
+    def exists(self, name: str) -> bool:
+        """True iff the table holds committed data."""
+
+    @abc.abstractmethod
+    def read(self, name: str) -> DataFrame:
+        """Committed contents (running ``recover`` first if needed)."""
+
+    @abc.abstractmethod
+    def recover(self, name: str) -> None:
+        """Resolve any leftover transient state of a died rewrite."""
+
+    @abc.abstractmethod
+    def list_tables(self) -> list[str]:
+        """Every ``schema.table`` under the root (metadata-only)."""
+
+    @abc.abstractmethod
+    def partition_columns(self, name: str) -> list[str]:
+        """Partition layout, outermost first (empty if unpartitioned)."""
+
+    @abc.abstractmethod
+    def partition_values(self, name: str) -> list[str]:
+        """Top-level partition values (empty if unpartitioned)."""
+
+    @abc.abstractmethod
+    def table_bytes(self, name: str) -> int:
+        """On-disk size (metadata call, no data read)."""
+
+    # -- writes ----------------------------------------------------------
+
+    @abc.abstractmethod
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        """Plain write (``append`` or first-run ``overwrite``)."""
+
+    @abc.abstractmethod
+    def replace_atomic(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        suffix: str = "__staging",
+    ) -> None:
+        """Full-table replace, atomic per table.  ``suffix`` tags the
+        format's transient artifact for observability (parquet: the
+        staging directory name); transactional formats may ignore it."""
+
+    def merge(
+        self,
+        name: str,
+        df: DataFrame,
+        unique_key: str,
+        delete_keys: DataFrame | None = None,
+    ) -> None:
+        """Upsert by unique key (M2): incoming rows replace target rows
+        sharing the key; ``delete_keys`` overrides the delete set (the
+        dlt root-key merge needs the PARENT batch's ids — an empty child
+        array must still purge old child rows).
+
+        Default implementation is the engine-independent plan — left-
+        anti the target against the delete set, union the batch, land
+        via ``replace_atomic`` (ONE data write) — which is exactly what
+        a format without MERGE support must do.  Delta/Iceberg override
+        this verb with ``MERGE INTO`` and skip the full rewrite.
+        """
+        from .materialize import align_schemas
+
+        if self.exists(name):
+            target = self.read(name)
+            target, df = align_schemas(target, df)
+            anti = (
+                delete_keys.select(unique_key).distinct()
+                if delete_keys is not None
+                else df.select(unique_key).distinct()
+            )
+            keep = target.join(anti, unique_key, "left_anti")
+            merged = keep.unionByName(df, allowMissingColumns=True)
+            part_cols = tuple(self.partition_columns(name))
+        else:
+            merged = df
+            part_cols = ()
+        self.replace_atomic(name, merged, part_cols)
+
+    @abc.abstractmethod
+    def dynamic_partition_overwrite(
+        self, name: str, df: DataFrame, partition_col: str
+    ) -> None:
+        """Replace exactly the partitions present in ``df`` (backfill)."""
+
+    @abc.abstractmethod
+    def drop_partitions_below(
+        self, name: str, partition_col: str, cutoff: str
+    ) -> int:
+        """Retention: drop partitions with value strictly below
+        ``cutoff`` (string compare — fixed-width keys only).  Returns
+        the number of partitions dropped.  Metadata/delete-only."""
+
+
+class ParquetFormat(TableFormat):
+    """Plain parquet + Hadoop FileSystem — the default format.
+
+    Atomicity is two-phase: every full rewrite lands in a sibling
+    ``<table><suffix>`` directory with ONE data write, then promotes via
+    ``delete target; rename staging`` — metadata-only on HDFS/local
+    (on raw object stores the rename is a server-side copy; that is the
+    gap a transactional format closes, see module docstring).  Crash
+    windows are all recovered by :meth:`recover`, which every read and
+    rewrite runs first.
+    """
+
+    # every two-phase rewrite suffix — recovery must check them ALL, not
+    # just the calling method's own: a compact() phase-2 death must be
+    # recovered by the next merge()/read() too, or they would silently
+    # merge against the half-written target
+    STAGING_SUFFIXES = ("__staging", "__compact")
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.fs = HadoopFS(spark)
+
+    def path(self, name: str) -> str:
+        schema, _, tbl = name.rpartition(".")
+        return join_uri(self.root, schema or "default", tbl)
+
+    def exists(self, name: str) -> bool:
+        """Walks into partition subdirectories — a day-partitioned table
+        has no parquet files at its root, and missing them would turn
+        every incremental append into a full overwrite.  Early-exits at
+        the first data file, so a 100 TB table answers after one listing
+        page, not a full tree walk."""
+        return self.fs.contains_file_with_suffix(self.path(name), ".parquet")
+
+    def read(self, name: str) -> DataFrame:
+        # a committed staging copy facing an uncommitted target (a dead
+        # two-phase rewrite, whichever verb ran it) is restored before
+        # reading — never hand out a half-written table.
+        # mergeSchema: batches may have evolved (documents grow fields);
+        # appended files with new columns must still read as one table
+        self.recover(name)
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.path(name)
+        )
+
+    def recover(self, name: str) -> None:
+        for suf in self.STAGING_SUFFIXES:
+            self._recover_or_clear_staging(name, self.path(name) + suf)
+
+    def _recover_or_clear_staging(self, name: str, tmp: str) -> None:
+        """Resolve a staging dir left by a previous two-phase rewrite.
+
+        If that run died mid swap the target is gone or partial (no
+        _SUCCESS commit marker) and staging is the sole intact copy —
+        deleting it here would silently lose the table.  So: a committed
+        staging copy facing an uncommitted target is RESTORED (renamed
+        in); only a staging dir whose target did commit (the swap never
+        started — the batch will simply re-run) or which itself never
+        committed (phase-1 death, target untouched) is deleted as stale.
+        """
+        if not self.fs.is_dir(tmp):
+            return
+        staging_committed = self.fs.exists(join_uri(tmp, "_SUCCESS"))
+        target_committed = self.fs.exists(join_uri(self.path(name), "_SUCCESS"))
+        if staging_committed and not target_committed:
+            self.fs.delete(self.path(name))
+            self.fs.rename(tmp, self.path(name))
+        else:
+            self.fs.delete(tmp)
+
+    def _swap_in(self, tmp: str, name: str) -> None:
+        """Atomic promote of a committed staging dir: drop the target,
+        rename staging into its place.  Metadata-only on HDFS/local.
+        Crash windows are all recovered by ``_recover_or_clear_staging``:
+        die before the delete -> staging stale vs committed target,
+        cleared, batch re-runs; die between delete and rename -> staging
+        is the sole committed copy, restored."""
+        self.fs.delete(self.path(name))
+        self.fs.rename(tmp, self.path(name))
+
+    def list_tables(self) -> list[str]:
+        out = []
+        for schema in self.fs.list_subdirs(self.root):
+            if schema.startswith("_"):
+                continue  # _checkpoints and friends
+            for tbl in self.fs.list_subdirs(join_uri(self.root, schema)):
+                if tbl.endswith(self.STAGING_SUFFIXES):
+                    continue
+                out.append(f"{schema}.{tbl}")
+        return sorted(out)
+
+    def partition_columns(self, name: str) -> list[str]:
+        """Partition column names from the hive-style directory layout
+        (one FileSystem listing per nesting level — metadata-only)."""
+        cols: list[str] = []
+        cur = self.path(name)
+        while True:
+            subdirs = [d for d in self.fs.list_subdirs(cur) if "=" in d]
+            if not subdirs:
+                return cols
+            col = subdirs[0].split("=", 1)[0]
+            cols.append(col)
+            cur = join_uri(cur, subdirs[0])
+
+    def partition_values(self, name: str) -> list[str]:
+        return sorted(
+            d.split("=", 1)[1]
+            for d in self.fs.list_subdirs(self.path(name))
+            if "=" in d
+        )
+
+    def table_bytes(self, name: str) -> int:
+        return self.fs.tree_bytes(self.path(name))
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(name))
+
+    def replace_atomic(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        suffix: str = "__staging",
+    ) -> None:
+        if suffix not in self.STAGING_SUFFIXES:
+            raise ValueError(
+                f"unknown staging suffix {suffix!r}: recovery only scans "
+                f"{self.STAGING_SUFFIXES} — add it there or reuse one"
+            )
+        tmp = self.path(name) + suffix
+        self.recover(name)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        # the ONLY data write; what follows is metadata
+        self._swap_in(tmp, name)
+
+    def merge(
+        self,
+        name: str,
+        df: DataFrame,
+        unique_key: str,
+        delete_keys: DataFrame | None = None,
+    ) -> None:
+        # resolve any staging dir from a previous failed run FIRST —
+        # whichever verb left it: it may be the sole intact copy of the
+        # table (swap died mid-flight), in which case it is restored,
+        # not deleted — see _recover_or_clear_staging
+        self.recover(name)
+        super().merge(name, df, unique_key, delete_keys)
+
+    def dynamic_partition_overwrite(
+        self, name: str, df: DataFrame, partition_col: str
+    ) -> None:
+        """Spark's commit protocol stages each task's output and commits
+        per-partition directories; atomic per PARTITION, not per table —
+        a mid-backfill crash can leave some days new and some old (each
+        day internally consistent), so re-run to converge."""
+        self.recover(name)
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self.path(name))
+        )
+
+    def drop_partitions_below(
+        self, name: str, partition_col: str, cutoff: str
+    ) -> int:
+        """Whole hive directories (``col=value/``) are deleted, never a
+        rewrite — per-partition cost, not per-byte: dropping 90 old days
+        of a 100 TB table is 90 directory deletes."""
+        self.recover(name)
+        root = self.path(name)
+        dropped = 0
+        for d in self.fs.list_subdirs(root):
+            col, _, val = d.partition("=")
+            if col == partition_col and val < cutoff:
+                self.fs.delete(join_uri(root, d))
+                dropped += 1
+        return dropped

@@ -56,6 +56,71 @@ def events_stream(
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def session_rollup_agg(stream: DataFrame) -> DataFrame:
+    """Watermark + 30-min-gap session-window aggregation — ONE builder
+    shared by the complete-mode drain, the append-mode drain, and the
+    warm-trigger bench twin, so the benchmark can never silently measure
+    a different plan than the production query."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def purchase_view_join(stream_factory, how: str) -> DataFrame:
+    """Purchases joined to the same user's views from the preceding hour
+    — the watermarked stream-stream range join, shared by the inner and
+    left-outer drains and the warm-trigger bench twin (same
+    single-builder rationale as ``session_rollup_agg``).
+
+    ``stream_factory`` returns a FRESH events stream per call — a
+    stream-stream join needs two independent readers over the same
+    source.  Both sides are event-time streams with watermarks; the
+    range condition bounds join state (views drop from state once the
+    purchase-side watermark passes ts + 1h)."""
+
+    def side(event_type: str, p: str) -> DataFrame:
+        return (
+            stream_factory()
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{p}_user"),
+                F.col("ts").alias(f"{p}_ts"),
+                F.col("value").alias(f"{p}_value"),
+            )
+            .withWatermark(f"{p}_ts", "1 hour")
+        )
+
+    return (
+        side("purchase", "p")
+        .join(
+            side("view", "v"),
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            how,
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            F.col("p_ts").alias("purchase_ts"),
+            F.col("v_ts").alias("view_ts"),
+            F.col("p_value").alias("purchase_value"),
+            F.col("v_value").alias("view_value"),
+        )
+    )
+
+
 def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed count/sum per event_type, driven as a
     stream over the events parquet and drained to completion.
@@ -90,22 +155,7 @@ def session_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions the final watermark never closes — the same choice as the
     hourly rollup); the result is a bounded aggregate table, inside
     the memory-sink contract."""
-    stream = events_stream(spark, sf_dir)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "total_value",
-        )
-    )
+    agg = session_rollup_agg(events_stream(spark, sf_dir))
     return _drain_to_memory(spark, agg, "session_rollup", "complete")
 
 
@@ -119,22 +169,7 @@ def session_rollup_stream_append(
     At drain end the emitted set is precisely the batch sessions whose
     ``session_end <= max(ts) - delay`` (the final watermark) — pinned
     by the registry oracle."""
-    stream = events_stream(spark, sf_dir)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "total_value",
-        )
-    )
+    agg = session_rollup_agg(events_stream(spark, sf_dir))
     return _drain_to_files(spark, agg, "session_append", sink_dir=sink_dir)
 
 
@@ -272,32 +307,8 @@ def view_purchase_join_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     file_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
-    def side(event_type: str, alias_prefix: str) -> DataFrame:
-        return (
-            events_stream(spark, sf_dir, schema=file_schema)
-            .filter(F.col("event_type") == event_type)
-            .select(
-                F.col("user_id").alias(f"{alias_prefix}_user"),
-                F.col("ts").alias(f"{alias_prefix}_ts"),
-                F.col("value").alias(f"{alias_prefix}_value"),
-            )
-            .withWatermark(f"{alias_prefix}_ts", "1 hour")
-        )
-
-    views = side("view", "v")
-    purchases = side("purchase", "p")
-    joined = purchases.join(
-        views,
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") <= F.col("p_ts"))
-        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "inner",
-    ).select(
-        F.col("p_user").alias("user_id"),
-        F.col("p_ts").alias("purchase_ts"),
-        F.col("v_ts").alias("view_ts"),
-        F.col("p_value").alias("purchase_value"),
-        F.col("v_value").alias("view_value"),
+    joined = purchase_view_join(
+        lambda: events_stream(spark, sf_dir, schema=file_schema), "inner"
     )
     return _drain_to_files(spark, joined, "view_purchase_join", sink_dir)
 
@@ -315,30 +326,8 @@ def view_purchase_left_join_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     file_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
-    def side(event_type: str, alias_prefix: str) -> DataFrame:
-        return (
-            events_stream(spark, sf_dir, schema=file_schema)
-            .filter(F.col("event_type") == event_type)
-            .select(
-                F.col("user_id").alias(f"{alias_prefix}_user"),
-                F.col("ts").alias(f"{alias_prefix}_ts"),
-                F.col("value").alias(f"{alias_prefix}_value"),
-            )
-            .withWatermark(f"{alias_prefix}_ts", "1 hour")
-        )
-
-    joined = side("purchase", "p").join(
-        side("view", "v"),
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") <= F.col("p_ts"))
-        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    ).select(
-        F.col("p_user").alias("user_id"),
-        F.col("p_ts").alias("purchase_ts"),
-        F.col("v_ts").alias("view_ts"),
-        F.col("p_value").alias("purchase_value"),
-        F.col("v_value").alias("view_value"),
+    joined = purchase_view_join(
+        lambda: events_stream(spark, sf_dir, schema=file_schema), "left_outer"
     )
     return _drain_to_files(spark, joined, "view_purchase_left_join", sink_dir)
 
@@ -348,20 +337,23 @@ def view_purchase_left_join_stream(
 # --------------------------------------------------------------------------
 
 
-def _warm_trigger_seconds(spark, sf_dir, transform) -> float:
+def _warm_trigger_seconds(spark, sf_dir, transform, n_chunks: int = 10) -> float:
     """Steady-state micro-batch latency for a streaming pipeline.
 
     The one-shot drains above measure cold-start + full-history drain —
     the wrong number for a long-running 15-minute sync, whose cost per
-    trigger is what matters.  This helper measures the SECOND
-    micro-batch: events are split at the median event time into two
-    parquet chunks in a watched directory; chunk 0 drains first (query
-    start, codegen, state-store bootstrap — the cold trigger), then
-    chunk 1 is dropped in and only that trigger is timed.  The time
-    split keeps chunk-1 rows above the chunk-0 watermark, so no row is
-    late-dropped and state transitions are the production ones
-    (sessions spanning the boundary merge in state; join state carries
-    over).
+    trigger is what matters.  (The first cut of this helper split at the
+    MEDIAN, so the "warm" trigger still processed half the corpus and
+    landed within 2% of the cold number — it measured a half-drain, not
+    steady state.)  Now: events are split into ``n_chunks`` event-time
+    slices on approximate-quantile boundaries; slices ``0..n-2`` are fed
+    first and drained as warmup (query start, codegen, state-store
+    bootstrap, state FILL), then ONLY the final 1/n-sized trigger is
+    timed — the closest local analogue of the production 15-minute batch
+    arriving against warm state.  Time-ordered feeding keeps each
+    slice's rows above the previous watermark, so nothing is
+    late-dropped and state transitions are the production ones (sessions
+    spanning a boundary merge in state; join state carries over).
 
     ``transform`` maps the watched-directory streaming reader factory to
     the output streaming DataFrame; the factory returns a fresh stream
@@ -379,19 +371,41 @@ def _warm_trigger_seconds(spark, sf_dir, transform) -> float:
         watch = os.path.join(root, "src")
         os.makedirs(watch)
         ev = table(spark, sf_dir, "events")
-        mid = ev.agg(
-            F.percentile_approx(F.unix_micros("ts"), F.lit(0.5)).alias("m")
-        ).first()["m"]
-        chunks = (
-            ev.filter(F.unix_micros("ts") <= mid),
-            ev.filter(F.unix_micros("ts") > mid),
-        )
-        staged = []
-        for i, chunk in enumerate(chunks):
+        qs = [i / n_chunks for i in range(1, n_chunks)]
+        cuts = ev.agg(
+            F.percentile_approx(
+                F.unix_micros("ts"),
+                F.array(*[F.lit(q) for q in qs]),
+                F.lit(10_000),
+            ).alias("c")
+        ).first()["c"]
+        # dedupe: a skewed/uniform ts distribution can collapse adjacent
+        # quantiles; equal boundaries would make empty slices
+        bounds = sorted(set(cuts or []))
+        if not bounds:
+            raise ValueError(
+                "warm split: events table is empty — nothing to measure"
+            )
+        edges = [None, *bounds, None]  # (lo, hi] slices; open at the ends
+        staged: list[str] = []
+        for i in range(len(edges) - 1):
+            lo, hi = edges[i], edges[i + 1]
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.unix_micros("ts") > lo)
+            if hi is not None:
+                cond = cond & (F.unix_micros("ts") <= hi)
             stage = os.path.join(root, f"stage{i}")
-            chunk.coalesce(1).write.parquet(stage)
-            staged.append(globmod.glob(os.path.join(stage, "part-*.parquet"))[0])
-        os.replace(staged[0], os.path.join(watch, "chunk0.parquet"))
+            ev.filter(cond).coalesce(1).write.parquet(stage)
+            parts = globmod.glob(os.path.join(stage, "part-*.parquet"))
+            if parts:
+                staged.append(parts[0])
+        if len(staged) < 2:
+            raise ValueError(
+                "warm split: events ts distribution too small/uniform for "
+                f"a {n_chunks}-way event-time split — need at least one "
+                "warmup slice plus the timed slice"
+            )
 
         schema = ev.schema
 
@@ -411,67 +425,47 @@ def _warm_trigger_seconds(spark, sf_dir, transform) -> float:
             .start()
         )
         try:
-            q.processAllAvailable()  # cold: start + chunk-0 trigger
-            os.replace(staged[1], os.path.join(watch, "chunk1.parquet"))
+            # warmup: all slices but the last, in event-time order — one
+            # file per trigger so the state store sees a trigger cadence,
+            # not one giant backfill batch
+            for i, part in enumerate(staged[:-1]):
+                os.replace(part, os.path.join(watch, f"chunk{i:03d}.parquet"))
+                q.processAllAvailable()
+            os.replace(
+                staged[-1],
+                os.path.join(watch, f"chunk{len(staged) - 1:03d}.parquet"),
+            )
             t0 = time.perf_counter()
-            q.processAllAvailable()  # exactly the chunk-1 micro-batch
+            q.processAllAvailable()  # exactly the final 1/n micro-batch
             warm = time.perf_counter() - t0
         finally:
             q.stop()
         # outside the timed window: a measurement over a silently-empty
-        # sink would be meaningless, so pin that the drain emitted rows
-        assert spark.read.parquet(os.path.join(root, "data")).count() > 0
+        # sink would be meaningless (bare assert strips under -O, so an
+        # explicit raise)
+        if spark.read.parquet(os.path.join(root, "data")).count() == 0:
+            raise RuntimeError(
+                "warm-trigger drain emitted zero rows — the measured "
+                "latency would be meaningless"
+            )
         return warm
     finally:
         sh.rmtree(root, ignore_errors=True)
 
 
 def warm_session_rollup_trigger(spark: SparkSession, sf_dir: str) -> float:
-    """Warm per-trigger latency of the append-mode session rollup."""
-
-    def build(reader):
-        return (
-            reader()
-            .withWatermark("ts", "1 hour")
-            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-            .agg(
-                F.count("*").alias("n_events"),
-                F.round(F.sum("value"), 2).alias("total_value"),
-            )
-            .select(
-                "user_id",
-                F.col("w.start").alias("session_start"),
-                F.col("w.end").alias("session_end"),
-                "n_events",
-                "total_value",
-            )
-        )
-
-    return _warm_trigger_seconds(spark, sf_dir, build)
+    """Warm per-trigger latency of the append-mode session rollup —
+    the SAME plan as ``session_rollup_stream_append`` by construction
+    (shared ``session_rollup_agg`` builder)."""
+    return _warm_trigger_seconds(
+        spark, sf_dir, lambda reader: session_rollup_agg(reader())
+    )
 
 
 def warm_stream_left_join_trigger(spark: SparkSession, sf_dir: str) -> float:
-    """Warm per-trigger latency of the left-outer stream-stream join."""
-
-    def build(reader):
-        def side(event_type: str, p: str) -> DataFrame:
-            return (
-                reader()
-                .filter(F.col("event_type") == event_type)
-                .select(
-                    F.col("user_id").alias(f"{p}_user"),
-                    F.col("ts").alias(f"{p}_ts"),
-                    F.col("value").alias(f"{p}_value"),
-                )
-                .withWatermark(f"{p}_ts", "1 hour")
-            )
-
-        return side("purchase", "p").join(
-            side("view", "v"),
-            (F.col("p_user") == F.col("v_user"))
-            & (F.col("v_ts") <= F.col("p_ts"))
-            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-            "left_outer",
-        )
-
-    return _warm_trigger_seconds(spark, sf_dir, build)
+    """Warm per-trigger latency of the left-outer stream-stream join —
+    the SAME plan as ``view_purchase_left_join_stream`` by construction
+    (shared ``purchase_view_join`` builder)."""
+    return _warm_trigger_seconds(
+        spark, sf_dir, lambda reader: purchase_view_join(reader, "left_outer")
+    )
