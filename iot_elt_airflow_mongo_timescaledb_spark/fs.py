@@ -137,6 +137,18 @@ class HadoopFS:
             if st.isDirectory()
         )
 
+    def list_files(self, uri: str) -> list[str]:
+        """Names (not full paths) of immediate plain files."""
+        p = self._jpath(uri)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return []
+        return sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(p)
+            if st.isFile()
+        )
+
     def tree_bytes(self, uri: str) -> int:
         """Total bytes under ``uri`` via ``getContentSummary`` — one
         filesystem call for the whole tree (HDFS answers from the
@@ -147,6 +159,32 @@ class HadoopFS:
         if not fs.exists(p):
             return 0
         return int(fs.getContentSummary(p).getLength())
+
+    # -- small-file IO (commit logs / manifests, never data) ------------
+
+    def write_text(self, uri: str, text: str, overwrite: bool = False) -> None:
+        """Write a small UTF-8 file through the Hadoop FileSystem (works
+        on any scheme).  For manifests and commit markers only — data
+        goes through Spark writers."""
+        p = self._jpath(uri)
+        fs = self._fs(p)
+        out = fs.create(p, overwrite)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, uri: str) -> str:
+        """Read a small UTF-8 file through the Hadoop FileSystem."""
+        p = self._jpath(uri)
+        fs = self._fs(p)
+        stream = fs.open(p)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
 
     # -- mutation -------------------------------------------------------
 

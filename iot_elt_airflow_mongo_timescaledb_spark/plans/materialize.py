@@ -473,21 +473,6 @@ class Warehouse:
         df.createOrReplaceTempView(name.replace(".", "__"))
         return df
 
-    def _partition_columns(self, name: str) -> list[str]:
-        """Partition column names from the hive-style directory layout
-        (one FileSystem listing per nesting level — metadata-only)."""
-        cols: list[str] = []
-        cur = self.path(name)
-        while True:
-            subdirs = [
-                d for d in self.fs.list_subdirs(cur) if "=" in d
-            ]
-            if not subdirs:
-                return cols
-            col = subdirs[0].split("=", 1)[0]
-            cols.append(col)
-            cur = join_uri(cur, subdirs[0])
-
 
 def fingerprint_exprs(exprs: list):
     """md5 over length-prefixed NULL-encoded column expressions — the

@@ -32,10 +32,16 @@ verb                    ParquetFormat (here)        Delta/Iceberg impl
 ``recover``             staging-dir restoration     no-op (log truncation)
 ======================  ==========================  =======================
 
-No Delta/Iceberg jars ship in this image, so ``ParquetFormat`` is the
-one concrete implementation; the seam is proven by the materialize /
-recovery test matrix running through it unchanged
-(tests/test_materialize.py, tests/test_table_format.py).
+No Delta/Iceberg jars ship in this image, so the seam carries two
+concrete implementations of its own: :class:`ParquetFormat` (the
+default — staging write + directory swap) and :class:`ManifestFormat`
+(a commit-log format in the Delta/Iceberg design: immutable data
+directories + a versioned manifest, where every transaction is one
+small-file rename and partition retention/backfill are manifest edits).
+The materialize/recovery matrix runs through the seam unchanged
+(tests/test_materialize.py, tests/test_table_format.py), and the same
+Warehouse semantics pass on the manifest format
+(tests/test_manifest_format.py).
 """
 
 from __future__ import annotations
@@ -67,6 +73,11 @@ class TableFormat(abc.ABC):
 
     spark: SparkSession
     root: str
+
+    #: transient-artifact name suffixes a format's rewrites may leave
+    #: next to tables (catalog listings and raw-layer walkers exclude
+    #: them); empty for transactional formats that stage nothing
+    STAGING_SUFFIXES: tuple[str, ...] = ()
 
     # -- reads / metadata ------------------------------------------------
 
@@ -369,3 +380,286 @@ class ParquetFormat(TableFormat):
                 self.fs.delete(join_uri(root, d))
                 dropped += 1
         return dropped
+
+
+class ManifestFormat(TableFormat):
+    """Commit-log table format on plain parquet — the transactional
+    storage the seam exists for, with no extra jars.
+
+    The ParquetFormat's atomic promote is a DIRECTORY rename: metadata-
+    only on HDFS/local, but a server-side COPY of every data byte on raw
+    object stores — the gap the reference sidesteps by delegating
+    storage to TimescaleDB (docker-compose.yaml:307).  This format
+    closes it with the public Delta/Iceberg design: data files are
+    IMMUTABLE (each write lands in a fresh ``d-<uuid>/`` directory
+    inside the table), and the table's contents are whatever the highest
+    numbered manifest in ``_log/`` says they are.  A commit is one
+    small-file write + rename — O(1) regardless of table size — so:
+
+    - ``replace_atomic``: write the batch to a new data dir, commit a
+      manifest referencing only it.  Readers see old or new, never a
+      mix; a crash before the commit leaves an orphan dir no reader
+      ever sees (``vacuum`` reclaims it).
+    - ``drop_partitions_below`` / ``dynamic_partition_overwrite``:
+      MANIFEST edits — logical deletes, zero data moved (ParquetFormat
+      must delete/commit per directory).
+    - ``write(append)``: new data dir + manifest listing old + new —
+      appends become visible atomically, unlike a live parquet append.
+    - ``recover``: a no-op — there is nothing half-visible to repair.
+
+    Concurrency contract: SINGLE WRITER per table (the same contract the
+    staging-swap relies on).  The version-numbered commit detects a lost
+    race loudly where the filesystem reports rename-over-existing
+    (HDFS); on POSIX/object stores the pre-check is best-effort — a
+    distributed lock service would slot in at ``_commit``, exactly where
+    Delta-on-S3 puts it.
+
+    Layout::
+
+        <root>/<schema>/<table>/
+            _log/v000000000001.json     # manifest: entries + partitioning
+            d-3f2a.../day=20240101/...  # immutable data directories
+            d-9c41.../...
+    """
+
+    LOG_DIR = "_log"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.fs = HadoopFS(spark)
+
+    # -- manifest machinery ---------------------------------------------
+
+    def path(self, name: str) -> str:
+        schema, _, tbl = name.rpartition(".")
+        return join_uri(self.root, schema or "default", tbl)
+
+    def _log_path(self, name: str) -> str:
+        return join_uri(self.path(name), self.LOG_DIR)
+
+    def _latest_version(self, name: str) -> int:
+        vs = [
+            int(f[1:-5])
+            for f in self.fs.list_files(self._log_path(name))
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(vs, default=0)
+
+    def _manifest(self, name: str) -> dict | None:
+        v = self._latest_version(name)
+        if v == 0:
+            return None
+        import json
+
+        return json.loads(
+            self.fs.read_text(join_uri(self._log_path(name), f"v{v:012d}.json"))
+        )
+
+    def _commit(self, name: str, entries: list, partition_columns: list) -> None:
+        """One small-file write + rename — the whole transaction."""
+        import json
+        import uuid
+
+        nxt = self._latest_version(name) + 1
+        final = join_uri(self._log_path(name), f"v{nxt:012d}.json")
+        if self.fs.exists(final):  # best-effort pre-check (see docstring)
+            raise RuntimeError(
+                f"concurrent commit detected on {name} (v{nxt} exists); "
+                "this format requires a single writer per table"
+            )
+        body = json.dumps(
+            {
+                "version": nxt,
+                "partition_columns": partition_columns,
+                "entries": entries,
+            }
+        )
+        tmp = join_uri(self._log_path(name), f".tmp-{uuid.uuid4().hex}")
+        self.fs.write_text(tmp, body, overwrite=True)
+        self.fs.rename(tmp, final)
+
+    def _new_data_dir(
+        self, name: str, df: DataFrame, partition_by: tuple[str, ...]
+    ) -> tuple[list, list]:
+        """Land ``df`` in a fresh immutable directory; return the
+        manifest entries for it (one per partition leaf when
+        partitioned, one for the dir otherwise)."""
+        import uuid
+
+        dirname = f"d-{uuid.uuid4().hex}"
+        target = join_uri(self.path(name), dirname)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+        if not partition_by:
+            return [{"dir": dirname, "partitions": None}], []
+        entries = []
+
+        def walk(rel: str, values: dict, depth: int):
+            if depth == len(partition_by):
+                entries.append({"dir": dirname, "rel": rel, "partitions": values})
+                return
+            for d in self.fs.list_subdirs(join_uri(self.path(name), dirname, rel) if rel else target):
+                col, sep, val = d.partition("=")
+                if not sep or col != partition_by[depth]:
+                    continue
+                walk(
+                    f"{rel}/{d}" if rel else d,
+                    {**values, col: val},
+                    depth + 1,
+                )
+
+        walk("", {}, 0)
+        return entries, list(partition_by)
+
+    def _entry_path(self, name: str, e: dict) -> str:
+        base = join_uri(self.path(name), e["dir"])
+        return join_uri(base, e["rel"]) if e.get("rel") else base
+
+    # -- reads / metadata ------------------------------------------------
+
+    def exists(self, name: str) -> bool:
+        m = self._manifest(name)
+        return m is not None and bool(m["entries"])
+
+    def read(self, name: str) -> DataFrame:
+        m = self._manifest(name)
+        if m is None:
+            raise FileNotFoundError(f"no committed manifest for table {name}")
+        # group entries by data dir: each dir is a self-contained dataset
+        # whose hive layout (if any) infers partition columns relative to
+        # its own basePath; dirs then union (schema may have evolved
+        # between commits — allowMissingColumns fills with NULL, matching
+        # the parquet format's mergeSchema read)
+        by_dir: dict[str, list] = {}
+        for e in m["entries"]:
+            by_dir.setdefault(e["dir"], []).append(e)
+        frames = []
+        for dirname, entries in sorted(by_dir.items()):
+            base = join_uri(self.path(name), dirname)
+            paths = [self._entry_path(name, e) for e in entries]
+            reader = self.spark.read.option("mergeSchema", "true")
+            if m["partition_columns"]:
+                reader = reader.option("basePath", base)
+            frames.append(reader.parquet(*paths))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    def recover(self, name: str) -> None:
+        """Nothing to repair: uncommitted data dirs are invisible."""
+
+    def vacuum(self, name: str) -> int:
+        """Delete data directories no manifest version still needs —
+        here, conservatively, dirs absent from the LATEST manifest
+        (time travel across old versions is traded for space).  Returns
+        the number of directories removed."""
+        m = self._manifest(name)
+        live = {e["dir"] for e in (m["entries"] if m else [])}
+        removed = 0
+        for d in self.fs.list_subdirs(self.path(name)):
+            if d.startswith("d-") and d not in live:
+                self.fs.delete(join_uri(self.path(name), d))
+                removed += 1
+        return removed
+
+    def list_tables(self) -> list[str]:
+        out = []
+        for schema in self.fs.list_subdirs(self.root):
+            if schema.startswith("_"):
+                continue
+            for tbl in self.fs.list_subdirs(join_uri(self.root, schema)):
+                if self.fs.is_dir(join_uri(self.root, schema, tbl, self.LOG_DIR)):
+                    out.append(f"{schema}.{tbl}")
+        return sorted(out)
+
+    def partition_columns(self, name: str) -> list[str]:
+        m = self._manifest(name)
+        return list(m["partition_columns"]) if m else []
+
+    def partition_values(self, name: str) -> list[str]:
+        m = self._manifest(name)
+        if not m or not m["partition_columns"]:
+            return []
+        top = m["partition_columns"][0]
+        return sorted({e["partitions"][top] for e in m["entries"]})
+
+    def table_bytes(self, name: str) -> int:
+        m = self._manifest(name)
+        if not m:
+            return 0
+        return sum(
+            self.fs.tree_bytes(self._entry_path(name, e)) for e in m["entries"]
+        )
+
+    # -- writes ----------------------------------------------------------
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        prev = self._manifest(name)
+        if mode == "append" and prev is not None:
+            cols = prev["partition_columns"] or list(partition_by)
+            new, _ = self._new_data_dir(name, df, tuple(cols))
+            self._commit(name, prev["entries"] + new, cols)
+        else:
+            entries, cols = self._new_data_dir(name, df, partition_by)
+            self._commit(name, entries, cols)
+
+    def replace_atomic(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        suffix: str = "__staging",
+    ) -> None:
+        # suffix ignored: the commit itself is the transaction
+        entries, cols = self._new_data_dir(name, df, partition_by)
+        self._commit(name, entries, cols)
+
+    def dynamic_partition_overwrite(
+        self, name: str, df: DataFrame, partition_col: str
+    ) -> None:
+        """Replace exactly the partitions present in ``df`` — a manifest
+        edit: old entries for those partition values drop out, the new
+        dir's entries take their place.  Atomic per TABLE here (one
+        commit), strictly stronger than the parquet commit protocol's
+        per-partition atomicity."""
+        new, _ = self._new_data_dir(name, df, (partition_col,))
+        replaced = {e["partitions"][partition_col] for e in new}
+        prev = self._manifest(name)
+        kept = [
+            e
+            for e in (prev["entries"] if prev else [])
+            if e["partitions"] is None
+            or e["partitions"].get(partition_col) not in replaced
+        ]
+        self._commit(name, kept + new, [partition_col])
+
+    def drop_partitions_below(
+        self, name: str, partition_col: str, cutoff: str
+    ) -> int:
+        """Logical delete: partitions below the cutoff leave the
+        manifest in ONE commit; no data moves (``vacuum`` reclaims the
+        bytes later).  On a 100 TB table this is one small-file write
+        where the directory format does 90 deletes."""
+        m = self._manifest(name)
+        if m is None:
+            return 0
+        keep, dropped_vals = [], set()
+        for e in m["entries"]:
+            val = (e["partitions"] or {}).get(partition_col)
+            if val is not None and val < cutoff:
+                dropped_vals.add(val)
+            else:
+                keep.append(e)
+        if dropped_vals:
+            self._commit(name, keep, m["partition_columns"])
+        return len(dropped_vals)

@@ -1,0 +1,189 @@
+"""ManifestFormat: the commit-log table format behind the seam.
+
+Same Warehouse semantics as the parquet/staging format, different
+physics: immutable data dirs + a versioned manifest, one small-file
+rename per transaction, logical (metadata-only) partition retention.
+The point of these tests is that `Warehouse(..., table_format=
+ManifestFormat(...))` passes the SAME behavioral checks the staging
+format passes in tests/test_materialize.py — proving the seam, not just
+the default implementation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import Warehouse
+from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+    ManifestFormat,
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(
+        spark, str(tmp_path), table_format=ManifestFormat(spark, str(tmp_path))
+    )
+
+
+def _days(spark, *pairs):
+    return spark.createDataFrame([Row(day=d, v=v) for d, v in pairs])
+
+
+def test_incremental_append_with_watermark(spark, wh):
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    # second batch: one old row (filtered by strict >), one new
+    wh.materialize_incremental(
+        "stage.t", _days(spark, ("20240101", 9), ("20240102", 2)), "day"
+    )
+    got = {(r["day"], r["v"]) for r in wh.read("stage.t").collect()}
+    assert got == {("20240101", 1), ("20240102", 2)}
+
+
+def test_upsert_and_partition_layout_survive(spark, wh):
+    df = spark.createDataFrame(
+        [Row(k="a", day="20240101", v=1), Row(k="b", day="20240102", v=2)]
+    )
+    wh.materialize_incremental("stage.u", df, partition_by=("day",))
+    assert wh.fmt.partition_columns("stage.u") == ["day"]
+    wh.materialize_upsert(
+        "stage.u",
+        spark.createDataFrame([Row(k="b", day="20240102", v=22)]),
+        "k",
+    )
+    got = {(r["k"], r["v"]) for r in wh.read("stage.u").collect()}
+    assert got == {("a", 1), ("b", 22)}
+    # the merge rewrite preserved the partition layout in the manifest
+    assert wh.fmt.partition_columns("stage.u") == ["day"]
+    assert wh.fmt.partition_values("stage.u") == ["20240101", "20240102"]
+
+
+def test_append_is_atomic_and_versioned(spark, wh, tmp_path):
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    wh.materialize_incremental("stage.t", _days(spark, ("20240102", 2)), "day")
+    # two committed versions; reader sees the union
+    assert wh.fmt._latest_version("stage.t") == 2
+    assert wh.read("stage.t").count() == 2
+
+
+def test_orphan_data_dir_is_invisible_and_vacuumed(spark, wh, tmp_path):
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    # simulate a crash AFTER the data write but BEFORE the commit:
+    # land a second data dir without a manifest referencing it
+    orphan = wh.fmt._new_data_dir(
+        "stage.t", _days(spark, ("20240909", 99)), ()
+    )
+    assert orphan  # wrote something
+    assert wh.read("stage.t").count() == 1  # invisible to readers
+    assert wh.fmt.vacuum("stage.t") == 1  # reclaimed
+    assert wh.read("stage.t").count() == 1
+
+
+def test_replace_atomic_leaves_single_dir_manifest(spark, wh):
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    wh.fmt.replace_atomic("stage.t", _days(spark, ("20240105", 5)))
+    assert wh.read("stage.t").collect()[0]["day"] == "20240105"
+    m = wh.fmt._manifest("stage.t")
+    assert len({e["dir"] for e in m["entries"]}) == 1
+
+
+def test_retention_is_a_manifest_edit(spark, wh):
+    df = spark.createDataFrame(
+        [Row(day=f"2024010{i}", v=i) for i in range(1, 5)]
+    )
+    wh.materialize_incremental("stage.p", df, partition_by=("day",))
+    dropped = wh.retention_drop("stage.p", "day", "20240103")
+    assert dropped == 2
+    assert wh.fmt.partition_values("stage.p") == ["20240103", "20240104"]
+    got = {r["day"] for r in wh.read("stage.p").collect()}
+    assert got == {"20240103", "20240104"}
+    # logical delete: the bytes are still on disk until vacuum — but in
+    # this layout both live and dropped partitions share one data dir,
+    # so vacuum keeps it (dir-granularity reclamation, like Delta before
+    # OPTIMIZE rewrites)
+    assert wh.fmt.vacuum("stage.p") == 0
+
+
+def test_backfill_replaces_exactly_named_partitions(spark, wh):
+    df = spark.createDataFrame(
+        [Row(day="20240101", v=1), Row(day="20240102", v=2)]
+    )
+    wh.materialize_incremental("stage.p", df, partition_by=("day",))
+    wh.backfill_partitions(
+        "stage.p", spark.createDataFrame([Row(day="20240102", v=22)]), "day"
+    )
+    got = {(r["day"], r["v"]) for r in wh.read("stage.p").collect()}
+    assert got == {("20240101", 1), ("20240102", 22)}
+
+
+def test_snapshot_scd2_on_manifest_format(spark, wh):
+    wh.materialize_snapshot(
+        "snap.c", spark.createDataFrame([Row(k="a", bal=10.0)]), "k", "T1"
+    )
+    wh.materialize_snapshot(
+        "snap.c", spark.createDataFrame([Row(k="a", bal=11.0)]), "k", "T2"
+    )
+    rows = {
+        (r["bal"], r["valid_from"], r["valid_to"])
+        for r in wh.read("snap.c").collect()
+    }
+    assert rows == {(10.0, "T1", "T2"), (11.0, "T2", None)}
+    asof = wh.read_asof("snap.c", "T1").collect()
+    assert [(r["k"], r["bal"]) for r in asof] == [("a", 10.0)]
+
+
+def test_compact_collapses_append_dirs(spark, wh):
+    for i in range(3):
+        wh.materialize_incremental(
+            "stage.t", _days(spark, (f"2024010{i + 1}", i)), "day"
+        )
+    assert len({e["dir"] for e in wh.fmt._manifest("stage.t")["entries"]}) == 3
+    wh.compact("stage.t", target_files=1)
+    assert len({e["dir"] for e in wh.fmt._manifest("stage.t")["entries"]}) == 1
+    assert wh.read("stage.t").count() == 3
+    # old dirs reclaimed
+    assert wh.fmt.vacuum("stage.t") == 3
+
+
+def test_schema_evolution_across_commits(spark, wh):
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    wh.materialize_incremental(
+        "stage.t",
+        spark.createDataFrame([Row(day="20240102", v=2, extra="x")]),
+        "day",
+    )
+    rows = {
+        (r["day"], r["extra"]) for r in wh.read("stage.t").collect()
+    }
+    assert rows == {("20240101", None), ("20240102", "x")}
+
+
+def test_concurrent_commit_detected(spark, wh, monkeypatch):
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    # a racing writer lands v2 between this writer's version read and
+    # its rename: freeze this writer's version read at 1, then forge v2
+    forged = os.path.join(
+        wh.fmt._log_path("stage.t").replace("file:", ""), f"v{2:012d}.json"
+    )
+    with open(forged, "w") as fh:
+        fh.write("{}")
+    monkeypatch.setattr(wh.fmt, "_latest_version", lambda name: 1)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        wh.fmt._commit("stage.t", [], [])
+
+
+def test_catalog_listing_and_info(spark, wh):
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    wh.materialize_incremental(
+        "raw.r",
+        spark.createDataFrame([Row(day="20240101", v=1)]),
+        partition_by=("day",),
+    )
+    assert wh.tables() == ["raw.r", "stage.t"]
+    info = wh.table_info("raw.r")
+    assert info["partition_columns"] == ["day"]
+    assert info["partitions"] == ["20240101"]
+    assert info["bytes"] > 0
