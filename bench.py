@@ -157,6 +157,14 @@ def main() -> None:
     extended["streaming_stream_left_join_warm"] = round(
         warm_stream_left_join_trigger(spark, sf_dir), 3
     )
+    # same trigger with state partitions RIGHT-SIZED to state volume
+    # (8 vs the session's 32): per-trigger cost is O(state partitions)
+    # — every trigger commits every state store, four per partition for
+    # the stream-stream join — so sizing to volume, not core count, is
+    # the production knob (frozen into the checkpoint at first run)
+    extended["streaming_stream_left_join_warm_sized8"] = round(
+        warm_stream_left_join_trigger(spark, sf_dir, state_partitions=8), 3
+    )
 
     print(
         json.dumps(

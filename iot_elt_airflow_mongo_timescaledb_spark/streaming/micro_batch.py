@@ -337,7 +337,10 @@ def view_purchase_left_join_stream(
 # --------------------------------------------------------------------------
 
 
-def _warm_trigger_seconds(spark, sf_dir, transform, n_chunks: int = 10) -> float:
+def _warm_trigger_seconds(
+    spark, sf_dir, transform, n_chunks: int = 10,
+    state_partitions: int | None = None,
+) -> float:
     """Steady-state micro-batch latency for a streaming pipeline.
 
     The one-shot drains above measure cold-start + full-history drain —
@@ -359,6 +362,15 @@ def _warm_trigger_seconds(spark, sf_dir, transform, n_chunks: int = 10) -> float
     the output streaming DataFrame; the factory returns a fresh stream
     per call so stream-stream joins can open two readers over the same
     watched directory.
+
+    ``state_partitions`` overrides ``spark.sql.shuffle.partitions`` for
+    this query (restored after).  Stateful per-trigger cost is
+    O(state partitions), NOT data: every trigger commits every state
+    store (the stream-stream join runs four per partition), so 32
+    partitions is ~5x the trigger latency of 8 at identical input
+    (measured A/B in PERF_NOTES).  In production the count is frozen
+    into the checkpoint at first run — size it to state volume, not to
+    core count.
     """
     import glob as globmod
     import shutil as sh
@@ -366,6 +378,9 @@ def _warm_trigger_seconds(spark, sf_dir, transform, n_chunks: int = 10) -> float
     from ..fs import scratch_dir
     from ..plans.registry import table
 
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     root = scratch_dir(spark, "warm_trigger_")
     try:
         watch = os.path.join(root, "src")
@@ -450,22 +465,33 @@ def _warm_trigger_seconds(spark, sf_dir, transform, n_chunks: int = 10) -> float
             )
         return warm
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         sh.rmtree(root, ignore_errors=True)
 
 
-def warm_session_rollup_trigger(spark: SparkSession, sf_dir: str) -> float:
+def warm_session_rollup_trigger(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> float:
     """Warm per-trigger latency of the append-mode session rollup —
     the SAME plan as ``session_rollup_stream_append`` by construction
     (shared ``session_rollup_agg`` builder)."""
     return _warm_trigger_seconds(
-        spark, sf_dir, lambda reader: session_rollup_agg(reader())
+        spark,
+        sf_dir,
+        lambda reader: session_rollup_agg(reader()),
+        state_partitions=state_partitions,
     )
 
 
-def warm_stream_left_join_trigger(spark: SparkSession, sf_dir: str) -> float:
+def warm_stream_left_join_trigger(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> float:
     """Warm per-trigger latency of the left-outer stream-stream join —
     the SAME plan as ``view_purchase_left_join_stream`` by construction
     (shared ``purchase_view_join`` builder)."""
     return _warm_trigger_seconds(
-        spark, sf_dir, lambda reader: purchase_view_join(reader, "left_outer")
+        spark,
+        sf_dir,
+        lambda reader: purchase_view_join(reader, "left_outer"),
+        state_partitions=state_partitions,
     )
