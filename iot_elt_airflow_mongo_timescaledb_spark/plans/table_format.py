@@ -446,8 +446,8 @@ class ManifestFormat(TableFormat):
         ]
         return max(vs, default=0)
 
-    def _manifest(self, name: str) -> dict | None:
-        v = self._latest_version(name)
+    def _manifest(self, name: str, version: int | None = None) -> dict | None:
+        v = self._latest_version(name) if version is None else version
         if v == 0:
             return None
         import json
@@ -524,8 +524,8 @@ class ManifestFormat(TableFormat):
         m = self._manifest(name)
         return m is not None and bool(m["entries"])
 
-    def read(self, name: str) -> DataFrame:
-        m = self._manifest(name)
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        m = self._manifest(name, version)
         if m is None:
             raise FileNotFoundError(f"no committed manifest for table {name}")
         # group entries by data dir: each dir is a self-contained dataset
@@ -551,6 +551,37 @@ class ManifestFormat(TableFormat):
 
     def recover(self, name: str) -> None:
         """Nothing to repair: uncommitted data dirs are invisible."""
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time travel: the table exactly as manifest ``version``
+        committed it — immutable data dirs make every old version
+        readable until ``vacuum`` reclaims its unreferenced dirs (the
+        Delta/Iceberg ``VERSION AS OF`` read, for free from the log).
+        The SCD-2 snapshot answers "what did the ROW look like at T";
+        this answers "what did the TABLE look like at commit v"."""
+        if not 1 <= version <= self._latest_version(name):
+            raise ValueError(
+                f"no version {version} for {name}: log has "
+                f"1..{self._latest_version(name)}"
+            )
+        return self.read(name, version)
+
+    def history(self, name: str) -> list[dict]:
+        """The commit log as data: one row per version (version,
+        entry/data-dir counts, partitioning) — the ops surface for
+        auditing what each sync actually committed."""
+        out = []
+        for v in range(1, self._latest_version(name) + 1):
+            m = self._manifest(name, v)
+            out.append(
+                {
+                    "version": v,
+                    "n_entries": len(m["entries"]),
+                    "n_data_dirs": len({e["dir"] for e in m["entries"]}),
+                    "partition_columns": m["partition_columns"],
+                }
+            )
+        return out
 
     def vacuum(self, name: str) -> int:
         """Delete data directories no manifest version still needs —

@@ -187,3 +187,24 @@ def test_catalog_listing_and_info(spark, wh):
     assert info["partition_columns"] == ["day"]
     assert info["partitions"] == ["20240101"]
     assert info["bytes"] > 0
+
+
+def test_time_travel_and_history(spark, wh):
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    wh.materialize_incremental("stage.t", _days(spark, ("20240102", 2)), "day")
+    wh.fmt.replace_atomic("stage.t", _days(spark, ("20240105", 5)))
+    # v1 = first day only, v2 = both, v3 = the replacement
+    assert wh.fmt.read_version("stage.t", 1).count() == 1
+    assert {r["day"] for r in wh.fmt.read_version("stage.t", 2).collect()} == {
+        "20240101",
+        "20240102",
+    }
+    assert wh.read("stage.t").collect()[0]["day"] == "20240105"
+    hist = wh.fmt.history("stage.t")
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["n_data_dirs"] for h in hist] == [1, 2, 1]
+    with pytest.raises(ValueError, match="no version"):
+        wh.fmt.read_version("stage.t", 9)
+    # vacuum keeps only the LATEST version's dirs: v1/v2 become
+    # unreadable after reclamation (the documented tradeoff)
+    assert wh.fmt.vacuum("stage.t") == 2
