@@ -819,6 +819,50 @@ def scd2_snapshot_history(spark, sf_dir):
 
 
 @query(
+    "manifest_time_travel",
+    oracle="""
+    SELECT c_custkey AS k,
+           c_acctbal AS bal_v1,
+           CASE WHEN c_custkey % 10 = 0
+                THEN ROUND(c_acctbal + 1.0, 2) ELSE c_acctbal
+           END AS bal_v2,
+           c_custkey % 10 = 0 AS changed
+    FROM customer
+    """,
+    gate=False,  # warehouse-machinery family; scd2_snapshot_history gated
+)
+def manifest_time_travel(spark, sf_dir):
+    """Commit-log table format end-to-end (table_format.ManifestFormat):
+    commit customer balances (v1), upsert every 10th key repriced (v2 —
+    the seam's merge verb: anti-join + union + one O(1) manifest
+    commit), then join ``read_version(1)`` time travel against the
+    current table.  The oracle reconstructs both versions from the
+    source directly, so the hash covers the commit protocol, the merge,
+    and the old version staying byte-readable after the replace."""
+    from ..fs import scratch_dir
+    from .materialize import Warehouse
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mtt_", cleanup_atexit=True)
+    wh = Warehouse(spark, root, table_format=ManifestFormat(spark, root))
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    wh.materialize_upsert("tt.cust", c, "k")  # v1
+    upd = c.filter(F.col("k") % 10 == 0).withColumn(
+        "bal", F.round(F.col("bal") + 1.0, 2)
+    )
+    wh.materialize_upsert("tt.cust", upd, "k")  # v2
+    v1 = wh.fmt.read_version("tt.cust", 1).select(
+        "k", F.col("bal").alias("bal_v1")
+    )
+    v2 = wh.read("tt.cust").select("k", F.col("bal").alias("bal_v2"))
+    return v1.join(v2, "k").withColumn(
+        "changed", F.col("bal_v1") != F.col("bal_v2")
+    )
+
+
+@query(
     "table_diff_summary",
     oracle="""
     WITH b AS (
