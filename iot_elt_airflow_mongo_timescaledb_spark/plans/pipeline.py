@@ -84,11 +84,17 @@ class HealthPipeline:
         warehouse_root: str,
         run_log: bool = False,
         maintained_rollups: bool = False,
+        table_format=None,
     ):
+        """``table_format`` (a ``TableFormat`` instance) swaps the
+        warehouse storage under the WHOLE pipeline — raw, stage, agg and
+        the maintained rollup all ride the same format (the e2e seam
+        proof: tests/test_manifest_format.py runs the full fixture
+        pipeline on ManifestFormat)."""
         from .runlog import RunLog
 
         self.spark = spark
-        self.wh = Warehouse(spark, warehouse_root)
+        self.wh = Warehouse(spark, warehouse_root, table_format=table_format)
         self.run_log = RunLog(self.wh) if run_log else None
         # T5 through the maintained-rollup path: the reference refreshes
         # its daily steps aggregate on a schedule by RECOMPUTING from
@@ -106,6 +112,7 @@ class HealthPipeline:
                 group_cols=("day", "device_id"),
                 sum_cols=("step_count",),
                 watermark_col="created_at",
+                table_format=table_format,
             )
             if maintained_rollups
             else None
@@ -496,11 +503,12 @@ class _RollupSyncBase:
         table_name: str,
         group_cols: tuple[str, ...],
         watermark_col: str | None = None,
+        table_format=None,
     ):
         from .materialize import Warehouse
 
         self.spark = spark
-        self.wh = Warehouse(spark, warehouse_root)
+        self.wh = Warehouse(spark, warehouse_root, table_format=table_format)
         self.table_name = table_name
         self.group_cols = list(group_cols)
         self.watermark_col = watermark_col
@@ -730,9 +738,11 @@ class IncrementalAggSync(_RollupSyncBase):
         group_cols: tuple[str, ...],
         sum_cols: tuple[str, ...],
         watermark_col: str | None = None,
+        table_format=None,
     ):
         super().__init__(
-            spark, warehouse_root, table_name, group_cols, watermark_col
+            spark, warehouse_root, table_name, group_cols, watermark_col,
+            table_format=table_format,
         )
         self.sum_cols = list(sum_cols)
         self._metrics = [f"sum_{c}" for c in self.sum_cols] + ["n_rows"]
@@ -805,9 +815,11 @@ class IncrementalDistinctSync(_RollupSyncBase):
         distinct_col: str,
         lgk: int = 12,
         watermark_col: str | None = None,
+        table_format=None,
     ):
         super().__init__(
-            spark, warehouse_root, table_name, group_cols, watermark_col
+            spark, warehouse_root, table_name, group_cols, watermark_col,
+            table_format=table_format,
         )
         self.distinct_col = distinct_col
         self.lgk = lgk

@@ -208,3 +208,61 @@ def test_time_travel_and_history(spark, wh):
     # vacuum keeps only the LATEST version's dirs: v1/v2 become
     # unreadable after reclamation (the documented tradeoff)
     assert wh.fmt.vacuum("stage.t") == 2
+
+
+def test_full_pipeline_on_manifest_format(spark, tmp_path_factory):
+    """System-level seam proof: the ENTIRE reference pipeline — extract,
+    flatten, root-key merge, stage, aggregate DAGs, maintained rollup —
+    runs on the commit-log format and produces the same answers the
+    parquet format produces in tests/test_pipeline.py."""
+    import json
+
+    import test_pipeline as tp
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        HealthPipeline,
+    )
+
+    src = tmp_path_factory.mktemp("mf_src")
+    for name, docs in (
+        ("users", tp.USERS), ("heart_rates", tp.HEART_RATES),
+        ("sleeps", tp.SLEEPS), ("steps", tp.STEPS),
+    ):
+        (src / f"{name}.json").write_text(json.dumps(docs))
+    root = str(tmp_path_factory.mktemp("mf_wh"))
+    p = HealthPipeline(
+        spark,
+        root,
+        maintained_rollups=True,
+        table_format=ManifestFormat(spark, root),
+    )
+    paths = {
+        n: str(src / f"{n}.json")
+        for n in ("users", "heart_rates", "sleeps", "steps")
+    }
+    p.run_all(paths)
+    assert isinstance(p.wh.fmt, ManifestFormat)
+    # same hand-computed values test_pipeline pins on the parquet format
+    steps = {
+        (r["day"], r["device_id"]): r["step_count"]
+        for r in p.wh.read("agg.daily_steps").collect()
+    }
+    assert steps[("20200201", "d1")] == 150
+    assert steps[("20200202", "d2")] == 30
+    users = {
+        r["user_id"]: r["devices"] for r in p.wh.read("stage.users").collect()
+    }
+    assert users["u1"] == ["d1", "d2"]
+    # maintained rollup rode the same format and matches the recompute
+    roll = {
+        (r["day"], r["device_id"]): r["step_count"]
+        for r in p.daily_steps_rollup().collect()
+    }
+    assert roll == steps
+    # idempotent re-run (boundary re-reads + replay sentinel) on the
+    # manifest format too
+    p.run_all(paths)
+    assert {
+        (r["day"], r["device_id"]): r["step_count"]
+        for r in p.wh.read("agg.daily_steps").collect()
+    } == steps
