@@ -861,3 +861,189 @@ class IncrementalDistinctSync(_RollupSyncBase):
         return self._stored().groupBy(*to_grain).agg(
             F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_est")
         )
+
+
+class IncrementalHistSync(_RollupSyncBase):
+    """Incremental QUANTILE maintenance via mergeable fixed-bin
+    histogram sketches — the third member of the sketch-rollup family
+    (additive sums: ``IncrementalAggSync``; distinct: HLL in
+    ``IncrementalDistinctSync``).
+
+    Exact percentiles are the other non-semigroup aggregate: the state
+    is the sorted value multiset, so a 100 TB "p99 latency per day"
+    rollup either rescans history per refresh or keeps every value.
+    The histogram rollup stores ``n_bins`` counts per group over a
+    FIXED value range instead: each batch contributes partial bin
+    counts (one hash agg, map-side combined — ``n_bins`` conditional
+    sums packed into one array column), the merge is element-wise
+    addition against only the touched groups, and stored histograms
+    re-merge to ANY coarser grain at read time.  Addition is
+    associative and commutative, so merged-by-batches equals
+    histogrammed-in-one-shot EXACTLY (tests pin it) — only the
+    QUANTILE readout is approximate: the estimate lands within one bin
+    width of the ceil(p*n)-th ORDER STATISTIC (rank-based quantile;
+    interpolated-percentile definitions can sit between two order
+    statistics that straddle bins).  Out-of-range values clamp into the
+    edge bins, so [lo, hi, n_bins] is part of the stored table's format
+    like ``lgk`` is for HLL — changing it means rebuilding.
+
+    TimescaleDB ships the same shape as ``uddsketch``/``tdigest``
+    continuous aggregates; fixed-width bins trade their adaptive
+    resolution for a pure-codegen plan with zero UDFs.  Delivery /
+    replay contract: ``_RollupSyncBase``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        table_name: str,
+        group_cols: tuple[str, ...],
+        value_col: str,
+        lo: float,
+        hi: float,
+        n_bins: int = 64,
+        watermark_col: str | None = None,
+        table_format=None,
+    ):
+        if not hi > lo:
+            raise ValueError(f"histogram range needs hi > lo, got [{lo}, {hi}]")
+        if n_bins < 1:
+            raise ValueError("n_bins must be >= 1")
+        super().__init__(
+            spark, warehouse_root, table_name, group_cols, watermark_col,
+            table_format=table_format,
+        )
+        self.value_col = value_col
+        self.lo, self.hi, self.n_bins = float(lo), float(hi), int(n_bins)
+        self._metrics = ["hist"]
+
+    def _bin_index(self):
+        from pyspark.sql import functions as F
+
+        width = (self.hi - self.lo) / self.n_bins
+        raw = F.floor((F.col(self.value_col) - F.lit(self.lo)) / F.lit(width))
+        # clamp out-of-range values into the edge bins (never dropped —
+        # totals must match row counts for the quantile math)
+        return F.least(
+            F.greatest(raw, F.lit(0)), F.lit(self.n_bins - 1)
+        ).cast("int")
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        idx = self._bin_index()
+        # n_bins conditional sums -> one array column; a single hash
+        # aggregate, partials combined map-side like any SUM
+        bins = F.array(
+            *[
+                F.sum(
+                    F.when(
+                        F.col(self.value_col).isNotNull() & (idx == i), 1
+                    ).otherwise(0)
+                ).cast("long")
+                for i in range(self.n_bins)
+            ]
+        )
+        return (
+            batch.groupBy(*self.group_cols)
+            .agg(bins.alias("hist"))
+            .withColumn("__agg_key", self._key())
+        )
+
+    def _merge_metric(self, m: str):
+        from pyspark.sql import functions as F
+
+        new, old = F.col(m), F.col(f"__old_{m}")
+        return (
+            F.when(new.isNull(), old)
+            .when(old.isNull(), new)
+            .otherwise(F.zip_with(new, old, lambda a, b: a + b))
+            .alias(m)
+        )
+
+    def _quantile_from(self, hist_col, p: float):
+        """Interpolated quantile from a bin-count array — pure built-in
+        expressions (aggregate/transform/array_position), no UDF."""
+        from pyspark.sql import functions as F
+
+        width = (self.hi - self.lo) / self.n_bins
+        total = F.aggregate(hist_col, F.lit(0).cast("long"), lambda a, x: a + x)
+        target = F.greatest(F.ceil(total * F.lit(p)), F.lit(1))
+        # cumulative counts (O(n_bins^2) driver-free expression — n_bins
+        # is a small constant, not data-sized)
+        cums = F.transform(
+            hist_col,
+            lambda _x, i: F.aggregate(
+                F.slice(hist_col, 1, i + 1), F.lit(0).cast("long"),
+                lambda a, y: a + y,
+            ),
+        )
+        pos = F.array_position(
+            F.transform(cums, lambda c: c >= target), True
+        ).cast("int")  # 1-based first bin reaching the target; 0 if never
+        idx = pos - 1
+        prev_cum = F.when(idx > 0, F.element_at(cums, idx)).otherwise(
+            F.lit(0).cast("long")
+        )
+        in_bin = F.element_at(hist_col, pos)
+        frac = F.try_divide((target - prev_cum).cast("double"), in_bin)
+        est = (
+            F.lit(self.lo)
+            + (idx.cast("double") + F.coalesce(frac, F.lit(0.5)))
+            * F.lit(width)
+        )
+        return F.when(total > 0, est)
+
+    def _derive(self, df: DataFrame) -> DataFrame:
+        """Default read surface: n + p50/p90/p99 at the stored grain."""
+        from pyspark.sql import functions as F
+
+        h = F.col("hist")
+        return df.select(
+            *self.group_cols,
+            F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "n_values"
+            ),
+            F.round(self._quantile_from(h, 0.5), 6).alias("p50"),
+            F.round(self._quantile_from(h, 0.9), 6).alias("p90"),
+            F.round(self._quantile_from(h, 0.99), 6).alias("p99"),
+        )
+
+    def estimate(self, to_grain: list[str], ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+        """Re-merge the STORED histograms to any coarser grain — p99 at
+        (e.g.) event_type level from a (event_type, day) rollup, no
+        fact rescan; element-wise sums never double-count."""
+        from pyspark.sql import functions as F
+
+        # distributed element-wise array sum: posexplode to (grain, bin)
+        # rows, hash-agg the counts (map-side combined), reassemble the
+        # array in bin order — no group ever collects more than n_bins
+        # rows into one task
+        exploded = self._stored().select(
+            *to_grain, F.posexplode("hist").alias("pos", "c")
+        )
+        summed = exploded.groupBy(*to_grain, "pos").agg(F.sum("c").alias("c"))
+        merged = (
+            summed.groupBy(*to_grain)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "c"))
+                ).alias("__pc")
+            )
+            .withColumn("hist", F.transform("__pc", lambda x: x["c"]))
+            .drop("__pc")
+        )
+        h = F.col("hist")
+        cols = [
+            F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "n_values"
+            )
+        ]
+        for p in ps:
+            cols.append(
+                F.round(self._quantile_from(h, p), 6).alias(
+                    f"p{int(p * 100)}"
+                )
+            )
+        return merged.select(*to_grain, *cols)

@@ -274,6 +274,57 @@ def hll_rollup_distinct(spark, sf_dir):
 
 
 @query(
+    "hist_rollup_quantiles",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_values, TRUE AS p50_ok, TRUE AS p99_ok
+    FROM events WHERE value BETWEEN 0 AND 500 GROUP BY 1
+    """,
+    gate=False,  # sketch-rollup family; hll_rollup / percentile tier cover the gate
+)
+def hist_rollup_quantiles(spark, sf_dir):
+    """Mergeable-histogram quantile rollup — the 100 TB percentile
+    MAINTENANCE shape (``IncrementalHistSync``, plans/pipeline.py): two
+    disjoint half-batches merge element-wise into one stored fixed-bin
+    histogram per event_type (exercising the semigroup merge inside the
+    gate query itself), and the p50/p99 readouts must land within one
+    bin width of ``percentile_disc`` — the exact ceil(p*n)-th order
+    statistic, which is precisely the estimator's contract.  The oracle
+    pins the verdict (TRUE/TRUE) plus the exact clamp-free row count,
+    the same deterministic-verdict pattern as ``hll_rollup_distinct``.
+    TimescaleDB twin: uddsketch/tdigest continuous aggregates."""
+    from ..fs import scratch_dir
+    from .pipeline import IncrementalHistSync
+
+    lo, hi, n_bins = 0.0, 500.0, 50
+    width = (hi - lo) / n_bins
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("value") >= lo) & (F.col("value") <= hi)
+    )
+    sync = IncrementalHistSync(
+        spark,
+        scratch_dir(spark, "hist_", cleanup_atexit=True),
+        "agg.value_hist",
+        ("event_type",),
+        "value",
+        lo,
+        hi,
+        n_bins,
+    )
+    sync.sync(e.filter(F.col("user_id") % 2 == 0))
+    sync.sync(e.filter(F.col("user_id") % 2 == 1))
+    exact = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("x50"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("x99"),
+    )
+    return sync.read().join(exact, "event_type").select(
+        "event_type",
+        "n_values",
+        (F.abs(F.col("p50") - F.col("x50")) <= width).alias("p50_ok"),
+        (F.abs(F.col("p99") - F.col("x99")) <= width).alias("p99_ok"),
+    )
+
+
+@query(
     "value_percentiles_approx",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

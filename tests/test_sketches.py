@@ -132,3 +132,131 @@ def test_merged_vs_direct_sketch_near_equal(spark, sf_dir):
     )
     for r in merged.join(direct, "event_type").collect():
         assert abs(r["est_m"] - r["est_d"]) <= max(1, 0.01 * r["est_d"]), r
+
+
+# ---------------------------------------------------------------------------
+# IncrementalHistSync — mergeable fixed-bin quantile rollup (r7)
+# ---------------------------------------------------------------------------
+
+
+def _hist_sync(spark, tmp_path, **kw):
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalHistSync,
+    )
+
+    args = dict(
+        table_name="agg.value_hist",
+        group_cols=("event_type",),
+        value_col="value",
+        lo=0.0,
+        hi=500.0,
+        n_bins=50,
+    )
+    args.update(kw)
+    return IncrementalHistSync(spark, str(tmp_path), **args)
+
+
+def test_hist_sync_batches_equal_one_shot(spark, tmp_path, sf_dir):
+    """Histogram addition is an exact semigroup: syncing three disjoint
+    batches yields bin-for-bin the same stored state as histogramming
+    everything at once."""
+    from pyspark.sql import functions as F
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import table
+
+    e = table(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    inc = _hist_sync(spark, tmp_path / "inc")
+    for k in range(3):
+        inc.sync(e.filter(F.col("user_id") % 3 == k))
+    oneshot = _hist_sync(spark, tmp_path / "one")
+    oneshot.sync(e)
+    a = {r["event_type"]: r for r in inc.read().collect()}
+    b = {r["event_type"]: r for r in oneshot.read().collect()}
+    assert set(a) == set(b) and a  # non-vacuous
+    for k in a:
+        assert a[k]["n_values"] == b[k]["n_values"]
+        assert a[k]["p50"] == b[k]["p50"]
+        assert a[k]["p99"] == b[k]["p99"]
+
+
+def test_hist_sync_quantiles_within_bin_width(spark, tmp_path, sf_dir):
+    """Estimate contract: within one bin width of the ceil(p*n)-th
+    ORDER STATISTIC (rank-based quantile).  Interpolating percentile()
+    is deliberately NOT the yardstick — between two order statistics in
+    a sparse tail the interpolated value can sit arbitrarily far from
+    either, while the histogram always lands in the bin holding the
+    rank-based one."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import table
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    lo, hi, n_bins = 0.0, 500.0, 50
+    width = (hi - lo) / n_bins
+    inside = e.filter((F.col("value") >= lo) & (F.col("value") <= hi))
+    sync = _hist_sync(spark, tmp_path, lo=lo, hi=hi, n_bins=n_bins)
+    sync.sync(inside)
+    est = {r["event_type"]: r for r in sync.read().collect()}
+    sorted_vals = {
+        r["event_type"]: r["vs"]
+        for r in inside.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vs"))
+        .collect()
+    }
+    for k, vs in sorted_vals.items():
+        for p, col in ((0.5, "p50"), (0.99, "p99")):
+            rank_val = vs[max(math.ceil(p * len(vs)), 1) - 1]
+            assert abs(est[k][col] - rank_val) <= width, (k, col)
+
+
+def test_hist_sync_replay_and_regrain(spark, tmp_path, sf_dir):
+    """Batch-id replay is a no-op; stored (event_type, day) histograms
+    re-merge to event_type grain exactly (element-wise sums never
+    double-count)."""
+    from pyspark.sql import functions as F
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.registry import table
+
+    e = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyyMMdd").alias("day"),
+            "value",
+        )
+    )
+    sync = _hist_sync(
+        spark, tmp_path, group_cols=("event_type", "day")
+    )
+    sync.sync(e, batch_id=1)
+    before = {
+        (r["event_type"], r["day"]): r["n_values"]
+        for r in sync.read().collect()
+    }
+    sync.sync(e, batch_id=1)  # replay: identical id -> skipped
+    after = {
+        (r["event_type"], r["day"]): r["n_values"]
+        for r in sync.read().collect()
+    }
+    assert after == before
+    # regrain to event_type == histogramming the facts at that grain
+    coarse = {
+        r["event_type"]: (r["n_values"], r["p90"])
+        for r in sync.estimate(["event_type"], ps=(0.9,)).collect()
+    }
+    direct = _hist_sync(spark, tmp_path / "direct")
+    direct.sync(e)
+    want = {
+        r["event_type"]: (r["n_values"], r["p90"])
+        for r in direct.read().collect()
+    }
+    assert coarse == want
+
+
+def test_hist_sync_rejects_bad_range(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hi > lo"):
+        _hist_sync(spark, tmp_path, lo=5.0, hi=5.0)
