@@ -987,7 +987,12 @@ class IncrementalHistSync(_RollupSyncBase):
             F.lit(0).cast("long")
         )
         in_bin = F.element_at(hist_col, pos)
-        frac = F.try_divide((target - prev_cum).cast("double"), in_bin)
+        # midpoint-rank convention: the r-th of k values in a bin sits at
+        # (r - 0.5)/k of the bin's width — a lone value estimates at the
+        # bin center, not the top edge
+        frac = F.try_divide(
+            (target - prev_cum).cast("double") - F.lit(0.5), in_bin
+        )
         est = (
             F.lit(self.lo)
             + (idx.cast("double") + F.coalesce(frac, F.lit(0.5)))

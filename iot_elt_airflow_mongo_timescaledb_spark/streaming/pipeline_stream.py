@@ -277,3 +277,61 @@ class StreamingDistinctSync:
 
     def estimate(self, to_grain: list[str]):
         return self.agg.estimate(to_grain)
+
+
+class StreamingHistSync:
+    """Streaming quantile maintenance: each micro-batch's partial bin
+    counts merge element-wise into the warehouse histogram rollup
+    (``IncrementalHistSync`` inside ``foreachBatch``) — the sketch-
+    family twin next to ``StreamingAggSync`` (sums) and
+    ``StreamingDistinctSync`` (HLL).  Same delivery contract: the
+    micro-batch id rides the same atomic swap as the merged bins, so
+    at-least-once replays are exactly-once on the stored state, and the
+    p50/p90/p99 readouts stay one trigger behind the stream at any
+    corpus size."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        source_dir: str,
+        table_name: str,
+        group_cols: tuple[str, ...],
+        value_col: str,
+        lo: float,
+        hi: float,
+        n_bins: int = 64,
+        checkpoint_root: str | None = None,
+        watermark_col: str | None = None,
+    ):
+        from ..plans.pipeline import IncrementalHistSync
+
+        self.spark = spark
+        self.agg = IncrementalHistSync(
+            spark, warehouse_root, table_name, group_cols, value_col,
+            lo, hi, n_bins, watermark_col=watermark_col,
+        )
+        self.source_dir = source_dir
+        self.checkpoint = join_uri(
+            checkpoint_root or join_uri(warehouse_root, "_checkpoints"),
+            f"hist_sync_{table_name.replace('.', '_')}",
+        )
+        self.schema = spark.read.parquet(source_dir).schema
+
+    def _process_batch(self, batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.agg.sync(batch_df, batch_id=batch_id)
+
+    def run_once(self) -> None:
+        """Drain every not-yet-checkpointed fact file, then stop."""
+        _drain_once(
+            self.spark, self.schema, self.source_dir, self.checkpoint,
+            self._process_batch, fmt="parquet",
+        )
+
+    def read(self):
+        return self.agg.read()
+
+    def estimate(self, to_grain: list[str], ps=(0.5, 0.9, 0.99)):
+        return self.agg.estimate(to_grain, ps)

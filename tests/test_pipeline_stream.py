@@ -143,3 +143,48 @@ def test_streaming_distinct_sync_merges_sketches(spark, tmp_path):
     before = sorted(map(tuple, sync.read().collect()))
     sync.run_once()  # nothing new
     assert sorted(map(tuple, sync.read().collect())) == before
+
+
+def test_streaming_hist_sync_merges_bins(spark, tmp_path):
+    """StreamingHistSync: two drained micro-batches land the same
+    histogram state as one-shot binning of all facts (bin addition is
+    an exact semigroup); an empty re-drain is a no-op; stored bins
+    regrain without double counting."""
+    from iot_elt_airflow_mongo_timescaledb_spark.streaming.pipeline_stream import (
+        StreamingHistSync,
+    )
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [("click", "d1", 5.0), ("click", "d1", 15.0), ("view", "d1", 95.0)],
+        "etype string, day string, value double",
+    )
+    b2 = spark.createDataFrame(
+        [("click", "d2", 25.0), ("click", "d2", 35.0), ("view", "d2", 5.0)],
+        "etype string, day string, value double",
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    sync = StreamingHistSync(
+        spark, str(tmp_path / "wh"), str(src), "agg.vh",
+        ("etype", "day"), "value", lo=0.0, hi=100.0, n_bins=10,
+    )
+    sync.run_once()
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    sync.run_once()
+    per_day = {
+        (r["etype"], r["day"]): (r["n_values"], r["p50"])
+        for r in sync.read().collect()
+    }
+    # 10-wide bins, interpolated within: [5,15] -> p50 in bin 0 (rank 1)
+    assert per_day[("click", "d1")][0] == 2
+    assert per_day[("view", "d2")] == (1, 5.0)
+    # regrain to etype: element-wise sums across days
+    total = {
+        r["etype"]: r["n_values"]
+        for r in sync.estimate(["etype"], ps=(0.5,)).collect()
+    }
+    assert total == {"click": 4, "view": 2}
+    before = sorted(map(tuple, sync.read().collect()))
+    sync.run_once()  # nothing new
+    assert sorted(map(tuple, sync.read().collect())) == before
