@@ -452,9 +452,10 @@ class ManifestFormat(TableFormat):
             return None
         import json
 
-        return json.loads(
-            self.fs.read_text(join_uri(self._log_path(name), f"v{v:012d}.json"))
-        )
+        path = join_uri(self._log_path(name), f"v{v:012d}.json")
+        if not self.fs.exists(path):  # explicit version pruned by vacuum
+            return None
+        return json.loads(self.fs.read_text(path))
 
     def _commit(self, name: str, entries: list, partition_columns: list) -> None:
         """One small-file write + rename — the whole transaction."""
@@ -559,10 +560,14 @@ class ManifestFormat(TableFormat):
         Delta/Iceberg ``VERSION AS OF`` read, for free from the log).
         The SCD-2 snapshot answers "what did the ROW look like at T";
         this answers "what did the TABLE look like at commit v"."""
-        if not 1 <= version <= self._latest_version(name):
+        if (
+            not 1 <= version <= self._latest_version(name)
+            or self._manifest(name, version) is None
+        ):
             raise ValueError(
-                f"no version {version} for {name}: log has "
-                f"1..{self._latest_version(name)}"
+                f"no version {version} for {name}: log holds "
+                f"{[int(f[1:-5]) for f in self.fs.list_files(self._log_path(name)) if f.startswith('v')]}"
+                " (older versions may have been vacuumed)"
             )
         return self.read(name, version)
 
@@ -583,18 +588,30 @@ class ManifestFormat(TableFormat):
             )
         return out
 
-    def vacuum(self, name: str) -> int:
-        """Delete data directories no manifest version still needs —
-        here, conservatively, dirs absent from the LATEST manifest
-        (time travel across old versions is traded for space).  Returns
-        the number of directories removed."""
-        m = self._manifest(name)
-        live = {e["dir"] for e in (m["entries"] if m else [])}
+    def vacuum(self, name: str, keep_last: int = 1) -> int:
+        """Delete data directories none of the last ``keep_last``
+        manifest versions reference, and drop the manifests older than
+        those — trading time-travel depth for space, explicitly.
+        ``keep_last=1`` (default) keeps only the current table;
+        ``keep_last=7`` keeps a week of daily commits readable.
+        Returns the number of data directories removed."""
+        if keep_last < 1:
+            raise ValueError("vacuum keeps at least the current version")
+        latest = self._latest_version(name)
+        kept_versions = range(max(1, latest - keep_last + 1), latest + 1)
+        live: set[str] = set()
+        for v in kept_versions:
+            m = self._manifest(name, v)
+            live |= {e["dir"] for e in (m["entries"] if m else [])}
         removed = 0
         for d in self.fs.list_subdirs(self.path(name)):
             if d.startswith("d-") and d not in live:
                 self.fs.delete(join_uri(self.path(name), d))
                 removed += 1
+        for f in self.fs.list_files(self._log_path(name)):
+            if f.startswith("v") and f.endswith(".json"):
+                if int(f[1:-5]) < kept_versions.start:
+                    self.fs.delete(join_uri(self._log_path(name), f))
         return removed
 
     def list_tables(self) -> list[str]:

@@ -266,3 +266,18 @@ def test_full_pipeline_on_manifest_format(spark, tmp_path_factory):
         (r["day"], r["device_id"]): r["step_count"]
         for r in p.wh.read("agg.daily_steps").collect()
     } == steps
+
+
+def test_vacuum_keep_last_preserves_recent_versions(spark, wh):
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    wh.fmt.replace_atomic("stage.t", _days(spark, ("20240102", 2)))
+    wh.fmt.replace_atomic("stage.t", _days(spark, ("20240103", 3)))
+    # keep the last two versions: v2 stays readable, v1's dir goes
+    assert wh.fmt.vacuum("stage.t", keep_last=2) == 1
+    assert wh.fmt.read_version("stage.t", 2).collect()[0]["day"] == "20240102"
+    with pytest.raises(ValueError, match="no version"):
+        wh.fmt.read_version("stage.t", 1)  # manifest pruned with its dir
+    import pytest as _p
+
+    with _p.raises(ValueError, match="at least the current"):
+        wh.fmt.vacuum("stage.t", keep_last=0)
