@@ -281,3 +281,29 @@ def test_vacuum_keep_last_preserves_recent_versions(spark, wh):
 
     with _p.raises(ValueError, match="at least the current"):
         wh.fmt.vacuum("stage.t", keep_last=0)
+
+
+def test_manifest_format_on_scheme_qualified_uri(spark, tmp_path):
+    """Cluster-real storage: the commit log, data dirs, time travel and
+    vacuum must all work when the root is a scheme-qualified URI (file:/
+    standing in for hdfs://s3a:) — manifest IO goes through the same
+    Hadoop FileSystem as the data."""
+    import os
+
+    root = f"file:{tmp_path}"
+    wh = Warehouse(
+        spark, root, table_format=ManifestFormat(spark, root)
+    )
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    wh.materialize_upsert(
+        "stage.t", spark.createDataFrame([Row(day="20240101", v=9)]), "day"
+    )
+    assert {(r["day"], r["v"]) for r in wh.read("stage.t").collect()} == {
+        ("20240101", 9)
+    }
+    assert wh.fmt.read_version("stage.t", 1).collect()[0]["v"] == 1
+    assert wh.fmt.vacuum("stage.t") == 1
+    # log + current data dir really live under the local path
+    log_local = os.path.join(str(tmp_path), "stage", "t", "_log")
+    visible = [f for f in os.listdir(log_local) if not f.startswith(".")]
+    assert visible == ["v000000000002.json"]  # (.crc sidecars excluded)
