@@ -90,6 +90,9 @@ EXTENDED = [
     "scd2_snapshot_history",    # SCD-2 snapshot end-to-end
     "series_similarity_topk",   # Pearson series similarity search
     "streaming_stream_left_join",  # left-outer stream-stream join drain
+    # round-7 additions
+    "hist_rollup_quantiles",    # mergeable fixed-bin quantile rollup
+    "manifest_time_travel",     # commit-log format merge + time travel
 ]
 
 
