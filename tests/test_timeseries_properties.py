@@ -147,3 +147,59 @@ def test_counter_increase_matches_reference(spark, values):
         assert abs(row["total_increase"] - round(inc, 2)) <= 0.011
         assert row["n_steps"] == len(values) - 1
     assert row["n_resets"] == resets
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile rollup (r7): property checks against a pure-Python
+# reference — arbitrary values (clamping tails included), arbitrary
+# batch splits, the semigroup law, and the one-bin-width bound.
+# ---------------------------------------------------------------------------
+
+_HIST_VALUES = st.lists(
+    st.floats(min_value=-50.0, max_value=150.0, allow_nan=False,
+              allow_infinity=False),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=_HIST_VALUES, split=st.integers(min_value=0, max_value=40))
+def test_hist_sync_properties(spark, tmp_path_factory, values, split):
+    """(1) merged-by-arbitrary-split == one-shot bin-for-bin; (2) the
+    p50 readout lands within one bin width of the clamped ceil(p*n)-th
+    order statistic, for any value mix including out-of-range tails."""
+    import math
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalHistSync,
+    )
+
+    lo, hi, n_bins = 0.0, 100.0, 10
+    width = (hi - lo) / n_bins
+    split = min(split, len(values))
+
+    def mk(root):
+        return IncrementalHistSync(
+            spark, str(root), "agg.h", ("g",), "v", lo, hi, n_bins
+        )
+
+    def frame(vs):
+        return spark.createDataFrame([("a", v) for v in vs], "g string, v double")
+
+    inc = mk(tmp_path_factory.mktemp("hp_inc"))
+    for chunk in (values[:split], values[split:]):
+        if chunk:
+            inc.sync(frame(chunk))
+    one = mk(tmp_path_factory.mktemp("hp_one"))
+    one.sync(frame(values))
+    got = inc.read().collect()[0]
+    want = one.read().collect()[0]
+    assert (got["n_values"], got["p50"], got["p99"]) == (
+        want["n_values"], want["p50"], want["p99"],
+    )
+    assert got["n_values"] == len(values)  # clamped, never dropped
+    # rank-based reference on CLAMPED values (estimator sees the clamp)
+    clamped = sorted(min(max(v, lo), hi) for v in values)
+    rank_val = clamped[max(math.ceil(0.5 * len(clamped)), 1) - 1]
+    assert abs(got["p50"] - rank_val) <= width
