@@ -26,15 +26,13 @@ COLLECTIONS = ("users", "heart_rates", "sleeps", "steps")
 
 
 def list_raw_tables(wh: Warehouse) -> list[str]:
-    """Raw-layer table names via Hadoop FileSystem listing (the root may
-    be hdfs://s3a:), excluding leftover two-phase staging dirs — listing
-    one would make recovery crash on its own artifact."""
-    from ..fs import join_uri
-
+    """Raw-layer table names via the format's catalog verb — never a raw
+    directory walk: a walk would list staging leftovers (parquet format)
+    or orphan dirs from an aborted transaction (catalog format), and the
+    stale-child delete sweep would then crash on a name that is not a
+    committed table."""
     return [
-        d
-        for d in wh.fs.list_subdirs(join_uri(wh.root, "raw"))
-        if not d.endswith(wh.fmt.STAGING_SUFFIXES)
+        n.split(".", 1)[1] for n in wh.tables() if n.startswith("raw.")
     ]
 
 
@@ -49,30 +47,39 @@ def root_key_merge(wh: Warehouse, collection: str, tables: dict) -> None:
     forever.  Child tables that exist in the warehouse but got NO rows
     at all from this batch still owe deletes for re-extracted parents.
 
-    Crash model: each per-table upsert is individually atomic (staging
-    swap), but the MERGE spans tables — a death between the parent and
-    a child upsert leaves the parent new and that child stale.  The
-    contract is the Airflow/dlt one the reference also relies on: the
-    failed run is RETRIED with the same batch (T6), and every step here
-    is idempotent on re-run (same-key upserts, same delete set), so the
-    retry converges to the clean-run state — pinned by
-    tests/test_pipeline.py::test_root_key_merge_retry_converges.
-    Cross-table snapshot atomicity would come from a table format
-    (Delta/Iceberg multi-table transactions), not from this layer.
+    Crash model: each per-table upsert is individually atomic, but the
+    MERGE spans tables.  On a format offering multi-table transactions
+    (``CatalogManifestFormat.transaction`` — one catalog flip commits
+    parent and children together) the merge is SNAPSHOT-atomic: a death
+    anywhere leaves every table at the old state, with no reader-
+    visible skew — pinned by
+    tests/test_manifest_format.py::test_root_key_merge_is_cross_table_atomic.
+    On formats without one (staging-swap parquet, plain ManifestFormat)
+    the contract falls back to the Airflow/dlt one the reference also
+    relies on: the failed run is RETRIED with the same batch (T6), and
+    every step here is idempotent on re-run (same-key upserts, same
+    delete set), so the retry converges to the clean-run state — pinned
+    by tests/test_pipeline.py::test_root_key_merge_retry_converges —
+    but a reader BETWEEN the crash and the retry can see the parent new
+    and a child stale.
     """
+    import contextlib
+
     parent_keys = (
         tables[collection].select(F.col("_dlt_id").alias("_dlt_root_id")).distinct()
     )
-    for name, df in tables.items():
-        if name == collection:
-            wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
-        else:
-            wh.materialize_upsert(
-                f"raw.{name}", df, "_dlt_root_id", delete_keys=parent_keys
-            )
-    for raw_name in list_raw_tables(wh):
-        if raw_name.startswith(f"{collection}__") and raw_name not in tables:
-            wh.materialize_delete(f"raw.{raw_name}", parent_keys, "_dlt_root_id")
+    tx = getattr(wh.fmt, "transaction", None)
+    with tx() if tx is not None else contextlib.nullcontext():
+        for name, df in tables.items():
+            if name == collection:
+                wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
+            else:
+                wh.materialize_upsert(
+                    f"raw.{name}", df, "_dlt_root_id", delete_keys=parent_keys
+                )
+        for raw_name in list_raw_tables(wh):
+            if raw_name.startswith(f"{collection}__") and raw_name not in tables:
+                wh.materialize_delete(f"raw.{raw_name}", parent_keys, "_dlt_root_id")
 
 
 class HealthPipeline:

@@ -711,3 +711,184 @@ class ManifestFormat(TableFormat):
         if dropped_vals:
             self._commit(name, keep, m["partition_columns"])
         return len(dropped_vals)
+
+
+class CatalogManifestFormat(ManifestFormat):
+    """ManifestFormat + a warehouse-level CATALOG pointer — multi-table
+    transactions (the Iceberg REST-catalog design, on plain files).
+
+    ``ManifestFormat`` is atomic per TABLE; ``root_key_merge`` spans a
+    parent and its child tables, and a crash between their commits
+    leaves reader-visible skew (documented in ``plans/pipeline.py`` and
+    called out by two review rounds as the last storage gap).  This
+    subclass closes it: readers resolve every table through the latest
+    ``_catalog/c*.json`` — a map of table name to manifest version — so
+    flipping the catalog (ONE small-file rename) moves any number of
+    tables simultaneously.
+
+    - Outside a transaction each ``_commit`` writes the per-table
+      manifest and immediately flips the catalog: same semantics as
+      the parent class, one extra O(1) rename.
+    - Inside ``with fmt.transaction():`` manifests accumulate as
+      PENDING (reads inside the transaction resolve pending first —
+      read-your-writes, which ``materialize_upsert``'s read-back
+      needs); the single catalog flip on exit commits them all, and an
+      exception discards them (orphan manifests no reader resolves;
+      ``vacuum`` reclaims their dirs).
+    - Crash anywhere before the flip: the catalog still names the old
+      versions for EVERY table — a retried batch converges with no
+      window where a reader can see parent-new/child-stale.
+
+    Concurrency contract tightens to SINGLE WRITER per WAREHOUSE (the
+    catalog serializes all tables), which is exactly the reference's
+    Airflow ``max_active_runs=1`` posture (iot_master_dag.py:42-48).
+    Time travel (``read_version``/``history``) stays per-table against
+    the manifest log.
+    """
+
+    CATALOG_DIR = "_catalog"
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root)
+        self._pending: dict[str, int] | None = None
+
+    # -- catalog machinery ----------------------------------------------
+
+    def _catalog_path(self) -> str:
+        return join_uri(self.root, self.CATALOG_DIR)
+
+    def _catalog_version(self) -> int:
+        vs = [
+            int(f[1:-5])
+            for f in self.fs.list_files(self._catalog_path())
+            if f.startswith("c") and f.endswith(".json")
+        ]
+        return max(vs, default=0)
+
+    def _catalog(self) -> dict:
+        v = self._catalog_version()
+        if v == 0:
+            return {"version": 0, "tables": {}}
+        import json
+
+        return json.loads(
+            self.fs.read_text(join_uri(self._catalog_path(), f"c{v:012d}.json"))
+        )
+
+    def _flip_catalog(self, updates: dict[str, int]) -> None:
+        import json
+        import uuid
+
+        cat = self._catalog()
+        nxt = cat["version"] + 1
+        final = join_uri(self._catalog_path(), f"c{nxt:012d}.json")
+        if self.fs.exists(final):
+            raise RuntimeError(
+                f"concurrent catalog commit detected (c{nxt} exists); this "
+                "format requires a single writer per warehouse"
+            )
+        body = json.dumps(
+            {"version": nxt, "tables": {**cat["tables"], **updates}}
+        )
+        tmp = join_uri(self._catalog_path(), f".tmp-{uuid.uuid4().hex}")
+        self.fs.write_text(tmp, body, overwrite=True)
+        self.fs.rename(tmp, final)
+
+    def _resolved_version(self, name: str) -> int:
+        if self._pending is not None and name in self._pending:
+            return self._pending[name]  # read-your-writes inside a txn
+        return int(self._catalog()["tables"].get(name, 0))
+
+    # -- overridden resolution / commit ---------------------------------
+
+    def _manifest(self, name: str, version: int | None = None) -> dict | None:
+        if version is None:
+            version = self._resolved_version(name)
+            if version == 0:
+                return None
+        return super()._manifest(name, version)
+
+    def _commit(self, name: str, entries: list, partition_columns: list) -> None:
+        import json
+        import uuid
+
+        nxt = self._latest_version(name) + 1
+        final = join_uri(self._log_path(name), f"v{nxt:012d}.json")
+        if self.fs.exists(final):
+            raise RuntimeError(
+                f"concurrent commit detected on {name} (v{nxt} exists); "
+                "this format requires a single writer per warehouse"
+            )
+        body = json.dumps(
+            {
+                "version": nxt,
+                "partition_columns": partition_columns,
+                "entries": entries,
+            }
+        )
+        tmp = join_uri(self._log_path(name), f".tmp-{uuid.uuid4().hex}")
+        self.fs.write_text(tmp, body, overwrite=True)
+        self.fs.rename(tmp, final)
+        if self._pending is not None:
+            self._pending[name] = nxt  # deferred: one flip commits all
+        else:
+            self._flip_catalog({name: nxt})
+
+    def transaction(self):
+        """Context manager: every table committed inside flips into the
+        catalog TOGETHER on exit; an exception discards all of them."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _txn():
+            if self._pending is not None:
+                raise RuntimeError("transactions do not nest")
+            self._pending = {}
+            try:
+                yield
+                if self._pending:
+                    self._flip_catalog(self._pending)
+            finally:
+                self._pending = None
+
+        return _txn()
+
+    def list_tables(self) -> list[str]:
+        """The catalog IS the table listing — no directory walk."""
+        return sorted(
+            name
+            for name, v in self._catalog()["tables"].items()
+            if v and super(CatalogManifestFormat, self)._manifest(name, v)
+        )
+
+    def vacuum(self, name: str, keep_last: int = 1) -> int:
+        """Reclaim dirs not referenced by the manifests the last
+        ``keep_last`` CATALOG versions resolve ``name`` to; drop every
+        other manifest of the table (orphans from aborted transactions
+        included)."""
+        if keep_last < 1:
+            raise ValueError("vacuum keeps at least the current version")
+        import json
+
+        cat_latest = self._catalog_version()
+        keep_versions: set[int] = set()
+        for cv in range(max(1, cat_latest - keep_last + 1), cat_latest + 1):
+            p = join_uri(self._catalog_path(), f"c{cv:012d}.json")
+            if self.fs.exists(p):
+                tables = json.loads(self.fs.read_text(p))["tables"]
+                if tables.get(name):
+                    keep_versions.add(int(tables[name]))
+        live: set[str] = set()
+        for v in keep_versions:
+            m = super()._manifest(name, v)
+            live |= {e["dir"] for e in (m["entries"] if m else [])}
+        removed = 0
+        for d in self.fs.list_subdirs(self.path(name)):
+            if d.startswith("d-") and d not in live:
+                self.fs.delete(join_uri(self.path(name), d))
+                removed += 1
+        for f in self.fs.list_files(self._log_path(name)):
+            if f.startswith("v") and f.endswith(".json"):
+                if int(f[1:-5]) not in keep_versions:
+                    self.fs.delete(join_uri(self._log_path(name), f))
+        return removed

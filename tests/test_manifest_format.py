@@ -307,3 +307,120 @@ def test_manifest_format_on_scheme_qualified_uri(spark, tmp_path):
     log_local = os.path.join(str(tmp_path), "stage", "t", "_log")
     visible = [f for f in os.listdir(log_local) if not f.startswith(".")]
     assert visible == ["v000000000002.json"]  # (.crc sidecars excluded)
+
+
+# ---------------------------------------------------------------------------
+# CatalogManifestFormat — multi-table transactions (r7)
+# ---------------------------------------------------------------------------
+
+
+def _doc_tables(spark, tmp_path, doc):
+    import json
+
+    from iot_elt_airflow_mongo_timescaledb_spark.sources.flatten import (
+        flatten_document_table,
+    )
+
+    p = tmp_path / f"doc_{doc['created_at']}.json"
+    p.write_text(json.dumps([doc]))
+    df = spark.read.option("multiLine", "true").json(str(p))
+    return flatten_document_table(df, "steps", primary_key="_id")
+
+
+@pytest.fixture()
+def cat_wh(spark, tmp_path):
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        CatalogManifestFormat,
+    )
+
+    return Warehouse(
+        spark,
+        str(tmp_path),
+        table_format=CatalogManifestFormat(spark, str(tmp_path)),
+    )
+
+
+def test_catalog_format_passes_basic_warehouse_flows(spark, cat_wh):
+    wh = cat_wh
+    wh.materialize_incremental("stage.t", _days(spark, ("20240101", 1)), "day")
+    wh.materialize_incremental("stage.t", _days(spark, ("20240102", 2)), "day")
+    wh.materialize_upsert(
+        "stage.t", spark.createDataFrame([Row(day="20240102", v=22)]), "day"
+    )
+    got = {(r["day"], r["v"]) for r in wh.read("stage.t").collect()}
+    assert got == {("20240101", 1), ("20240102", 22)}
+    assert wh.tables() == ["stage.t"]
+    # per-table time travel still works against the manifest log
+    assert wh.fmt.read_version("stage.t", 1).count() == 1
+
+
+def test_transaction_is_read_your_writes_and_atomic(spark, cat_wh):
+    wh = cat_wh
+    wh.materialize_incremental("a.x", _days(spark, ("d1", 1)), None)
+    with wh.fmt.transaction():
+        wh.materialize_upsert("a.x", _days(spark, ("d1", 9)), "day")
+        # read-your-writes inside the transaction
+        assert wh.read("a.x").collect()[0]["v"] == 9
+        wh.materialize_upsert("a.y", _days(spark, ("d9", 5)), "day")
+    # both visible after one catalog flip
+    assert wh.read("a.x").collect()[0]["v"] == 9
+    assert wh.read("a.y").collect()[0]["v"] == 5
+
+    # an aborted transaction discards BOTH staged tables
+    with pytest.raises(RuntimeError, match="boom"):
+        with wh.fmt.transaction():
+            wh.materialize_upsert("a.x", _days(spark, ("d1", 100)), "day")
+            raise RuntimeError("boom")
+    assert wh.read("a.x").collect()[0]["v"] == 9  # unchanged
+    # orphaned manifest + dirs reclaimed by vacuum
+    assert wh.fmt.vacuum("a.x") >= 1
+
+
+def test_root_key_merge_is_cross_table_atomic(spark, tmp_path, cat_wh, monkeypatch):
+    """The gap two review rounds named: on the staging-swap format a
+    crash between the parent and child upserts leaves reader-visible
+    skew until the retry; on the catalog format the same crash leaves
+    EVERY table at the old state (the catalog never flipped), and the
+    retry lands the new state everywhere."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import (
+        Warehouse as WH,
+    )
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        root_key_merge,
+    )
+
+    v1 = _doc_tables(
+        spark, tmp_path,
+        {"_id": "d1", "created_at": 100,
+         "metrics": [{"ts": 1, "v": 10}, {"ts": 2, "v": 20}]},
+    )
+    v2 = _doc_tables(
+        spark, tmp_path,
+        {"_id": "d1", "created_at": 200, "metrics": [{"ts": 9, "v": 90}]},
+    )
+    root_key_merge(cat_wh, "steps", v1)
+
+    # crash AFTER the parent table committed its manifest, BEFORE the
+    # children: fail the second materialize_upsert call
+    calls = {"n": 0}
+    orig = WH.materialize_upsert
+
+    def crashing(self, name, df, unique_key, delete_keys=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-merge")
+        return orig(self, name, df, unique_key, delete_keys)
+
+    monkeypatch.setattr(WH, "materialize_upsert", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        root_key_merge(cat_wh, "steps", v2)
+    monkeypatch.setattr(WH, "materialize_upsert", orig)
+
+    # NO skew: both tables still show the v1 batch
+    assert {r["v"] for r in cat_wh.read("raw.steps__metrics").collect()} == {10, 20}
+    assert cat_wh.read("raw.steps").collect()[0]["created_at"] == 100
+
+    # retry converges everywhere
+    root_key_merge(cat_wh, "steps", v2)
+    assert {r["v"] for r in cat_wh.read("raw.steps__metrics").collect()} == {90}
+    assert cat_wh.read("raw.steps").collect()[0]["created_at"] == 200
