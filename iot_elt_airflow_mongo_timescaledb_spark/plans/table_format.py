@@ -892,3 +892,53 @@ class CatalogManifestFormat(ManifestFormat):
                 if int(f[1:-5]) not in keep_versions:
                     self.fs.delete(join_uri(self._log_path(name), f))
         return removed
+
+    def catalog_history(self) -> list[dict]:
+        """The warehouse's transaction log as data: one row per catalog
+        version with the tables it moved — the audit surface for "which
+        sync committed what, together"."""
+        import json
+
+        out = []
+        prev: dict[str, int] = {}
+        for v in range(1, self._catalog_version() + 1):
+            p = join_uri(self._catalog_path(), f"c{v:012d}.json")
+            if not self.fs.exists(p):
+                continue  # pruned
+            tables = {
+                k: int(x)
+                for k, x in json.loads(self.fs.read_text(p))["tables"].items()
+            }
+            out.append(
+                {
+                    "catalog_version": v,
+                    "tables": tables,
+                    "changed": sorted(
+                        k for k, x in tables.items() if prev.get(k) != x
+                    ),
+                }
+            )
+            prev = tables
+        return out
+
+    def read_at(self, name: str, catalog_version: int) -> DataFrame:
+        """CROSS-TABLE-CONSISTENT time travel: the table as the given
+        catalog version resolved it.  Reading a parent and its children
+        at the SAME catalog version yields exactly the state one
+        transaction committed — the per-table ``read_version`` cannot
+        promise that (its versions advance independently)."""
+        import json
+
+        p = join_uri(self._catalog_path(), f"c{catalog_version:012d}.json")
+        if not self.fs.exists(p):
+            raise ValueError(
+                f"no catalog version {catalog_version}: log holds "
+                f"{[int(f[1:-5]) for f in self.fs.list_files(self._catalog_path()) if f.startswith('c')]}"
+            )
+        v = json.loads(self.fs.read_text(p))["tables"].get(name)
+        if not v:
+            raise ValueError(
+                f"table {name} did not exist at catalog version "
+                f"{catalog_version}"
+            )
+        return self.read_version(name, int(v))

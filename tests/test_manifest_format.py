@@ -424,3 +424,41 @@ def test_root_key_merge_is_cross_table_atomic(spark, tmp_path, cat_wh, monkeypat
     root_key_merge(cat_wh, "steps", v2)
     assert {r["v"] for r in cat_wh.read("raw.steps__metrics").collect()} == {90}
     assert cat_wh.read("raw.steps").collect()[0]["created_at"] == 200
+
+
+def test_catalog_time_travel_is_cross_table_consistent(spark, tmp_path, cat_wh):
+    """read_at(name, catalog_version): parent and child read at the same
+    catalog version show exactly the state one transaction committed —
+    even after later transactions moved both."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        root_key_merge,
+    )
+
+    v1 = _doc_tables(
+        spark, tmp_path,
+        {"_id": "d1", "created_at": 100,
+         "metrics": [{"ts": 1, "v": 10}, {"ts": 2, "v": 20}]},
+    )
+    v2 = _doc_tables(
+        spark, tmp_path,
+        {"_id": "d1", "created_at": 200, "metrics": [{"ts": 9, "v": 90}]},
+    )
+    root_key_merge(cat_wh, "steps", v1)
+    cv1 = cat_wh.fmt._catalog_version()
+    root_key_merge(cat_wh, "steps", v2)
+
+    # at cv1: the v1 pair, consistent across BOTH tables
+    assert cat_wh.fmt.read_at("raw.steps", cv1).collect()[0]["created_at"] == 100
+    assert {
+        r["v"] for r in cat_wh.fmt.read_at("raw.steps__metrics", cv1).collect()
+    } == {10, 20}
+    # current state: the v2 pair
+    assert {r["v"] for r in cat_wh.read("raw.steps__metrics").collect()} == {90}
+    # history names both tables as moving together in each transaction
+    hist = cat_wh.fmt.catalog_history()
+    assert all(
+        {"raw.steps", "raw.steps__metrics"} <= set(h["changed"])
+        for h in hist
+    )
+    with pytest.raises(ValueError, match="no catalog version"):
+        cat_wh.fmt.read_at("raw.steps", 99)
