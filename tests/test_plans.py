@@ -239,3 +239,22 @@ def test_corpus_ngram_topk_take_ordered(spark, sf_dir):
     facts = plan_facts(df)
     assert "TakeOrderedAndProject" in facts["plan"], facts["plan"]
     assert facts["n_exchanges"] <= 2, facts["plan"]
+
+
+def test_hist_rollup_value_filter_reaches_scan(spark, sf_dir):
+    """r7 quantile rollup: the [lo, hi] value filter must be pushed to
+    the parquet scan on the fact passes, the 50 conditional sums must
+    ride ONE exchange, and the tiny exact side must broadcast."""
+    facts = plan_facts(_Q["hist_rollup_quantiles"](spark, sf_dir))
+    assert any("value" in p for p in facts["pushed_filters"]), facts["pushed_filters"]
+    assert "BroadcastHashJoin" in facts["joins"]
+    assert "CartesianProduct" not in facts["joins"]
+    assert facts["n_exchanges"] <= 2, facts["plan"]
+
+
+def test_manifest_time_travel_no_exchange(spark, sf_dir):
+    """Both versions are manifest-resolved scans joined broadcast-side —
+    no shuffle anywhere."""
+    facts = plan_facts(_Q["manifest_time_travel"](spark, sf_dir))
+    assert facts["n_exchanges"] == 0, facts["plan"]
+    assert "CartesianProduct" not in facts["joins"]
