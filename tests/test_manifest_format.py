@@ -210,11 +210,14 @@ def test_time_travel_and_history(spark, wh):
     assert wh.fmt.vacuum("stage.t") == 2
 
 
-def test_full_pipeline_on_manifest_format(spark, tmp_path_factory):
+@pytest.mark.parametrize("fmt_name", ["manifest", "catalog"])
+def test_full_pipeline_on_manifest_format(spark, tmp_path_factory, fmt_name):
     """System-level seam proof: the ENTIRE reference pipeline — extract,
     flatten, root-key merge, stage, aggregate DAGs, maintained rollup —
-    runs on the commit-log format and produces the same answers the
-    parquet format produces in tests/test_pipeline.py."""
+    runs on the commit-log format (and its transactional catalog
+    variant, where every root-key merge commits parent+children in one
+    catalog flip) and produces the same answers the parquet format
+    produces in tests/test_pipeline.py."""
     import json
 
     import test_pipeline as tp
@@ -222,7 +225,13 @@ def test_full_pipeline_on_manifest_format(spark, tmp_path_factory):
     from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
         HealthPipeline,
     )
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        CatalogManifestFormat,
+    )
 
+    fmt_cls = {"manifest": ManifestFormat, "catalog": CatalogManifestFormat}[
+        fmt_name
+    ]
     src = tmp_path_factory.mktemp("mf_src")
     for name, docs in (
         ("users", tp.USERS), ("heart_rates", tp.HEART_RATES),
@@ -234,14 +243,14 @@ def test_full_pipeline_on_manifest_format(spark, tmp_path_factory):
         spark,
         root,
         maintained_rollups=True,
-        table_format=ManifestFormat(spark, root),
+        table_format=fmt_cls(spark, root),
     )
     paths = {
         n: str(src / f"{n}.json")
         for n in ("users", "heart_rates", "sleeps", "steps")
     }
     p.run_all(paths)
-    assert isinstance(p.wh.fmt, ManifestFormat)
+    assert isinstance(p.wh.fmt, fmt_cls)
     # same hand-computed values test_pipeline pins on the parquet format
     steps = {
         (r["day"], r["device_id"]): r["step_count"]
