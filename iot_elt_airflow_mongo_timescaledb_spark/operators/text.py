@@ -275,6 +275,63 @@ def normalize_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dsir_importance_weights(
+    df: DataFrame, id_col: str, text_col: str, target_col: str
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — public method): per-document log importance weight
+    ``log p_target(x) - log p_raw(x)`` under bag-of-words unigram
+    models, where the target model is estimated from the rows whose
+    boolean ``target_col`` is true (the in-domain sample) and the raw
+    model from the whole corpus.  Documents resembling the target
+    domain score high; resampling/selection by this weight composes
+    with the existing selection machinery (``token_budget_cut`` for a
+    budgeted head, ``dataset_split`` for held-out hygiene) — a global
+    rank here would be a single-partition sort, so selection stays a
+    separate, already-scalable step.
+
+    Both models share the corpus vocabulary with add-1 smoothing
+    (``(cf + 1) / (total + V)``), so unseen-in-target terms contribute
+    a finite negative evidence instead of -inf.  Shape: ONE explode
+    feeds the per-doc term counts and the two vocabulary counts (the
+    ``unigram_logprob_scores`` pattern: two map-side-combinable
+    hash-aggs off one exchange); the totals ride a 1-row broadcast;
+    the probe join is AQE-chosen on the bounded term key.
+    """
+    words = ensure_min_parallelism(
+        df.select(id_col, target_col, text_col), id_col
+    ).select(
+        F.col(id_col),
+        F.col(target_col).alias("__tgt"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "__tgt", "term").agg(F.count("*").alias("tf"))
+    voc = tf.groupBy("term").agg(
+        F.sum("tf").alias("cf_all"),
+        F.sum(F.when(F.col("__tgt"), F.col("tf")).otherwise(0)).alias("cf_t"),
+    )
+    totals = F.broadcast(
+        voc.agg(
+            F.sum("cf_all").alias("__ta"),
+            F.sum("cf_t").alias("__tt"),
+            F.count("*").alias("__v"),
+        )
+    )
+    ratio = F.log((F.col("cf_t") + 1) / (F.col("__tt") + F.col("__v"))) - F.log(
+        (F.col("cf_all") + 1) / (F.col("__ta") + F.col("__v"))
+    )
+    return (
+        tf.join(voc, "term")
+        .crossJoin(totals)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * ratio), 6).alias("log_iw"),
+        )
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

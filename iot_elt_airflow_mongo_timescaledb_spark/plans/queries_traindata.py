@@ -1546,6 +1546,40 @@ def unigram_logprob_scores(spark, sf_dir):
 
 
 @query(
+    "dsir_importance_weights",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source = 'src0' AS tgt,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents),
+    w2 AS (SELECT * FROM w WHERE term <> ''),
+    tf AS (SELECT doc_id, tgt, term, COUNT(*) AS tf FROM w2 GROUP BY 1, 2, 3),
+    voc AS (
+      SELECT term, SUM(tf) AS cf_all,
+             SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS cf_t
+      FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(cf_all) AS ta, SUM(cf_t) AS tt, COUNT(*) AS v FROM voc)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf * (ln((cf_t + 1) / (tt + v))
+                           - ln((cf_all + 1) / (ta + v)))), 6) AS log_iw
+    FROM tf JOIN voc USING (term), tot
+    GROUP BY doc_id
+    """,
+    gate=False,  # LM-score family; unigram_logprob gated via pytest suite
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR data-selection weights: log p_target/p_raw per document
+    under shared-vocab add-1 unigram models, target = source 'src0'
+    (operators/text.py:dsir_importance_weights).  Selection by weight
+    composes with token_budget_cut; the weight computation itself is
+    one explode + two hash-aggs + a broadcast totals row."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("source") == "src0"
+    )
+    return X.dsir_importance_weights(docs, "doc_id", "text", "is_target")
+
+
+@query(
     "chunk_dedup_clean",
     oracle=rf"""
     WITH w AS ({_words_sql("SELECT * FROM documents WHERE len(trim(text)) > 0")}),
