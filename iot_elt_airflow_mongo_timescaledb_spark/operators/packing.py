@@ -251,6 +251,61 @@ def shuffle_shard(
     return base.select(id_col, "shard", "pos")
 
 
+def curriculum_shard(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    n_shards: int,
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum shard layout: a GLOBAL easy-to-hard ordering of the
+    corpus without a global sort.  Shard k holds the k-th quantile
+    bucket of ``order_col`` (approximate cuts from one
+    ``percentile_approx`` pass — a bounded driver list, never a
+    collect of data), and rows inside each shard are ordered by
+    ``(order_col, id)`` with a per-shard window.  Trainers consuming
+    shard 0, 1, ... in order therefore see difficulty monotonically
+    non-decreasing ACROSS shards (threshold bucketing guarantees range
+    contiguity regardless of cut accuracy — only shard SIZES are
+    approximate) and exactly sorted WITHIN each shard.
+
+    The anti-shape this avoids: ``ORDER BY score`` over the corpus is a
+    single-ranged sort whose final pass funnels everything through few
+    tasks; here the one shuffle is the bucketed repartition and every
+    window is per-shard.  Rows with NULL ``order_col`` are rejected
+    loudly — silently sorting them first would corrupt the curriculum.
+    Duplicate quantile cuts (heavily-tied scores) collapse — shard
+    count is an upper bound, empty shards possible, documented.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    qs = [i / n_shards for i in range(1, n_shards)]
+    cuts_row = df.agg(
+        F.percentile_approx(
+            F.col(order_col), F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
+        ).alias("c"),
+        F.sum(F.col(order_col).isNull().cast("long")).alias("n_null"),
+    ).first()
+    if cuts_row["n_null"]:
+        raise ValueError(
+            f"curriculum_shard: {cuts_row['n_null']} rows have NULL "
+            f"{order_col} — filter or impute upstream, a curriculum over "
+            "NULLs is undefined"
+        )
+    cuts = sorted(set(cuts_row["c"] or []))
+    o = F.col(order_col) if ascending else -F.col(order_col)
+    if not ascending:
+        cuts = sorted(-c for c in cuts)
+    shard = F.lit(0)
+    for c in cuts:
+        shard = shard + (o > F.lit(c)).cast("int")
+    w = Window.partitionBy("shard").orderBy(o.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("shard", shard.cast("long"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
 def mix_weights(
     df: DataFrame,
     stratum_col: str,

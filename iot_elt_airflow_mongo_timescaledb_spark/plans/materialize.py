@@ -267,6 +267,32 @@ class Warehouse:
         )
         return self.read(name)
 
+    def materialize_curriculum_shards(
+        self,
+        name: str,
+        df: DataFrame,
+        id_col: str,
+        order_col: str,
+        n_shards: int,
+        ascending: bool = True,
+    ) -> DataFrame:
+        """Curriculum twin of ``materialize_training_shards``: shard k
+        is the k-th quantile bucket of ``order_col`` (easy shards
+        first), one pos-ordered file per shard — trainers stream the
+        shard files in index order and see globally non-decreasing
+        difficulty without the corpus ever passing through one sort
+        (operators/packing.py:curriculum_shard).  Same staged
+        atomic-replace landing as every full rewrite."""
+        from ..operators.packing import curriculum_shard
+
+        sharded = curriculum_shard(
+            df, id_col, order_col, n_shards, ascending=ascending
+        )
+        self.fmt.replace_atomic(
+            name, sharded.sortWithinPartitions("shard", "pos"), ("shard",)
+        )
+        return self.read(name)
+
     def retention_drop(
         self, name: str, partition_col: str, cutoff: str
     ) -> int:

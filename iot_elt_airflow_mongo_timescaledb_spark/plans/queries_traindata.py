@@ -1546,6 +1546,55 @@ def unigram_logprob_scores(spark, sf_dir):
 
 
 @query(
+    "curriculum_shards",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS contiguous, TRUE AS within_sorted
+    FROM documents
+    """,
+    gate=False,  # shard-layout family; shuffle_shards covers the gate path
+)
+def curriculum_shards(spark, sf_dir):
+    """Curriculum shard layout verdict (operators/packing.py:
+    curriculum_shard): documents bucketed into 8 quantile shards of
+    ``n_chars`` (the difficulty proxy), globally easy-to-hard WITHOUT a
+    global sort.  The exact shard sizes depend on approximate quantile
+    cuts (engine-specific), so the oracle pins the INVARIANTS instead:
+    every row lands somewhere (n_docs), cross-shard ranges are
+    contiguous (max of shard k <= min of shard k+1 — guaranteed by
+    threshold bucketing, so a regression here is a real bug), and
+    within-shard pos order equals the (n_chars, doc_id) sort."""
+    from pyspark.sql.window import Window
+
+    from ..operators.packing import curriculum_shard
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cur = curriculum_shard(docs, "doc_id", "n_chars", n_shards=8)
+    per = cur.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+    )
+    # n_shards rows at most — the ordered window over them is bounded
+    w = Window.orderBy("shard")
+    contiguous = per.withColumn("prev_hi", F.lag("hi").over(w)).agg(
+        F.sum("n").alias("n_docs"),
+        F.bool_and(
+            F.col("prev_hi").isNull() | (F.col("prev_hi") <= F.col("lo"))
+        ).alias("contiguous"),
+    )
+    ws = Window.partitionBy("shard").orderBy("pos")
+    sorted_ok = cur.withColumn("prev", F.lag("n_chars").over(ws)).agg(
+        F.bool_and(
+            F.col("prev").isNull() | (F.col("prev") <= F.col("n_chars"))
+        ).alias("within_sorted")
+    )
+    return contiguous.crossJoin(sorted_ok).select(
+        "n_docs", "contiguous", "within_sorted"
+    )
+
+
+@query(
     "dsir_importance_weights",
     oracle=r"""
     WITH w AS (

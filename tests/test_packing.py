@@ -53,3 +53,91 @@ def test_pinned_shards_reproducible_across_parallelism(spark):
         _docs(spark).repartition(3), "doc_id", "n_tok", budget=_BUDGET, n_shards=64
     )
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+# ---------------------------------------------------------------------------
+# curriculum_shard (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_shard_global_order_without_global_sort(spark):
+    from pyspark.sql import Row
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.packing import (
+        curriculum_shard,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, score=float((i * 37) % 100)) for i in range(200)]
+    )
+    cur = curriculum_shard(df, "doc_id", "score", n_shards=4)
+    rows = cur.collect()
+    assert len(rows) == 200
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    # cross-shard contiguity: max(shard k) <= min(shard k+1)
+    shards = sorted(by_shard)
+    for a, b in zip(shards, shards[1:]):
+        assert max(r["score"] for r in by_shard[a]) <= min(
+            r["score"] for r in by_shard[b]
+        )
+    # within-shard: pos order == (score, id) order
+    for rs in by_shard.values():
+        ordered = sorted(rs, key=lambda r: r["pos"])
+        assert ordered == sorted(rs, key=lambda r: (r["score"], r["doc_id"]))
+    # descending curriculum flips the cross-shard direction
+    desc = curriculum_shard(df, "doc_id", "score", n_shards=4, ascending=False)
+    d = {}
+    for r in desc.collect():
+        d.setdefault(r["shard"], []).append(r["score"])
+    ds = sorted(d)
+    for a, b in zip(ds, ds[1:]):
+        assert min(d[a]) >= max(d[b])
+
+
+def test_curriculum_shard_rejects_null_scores(spark):
+    import pytest as _p
+    from pyspark.sql import Row
+
+    from iot_elt_airflow_mongo_timescaledb_spark.operators.packing import (
+        curriculum_shard,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, score=1.0), Row(doc_id=2, score=None)]
+    )
+    with _p.raises(ValueError, match="NULL"):
+        curriculum_shard(df, "doc_id", "score", n_shards=2)
+
+
+def test_materialize_curriculum_shards_one_ordered_file_per_shard(spark, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [Row(doc_id=i, score=float(i % 50), text=f"t{i}") for i in range(100)]
+    )
+    wh.materialize_curriculum_shards(
+        "train.cur", df, "doc_id", "score", n_shards=3
+    )
+    root = os.path.join(str(tmp_path), "train", "cur")
+    shard_dirs = sorted(d for d in os.listdir(root) if d.startswith("shard="))
+    assert 1 <= len(shard_dirs) <= 3
+    total = 0
+    for d in shard_dirs:
+        files = glob.glob(os.path.join(root, d, "*.parquet"))
+        assert len(files) == 1  # one file per shard
+        t = pq.read_table(files[0]).to_pydict()
+        total += len(t["pos"])
+        assert t["pos"] == sorted(t["pos"])  # file rows in pos order
+        assert t["score"] == sorted(t["score"])  # == curriculum order
+    assert total == 100
