@@ -93,6 +93,8 @@ EXTENDED = [
     # round-7 additions
     "hist_rollup_quantiles",    # mergeable fixed-bin quantile rollup
     "manifest_time_travel",     # commit-log format merge + time travel
+    "dsir_importance_weights",  # DSIR data-selection weights
+    "curriculum_shards",        # quantile-bucketed curriculum layout
 ]
 
 
