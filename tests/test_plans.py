@@ -181,6 +181,8 @@ _NESTED_LOOP_OK = {
     "unigram_logprob_scores",  # 1-row broadcast corpus total
     "gapfill_locf",        # 1-row broadcast gapfill [lo, hi] range
     "gapfill_interpolate",  # 1-row broadcast gapfill [lo, hi] range
+    "dsir_importance_weights",  # 1-row broadcast model totals
+    "curriculum_shards",   # 1-row broadcast verdict crossJoin
 }
 
 
