@@ -175,15 +175,28 @@ class HealthPipeline:
         previous sync).  Exactly-once across sync RETRIES: the batch's
         max raw ``created_at`` is a monotone batch id committed inside
         the same atomic swap as the merged data — a retried batch
-        re-delivers the same id and no-ops.  Insert-only contract: like
-        any additive rollup, in-place UPDATES to already-merged docs are
-        not re-reflected (raw/stage handle those via upsert; a modified
-        history needs a rollup rebuild from stage)."""
+        re-delivering the SAME rows carries the same id and no-ops.  A
+        retry is NOT guaranteed byte-identical, though: a crash between
+        the rollup merge and the cursor commit re-extracts the batch,
+        and newly arrived docs raise max(created_at) so the id check
+        alone would re-merge the already-applied slice (double count).
+        Hence the second filter below: rows at or below the rollup's
+        COMMITTED batch id are excluded regardless of batch content —
+        only the genuinely-new tail merges, under its new id (pinned by
+        tests/test_pipeline.py::
+        test_maintained_rollup_retry_with_new_arrivals_no_double_count).
+        Insert-only contract: like any additive rollup, in-place
+        UPDATES to already-merged docs are not re-reflected (raw/stage
+        handle those via upsert; a modified history needs a rollup
+        rebuild from stage)."""
         parent, child = tables.get("steps"), tables.get("steps__metrics")
         if parent is None or child is None:
             return
         if lv is not None:
             parent = parent.filter(F.col("created_at") > F.lit(lv))
+        applied = self.steps_rollup._applied_batch_id()
+        if applied is not None:
+            parent = parent.filter(F.col("created_at") > F.lit(applied))
         batch_id = parent.agg(F.max("created_at").alias("m")).first()["m"]
         if batch_id is None:
             return  # boundary-only re-read: nothing strictly new

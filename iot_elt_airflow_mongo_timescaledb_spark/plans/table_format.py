@@ -529,6 +529,15 @@ class ManifestFormat(TableFormat):
         m = self._manifest(name, version)
         if m is None:
             raise FileNotFoundError(f"no committed manifest for table {name}")
+        if not m["entries"]:
+            # a committed-but-empty version (retention dropped every
+            # partition, or a first write of an empty partitioned frame)
+            # has no files to infer a schema from — same caller contract
+            # as a missing table, not an IndexError on frames[0]
+            raise FileNotFoundError(
+                f"table {name} has no data at version {m['version']} "
+                "(all partitions dropped or empty write)"
+            )
         # group entries by data dir: each dir is a self-contained dataset
         # whose hive layout (if any) infers partition columns relative to
         # its own basePath; dirs then union (schema may have evolved
@@ -578,6 +587,8 @@ class ManifestFormat(TableFormat):
         out = []
         for v in range(1, self._latest_version(name) + 1):
             m = self._manifest(name, v)
+            if m is None:
+                continue  # pruned by vacuum
             out.append(
                 {
                     "version": v,
@@ -633,7 +644,17 @@ class ManifestFormat(TableFormat):
         if not m or not m["partition_columns"]:
             return []
         top = m["partition_columns"][0]
-        return sorted({e["partitions"][top] for e in m["entries"]})
+        # entries written before the table adopted its layout (or the
+        # rare mixed state a guarded verb was bypassed into) carry
+        # partitions=None — they have no value for the top column and
+        # are skipped rather than raising TypeError on None[top]
+        return sorted(
+            {
+                e["partitions"][top]
+                for e in m["entries"]
+                if e["partitions"] and top in e["partitions"]
+            }
+        )
 
     def table_bytes(self, name: str) -> int:
         m = self._manifest(name)
@@ -654,7 +675,12 @@ class ManifestFormat(TableFormat):
     ) -> None:
         prev = self._manifest(name)
         if mode == "append" and prev is not None:
-            cols = prev["partition_columns"] or list(partition_by)
+            # an append NEVER changes the table's layout: adopting the
+            # caller's partition_by on a previously-unpartitioned table
+            # would mix partitions=None entries with partitioned ones —
+            # a state no partition-aware verb can reason about.  Change
+            # layout via replace_atomic (a full rewrite) instead.
+            cols = prev["partition_columns"]
             new, _ = self._new_data_dir(name, df, tuple(cols))
             self._commit(name, prev["entries"] + new, cols)
         else:
@@ -680,14 +706,30 @@ class ManifestFormat(TableFormat):
         dir's entries take their place.  Atomic per TABLE here (one
         commit), strictly stronger than the parquet commit protocol's
         per-partition atomicity."""
+        prev = self._manifest(name)
+        # guard BEFORE landing any data: an existing entry with no value
+        # for partition_col (unpartitioned write, or a different layout)
+        # cannot be compared against the replace set — keeping it would
+        # silently duplicate rows for the replaced values
+        stale = [
+            e
+            for e in (prev["entries"] if prev else [])
+            if not e["partitions"] or partition_col not in e["partitions"]
+        ]
+        if stale:
+            raise ValueError(
+                f"dynamic_partition_overwrite on {name}: {len(stale)} "
+                f"existing entr(ies) carry no '{partition_col}' partition "
+                "value (unpartitioned or differently-partitioned history) "
+                "— rewrite the table via replace_atomic with the target "
+                "layout first"
+            )
         new, _ = self._new_data_dir(name, df, (partition_col,))
         replaced = {e["partitions"][partition_col] for e in new}
-        prev = self._manifest(name)
         kept = [
             e
             for e in (prev["entries"] if prev else [])
-            if e["partitions"] is None
-            or e["partitions"].get(partition_col) not in replaced
+            if e["partitions"].get(partition_col) not in replaced
         ]
         self._commit(name, kept + new, [partition_col])
 
@@ -861,6 +903,40 @@ class CatalogManifestFormat(ManifestFormat):
             if v and super(CatalogManifestFormat, self)._manifest(name, v)
         )
 
+    def _committed_versions(self, name: str) -> set[int]:
+        """Every manifest version of ``name`` some CATALOG version has
+        resolved — the set time travel may serve.  A manifest an aborted
+        transaction left behind is a v*.json in ``_log`` but appears in
+        no catalog file, so it is invisible here (data a transaction
+        never committed must not be readable, not even "as of v")."""
+        import json
+
+        out: set[int] = set()
+        for f in self.fs.list_files(self._catalog_path()):
+            if f.startswith("c") and f.endswith(".json"):
+                v = json.loads(
+                    self.fs.read_text(join_uri(self._catalog_path(), f))
+                )["tables"].get(name)
+                if v:
+                    out.add(int(v))
+        if self._pending is not None and name in self._pending:
+            out.add(self._pending[name])  # read-your-writes inside a txn
+        return out
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        committed = self._committed_versions(name)
+        if version not in committed:
+            raise ValueError(
+                f"version {version} of {name} was never committed to the "
+                f"catalog (aborted transaction, or vacuumed); committed "
+                f"versions: {sorted(committed)}"
+            )
+        return super().read_version(name, version)
+
+    def history(self, name: str) -> list[dict]:
+        committed = self._committed_versions(name)
+        return [h for h in super().history(name) if h["version"] in committed]
+
     def vacuum(self, name: str, keep_last: int = 1) -> int:
         """Reclaim dirs not referenced by the manifests the last
         ``keep_last`` CATALOG versions resolve ``name`` to; drop every
@@ -868,6 +944,16 @@ class CatalogManifestFormat(ManifestFormat):
         included)."""
         if keep_last < 1:
             raise ValueError("vacuum keeps at least the current version")
+        if self._pending is not None:
+            # a pending (not yet flipped) manifest version is in no
+            # catalog file, so the sweep below would reclaim it — and the
+            # transaction's exit flip would then commit a pointer to a
+            # deleted manifest, leaving the table unreadable
+            raise RuntimeError(
+                "vacuum cannot run inside an open transaction: pending "
+                "manifest versions are not catalog-reachable yet and "
+                "would be reclaimed out from under the commit"
+            )
         import json
 
         cat_latest = self._catalog_version()

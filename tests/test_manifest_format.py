@@ -471,3 +471,85 @@ def test_catalog_time_travel_is_cross_table_consistent(spark, tmp_path, cat_wh):
     )
     with pytest.raises(ValueError, match="no catalog version"):
         cat_wh.fmt.read_at("raw.steps", 99)
+
+
+# -- round-8 hardening: review findings on the new format ------------------
+
+
+def test_read_after_dropping_every_partition_is_clean_error(spark, wh):
+    """Dropping ALL partitions commits an entries=[] manifest; reading it
+    must be the missing-table contract (FileNotFoundError), not an
+    IndexError on frames[0]."""
+    df = spark.createDataFrame([Row(day="20240101", v=1), Row(day="20240102", v=2)])
+    wh.materialize_incremental("stage.e", df, partition_by=("day",))
+    assert wh.retention_drop("stage.e", "day", "20240103") == 2
+    assert not wh.exists("stage.e")
+    with pytest.raises(FileNotFoundError, match="no data"):
+        wh.fmt.read("stage.e")
+
+
+def test_append_never_adopts_new_partition_layout(spark, wh):
+    """A partitioned append on a previously-UNPARTITIONED table must not
+    mix partitions=None entries with partitioned ones: the append keeps
+    the existing (empty) layout, and partition_values stays a clean []
+    instead of a TypeError."""
+    wh.fmt.write("stage.m", _days(spark, ("20240101", 1)), "overwrite")
+    wh.fmt.write(
+        "stage.m", _days(spark, ("20240102", 2)), "append", partition_by=("day",)
+    )
+    assert wh.fmt.partition_columns("stage.m") == []
+    assert wh.fmt.partition_values("stage.m") == []
+    got = {(r["day"], r["v"]) for r in wh.fmt.read("stage.m").collect()}
+    assert got == {("20240101", 1), ("20240102", 2)}
+
+
+def test_dynamic_partition_overwrite_rejects_unpartitioned_history(spark, wh):
+    """Backfilling a table whose committed entries carry no value for the
+    partition column cannot decide what to replace — it must refuse (and
+    refuse BEFORE landing any data dir), not silently keep rows that
+    duplicate the replaced values."""
+    wh.fmt.write("stage.b", _days(spark, ("20240101", 1)), "overwrite")
+    n_dirs_before = len(
+        [d for d in wh.fs.list_subdirs(wh.fmt.path("stage.b")) if d.startswith("d-")]
+    )
+    with pytest.raises(ValueError, match="no 'day' partition value"):
+        wh.fmt.dynamic_partition_overwrite(
+            "stage.b", _days(spark, ("20240101", 9)), "day"
+        )
+    n_dirs_after = len(
+        [d for d in wh.fs.list_subdirs(wh.fmt.path("stage.b")) if d.startswith("d-")]
+    )
+    assert n_dirs_after == n_dirs_before  # guard fired before the write
+
+
+def test_aborted_transaction_versions_are_not_time_travelable(spark, cat_wh):
+    """An aborted transaction's per-table manifest is an orphan no reader
+    may resolve — including read_version/history: time travel must only
+    serve versions some catalog version actually committed."""
+    wh = cat_wh
+    wh.materialize_incremental("a.t", _days(spark, ("d1", 1)), None)
+    with pytest.raises(RuntimeError, match="boom"):
+        with wh.fmt.transaction():
+            wh.materialize_upsert("a.t", _days(spark, ("d1", 99)), "day")
+            raise RuntimeError("boom")
+    # the orphan v2 manifest exists in _log but was never committed
+    assert wh.fmt._latest_version("a.t") == 2
+    with pytest.raises(ValueError, match="never committed"):
+        wh.fmt.read_version("a.t", 2)
+    assert [h["version"] for h in wh.fmt.history("a.t")] == [1]
+    # the committed version still travels
+    assert wh.fmt.read_version("a.t", 1).collect()[0]["v"] == 1
+
+
+def test_vacuum_inside_open_transaction_refuses(spark, cat_wh):
+    """A pending manifest version is catalog-unreachable until the exit
+    flip; vacuuming mid-transaction would reclaim it and the flip would
+    then commit a pointer to a deleted manifest."""
+    wh = cat_wh
+    wh.materialize_incremental("a.v", _days(spark, ("d1", 1)), None)
+    with wh.fmt.transaction():
+        wh.materialize_upsert("a.v", _days(spark, ("d1", 2)), "day")
+        with pytest.raises(RuntimeError, match="open transaction"):
+            wh.fmt.vacuum("a.v")
+    # the transaction itself still committed cleanly
+    assert wh.read("a.v").collect()[0]["v"] == 2

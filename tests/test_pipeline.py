@@ -565,3 +565,64 @@ def test_maintained_rollup_matches_recompute(spark, tmp_path_factory):
     # by the >= cursor but excluded by the strict > lv rollup filter
     p.sync({"steps": str(src2 / "steps.json")})
     assert as_map(p.daily_steps_rollup()) == roll
+
+
+def test_maintained_rollup_retry_with_new_arrivals_no_double_count(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Round-8 review finding: a crash between the rollup merge and the
+    cursor commit retries the batch, but the retry is NOT byte-identical
+    when new docs arrived in between — max(created_at) moves, so the
+    batch-id sentinel alone cannot detect the replay.  The rollup's
+    committed batch id must ALSO bound the merged slice: re-delivered
+    rows at or below it are excluded, only the genuinely-new tail
+    merges."""
+    import json
+
+    from iot_elt_airflow_mongo_timescaledb_spark.sources.ingest import (
+        IncrementalCursor,
+    )
+
+    src = tmp_path_factory.mktemp("retry_src")
+    t1, t2, t3 = T0, T0 + 3600, T0 + 7200
+
+    def doc(_id, t, steps):
+        return {"_id": _id, "device_id": "d1", "created_at": t,
+                "ended_at": t + 600,
+                "metrics": [{"ts": t + 10, "steps": steps}]}
+
+    (src / "steps.json").write_text(json.dumps([doc("p1", t1, 100)]))
+    p = HealthPipeline(
+        spark, str(tmp_path_factory.mktemp("retry_wh")), maintained_rollups=True
+    )
+    p.sync({"steps": str(src / "steps.json")})
+
+    # batch 2 arrives; the sync CRASHES after the rollup merge but
+    # before the cursor commit
+    (src / "steps.json").write_text(
+        json.dumps([doc("p1", t1, 100), doc("p2", t2, 40)])
+    )
+    orig_commit = IncrementalCursor.commit
+
+    def crashing(self, df):
+        raise RuntimeError("simulated crash before cursor commit")
+
+    monkeypatch.setattr(IncrementalCursor, "commit", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        p.sync({"steps": str(src / "steps.json")})
+    monkeypatch.setattr(IncrementalCursor, "commit", orig_commit)
+
+    # a NEW doc lands before the retry -> the retried batch is a
+    # superset of the crashed one, with a higher max(created_at)
+    (src / "steps.json").write_text(
+        json.dumps([doc("p1", t1, 100), doc("p2", t2, 40), doc("p3", t3, 7)])
+    )
+    p.sync({"steps": str(src / "steps.json")})
+
+    roll = {
+        (r["day"], r["device_id"]): r["step_count"]
+        for r in p.daily_steps_rollup().collect()
+    }
+    # 100 + 40 + 7 exactly once — the crashed-and-already-merged p2
+    # slice must not merge twice on the retry
+    assert roll == {("20200201", "d1"): 147}
