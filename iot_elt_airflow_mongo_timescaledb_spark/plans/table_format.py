@@ -407,12 +407,23 @@ class ManifestFormat(TableFormat):
       appends become visible atomically, unlike a live parquet append.
     - ``recover``: a no-op — there is nothing half-visible to repair.
 
-    Concurrency contract: SINGLE WRITER per table (the same contract the
-    staging-swap relies on).  The version-numbered commit detects a lost
-    race loudly where the filesystem reports rename-over-existing
-    (HDFS); on POSIX/object stores the pre-check is best-effort — a
-    distributed lock service would slot in at ``_commit``, exactly where
-    Delta-on-S3 puts it.
+    Concurrency contract: optimistic multi-writer for COMMUTING
+    operations, loud abort for the rest — the standard commit-log
+    protocol (Delta's WriteSerializable, Iceberg's commit retry).  The
+    CAS primitive is create-exclusive of the next ``v*.json`` (atomic
+    on HDFS, where the namenode arbitrates; best-effort on raw local /
+    object stores, where a coordination service — the Delta-on-S3
+    LogStore — slots into ``_try_write_manifest``).  On a lost race:
+
+    - ``write(append)``, ``drop_partitions_below``,
+      ``dynamic_partition_overwrite``: REBASE — re-read the new head,
+      re-apply the edit to it, retry the CAS (bounded attempts).  Two
+      concurrent appends both land, neither lost; partition edits
+      re-filter the new head's entries.
+    - ``replace_atomic`` (and ``merge``, which lands through it):
+      ABORT — a full-table replace computed against a stale base would
+      silently discard the concurrent commit, so the caller must re-run
+      against the new state.
 
     Layout::
 
@@ -457,28 +468,80 @@ class ManifestFormat(TableFormat):
             return None
         return json.loads(self.fs.read_text(path))
 
-    def _commit(self, name: str, entries: list, partition_columns: list) -> None:
-        """One small-file write + rename — the whole transaction."""
-        import json
-        import uuid
+    #: bounded CAS retries for rebaseable commits before giving up
+    COMMIT_ATTEMPTS = 6
 
-        nxt = self._latest_version(name) + 1
-        final = join_uri(self._log_path(name), f"v{nxt:012d}.json")
-        if self.fs.exists(final):  # best-effort pre-check (see docstring)
-            raise RuntimeError(
-                f"concurrent commit detected on {name} (v{nxt} exists); "
-                "this format requires a single writer per table"
-            )
+    def _try_write_manifest(
+        self, name: str, version: int, entries: list, partition_columns: list
+    ) -> bool:
+        """The commit CAS primitive: create-exclusive of the version
+        file.  True = this writer owns ``version``; False = another
+        writer got there first (pre-existing file, or the exclusive
+        create lost).  Atomic on HDFS (namenode-arbitrated
+        ``create(overwrite=false)``); on raw local/object stores the
+        exists+create window is best-effort and a coordination service
+        (Delta-on-S3's LogStore, a lock table) slots in HERE."""
+        import json
+
+        final = join_uri(self._log_path(name), f"v{version:012d}.json")
+        if self.fs.exists(final):
+            return False
         body = json.dumps(
             {
-                "version": nxt,
+                "version": version,
                 "partition_columns": partition_columns,
                 "entries": entries,
             }
         )
-        tmp = join_uri(self._log_path(name), f".tmp-{uuid.uuid4().hex}")
-        self.fs.write_text(tmp, body, overwrite=True)
-        self.fs.rename(tmp, final)
+        try:
+            self.fs.write_text(final, body, overwrite=False)
+        except Exception:
+            # create-exclusive refused: the racing writer's create won.
+            # A genuine IO failure also lands here — the bounded retry
+            # loop surfaces it as the final commit error instead of
+            # looping forever.
+            return False
+        return True
+
+    def _commit(self, name: str, entries: list, partition_columns: list) -> None:
+        """Non-rebaseable (full-replace) commit: one CAS attempt, loud
+        abort on a lost race — a replace computed against a stale base
+        would silently discard the concurrent commit."""
+        nxt = self._latest_version(name) + 1
+        if not self._try_write_manifest(name, nxt, entries, partition_columns):
+            raise RuntimeError(
+                f"concurrent commit detected on {name} (v{nxt} exists): a "
+                "full-table replace does not commute with a concurrent "
+                "write — re-run the operation against the new table state"
+            )
+
+    def _commit_edit(self, name: str, edit_fn) -> bool:
+        """Rebaseable commit: ``edit_fn(prev_manifest | None) ->
+        (entries, partition_columns) | None`` is re-applied against the
+        CURRENT head on every attempt, so a lost CAS rebases instead of
+        aborting (append vs append commutes; partition edits re-filter
+        the new head).  ``None`` from ``edit_fn`` means nothing to
+        commit (returns False).  Raises after ``COMMIT_ATTEMPTS`` lost
+        races — livelock turns into a loud error, not silent loss."""
+        import random
+        import time
+
+        for attempt in range(self.COMMIT_ATTEMPTS):
+            prev = self._manifest(name)
+            out = edit_fn(prev)
+            if out is None:
+                return False
+            entries, cols = out
+            nxt = self._latest_version(name) + 1
+            if self._try_write_manifest(name, nxt, entries, cols):
+                return True
+            # jittered backoff: contending writers decorrelate
+            time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        raise RuntimeError(
+            f"commit on {name} lost the version race "
+            f"{self.COMMIT_ATTEMPTS} times — persistent contention or a "
+            "stuck IO error; check the _log directory and re-run"
+        )
 
     def _new_data_dir(
         self, name: str, df: DataFrame, partition_by: tuple[str, ...]
@@ -682,7 +745,22 @@ class ManifestFormat(TableFormat):
             # layout via replace_atomic (a full rewrite) instead.
             cols = prev["partition_columns"]
             new, _ = self._new_data_dir(name, df, tuple(cols))
-            self._commit(name, prev["entries"] + new, cols)
+
+            def add_entries(head):
+                if head is None:
+                    return new, cols  # table replaced-away mid-append
+                if head["partition_columns"] != cols:
+                    # a concurrent replace changed the layout: our data
+                    # dir was written under the old one and cannot join
+                    # the new table — this pair does NOT commute
+                    raise RuntimeError(
+                        f"append to {name} lost to a concurrent layout "
+                        f"change ({cols} -> {head['partition_columns']}); "
+                        "re-run the append"
+                    )
+                return head["entries"] + new, cols
+
+            self._commit_edit(name, add_entries)
         else:
             entries, cols = self._new_data_dir(name, df, partition_by)
             self._commit(name, entries, cols)
@@ -726,12 +804,26 @@ class ManifestFormat(TableFormat):
             )
         new, _ = self._new_data_dir(name, df, (partition_col,))
         replaced = {e["partitions"][partition_col] for e in new}
-        kept = [
-            e
-            for e in (prev["entries"] if prev else [])
-            if e["partitions"].get(partition_col) not in replaced
-        ]
-        self._commit(name, kept + new, [partition_col])
+
+        def swap_partitions(head):
+            head_entries = head["entries"] if head else []
+            if any(
+                not e["partitions"] or partition_col not in e["partitions"]
+                for e in head_entries
+            ):
+                raise RuntimeError(
+                    f"dynamic_partition_overwrite on {name} lost to a "
+                    "concurrent layout change; re-run against the new "
+                    "table state"
+                )
+            kept = [
+                e
+                for e in head_entries
+                if e["partitions"].get(partition_col) not in replaced
+            ]
+            return kept + new, [partition_col]
+
+        self._commit_edit(name, swap_partitions)
 
     def drop_partitions_below(
         self, name: str, partition_col: str, cutoff: str
@@ -740,18 +832,26 @@ class ManifestFormat(TableFormat):
         manifest in ONE commit; no data moves (``vacuum`` reclaims the
         bytes later).  On a 100 TB table this is one small-file write
         where the directory format does 90 deletes."""
-        m = self._manifest(name)
-        if m is None:
+        if self._manifest(name) is None:
             return 0
-        keep, dropped_vals = [], set()
-        for e in m["entries"]:
-            val = (e["partitions"] or {}).get(partition_col)
-            if val is not None and val < cutoff:
-                dropped_vals.add(val)
-            else:
-                keep.append(e)
-        if dropped_vals:
-            self._commit(name, keep, m["partition_columns"])
+        dropped_vals: set = set()
+
+        def drop_entries(head):
+            if head is None:
+                return None
+            dropped_vals.clear()  # recompute against the current head
+            keep = []
+            for e in head["entries"]:
+                val = (e["partitions"] or {}).get(partition_col)
+                if val is not None and val < cutoff:
+                    dropped_vals.add(val)
+                else:
+                    keep.append(e)
+            if not dropped_vals:
+                return None  # nothing below the cutoff: no commit
+            return keep, head["partition_columns"]
+
+        self._commit_edit(name, drop_entries)
         return len(dropped_vals)
 
 
@@ -781,11 +881,18 @@ class CatalogManifestFormat(ManifestFormat):
       versions for EVERY table — a retried batch converges with no
       window where a reader can see parent-new/child-stale.
 
-    Concurrency contract tightens to SINGLE WRITER per WAREHOUSE (the
-    catalog serializes all tables), which is exactly the reference's
-    Airflow ``max_active_runs=1`` posture (iot_master_dag.py:42-48).
-    Time travel (``read_version``/``history``) stays per-table against
-    the manifest log.
+    Concurrency contract: non-transactional per-table commits use the
+    parent class's optimistic protocol, extended through the catalog —
+    rebaseable edits flip ONLY if the table still resolves to the base
+    they were computed against (``_flip_if_base``; a lost flip orphans
+    the fresh manifest and the edit rebases), and flips of different
+    tables commute via the catalog-version CAS retry.  TRANSACTIONS
+    keep the single-writer-per-warehouse contract (the reference's
+    Airflow ``max_active_runs=1`` posture, iot_master_dag.py:42-48): a
+    transaction's exit flip overwrites the pointers of every table it
+    touched, so racing it against other writers on the same tables is
+    undefined.  Time travel (``read_version``/``history``) stays
+    per-table against the manifest log.
     """
 
     CATALOG_DIR = "_catalog"
@@ -818,23 +925,68 @@ class CatalogManifestFormat(ManifestFormat):
         )
 
     def _flip_catalog(self, updates: dict[str, int]) -> None:
+        """Unconditional pointer flip (first writes, replaces,
+        transaction exits): CAS on the catalog version with bounded
+        retries — flips of DIFFERENT tables commute, so a lost race
+        just re-reads and merges onto the new head.  Same-table
+        conflicts are excluded upstream (the manifest-version CAS for
+        replaces; ``_flip_if_base`` for rebaseable edits; transactions
+        keep the single-writer-per-warehouse contract)."""
         import json
-        import uuid
+        import random
+        import time
 
-        cat = self._catalog()
-        nxt = cat["version"] + 1
-        final = join_uri(self._catalog_path(), f"c{nxt:012d}.json")
-        if self.fs.exists(final):
-            raise RuntimeError(
-                f"concurrent catalog commit detected (c{nxt} exists); this "
-                "format requires a single writer per warehouse"
+        for attempt in range(self.COMMIT_ATTEMPTS):
+            cat = self._catalog()
+            nxt = cat["version"] + 1
+            final = join_uri(self._catalog_path(), f"c{nxt:012d}.json")
+            body = json.dumps(
+                {"version": nxt, "tables": {**cat["tables"], **updates}}
             )
-        body = json.dumps(
-            {"version": nxt, "tables": {**cat["tables"], **updates}}
+            if not self.fs.exists(final):
+                try:
+                    self.fs.write_text(final, body, overwrite=False)
+                    return
+                except Exception:
+                    pass  # lost the create race: re-read and merge
+            time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        raise RuntimeError(
+            f"catalog flip lost the version race {self.COMMIT_ATTEMPTS} "
+            "times — persistent contention or a stuck IO error"
         )
-        tmp = join_uri(self._catalog_path(), f".tmp-{uuid.uuid4().hex}")
-        self.fs.write_text(tmp, body, overwrite=True)
-        self.fs.rename(tmp, final)
+
+    def _flip_if_base(self, name: str, version: int, base_version: int) -> bool:
+        """Conditional flip: point ``name`` at ``version`` ONLY if the
+        catalog still resolves it to ``base_version`` (the head the edit
+        was computed against).  False = the table advanced under us —
+        the caller's manifest is stale (now an orphan vacuum reclaims)
+        and the edit must rebase.  Lost races on the catalog FILE
+        (another table flipping) retry internally: they commute."""
+        import json
+        import random
+        import time
+
+        for attempt in range(self.COMMIT_ATTEMPTS):
+            cat = self._catalog()
+            if int(cat["tables"].get(name, 0)) != base_version:
+                return False
+            nxt = cat["version"] + 1
+            final = join_uri(self._catalog_path(), f"c{nxt:012d}.json")
+            body = json.dumps(
+                {"version": nxt, "tables": {**cat["tables"], name: version}}
+            )
+            if not self.fs.exists(final):
+                try:
+                    self.fs.write_text(final, body, overwrite=False)
+                    return True
+                except Exception:
+                    pass
+            time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        raise RuntimeError(
+            f"catalog flip for {name} lost the version race "
+            f"{self.COMMIT_ATTEMPTS} times — persistent contention or a "
+            "stuck IO error"
+        )
 
     def _resolved_version(self, name: str) -> int:
         if self._pending is not None and name in self._pending:
@@ -851,30 +1003,54 @@ class CatalogManifestFormat(ManifestFormat):
         return super()._manifest(name, version)
 
     def _commit(self, name: str, entries: list, partition_columns: list) -> None:
-        import json
-        import uuid
-
+        """Non-rebaseable (replace) commit + catalog flip.  The
+        manifest-version CAS serializes same-table replaces (the loser
+        aborts, exactly like the parent class); the flip itself only
+        races flips of other tables, which commute."""
         nxt = self._latest_version(name) + 1
-        final = join_uri(self._log_path(name), f"v{nxt:012d}.json")
-        if self.fs.exists(final):
+        if not self._try_write_manifest(name, nxt, entries, partition_columns):
             raise RuntimeError(
-                f"concurrent commit detected on {name} (v{nxt} exists); "
-                "this format requires a single writer per warehouse"
+                f"concurrent commit detected on {name} (v{nxt} exists): a "
+                "full-table replace does not commute with a concurrent "
+                "write — re-run the operation against the new table state"
             )
-        body = json.dumps(
-            {
-                "version": nxt,
-                "partition_columns": partition_columns,
-                "entries": entries,
-            }
-        )
-        tmp = join_uri(self._log_path(name), f".tmp-{uuid.uuid4().hex}")
-        self.fs.write_text(tmp, body, overwrite=True)
-        self.fs.rename(tmp, final)
         if self._pending is not None:
             self._pending[name] = nxt  # deferred: one flip commits all
         else:
             self._flip_catalog({name: nxt})
+
+    def _commit_edit(self, name: str, edit_fn) -> bool:
+        """Rebaseable commit through the CATALOG: the edit recomputes
+        against the catalog-resolved head, the manifest lands via the
+        version CAS, and the flip is CONDITIONED on the table still
+        resolving to the edit's base (``_flip_if_base``) — if another
+        writer advanced it in between, the fresh manifest is abandoned
+        as an orphan and the whole edit rebases on the new head."""
+        import random
+        import time
+
+        for attempt in range(self.COMMIT_ATTEMPTS):
+            prev = self._manifest(name)  # catalog/pending-resolved head
+            base_v = prev["version"] if prev else 0
+            out = edit_fn(prev)
+            if out is None:
+                return False
+            entries, cols = out
+            nxt = self._latest_version(name) + 1
+            if not self._try_write_manifest(name, nxt, entries, cols):
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+                continue
+            if self._pending is not None:
+                self._pending[name] = nxt
+                return True
+            if self._flip_if_base(name, nxt, base_v):
+                return True
+            time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        raise RuntimeError(
+            f"commit on {name} lost the catalog race "
+            f"{self.COMMIT_ATTEMPTS} times — persistent contention or a "
+            "stuck IO error"
+        )
 
     def transaction(self):
         """Context manager: every table committed inside flips into the

@@ -553,3 +553,136 @@ def test_vacuum_inside_open_transaction_refuses(spark, cat_wh):
             wh.fmt.vacuum("a.v")
     # the transaction itself still committed cleanly
     assert wh.read("a.v").collect()[0]["v"] == 2
+
+
+# -- round-8: optimistic concurrency for the commit log --------------------
+
+
+def _fmt_of(spark, root, kind):
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        CatalogManifestFormat,
+        ManifestFormat,
+    )
+
+    cls = {"manifest": ManifestFormat, "catalog": CatalogManifestFormat}[kind]
+    return cls(spark, root)
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_append_rebases_after_lost_version_cas(spark, tmp_path, kind, monkeypatch):
+    """Deterministic lost race: a competing writer lands its commit
+    between this writer's head read and its CAS attempt.  The append
+    must REBASE onto the new head — both rows land, nothing lost."""
+    root = str(tmp_path)
+    fmt = _fmt_of(spark, root, kind)
+    other = _fmt_of(spark, root, kind)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+
+    orig = fmt._try_write_manifest
+    state = {"injected": False}
+
+    def racing(name, version, entries, cols):
+        if not state["injected"]:
+            state["injected"] = True
+            other.write("s.t", _days(spark, ("b", 2)), "append")
+        return orig(name, version, entries, cols)
+
+    monkeypatch.setattr(fmt, "_try_write_manifest", racing)
+    fmt.write("s.t", _days(spark, ("c", 3)), "append")
+
+    got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_catalog_append_rebases_after_lost_flip(spark, tmp_path, monkeypatch):
+    """Catalog variant of the lost race at the SECOND commit point: the
+    manifest CAS succeeds but another writer flips the table first, so
+    the conditional flip refuses and the edit rebases — the abandoned
+    manifest becomes an orphan, and no append is lost."""
+    root = str(tmp_path)
+    fmt = _fmt_of(spark, root, "catalog")
+    other = _fmt_of(spark, root, "catalog")
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+
+    orig = fmt._flip_if_base
+    state = {"injected": False}
+
+    def racing(name, version, base_version):
+        if not state["injected"]:
+            state["injected"] = True
+            other.write("s.t", _days(spark, ("b", 2)), "append")
+        return orig(name, version, base_version)
+
+    monkeypatch.setattr(fmt, "_flip_if_base", racing)
+    fmt.write("s.t", _days(spark, ("c", 3)), "append")
+
+    got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+    # the first attempt's manifest is an orphan: unreadable via time
+    # travel, reclaimable by vacuum
+    committed = {h["version"] for h in fmt.history("s.t")}
+    assert len(committed) < fmt._latest_version("s.t")
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_two_threaded_writers_no_lost_update(spark, tmp_path, kind):
+    """Two live writers appending to ONE table concurrently: every
+    append must land exactly once (the round-7 format failed loudly
+    here by design; the commit loop now rebases instead)."""
+    import threading
+
+    root = str(tmp_path)
+    seed = _fmt_of(spark, root, kind)
+    seed.write("s.t", _days(spark, ("seed", 0)), "overwrite")
+
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def appender(writer_id):
+        fmt = _fmt_of(spark, root, kind)
+        try:
+            barrier.wait(timeout=60)
+            for i in range(3):
+                fmt.write(
+                    "s.t", _days(spark, (f"w{writer_id}_{i}", i)), "append"
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(w,)) for w in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    rows = [r["day"] for r in seed.read("s.t").collect()]
+    assert sorted(rows) == sorted(
+        ["seed"] + [f"w{w}_{i}" for w in (1, 2) for i in range(3)]
+    )
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_replace_aborts_on_concurrent_commit(spark, tmp_path, kind, monkeypatch):
+    """replace vs concurrent write does NOT commute: the replace that
+    lost the race must abort loudly (and leave the concurrent commit
+    intact), never silently discard it by rebasing."""
+    root = str(tmp_path)
+    fmt = _fmt_of(spark, root, kind)
+    other = _fmt_of(spark, root, kind)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+
+    orig = fmt._try_write_manifest
+    state = {"injected": False}
+
+    def racing(name, version, entries, cols):
+        if not state["injected"]:
+            state["injected"] = True
+            other.write("s.t", _days(spark, ("b", 2)), "append")
+        return orig(name, version, entries, cols)
+
+    monkeypatch.setattr(fmt, "_try_write_manifest", racing)
+    with pytest.raises(RuntimeError, match="does not commute"):
+        fmt.replace_atomic("s.t", _days(spark, ("c", 3)))
+    got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    assert got == {("a", 1), ("b", 2)}  # the winner's commit survives
