@@ -132,6 +132,14 @@ class Warehouse:
                 ).first()
                 df = df.filter(F.col(watermark_col) > F.lit(row["wm"]))
             self.fmt.write(name, df, "append", partition_by)
+            # commit-log formats accumulate one immutable data dir per
+            # append (~96/day at the 15-min cadence); their threshold
+            # policy rewrites the small-dir tail once the count passes
+            # auto_compact_dirs, keeping read amplification flat over
+            # unbounded syncs (cost O(threshold x batch), never O(table))
+            maybe_compact = getattr(self.fmt, "maybe_compact", None)
+            if maybe_compact is not None:
+                maybe_compact(name)
         else:
             self.fmt.write(name, df, "overwrite", partition_by)
         return self.read(name)

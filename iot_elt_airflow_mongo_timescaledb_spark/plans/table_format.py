@@ -435,10 +435,23 @@ class ManifestFormat(TableFormat):
 
     LOG_DIR = "_log"
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        auto_compact_dirs: int | None = 16,
+    ):
+        """``auto_compact_dirs``: data-dir count above which the append
+        path triggers :meth:`maybe_compact` (None disables).  Default 16
+        is evidence-based — the read-amplification curve in
+        PERF_NOTES.md shows scan cost growing with dir count (one
+        footer-listing + union branch per dir), with 16 keeping the
+        overhead low while amortizing one small-tail rewrite across 16
+        appends."""
         self.spark = spark
         self.root = root
         self.fs = HadoopFS(spark)
+        self.auto_compact_dirs = auto_compact_dirs
 
     # -- manifest machinery ---------------------------------------------
 
@@ -601,18 +614,22 @@ class ManifestFormat(TableFormat):
                 f"table {name} has no data at version {m['version']} "
                 "(all partitions dropped or empty write)"
             )
-        # group entries by data dir: each dir is a self-contained dataset
-        # whose hive layout (if any) infers partition columns relative to
-        # its own basePath; dirs then union (schema may have evolved
-        # between commits — allowMissingColumns fills with NULL, matching
-        # the parquet format's mergeSchema read)
+        return self._read_entries(name, m, m["entries"])
+
+    def _read_entries(self, name: str, m: dict, entries: list) -> DataFrame:
+        """DataFrame over a subset of a manifest's entries.  Entries
+        group by data dir: each dir is a self-contained dataset whose
+        hive layout (if any) infers partition columns relative to its
+        own basePath; dirs then union (schema may have evolved between
+        commits — allowMissingColumns fills with NULL, matching the
+        parquet format's mergeSchema read)."""
         by_dir: dict[str, list] = {}
-        for e in m["entries"]:
+        for e in entries:
             by_dir.setdefault(e["dir"], []).append(e)
         frames = []
-        for dirname, entries in sorted(by_dir.items()):
+        for dirname, dir_entries in sorted(by_dir.items()):
             base = join_uri(self.path(name), dirname)
-            paths = [self._entry_path(name, e) for e in entries]
+            paths = [self._entry_path(name, e) for e in dir_entries]
             reader = self.spark.read.option("mergeSchema", "true")
             if m["partition_columns"]:
                 reader = reader.option("basePath", base)
@@ -854,6 +871,57 @@ class ManifestFormat(TableFormat):
         self._commit_edit(name, drop_entries)
         return len(dropped_vals)
 
+    def maybe_compact(
+        self, name: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Threshold auto-compaction for the append-heavy read path.
+
+        Every append adds one immutable data dir; at a 15-minute sync
+        cadence that is ~96 dirs/day, and each dir costs the reader a
+        footer listing plus a union branch (read-amplification curve:
+        PERF_NOTES.md).  When the committed entries span more than
+        ``auto_compact_dirs`` dirs, rewrite ONLY the dirs smaller than
+        ``target_file_bytes`` — the accumulated append tail — into one
+        fresh dir.  Dirs at or above the target are left untouched, so
+        the rewrite cost is O(threshold x batch), never O(table): at
+        100 TB the big compacted history is never re-read, and the dir
+        count stays ~(big dirs + threshold) forever.  Sizing is one
+        ``getContentSummary`` metadata call per dir.
+
+        The swap commits through the rebaseable CAS loop: concurrent
+        appends add NEW dirs and commute; if a concurrent
+        replace/compact already removed any source dir, the edit
+        no-ops and vacuum reclaims the abandoned rewrite.  Returns the
+        number of data dirs collapsed (0 = below threshold / no-op).
+        """
+        if self.auto_compact_dirs is None:
+            return 0
+        m = self._manifest(name)
+        if m is None:
+            return 0
+        dirs = {e["dir"] for e in m["entries"]}
+        if len(dirs) <= self.auto_compact_dirs:
+            return 0
+        sizes = {
+            d: self.fs.tree_bytes(join_uri(self.path(name), d)) for d in dirs
+        }
+        small = {d for d, s in sizes.items() if s < target_file_bytes}
+        if len(small) < 2:
+            return 0  # nothing merges without rewriting full-size history
+        src = [e for e in m["entries"] if e["dir"] in small]
+        df = self._read_entries(name, m, src)
+        new, _ = self._new_data_dir(name, df, tuple(m["partition_columns"]))
+
+        def swap(head):
+            if head is None:
+                return None
+            if not small <= {e["dir"] for e in head["entries"]}:
+                return None  # a concurrent rewrite already took them
+            kept = [e for e in head["entries"] if e["dir"] not in small]
+            return kept + new, head["partition_columns"]
+
+        return len(small) if self._commit_edit(name, swap) else 0
+
 
 class CatalogManifestFormat(ManifestFormat):
     """ManifestFormat + a warehouse-level CATALOG pointer — multi-table
@@ -897,8 +965,13 @@ class CatalogManifestFormat(ManifestFormat):
 
     CATALOG_DIR = "_catalog"
 
-    def __init__(self, spark: SparkSession, root: str):
-        super().__init__(spark, root)
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        auto_compact_dirs: int | None = 16,
+    ):
+        super().__init__(spark, root, auto_compact_dirs=auto_compact_dirs)
         self._pending: dict[str, int] | None = None
 
     # -- catalog machinery ----------------------------------------------

@@ -686,3 +686,74 @@ def test_replace_aborts_on_concurrent_commit(spark, tmp_path, kind, monkeypatch)
         fmt.replace_atomic("s.t", _days(spark, ("c", 3)))
     got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
     assert got == {("a", 1), ("b", 2)}  # the winner's commit survives
+
+
+# -- round-8: threshold auto-compaction for the append read path -----------
+
+
+def test_auto_compaction_keeps_dir_count_flat(spark, tmp_path):
+    """Unbounded incremental appends must not accumulate unbounded data
+    dirs: past the threshold the small-dir tail rewrites into one dir,
+    so read amplification stays flat at ~threshold dirs forever."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=4)
+    wh = Warehouse(spark, str(tmp_path), table_format=fmt)
+    for i in range(12):
+        wh.materialize_incremental(
+            "stage.c", _days(spark, (f"202401{i:02d}", i)), "day"
+        )
+    n_dirs = len({e["dir"] for e in fmt._manifest("stage.c")["entries"]})
+    assert n_dirs <= 5  # threshold + the append that tripped it
+    # nothing lost, nothing duplicated, watermark semantics intact
+    got = {(r["day"], r["v"]) for r in wh.read("stage.c").collect()}
+    assert got == {(f"202401{i:02d}", i) for i in range(12)}
+    wh.materialize_incremental(
+        "stage.c", _days(spark, ("20240100", 99), ("20240120", 20)), "day"
+    )
+    got = {(r["day"], r["v"]) for r in wh.read("stage.c").collect()}
+    assert ("20240100", 99) not in got and ("20240120", 20) in got
+
+
+def test_auto_compaction_disabled_and_below_threshold(spark, tmp_path):
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    wh = Warehouse(spark, str(tmp_path), table_format=fmt)
+    for i in range(6):
+        wh.materialize_incremental(
+            "stage.d", _days(spark, (f"202401{i:02d}", i)), "day"
+        )
+    assert len({e["dir"] for e in fmt._manifest("stage.d")["entries"]}) == 6
+    assert fmt.maybe_compact("stage.d") == 0  # disabled
+
+    fmt2 = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=16)
+    assert fmt2.maybe_compact("stage.d") == 0  # 6 dirs <= 16
+
+
+def test_auto_compaction_leaves_fullsize_dirs_alone(spark, tmp_path):
+    """Dirs at/above the target file size never rewrite — the policy's
+    cost is O(small tail), not O(table)."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=2)
+    for i in range(4):
+        fmt.write(
+            "stage.f",
+            _days(spark, (f"202401{i:02d}", i)),
+            "append" if i else "overwrite",
+        )
+    # every dir counts as "full-size" under a 1-byte target -> no-op
+    assert fmt.maybe_compact("stage.f", target_file_bytes=1) == 0
+    assert len({e["dir"] for e in fmt._manifest("stage.f")["entries"]}) == 4
+    # under the real target all four are small -> one dir remains
+    assert fmt.maybe_compact("stage.f") == 4
+    assert len({e["dir"] for e in fmt._manifest("stage.f")["entries"]}) == 1
+    got = {(r["day"], r["v"]) for r in fmt.read("stage.f").collect()}
+    assert got == {(f"202401{i:02d}", i) for i in range(4)}
