@@ -215,6 +215,41 @@ class HealthPipeline:
             F.col("sum_step_count").alias("step_count"),
         )
 
+    def weekly_steps_rollup(self) -> DataFrame:
+        """``agg.weekly_steps`` served from the maintained DAILY rollup
+        — a pure regrain, no stage rescan.  Valid because stage.steps
+        derives day, month AND the weekly bucket from the SAME event
+        timestamp (models.py stage_steps, quirk §2.9.1 resolution), so
+        ``week = date_trunc('week', day)`` exactly reproduces
+        ``week_bucket(created_at)``; additivity of SUM does the rest.
+        The reference recomputes this from stage every weekly DAG run
+        (dags/iot_dwh_agg_transform_weekly.py:74) — O(history) per
+        refresh vs O(stored groups) here."""
+        wk = F.date_trunc("week", F.to_date("day", "yyyyMMdd"))
+        return self.steps_rollup.regrain(
+            {"week": wk, "device_id": F.col("device_id")}
+        ).select("week", "device_id", F.col("sum_step_count").alias("step_count"))
+
+    def monthly_steps_rollup(self) -> DataFrame:
+        """``agg.monthly_steps`` from the daily rollup: the month key is
+        a PREFIX of the day key (yyyyMM of yyyyMMdd) — the cheapest
+        possible regrain (dags/iot_dwh_agg_transform_monthly.py:77 is
+        the recompute it replaces).
+
+        The sleeps family does NOT regrain, by design: daily_sleeps is
+        AVG(bpm) behind an existence join against sleeps on (device_id,
+        day), while weekly/monthly sleeps skip that join entirely
+        (reference quirk §2.9.3) — the grains aggregate DIFFERENT row
+        sets, so no coarser grain is a function of the daily one.  A
+        maintained weekly/monthly sleeps would be its own
+        IncrementalAggSync over the heart-rate batches (sum+count make
+        AVG mergeable); the summary joins compose from the per-grain
+        steps/sleeps outputs either way.  They stay on the scheduled
+        recompute path here, matching the reference cadence."""
+        return self.steps_rollup.regrain(
+            {"month": F.substring("day", 1, 6), "device_id": F.col("device_id")}
+        ).select("month", "device_id", F.col("sum_step_count").alias("step_count"))
+
     def daily_steps_realtime(self) -> DataFrame:
         """Real-time continuous aggregate (Timescale's
         ``materialized_only = false``): the stored rollup merged on the
@@ -800,6 +835,34 @@ class IncrementalAggSync(_RollupSyncBase):
                 F.round(F.try_divide(F.col(f"sum_{c}"), F.col("n_rows")), 6),
             )
         return df
+
+    def regrain(self, exprs: dict) -> DataFrame:
+        """Re-aggregate the STORED rollup to any coarser grain — the
+        additive-sum analog of ``IncrementalDistinctSync.estimate`` /
+        ``IncrementalHistSync.estimate``: each new grain column is an
+        expression over the stored group columns (``{"week":
+        F.date_trunc("week", ...), "device_id": F.col("device_id")}``),
+        partial sums and row counts re-SUM exactly (additivity), and no
+        fact table is ever rescanned.  This is how the reference's
+        weekly/monthly steps cadences
+        (dags/iot_dwh_agg_transform_weekly.py:74, ...monthly.py:77) are
+        served from ONE maintained daily rollup: the coarser grains are
+        pure functions of the day key, so the regrain touches only
+        O(groups) stored rows where the scheduled recompute rescans all
+        of stage history.  Only valid when the target grain IS a
+        function of the stored grain — a grain needing fact-level
+        detail (e.g. a different timestamp column) must maintain its
+        own rollup."""
+        from pyspark.sql import functions as F
+
+        named = [v.alias(k) for k, v in exprs.items()]
+        base = self._stored().select(*named, *self._metrics)
+        out = base.groupBy(*exprs.keys()).agg(
+            # F.sum skips NULLs and yields NULL only when every input is
+            # NULL — exactly the _merge_metric semantics, re-applied
+            *[F.sum(m).alias(m) for m in self._metrics]
+        )
+        return self._derive(out)
 
 
 class IncrementalDistinctSync(_RollupSyncBase):

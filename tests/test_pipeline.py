@@ -626,3 +626,79 @@ def test_maintained_rollup_retry_with_new_arrivals_no_double_count(
     # 100 + 40 + 7 exactly once — the crashed-and-already-merged p2
     # slice must not merge twice on the retry
     assert roll == {("20200201", "d1"): 147}
+
+
+def test_weekly_monthly_rollups_regrain_from_daily(spark, tmp_path_factory):
+    """Round-8 verdict task: the reference's weekly/monthly steps
+    cadences served from the ONE maintained daily rollup via regrain —
+    equal to the scheduled recompute after every sync (3 batches
+    spanning different days/weeks/months), with no stage rescan."""
+    import json
+
+    src = tmp_path_factory.mktemp("regrain_src")
+    for name, docs in (
+        ("users", USERS), ("heart_rates", HEART_RATES),
+        ("sleeps", SLEEPS), ("steps", STEPS),
+    ):
+        (src / f"{name}.json").write_text(json.dumps(docs))
+    p = HealthPipeline(
+        spark, str(tmp_path_factory.mktemp("regrain_wh")),
+        maintained_rollups=True,
+    )
+    p.run_all(
+        {n: str(src / f"{n}.json")
+         for n in ("users", "heart_rates", "sleeps", "steps")}
+    )
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.models import (
+        agg_monthly_steps,
+        agg_weekly_steps,
+    )
+
+    def as_map(df, key):
+        return {(r[key], r["device_id"]): r["step_count"] for r in df.collect()}
+
+    def check():
+        p.run_stage()
+        for freq in ("weekly", "monthly"):
+            p.aggregate(freq)
+        ctx = {"stage.steps": p.wh.read("stage.steps")}
+        # the model builders ARE the scheduled recompute's semantics;
+        # the regrain must equal them exactly after every sync
+        wk = as_map(agg_weekly_steps(ctx), "week")
+        mo = as_map(agg_monthly_steps(ctx), "month")
+        assert wk and mo  # non-vacuous
+        assert as_map(p.weekly_steps_rollup(), "week") == wk
+        assert as_map(p.monthly_steps_rollup(), "month") == mo
+        # the MATERIALIZED weekly table agrees too (every batch below
+        # opens a new week); the materialized monthly table is checked
+        # at the end — the reference's strict month-watermark
+        # materialization never updates a month already written, so
+        # mid-month arrivals make it stale where the regrain is fresh
+        assert as_map(p.wh.read("agg.weekly_steps"), "week") == wk
+
+    check()
+
+    # two more sync-only batches: one ~10 days later (new week, same
+    # month), one ~40 days later (new month)
+    for i, dt in enumerate((10 * 24 * 3600, 40 * 24 * 3600)):
+        t = T0 + dt
+        batch = [
+            {"_id": f"r{i}", "device_id": "d2", "created_at": t,
+             "ended_at": t + 600,
+             "metrics": [{"ts": t + 50, "steps": 11 + i}]},
+        ]
+        b = tmp_path_factory.mktemp(f"regrain_b{i}")
+        (b / "steps.json").write_text(json.dumps(batch))
+        p.sync({"steps": str(b / "steps.json")})
+        check()
+
+    # materialized monthly vs regrain at the end: the new-month row
+    # (202003) agrees; the 202002 row is STALE in the materialized table
+    # (30, the pre-arrival value) while the regrain carries the exact 41
+    # — the freshness the maintained path buys over the reference's
+    # strict-watermark incremental materialization
+    mat = as_map(p.wh.read("agg.monthly_steps"), "month")
+    roll = as_map(p.monthly_steps_rollup(), "month")
+    assert mat[("202003", "d2")] == roll[("202003", "d2")]
+    assert mat[("202002", "d2")] == 30 and roll[("202002", "d2")] == 41
