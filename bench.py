@@ -156,19 +156,19 @@ def main() -> None:
         warm_stream_left_join_trigger,
     )
 
+    # warm entries auto-size state partitions via the production policy
+    # (sized_state_partitions: clamp(est_keys/100k, 4, 4096) — the
+    # round-7 A/B finding turned into the builders' default); the
+    # _sized32 control re-measures the same trigger at the pre-policy
+    # session conf so the policy's win stays visible round-over-round
     extended["streaming_session_rollup_warm"] = round(
         warm_session_rollup_trigger(spark, sf_dir), 3
     )
     extended["streaming_stream_left_join_warm"] = round(
         warm_stream_left_join_trigger(spark, sf_dir), 3
     )
-    # same trigger with state partitions RIGHT-SIZED to state volume
-    # (8 vs the session's 32): per-trigger cost is O(state partitions)
-    # — every trigger commits every state store, four per partition for
-    # the stream-stream join — so sizing to volume, not core count, is
-    # the production knob (frozen into the checkpoint at first run)
-    extended["streaming_stream_left_join_warm_sized8"] = round(
-        warm_stream_left_join_trigger(spark, sf_dir, state_partitions=8), 3
+    extended["streaming_stream_left_join_warm_sized32"] = round(
+        warm_stream_left_join_trigger(spark, sf_dir, state_partitions=32), 3
     )
 
     print(

@@ -31,6 +31,85 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# State-partition sizing policy
+# ---------------------------------------------------------------------------
+
+#: target state rows per partition; the knob behind ``sized_state_partitions``
+STATE_ROWS_PER_PARTITION = 100_000
+#: session-conf escape hatch: a fixed partition count overriding the policy
+STATE_PARTITIONS_CONF = (
+    "spark.iot_elt_airflow_mongo_timescaledb.streaming.statePartitions"
+)
+
+
+def sized_state_partitions(
+    spark: SparkSession,
+    est_state_rows: int,
+    rows_per_partition: int = STATE_ROWS_PER_PARTITION,
+    floor: int = 4,
+    cap: int = 4096,
+) -> int:
+    """``spark.sql.shuffle.partitions`` for a NEW stateful streaming
+    query, sized to STATE VOLUME instead of inherited from the session.
+
+    Why this exists (measured, PERF_NOTES "Warm streaming A/B"): every
+    trigger commits EVERY state store regardless of how much data
+    arrived — the stream-stream join runs four stores per partition —
+    so steady-state trigger latency is O(partitions), ~0.25 s/partition
+    on local disk at this fixture scale (8.8 s @ 32 partitions vs
+    1.8 s @ 8, identical input).  The session default (sized to cores
+    for batch shuffles) is therefore exactly wrong for a low-volume
+    stream, and the count FREEZES into the checkpoint at first start —
+    it cannot be fixed later without discarding state.  Policy:
+
+        partitions = clamp(ceil(est_state_rows / rows_per_partition),
+                           floor, cap)
+
+    ``floor`` keeps scan/commit parallelism for small state; ``cap``
+    bounds the per-trigger commit bill for huge-key-space streams (at
+    the cap, state rows per partition grow instead — the right trade,
+    since per-row cost is tiny next to per-store commit cost).  Setting
+    ``spark.…streaming.statePartitions`` overrides the estimate
+    entirely (the production knob when key cardinality is known)."""
+    override = spark.conf.get(STATE_PARTITIONS_CONF, None)
+    if override is not None:
+        return int(override)
+    import math
+
+    return min(cap, max(floor, math.ceil(est_state_rows / rows_per_partition)))
+
+
+def _est_state_keys(spark: SparkSession, sf_dir: str) -> int:
+    """State-key cardinality proxy for the events builders: approximate
+    distinct ``user_id`` — one aggregate scan at query start, amortized
+    over the stream's lifetime (sessions hold one open window per user;
+    the stream-stream join holds the in-watermark-window rows, keyed by
+    user).  Workloads whose in-window row volume dominates key count
+    should set the conf override instead."""
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return int(df.agg(F.approx_count_distinct("user_id")).first()[0])
+
+
+class _state_sized:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` for a
+    query START (the count freezes into the checkpoint), restore after."""
+
+    def __init__(self, spark: SparkSession, n_partitions: int | None):
+        self.spark = spark
+        self.n = n_partitions
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def events_stream(
     spark: SparkSession, sf_dir: str, schema: T.StructType | None = None
 ) -> DataFrame:
@@ -168,9 +247,15 @@ def session_rollup_stream_append(
     through the executor-side file sink; open sessions stay in state.
     At drain end the emitted set is precisely the batch sessions whose
     ``session_end <= max(ts) - delay`` (the final watermark) — pinned
-    by the registry oracle."""
+    by the registry oracle.  State partitions auto-size to the user-key
+    cardinality (``sized_state_partitions``) — the production default
+    the round-7 A/B measured, instead of inheriting the batch-shuffle
+    session conf."""
     agg = session_rollup_agg(events_stream(spark, sf_dir))
-    return _drain_to_files(spark, agg, "session_append", sink_dir=sink_dir)
+    n = sized_state_partitions(spark, _est_state_keys(spark, sf_dir))
+    return _drain_to_files(
+        spark, agg, "session_append", sink_dir=sink_dir, state_partitions=n
+    )
 
 
 def enriched_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,6 +328,7 @@ def _drain_to_files(
     df: DataFrame,
     name: str,
     sink_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Append-mode drain through a parquet file sink + batch read-back.
 
@@ -270,13 +356,16 @@ def _drain_to_files(
     else:
         out = sink_dir
     data = join_uri(out, "data")
-    q = (
-        df.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", data)
-        .option("checkpointLocation", join_uri(out, "_checkpoint"))
-        .start()
-    )
+    # the shuffle-partition count freezes into the checkpoint at START —
+    # apply the state sizing policy exactly there (restored right after)
+    with _state_sized(spark, state_partitions):
+        q = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", join_uri(out, "_checkpoint"))
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -310,7 +399,10 @@ def view_purchase_join_stream(
     joined = purchase_view_join(
         lambda: events_stream(spark, sf_dir, schema=file_schema), "inner"
     )
-    return _drain_to_files(spark, joined, "view_purchase_join", sink_dir)
+    n = sized_state_partitions(spark, _est_state_keys(spark, sf_dir))
+    return _drain_to_files(
+        spark, joined, "view_purchase_join", sink_dir, state_partitions=n
+    )
 
 
 def view_purchase_left_join_stream(
@@ -329,7 +421,10 @@ def view_purchase_left_join_stream(
     joined = purchase_view_join(
         lambda: events_stream(spark, sf_dir, schema=file_schema), "left_outer"
     )
-    return _drain_to_files(spark, joined, "view_purchase_left_join", sink_dir)
+    n = sized_state_partitions(spark, _est_state_keys(spark, sf_dir))
+    return _drain_to_files(
+        spark, joined, "view_purchase_left_join", sink_dir, state_partitions=n
+    )
 
 
 # --------------------------------------------------------------------------
@@ -364,13 +459,15 @@ def _warm_trigger_seconds(
     watched directory.
 
     ``state_partitions`` overrides ``spark.sql.shuffle.partitions`` for
-    this query (restored after).  Stateful per-trigger cost is
-    O(state partitions), NOT data: every trigger commits every state
-    store (the stream-stream join runs four per partition), so 32
-    partitions is ~5x the trigger latency of 8 at identical input
-    (measured A/B in PERF_NOTES).  In production the count is frozen
-    into the checkpoint at first run — size it to state volume, not to
-    core count.
+    this query (restored after); ``None`` (the default) applies the
+    production sizing policy (``sized_state_partitions`` on the
+    user-key estimate) — the same count the production builders start
+    with.  Stateful per-trigger cost is O(state partitions), NOT data:
+    every trigger commits every state store (the stream-stream join
+    runs four per partition), so 32 partitions is ~5x the trigger
+    latency of 8 at identical input (measured A/B in PERF_NOTES).  In
+    production the count is frozen into the checkpoint at first run —
+    size it to state volume, not to core count.
     """
     import glob as globmod
     import shutil as sh
@@ -378,9 +475,12 @@ def _warm_trigger_seconds(
     from ..fs import scratch_dir
     from ..plans.registry import table
 
+    if state_partitions is None:
+        state_partitions = sized_state_partitions(
+            spark, _est_state_keys(spark, sf_dir)
+        )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     root = scratch_dir(spark, "warm_trigger_")
     try:
         watch = os.path.join(root, "src")
