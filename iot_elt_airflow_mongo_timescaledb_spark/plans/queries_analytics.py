@@ -279,7 +279,10 @@ def hll_rollup_distinct(spark, sf_dir):
     SELECT event_type, COUNT(*) AS n_values, TRUE AS p50_ok, TRUE AS p99_ok
     FROM events WHERE value BETWEEN 0 AND 500 GROUP BY 1
     """,
-    gate=False,  # sketch-rollup family; hll_rollup / percentile tier cover the gate
+    # promoted to the gate in round 8 (rotation: the driver had never
+    # exercised the round-7 flagships; minhash/simhash signature rows
+    # demoted — their family stays covered by lsh_candidate_pairs /
+    # dedup_clusters and the pytest oracle suite)
 )
 def hist_rollup_quantiles(spark, sf_dir):
     """Mergeable-histogram quantile rollup — the 100 TB percentile
