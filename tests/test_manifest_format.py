@@ -757,3 +757,95 @@ def test_auto_compaction_leaves_fullsize_dirs_alone(spark, tmp_path):
     assert len({e["dir"] for e in fmt._manifest("stage.f")["entries"]}) == 1
     got = {(r["day"], r["v"]) for r in fmt.read("stage.f").collect()}
     assert got == {(f"202401{i:02d}", i) for i in range(4)}
+
+
+# -- round-8: genuinely-separate-session recovery drill ---------------------
+
+
+_DRILL = r"""
+import sys
+
+root, kind, repo = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+    CatalogManifestFormat,
+    ManifestFormat,
+)
+
+fmt = {"manifest": ManifestFormat, "catalog": CatalogManifestFormat}[kind](
+    spark, root
+)
+# 1. the crashed session's half-done work is invisible: only committed
+#    state reads
+rows = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+assert rows == {("a", 1)}, rows
+if kind == "catalog":
+    try:
+        fmt.read_version("s.t", 2)
+        raise SystemExit("aborted-transaction manifest was readable")
+    except ValueError:
+        pass
+# 2. vacuum reclaims the crash leftovers from a fresh process
+removed = fmt.vacuum("s.t")
+assert removed >= 1, f"expected orphan dirs reclaimed, got {removed}"
+# 3. this session can commit on top
+fmt.write(
+    "s.t",
+    spark.createDataFrame([("b", 2)], "day string, v bigint"),
+    "append",
+)
+rows = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+assert rows == {("a", 1), ("b", 2)}, rows
+print("DRILL_OK")
+"""
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_separate_session_recovery_drill(spark, tmp_path, kind):
+    """The pointer protocol must carry NO in-memory state: a SUBPROCESS
+    with its own SparkSession opens the warehouse mid-crash (orphan data
+    dir; for the catalog format also an aborted transaction's orphan
+    manifest), sees only committed data, vacuums the leftovers, and
+    commits on top — then this session reads the subprocess's commit."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "wh")
+    fmt = _fmt_of(spark, root, kind)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+    # crash leftovers: an uncommitted data dir (died before commit) ...
+    fmt._new_data_dir("s.t", _days(spark, ("zz", 99)), ())
+    if kind == "catalog":
+        # ... and an aborted transaction's orphan manifest (v2)
+        with pytest.raises(RuntimeError, match="boom"):
+            with fmt.transaction():
+                fmt.replace_atomic("s.t", _days(spark, ("zz", 99)))
+                raise RuntimeError("boom")
+
+    script = tmp_path / "drill.py"
+    script.write_text(_DRILL)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(script),
+            root,
+            kind,
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "DRILL_OK" in proc.stdout
+    # back in THIS session: the subprocess's append is visible
+    rows = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    assert rows == {("a", 1), ("b", 2)}
