@@ -432,6 +432,45 @@ def view_purchase_left_join_stream(
 # --------------------------------------------------------------------------
 
 
+def _event_time_slice_conds(ev: DataFrame, n_chunks: int) -> list:
+    """Quantile-cut event-time slice conditions for the warm harness.
+
+    Cuts are ``n_chunks``-quantiles of ``unix_micros(ts)``; slices are
+    ``(lo, hi]`` with open outer ends, so the conditions PARTITION the
+    corpus exactly — every row matches exactly one slice (adjacent
+    slices share an edge; ties at a cut all land in the lower slice;
+    the open ends catch the extremes).  Pinned by
+    tests/test_warm_harness.py.  Collapsed quantiles (skewed/uniform
+    ts) dedupe — the caller decides whether the surviving slice count
+    is enough to measure."""
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = ev.agg(
+        F.percentile_approx(
+            F.unix_micros("ts"),
+            F.array(*[F.lit(q) for q in qs]),
+            F.lit(10_000),
+        ).alias("c")
+    ).first()["c"]
+    # dedupe: a skewed/uniform ts distribution can collapse adjacent
+    # quantiles; equal boundaries would make empty slices
+    bounds = sorted(set(cuts or []))
+    if not bounds:
+        raise ValueError(
+            "warm split: events table is empty — nothing to measure"
+        )
+    edges = [None, *bounds, None]  # (lo, hi] slices; open at the ends
+    conds = []
+    for i in range(len(edges) - 1):
+        lo, hi = edges[i], edges[i + 1]
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.unix_micros("ts") > lo)
+        if hi is not None:
+            cond = cond & (F.unix_micros("ts") <= hi)
+        conds.append(cond)
+    return conds
+
+
 def _warm_trigger_seconds(
     spark, sf_dir, transform, n_chunks: int = 10,
     state_partitions: int | None = None,
@@ -486,34 +525,15 @@ def _warm_trigger_seconds(
         watch = os.path.join(root, "src")
         os.makedirs(watch)
         ev = table(spark, sf_dir, "events")
-        qs = [i / n_chunks for i in range(1, n_chunks)]
-        cuts = ev.agg(
-            F.percentile_approx(
-                F.unix_micros("ts"),
-                F.array(*[F.lit(q) for q in qs]),
-                F.lit(10_000),
-            ).alias("c")
-        ).first()["c"]
-        # dedupe: a skewed/uniform ts distribution can collapse adjacent
-        # quantiles; equal boundaries would make empty slices
-        bounds = sorted(set(cuts or []))
-        if not bounds:
-            raise ValueError(
-                "warm split: events table is empty — nothing to measure"
-            )
-        edges = [None, *bounds, None]  # (lo, hi] slices; open at the ends
         staged: list[str] = []
-        for i in range(len(edges) - 1):
-            lo, hi = edges[i], edges[i + 1]
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (F.unix_micros("ts") > lo)
-            if hi is not None:
-                cond = cond & (F.unix_micros("ts") <= hi)
+        for i, cond in enumerate(_event_time_slice_conds(ev, n_chunks)):
             stage = os.path.join(root, f"stage{i}")
             ev.filter(cond).coalesce(1).write.parquet(stage)
             parts = globmod.glob(os.path.join(stage, "part-*.parquet"))
-            if parts:
+            # an EMPTY slice (duplicate-heavy ts collapsing a quantile)
+            # still writes a zero-row part file — feeding it would make
+            # a trigger that measures nothing, so check rows, not files
+            if parts and spark.read.parquet(stage).limit(1).count() > 0:
                 staged.append(parts[0])
         if len(staged) < 2:
             raise ValueError(
