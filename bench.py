@@ -95,6 +95,8 @@ EXTENDED = [
     "manifest_time_travel",     # commit-log format merge + time travel
     "dsir_importance_weights",  # DSIR data-selection weights
     "curriculum_shards",        # quantile-bucketed curriculum layout
+    # round-8 additions
+    "manifest_data_skipping",   # per-entry min/max stats + entry pruning
 ]
 
 

@@ -863,6 +863,61 @@ def manifest_time_travel(spark, sf_dir):
 
 
 @query(
+    "manifest_data_skipping",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer)
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal_sum,
+           1 AS entries_read
+    FROM customer, mx
+    WHERE c_custkey > m * 2 // 5 AND c_custkey <= m * 3 // 5
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # warehouse-machinery family; manifest_time_travel's sibling
+)
+def manifest_data_skipping(spark, sf_dir):
+    """Manifest-level data skipping end-to-end (ManifestFormat
+    ``stats_cols``/``read_where``): customers land as five range-chunked
+    appends (a time-ordered ingest stream's shape — each entry gets
+    min/max c_custkey stats at write time), then a range read over the
+    middle quintile.  ``entries_read`` pins the skipping itself: the
+    manifest prune must leave exactly ONE of the five entries before
+    Spark lists a single file (lit-folded into every row, so a pruning
+    regression breaks the value hash, not just latency).  The oracle
+    recomputes the same range aggregate from the raw table."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mds_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    mx = int(c.agg(F.max("c_custkey")).first()[0])
+    bounds = [0] + [mx * i // 5 for i in range(1, 5)] + [mx]
+    for i in range(5):
+        chunk = c.filter(
+            (F.col("c_custkey") > bounds[i])
+            & (F.col("c_custkey") <= bounds[i + 1])
+        )
+        fmt.write("ds.cust", chunk, "append" if i else "overwrite")
+    lo, hi = mx * 2 // 5 + 1, mx * 3 // 5
+    kept, _ = fmt.prune_entries("ds.cust", "c_custkey", lo, hi)
+    return (
+        fmt.read_where("ds.cust", "c_custkey", lo, hi)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn("entries_read", F.lit(len(kept)))
+    )
+
+
+@query(
     "table_diff_summary",
     oracle="""
     WITH b AS (

@@ -440,6 +440,7 @@ class ManifestFormat(TableFormat):
         spark: SparkSession,
         root: str,
         auto_compact_dirs: int | None = 16,
+        stats_cols: tuple[str, ...] = (),
     ):
         """``auto_compact_dirs``: data-dir count above which the append
         path triggers :meth:`maybe_compact` (None disables).  Default 16
@@ -447,11 +448,25 @@ class ManifestFormat(TableFormat):
         PERF_NOTES.md shows scan cost growing with dir count (one
         footer-listing + union branch per dir), with 16 keeping the
         overhead low while amortizing one small-tail rewrite across 16
-        appends."""
+        appends.
+
+        ``stats_cols``: columns whose per-entry min/max land in the
+        manifest at write time (Delta/Iceberg file-skipping stats) —
+        :meth:`read_where` then prunes whole entries from the MANIFEST
+        before Spark ever lists a file.  Partition pruning skips
+        partitions the layout was designed around; entry stats skip on
+        any well-clustered column (a time-ordered append stream gives
+        near-disjoint ts ranges per entry for free).  Numeric and
+        string columns compare natively; other types are stored as
+        strings (ISO timestamps order correctly, arbitrary types may
+        not — choose stats_cols accordingly).  Cost: one bounded
+        aggregate over each freshly written dir (one row per partition
+        leaf)."""
         self.spark = spark
         self.root = root
         self.fs = HadoopFS(spark)
         self.auto_compact_dirs = auto_compact_dirs
+        self.stats_cols = tuple(stats_cols)
 
     # -- manifest machinery ---------------------------------------------
 
@@ -571,7 +586,9 @@ class ManifestFormat(TableFormat):
             w = w.partitionBy(*partition_by)
         w.parquet(target)
         if not partition_by:
-            return [{"dir": dirname, "partitions": None}], []
+            entries = [{"dir": dirname, "partitions": None}]
+            self._attach_stats(name, dirname, entries, ())
+            return entries, []
         entries = []
 
         def walk(rel: str, values: dict, depth: int):
@@ -589,7 +606,58 @@ class ManifestFormat(TableFormat):
                 )
 
         walk("", {}, 0)
+        self._attach_stats(name, dirname, entries, partition_by)
         return entries, list(partition_by)
+
+    def _attach_stats(
+        self, name: str, dirname: str, entries: list, partition_by: tuple
+    ) -> None:
+        """Record per-entry min/max of ``stats_cols`` in the manifest —
+        ONE bounded aggregate over the freshly written dir (grouped by
+        partition leaf; Spark reads only the stats columns, and parquet
+        footers answer min/max without scanning data pages).  Values
+        JSON-serialize natively when numeric/bool/string; anything else
+        (timestamps, dates, decimals) is stored as ``str(v)`` —
+        lexicographic compare, fine for ISO timestamps."""
+        if not self.stats_cols or not entries:
+            return
+        from pyspark.sql import functions as F
+
+        base = join_uri(self.path(name), dirname)
+        reader = self.spark.read
+        if partition_by:
+            reader = reader.option("basePath", base)
+        df = reader.parquet(base)
+        present = [c for c in self.stats_cols if c in df.columns]
+        if not present:
+            return
+
+        def enc(v):
+            return v if isinstance(v, (int, float, bool, str)) or v is None else str(v)
+
+        aggs = []
+        for c in present:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        if partition_by:
+            rows = df.groupBy(*partition_by).agg(*aggs).collect()
+            by_part = {
+                tuple(str(r[c]) for c in partition_by): r for r in rows
+            }
+            for e in entries:
+                r = by_part.get(
+                    tuple(e["partitions"][c] for c in partition_by)
+                )
+                if r is not None:
+                    e["stats"] = {
+                        c: [enc(r[f"__mn_{c}"]), enc(r[f"__mx_{c}"])]
+                        for c in present
+                    }
+        else:
+            r = df.agg(*aggs).first()
+            entries[0]["stats"] = {
+                c: [enc(r[f"__mn_{c}"]), enc(r[f"__mx_{c}"])] for c in present
+            }
 
     def _entry_path(self, name: str, e: dict) -> str:
         base = join_uri(self.path(name), e["dir"])
@@ -922,6 +990,62 @@ class ManifestFormat(TableFormat):
 
         return len(small) if self._commit_edit(name, swap) else 0
 
+    def prune_entries(self, name: str, col: str, lo=None, hi=None) -> tuple:
+        """Manifest-level data skipping: the entries whose recorded
+        ``col`` range intersects ``[lo, hi]``.  Entries with no stats
+        for the column (written before ``stats_cols`` included it, or
+        all-NULL) are KEPT — pruning is an optimization that must never
+        change results.  Returns ``(kept_entries, manifest)``; driver
+        cost is one pass over the entry list (manifest-sized, never
+        data-sized)."""
+        m = self._manifest(name)
+        if m is None:
+            raise FileNotFoundError(f"no committed manifest for table {name}")
+        kept = []
+        for e in m["entries"]:
+            st = (e.get("stats") or {}).get(col)
+            if not st or st[0] is None or st[1] is None:
+                kept.append(e)
+                continue
+            mn, mx = st
+            if lo is not None and mx < lo:
+                continue
+            if hi is not None and mn > hi:
+                continue
+            kept.append(e)
+        return kept, m
+
+    def read_where(self, name: str, col: str, lo=None, hi=None) -> DataFrame:
+        """Range read with manifest-level skipping (the Delta/Iceberg
+        file-skipping read path): entries whose ``col`` min/max cannot
+        intersect ``[lo, hi]`` never reach Spark's file listing, THEN
+        the same range applies as an ordinary pushed predicate for
+        row-level filtering inside surviving entries.  On a
+        time-ordered append stream this turns "last hour of a year of
+        appends" into a scan of ~one entry — partition pruning's win,
+        on a column the layout was never partitioned by.  Bounds
+        compare in the stats' stored domain (numeric native, other
+        types as strings — see ``stats_cols``)."""
+        from pyspark.sql import functions as F
+
+        kept, m = self.prune_entries(name, col, lo, hi)
+        if not m["entries"]:
+            raise FileNotFoundError(
+                f"table {name} has no data at version {m['version']}"
+            )
+        if not kept:
+            # nothing can match: an empty frame with the table's schema
+            # (footer-only read of one entry, no data pages)
+            return self._read_entries(name, m, m["entries"][:1]).filter(
+                F.lit(False)
+            )
+        df = self._read_entries(name, m, kept)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
 
 class CatalogManifestFormat(ManifestFormat):
     """ManifestFormat + a warehouse-level CATALOG pointer — multi-table
@@ -970,8 +1094,12 @@ class CatalogManifestFormat(ManifestFormat):
         spark: SparkSession,
         root: str,
         auto_compact_dirs: int | None = 16,
+        stats_cols: tuple[str, ...] = (),
     ):
-        super().__init__(spark, root, auto_compact_dirs=auto_compact_dirs)
+        super().__init__(
+            spark, root,
+            auto_compact_dirs=auto_compact_dirs, stats_cols=stats_cols,
+        )
         self._pending: dict[str, int] | None = None
 
     # -- catalog machinery ----------------------------------------------

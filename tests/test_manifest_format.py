@@ -849,3 +849,123 @@ def test_separate_session_recovery_drill(spark, tmp_path, kind):
     # back in THIS session: the subprocess's append is visible
     rows = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
     assert rows == {("a", 1), ("b", 2)}
+
+
+# -- round-8: manifest-level data skipping (file-skipping stats) ------------
+
+
+def test_entry_stats_recorded_and_read_where_prunes(spark, tmp_path):
+    """Per-entry min/max stats land in the manifest at write time; a
+    range read prunes non-intersecting entries BEFORE any file listing
+    and returns exactly what a full-scan filter would."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("v",)
+    )
+    # five appends with disjoint v ranges — a time-ordered append stream
+    for i in range(5):
+        fmt.write(
+            "s.t",
+            spark.createDataFrame(
+                [(f"d{i}_{j}", i * 100 + j) for j in range(10)],
+                "day string, v long",
+            ),
+            "append" if i else "overwrite",
+        )
+    m = fmt._manifest("s.t")
+    assert all(e.get("stats", {}).get("v") for e in m["entries"])
+
+    kept, _ = fmt.prune_entries("s.t", "v", lo=205, hi=260)
+    assert len(kept) == 1  # only the [200, 209] entry intersects
+    got = {r["v"] for r in fmt.read_where("s.t", "v", 205, 260).collect()}
+    want = {
+        r["v"]
+        for r in fmt.read("s.t").filter("v between 205 and 260").collect()
+    }
+    assert got == want == {205, 206, 207, 208, 209}
+
+    # no intersection at all: empty result, correct schema, no error
+    none = fmt.read_where("s.t", "v", 9000, 9999)
+    assert none.count() == 0 and none.columns == ["day", "v"]
+
+
+def test_stats_pruning_is_safe_for_statless_entries(spark, tmp_path):
+    """Entries written BEFORE the column joined stats_cols (or with
+    all-NULL values) carry no stats — pruning must keep them, never
+    silently drop their rows."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    bare = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    bare.write(
+        "s.t",
+        spark.createDataFrame([("old", 42)], "day string, v long"),
+        "overwrite",
+    )
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("v",)
+    )
+    fmt.write(
+        "s.t",
+        spark.createDataFrame([("new", 7)], "day string, v long"),
+        "append",
+    )
+    # range far from the stat-less entry's actual value: it is still
+    # read (kept), and the row filter removes it — results stay exact
+    got = {r["day"] for r in fmt.read_where("s.t", "v", 0, 10).collect()}
+    assert got == {"new"}
+    kept, _ = fmt.prune_entries("s.t", "v", 0, 10)
+    assert len(kept) == 2  # stat-less entry kept, stats entry intersects
+
+    # all-NULL stats column: entry kept (min/max are None)
+    fmt.write(
+        "s.t",
+        spark.createDataFrame([("nul", None)], "day string, v long"),
+        "append",
+    )
+    kept, _ = fmt.prune_entries("s.t", "v", 9000, 9999)
+    names = {r["day"] for r in fmt.read_where("s.t", "v", 0, 50).collect()}
+    assert names == {"old", "new"}  # NULL v never matches a range filter
+
+
+def test_stats_survive_partitioned_writes_and_compaction(spark, tmp_path):
+    """Partitioned entries get per-LEAF stats; auto-compaction rewrites
+    recompute stats for the merged dir (same write path)."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=2, stats_cols=("v",)
+    )
+    fmt.write(
+        "s.p",
+        spark.createDataFrame(
+            [("20240101", 1), ("20240101", 5), ("20240102", 100)],
+            "day string, v long",
+        ),
+        "overwrite",
+        partition_by=("day",),
+    )
+    m = fmt._manifest("s.p")
+    by_day = {e["partitions"]["day"]: e["stats"]["v"] for e in m["entries"]}
+    assert by_day == {"20240101": [1, 5], "20240102": [100, 100]}
+
+    # three more appends trip the threshold; the compacted dir's entries
+    # carry fresh stats
+    for i, v in enumerate((7, 8, 9)):
+        fmt.write(
+            "s.p",
+            spark.createDataFrame([("20240103", v)], "day string, v long"),
+            "append",
+        )
+    assert fmt.maybe_compact("s.p") >= 2  # the policy entry point
+    m = fmt._manifest("s.p")
+    assert len({e["dir"] for e in m["entries"]}) <= 2
+    assert all(e.get("stats", {}).get("v") for e in m["entries"])
+    got = {r["v"] for r in fmt.read_where("s.p", "v", 6, 10).collect()}
+    assert got == {7, 8, 9}
