@@ -97,6 +97,7 @@ EXTENDED = [
     "curriculum_shards",        # quantile-bucketed curriculum layout
     # round-8 additions
     "manifest_data_skipping",   # per-entry min/max stats + entry pruning
+    "topk_rollup_heavy_hitters",  # capped count-map top-k rollup
 ]
 
 

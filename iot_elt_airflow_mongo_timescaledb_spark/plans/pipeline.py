@@ -1135,3 +1135,155 @@ class IncrementalHistSync(_RollupSyncBase):
                 )
             )
         return merged.select(*to_grain, *cols)
+
+
+class IncrementalTopKSync(_RollupSyncBase):
+    """Incremental HEAVY-HITTERS maintenance — the fourth member of the
+    sketch-rollup family (additive sums, HLL distincts, histogram
+    quantiles, and now top-k items per group).
+
+    Exact "top k users per event type over all history" needs the full
+    (group, item) count table — fine until the item space is the user
+    space of a 100 TB corpus.  This rollup stores a CAPPED per-group
+    count map instead (``cap`` entries, default ``8*k``): each batch
+    contributes its per-(group, item) counts truncated to the cap (one
+    hash agg + one bounded per-group window), the merge is a key-union
+    map addition re-truncated to the cap (``map_zip_with`` — pure
+    expressions, no UDF), and the read surface ranks the stored map's
+    top ``k``.
+
+    Accuracy contract — WEAKER than the other three members, stated
+    plainly: truncation makes the merge order-dependent, so
+    merged-by-batches equals counted-in-one-shot EXACTLY only while a
+    group's distinct-item count stays within ``cap`` (the tests pin
+    that case).  Beyond the cap, an item must out-count the cap
+    boundary in the batches where it appears to survive — the
+    space-saving-style regime where heavy hitters with frequency
+    margins above the truncated tail are retained and LIGHT items may
+    undercount.  Size ``cap`` to the expected skew (8x headroom over
+    ``k`` default); groups near the cap are visible via
+    ``n_tracked == cap`` in :meth:`read`.  Delivery/replay contract:
+    ``_RollupSyncBase`` (batch-id sentinel rides the same atomic swap).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        table_name: str,
+        group_cols: tuple[str, ...],
+        item_col: str,
+        k: int = 10,
+        cap: int | None = None,
+        watermark_col: str | None = None,
+        table_format=None,
+    ):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        super().__init__(
+            spark, warehouse_root, table_name, group_cols, watermark_col,
+            table_format=table_format,
+        )
+        self.item_col = item_col
+        self.k = int(k)
+        self.cap = int(cap) if cap is not None else 8 * self.k
+        if self.cap < self.k:
+            raise ValueError(f"cap {self.cap} must be >= k {self.k}")
+        self._metrics = ["topk"]
+
+    @staticmethod
+    def _ranked_entries(m):
+        """Map entries sorted (count desc, item asc) — ascending
+        array_sort over struct(-count, item) does both, deterministic
+        on ties so merges replay identically.  Pure expressions."""
+        from pyspark.sql import functions as F
+
+        return F.array_sort(
+            F.transform(
+                F.map_entries(m),
+                lambda x: F.struct(
+                    (-x["value"]).alias("nv"),
+                    x["key"].alias("k"),
+                    x["value"].alias("v"),
+                ),
+            )
+        )
+
+    def _truncate(self, m):
+        """Keep the ``cap`` highest-count entries of a count map."""
+        from pyspark.sql import functions as F
+
+        top = F.slice(self._ranked_entries(m), 1, self.cap)
+        return F.map_from_entries(
+            F.transform(top, lambda x: F.struct(x["k"], x["v"]))
+        )
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        counts = (
+            batch.filter(F.col(self.item_col).isNotNull())
+            .groupBy(*self.group_cols, self.item_col)
+            .agg(F.count("*").alias("__cnt"))
+        )
+        # bounded per-group truncation: a window rank over the hash-agg
+        # output (rows per group = distinct items this batch), never a
+        # driver collect
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.desc("__cnt"), F.asc(F.col(self.item_col).cast("string"))
+        )
+        top = counts.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= self.cap
+        )
+        return (
+            top.groupBy(*self.group_cols)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            F.col(self.item_col).cast("string"),
+                            F.col("__cnt"),
+                        )
+                    )
+                ).alias("topk")
+            )
+            .withColumn("__agg_key", self._key())
+        )
+
+    def _merge_metric(self, m: str):
+        from pyspark.sql import functions as F
+
+        new, old = F.col(m), F.col(f"__old_{m}")
+        merged = F.map_zip_with(
+            new,
+            old,
+            lambda _k, a, b: F.coalesce(a, F.lit(0))
+            + F.coalesce(b, F.lit(0)),
+        )
+        return (
+            F.when(new.isNull(), old)
+            .when(old.isNull(), new)
+            .otherwise(self._truncate(merged))
+            .alias(m)
+        )
+
+    def _derive(self, df: DataFrame) -> DataFrame:
+        """Read surface: one row per (group, rank<=k) with the item and
+        its maintained count; ``n_tracked`` flags cap pressure."""
+        from pyspark.sql import functions as F
+
+        ranked = F.slice(self._ranked_entries(F.col("topk")), 1, self.k)
+        out = df.select(
+            *self.group_cols,
+            F.size(F.map_entries(F.col("topk"))).alias("n_tracked"),
+            F.posexplode(ranked).alias("__pos", "__e"),
+        )
+        return out.select(
+            *self.group_cols,
+            (F.col("__pos") + 1).alias("rank"),
+            F.col("__e")["k"].alias(self.item_col),
+            F.col("__e")["v"].alias("est_count"),
+            "n_tracked",
+        )
+

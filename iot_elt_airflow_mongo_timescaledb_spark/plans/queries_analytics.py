@@ -1389,3 +1389,48 @@ def cohort_retention(spark, sf_dir):
     return act.groupBy("cohort_week", "weeks_since").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "topk_rollup_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, user_id, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY n DESC, user_id ASC
+             ) AS rank,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_tracked
+      FROM c
+    )
+    SELECT event_type, CAST(rank AS INT) AS rank, user_id,
+           n AS est_count, CAST(n_tracked AS INT) AS n_tracked
+    FROM r WHERE rank <= 5
+    """,
+    gate=False,  # sketch-rollup family; hist_rollup_quantiles carries the gate
+)
+def topk_rollup_heavy_hitters(spark, sf_dir):
+    """Heavy-hitters rollup end-to-end (``IncrementalTopKSync``, the
+    fourth sketch-family member): top-5 users per event_type maintained
+    as a capped per-group count map, built by merging two disjoint
+    half-batches (event_id parity) — the hash covers the partial-count
+    truncation, the map merge, and the ranked read surface.  The cap
+    (4096) exceeds the per-type user cardinality at every driver scale,
+    so the maintained result is EXACT here and the oracle is the plain
+    window query; past the cap the class degrades to heavy-hitters-
+    with-margin (pinned separately in tests/test_sketches.py)."""
+    from ..fs import scratch_dir
+    from .pipeline import IncrementalTopKSync
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    root = scratch_dir(spark, "topk_", cleanup_atexit=True)
+    tk = IncrementalTopKSync(
+        spark, root, "agg.hh", ("event_type",), "user_id", k=5, cap=4096
+    )
+    tk.sync(ev.filter(F.col("event_id") % 2 == 0))
+    return tk.sync(ev.filter(F.col("event_id") % 2 == 1))

@@ -335,3 +335,57 @@ class StreamingHistSync:
 
     def estimate(self, to_grain: list[str], ps=(0.5, 0.9, 0.99)):
         return self.agg.estimate(to_grain, ps)
+
+
+class StreamingTopKSync:
+    """Streaming heavy-hitters maintenance: each micro-batch's truncated
+    per-group count map merges into the warehouse top-k rollup
+    (``IncrementalTopKSync`` inside ``foreachBatch``) — the fourth
+    sync twin beside sums, HLL and histograms.  Same delivery
+    contract: the micro-batch id rides the same atomic swap as the
+    merged maps, so at-least-once replays are exactly-once on the
+    stored state.  Accuracy inherits the batch class's cap contract
+    (exact while a group's item count stays within ``cap``; heavy
+    hitters with margin beyond it)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        source_dir: str,
+        table_name: str,
+        group_cols: tuple[str, ...],
+        item_col: str,
+        k: int = 10,
+        cap: int | None = None,
+        checkpoint_root: str | None = None,
+        watermark_col: str | None = None,
+    ):
+        from ..plans.pipeline import IncrementalTopKSync
+
+        self.spark = spark
+        self.agg = IncrementalTopKSync(
+            spark, warehouse_root, table_name, group_cols, item_col,
+            k=k, cap=cap, watermark_col=watermark_col,
+        )
+        self.source_dir = source_dir
+        self.checkpoint = join_uri(
+            checkpoint_root or join_uri(warehouse_root, "_checkpoints"),
+            f"topk_sync_{table_name.replace('.', '_')}",
+        )
+        self.schema = spark.read.parquet(source_dir).schema
+
+    def _process_batch(self, batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.agg.sync(batch_df, batch_id=batch_id)
+
+    def run_once(self) -> None:
+        """Drain every not-yet-checkpointed fact file, then stop."""
+        _drain_once(
+            self.spark, self.schema, self.source_dir, self.checkpoint,
+            self._process_batch, fmt="parquet",
+        )
+
+    def read(self):
+        return self.agg.read()

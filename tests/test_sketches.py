@@ -260,3 +260,130 @@ def test_hist_sync_rejects_bad_range(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="hi > lo"):
         _hist_sync(spark, tmp_path, lo=5.0, hi=5.0)
+
+
+# -- round-8: heavy-hitters (top-k) rollup ----------------------------------
+
+
+def _topk(spark, tmp_path, sub, **kw):
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalTopKSync,
+    )
+
+    return IncrementalTopKSync(
+        spark, str(tmp_path / sub), "agg.topk", ("g",), "item", **kw
+    )
+
+
+def test_topk_exact_within_cap(spark, tmp_path):
+    """While a group's distinct-item count stays within the cap, the
+    maintained top-k equals the exact one-shot computation — merged by
+    batches or not (the regime the other sketch members guarantee
+    everywhere; here it is cap-bounded and pinned)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(8)
+    rows = [
+        (f"g{i % 3}", f"item{rng.randint(0, 19)}") for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, item string")
+    one = _topk(spark, tmp_path, "one", k=5, cap=32)
+    one.sync(df)
+    split = _topk(spark, tmp_path, "split", k=5, cap=32)
+    # three disjoint batches in a different order than the data
+    parts = df.randomSplit([1.0, 1.0, 1.0], seed=3)
+    for p in (parts[2], parts[0], parts[1]):
+        split.sync(p)
+
+    def as_rows(s):
+        return sorted(
+            (r["g"], r["rank"], r["item"], r["est_count"])
+            for r in s.read().collect()
+        )
+
+    got = as_rows(split)
+    assert got == as_rows(one)
+    # exact ground truth via a plain window query
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.desc("n"), F.asc("item"))
+    exact = (
+        df.groupBy("g", "item").agg(F.count("*").alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    want = sorted(
+        (r["g"], r["rank"], r["item"], r["n"]) for r in exact.collect()
+    )
+    assert got == want
+
+
+def test_topk_heavy_hitters_survive_cap_pressure(spark, tmp_path):
+    """Beyond the cap light items may undercount, but heavy hitters
+    with real margin must stay on top: 4 hot items against a long tail
+    of one-off items across many batches."""
+    tk = _topk(spark, tmp_path, "skew", k=4, cap=16)
+    hot = {"h1": 400, "h2": 300, "h3": 200, "h4": 100}
+    for b in range(5):
+        rows = [("g", h) for h, n in hot.items() for _ in range(n // 5)]
+        rows += [("g", f"tail{b}_{i}") for i in range(40)]  # churn tail
+        tk.sync(spark.createDataFrame(rows, "g string, item string"))
+    got = [
+        (r["item"], r["est_count"])
+        for r in sorted(tk.read().collect(), key=lambda r: r["rank"])
+    ]
+    assert [g[0] for g in got] == ["h1", "h2", "h3", "h4"]
+    for (item, est) in got:
+        assert est == hot[item]  # hot items never truncated -> exact
+    # cap pressure is visible on the read surface
+    assert all(r["n_tracked"] == 16 for r in tk.read().collect())
+
+
+def test_topk_replay_same_batch_id_is_noop(spark, tmp_path):
+    tk = _topk(spark, tmp_path, "replay", k=2, cap=8)
+    df = spark.createDataFrame(
+        [("g", "x")] * 3 + [("g", "y")], "g string, item string"
+    )
+    tk.sync(df, batch_id=1)
+    tk.sync(df, batch_id=1)  # replay: must not double-count
+    rows = {r["item"]: r["est_count"] for r in tk.read().collect()}
+    assert rows == {"x": 3, "y": 1}
+
+
+def test_topk_validates_params(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        _topk(spark, tmp_path, "bad1", k=0)
+    with pytest.raises(ValueError, match="cap"):
+        _topk(spark, tmp_path, "bad2", k=10, cap=5)
+
+
+def test_streaming_topk_sync_twin(spark, tmp_path):
+    """The foreachBatch twin: two fact files drained in two runs, state
+    equal to the batch class over the union."""
+    from iot_elt_airflow_mongo_timescaledb_spark.streaming.pipeline_stream import (
+        StreamingTopKSync,
+    )
+
+    src = tmp_path / "facts"
+    df1 = spark.createDataFrame(
+        [("g", "x")] * 4 + [("g", "y")] * 2, "g string, item string"
+    )
+    df2 = spark.createDataFrame(
+        [("g", "y")] * 3 + [("g", "z")], "g string, item string"
+    )
+    df1.coalesce(1).write.mode("append").parquet(str(src))
+    sync = StreamingTopKSync(
+        spark, str(tmp_path / "wh"), str(src), "agg.stk", ("g",), "item",
+        k=2, cap=8,
+    )
+    sync.run_once()
+    df2.coalesce(1).write.mode("append").parquet(str(src))
+    sync.run_once()
+    rows = {
+        r["rank"]: (r["item"], r["est_count"]) for r in sync.read().collect()
+    }
+    assert rows == {1: ("y", 5), 2: ("x", 4)}
