@@ -98,6 +98,7 @@ EXTENDED = [
     # round-8 additions
     "manifest_data_skipping",   # per-entry min/max stats + entry pruning
     "topk_rollup_heavy_hitters",  # capped count-map top-k rollup
+    "manifest_change_feed",     # append-only CDC read between versions
 ]
 
 

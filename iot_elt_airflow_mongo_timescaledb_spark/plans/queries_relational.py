@@ -1001,3 +1001,40 @@ def full_outer_join_coverage(spark, sf_dir):
         "c_mktsegment",
         "n_orders",
     )
+
+
+@query(
+    "manifest_change_feed",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events WHERE event_id % 3 <> 0 GROUP BY event_type
+    """,
+    gate=False,  # warehouse-machinery family, with time travel / skipping
+)
+def manifest_change_feed(spark, sf_dir):
+    """Append-only change feed end-to-end (``ManifestFormat
+    .read_changes``): events land as three appends (event_id mod 3) and
+    the feed is read SINCE the first commit — the hash pins that the
+    delta is exactly batches 2 and 3, no re-emitted or lost rows.  This
+    is the incremental-consumer surface: a downstream rollup sync reads
+    O(new data) per cadence from the commit log instead of diffing
+    table states."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mcf_", cleanup_atexit=True)
+    fmt = ManifestFormat(spark, root, auto_compact_dirs=None)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for i in range(3):
+        fmt.write(
+            "cf.ev",
+            ev.filter(F.col("event_id") % 3 == i),
+            "append" if i else "overwrite",
+        )
+    delta = fmt.read_changes("cf.ev", since_version=1)
+    return delta.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )

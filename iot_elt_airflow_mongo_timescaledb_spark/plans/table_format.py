@@ -979,6 +979,19 @@ class ManifestFormat(TableFormat):
         src = [e for e in m["entries"] if e["dir"] in small]
         df = self._read_entries(name, m, src)
         new, _ = self._new_data_dir(name, df, tuple(m["partition_columns"]))
+        # FLATTENED provenance for the change feed (read_changes): the
+        # compacted entries name the ORIGINAL append dirs they carry, so
+        # a feed reader can decide whether a compacted dir's content
+        # predates its last-read version even across chained compactions
+        provenance = sorted(
+            {
+                d
+                for e in src
+                for d in (e.get("sources") or [e["dir"]])
+            }
+        )
+        for e in new:
+            e["sources"] = provenance
 
         def swap(head):
             if head is None:
@@ -989,6 +1002,104 @@ class ManifestFormat(TableFormat):
             return kept + new, head["partition_columns"]
 
         return len(small) if self._commit_edit(name, swap) else 0
+
+    def read_changes(
+        self, name: str, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Append-only CHANGE FEED (Delta CDF-lite): the rows added to
+        the table between manifest ``since_version`` (exclusive) and
+        ``to_version`` (inclusive; default current).  The incremental-
+        consumer surface that pairs with the rollup syncs: a downstream
+        ``IncrementalAggSync`` reads only the delta per cadence instead
+        of diffing or rescanning — O(new data) forever.
+
+        How: entries present in ``to`` but not in ``since`` are the
+        candidate delta, resolved through compaction provenance — a
+        compacted entry carries the ORIGINAL append dirs it absorbed
+        (``sources``, flattened across chained compactions), so one
+        whose sources were all visible at ``since`` is old content in a
+        new coat and is excluded.  The feed REFUSES (ValueError) when
+        the delta is not expressible as pure appends:
+
+        - an entry visible at ``since`` vanished without being absorbed
+          into a compaction (replace / retention / backfill rewrote
+          history — consumers must resync from a full read), or
+        - a compacted entry mixes pre- and post-``since`` sources (the
+          feed lagged past a compaction cycle; read more often than
+          ``auto_compact_dirs`` appends, or resync).
+        """
+        to_m = self._manifest(name, to_version)
+        since_m = self._manifest(name, since_version)
+        if to_m is None or since_m is None:
+            raise ValueError(
+                f"read_changes({name}): version "
+                f"{since_version if since_m is None else to_version} "
+                "is not readable (never committed, or vacuumed)"
+            )
+
+        def ident(e):
+            return (e["dir"], e.get("rel"))
+
+        since_ids = {ident(e) for e in since_m["entries"]}
+        # provenance comparisons happen in flattened ORIGINAL-append-dir
+        # space on BOTH sides — a compacted dir's own uuid never appears
+        # in later provenance, so comparing against raw since dirs would
+        # misjudge content across chained compactions
+        since_originals = {
+            d
+            for e in since_m["entries"]
+            for d in (e.get("sources") or [e["dir"]])
+        }
+        new_entries = []
+        absorbed: set = set()
+        for e in to_m["entries"]:
+            if ident(e) in since_ids:
+                continue
+            srcs = set(e.get("sources") or ())
+            if srcs:
+                absorbed |= srcs
+            if not srcs or srcs.isdisjoint(since_originals):
+                new_entries.append(e)  # genuinely new appends
+            elif srcs <= since_originals:
+                continue  # compaction of pre-since content only
+            else:
+                raise ValueError(
+                    f"read_changes({name}): a compaction between v"
+                    f"{since_m['version']} and v{to_m['version']} mixed "
+                    "pre- and post-feed content in one data dir — the "
+                    "delta is no longer entry-separable; resync with a "
+                    "full read (or read the feed more often than the "
+                    "auto-compaction threshold)"
+                )
+        # every since-entry must either survive by identity or have its
+        # content absorbed into a to-side compacted dir; provenance is
+        # flattened to ORIGINAL append dirs, so a since-entry that was
+        # itself compaction output is judged by its own sources
+        to_ids = {ident(x) for x in to_m["entries"]}
+        vanished = []
+        for e in since_m["entries"]:
+            if ident(e) in to_ids:
+                continue
+            own = set(e.get("sources") or ()) or {e["dir"]}
+            if own <= absorbed:
+                continue
+            vanished.append(e)
+        if vanished:
+            raise ValueError(
+                f"read_changes({name}): {len(vanished)} entr(ies) from v"
+                f"{since_m['version']} were removed without compaction "
+                "(replace / retention / backfill) — history was "
+                "rewritten and the delta is not an append feed; resync "
+                "with a full read"
+            )
+        if not new_entries:
+            # empty delta with the table's schema (footer-only read)
+            from pyspark.sql import functions as F
+
+            return self._read_entries(
+                name, to_m, to_m["entries"][:1] or since_m["entries"][:1]
+            ).filter(F.lit(False))
+        return self._read_entries(name, to_m, new_entries)
 
     def prune_entries(self, name: str, col: str, lo=None, hi=None) -> tuple:
         """Manifest-level data skipping: the entries whose recorded

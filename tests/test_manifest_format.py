@@ -969,3 +969,96 @@ def test_stats_survive_partitioned_writes_and_compaction(spark, tmp_path):
     assert all(e.get("stats", {}).get("v") for e in m["entries"])
     got = {r["v"] for r in fmt.read_where("s.p", "v", 6, 10).collect()}
     assert got == {7, 8, 9}
+
+
+# -- round-8: append-only change feed (CDC read) ----------------------------
+
+
+def _feed_fmt(spark, tmp_path, **kw):
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    return ManifestFormat(spark, str(tmp_path), **kw)
+
+
+def test_change_feed_pure_appends(spark, tmp_path):
+    fmt = _feed_fmt(spark, tmp_path, auto_compact_dirs=None)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")  # v1
+    fmt.write("s.t", _days(spark, ("b", 2)), "append")  # v2
+    fmt.write("s.t", _days(spark, ("c", 3)), "append")  # v3
+    assert {r["day"] for r in fmt.read_changes("s.t", 1).collect()} == {"b", "c"}
+    assert {r["day"] for r in fmt.read_changes("s.t", 1, 2).collect()} == {"b"}
+    assert {r["day"] for r in fmt.read_changes("s.t", 2).collect()} == {"c"}
+    # empty delta: correct schema, zero rows
+    empty = fmt.read_changes("s.t", 3, 3)
+    assert empty.count() == 0 and empty.columns == ["day", "v"]
+
+
+def test_change_feed_survives_pre_feed_compaction(spark, tmp_path):
+    """Compacting dirs that were all visible at the feed's last-read
+    version must NOT re-emit their rows: provenance marks the compacted
+    dir as old content in a new coat."""
+    fmt = _feed_fmt(spark, tmp_path, auto_compact_dirs=2)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")  # v1
+    fmt.write("s.t", _days(spark, ("b", 2)), "append")  # v2
+    since = fmt._latest_version("s.t")
+    assert fmt.maybe_compact("s.t") == 0  # 2 dirs <= threshold: no-op
+    fmt.write("s.t", _days(spark, ("c", 3)), "append")  # v3: 3 dirs
+    assert fmt.maybe_compact("s.t") == 3  # all small -> one dir (v4)
+    # the feed across the compaction: ONLY the post-since append... but
+    # c was absorbed together with a+b -> entry-inseparable -> refuse
+    with pytest.raises(ValueError, match="mixed"):
+        fmt.read_changes("s.t", since)
+
+    # the separable case: compaction strictly of pre-since content
+    fmt2 = _feed_fmt(spark, tmp_path / "w2", auto_compact_dirs=None)
+    fmt2.write("s.t", _days(spark, ("a", 1)), "overwrite")  # v1
+    fmt2.write("s.t", _days(spark, ("b", 2)), "append")  # v2
+    since = fmt2._latest_version("s.t")
+    fmt2.auto_compact_dirs = 1
+    assert fmt2.maybe_compact("s.t") == 2  # v3 compacts ONLY a+b
+    fmt2.write("s.t", _days(spark, ("c", 3)), "append")  # v4
+    got = {r["day"] for r in fmt2.read_changes("s.t", since).collect()}
+    assert got == {"c"}
+    # full read still exact after the dance
+    assert {r["day"] for r in fmt2.read("s.t").collect()} == {"a", "b", "c"}
+
+
+def test_change_feed_resolves_chained_compactions(spark, tmp_path):
+    """Provenance is flattened to ORIGINAL append dirs, so a feed whose
+    since-manifest already holds compaction output still judges later
+    re-compactions correctly."""
+    fmt = _feed_fmt(spark, tmp_path, auto_compact_dirs=None)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+    fmt.write("s.t", _days(spark, ("b", 2)), "append")
+    fmt.auto_compact_dirs = 1
+    assert fmt.maybe_compact("s.t") == 2  # c1 = compact(a, b)
+    fmt.write("s.t", _days(spark, ("c", 3)), "append")
+    assert fmt.maybe_compact("s.t") == 2  # c2 = compact(c1, c) — chained
+    since = fmt._latest_version("s.t")
+    fmt.write("s.t", _days(spark, ("d", 4)), "append")
+    got = {r["day"] for r in fmt.read_changes("s.t", since).collect()}
+    assert got == {"d"}
+    # and a feed that lagged across the chained compaction refuses
+    with pytest.raises(ValueError, match="mixed"):
+        fmt.read_changes("s.t", 3)  # since = c1-era manifest
+
+
+def test_change_feed_refuses_rewritten_history(spark, tmp_path):
+    fmt = _feed_fmt(spark, tmp_path, auto_compact_dirs=None)
+    df = spark.createDataFrame(
+        [Row(day="20240101", v=1), Row(day="20240102", v=2)]
+    )
+    fmt.write("s.r", _days(spark, ("a", 1)), "overwrite")
+    since = fmt._latest_version("s.r")
+    fmt.replace_atomic("s.r", _days(spark, ("z", 9)))
+    with pytest.raises(ValueError, match="rewritten"):
+        fmt.read_changes("s.r", since)
+
+    # retention drop: also not an append delta
+    fmt.write("s.p", df, "overwrite", partition_by=("day",))
+    since = fmt._latest_version("s.p")
+    assert fmt.drop_partitions_below("s.p", "day", "20240102") == 1
+    with pytest.raises(ValueError, match="rewritten"):
+        fmt.read_changes("s.p", since)
