@@ -596,6 +596,34 @@ class _RollupSyncBase:
         )
         return None if row is None else row["__last_batch_id"]
 
+    def sync_from_changes(self, fmt, source_table: str) -> DataFrame:
+        """Maintain this rollup FROM a commit-log table's change feed
+        (``ManifestFormat.read_changes``) — the two halves of the
+        incremental story joined: the storage layer hands over exactly
+        the rows appended since the last synced manifest version, and
+        the rollup merges only those.  The source's manifest version IS
+        the batch id (monotone ints, committed inside the same atomic
+        swap as the merged state), so a crashed-and-retried sync
+        re-reads the identical delta and no-ops — exactly-once with no
+        extra cursor table.  First call bootstraps from a full read.
+        A feed refusal (history rewritten / compaction mixed the delta,
+        see ``read_changes``) propagates loudly: an additive rollup
+        cannot absorb a rewrite — rebuild it from a full read."""
+        m = fmt._manifest(source_table)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed manifest for table {source_table}"
+            )
+        cur = int(m["version"])
+        applied = self._applied_batch_id()
+        if applied is not None and cur == int(applied):
+            return self.read()  # nothing committed since the last sync
+        if applied is None:
+            delta = fmt.read(source_table)  # bootstrap
+        else:
+            delta = fmt.read_changes(source_table, int(applied), cur)
+        return self.sync(delta, batch_id=cur)
+
     def sync(self, batch: DataFrame, batch_id: int | None = None) -> DataFrame:
         """Merge one fact batch into the stored rollup; returns the
         post-merge rollup.  With ``batch_id`` (monotone), a replayed

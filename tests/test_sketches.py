@@ -387,3 +387,61 @@ def test_streaming_topk_sync_twin(spark, tmp_path):
         r["rank"]: (r["item"], r["est_count"]) for r in sync.read().collect()
     }
     assert rows == {1: ("y", 5), 2: ("x", 4)}
+
+
+def test_sync_from_change_feed(spark, tmp_path):
+    """Storage + rollup joined: the rollup maintained from the commit
+    log's change feed equals the recompute after every append, the
+    manifest version doubles as the exactly-once batch id, and a
+    pre-feed compaction does not disturb the delta."""
+    from pyspark.sql import functions as F
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalAggSync,
+    )
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path / "src"), auto_compact_dirs=None
+    )
+    agg = IncrementalAggSync(
+        spark, str(tmp_path / "roll"), "agg.r", ("g",), ("v",)
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "g string, v long")
+
+    def check():
+        want = {
+            (r["g"], r["sum_v"])
+            for r in fmt.read("f.t").groupBy("g")
+            .agg(F.sum("v").alias("sum_v")).collect()
+        }
+        got = {(r["g"], r["sum_v"]) for r in agg.read().collect()}
+        assert got == want
+
+    fmt.write("f.t", batch([("a", 1), ("b", 2)]), "overwrite")  # v1
+    agg.sync_from_changes(fmt, "f.t")  # bootstrap
+    check()
+    fmt.write("f.t", batch([("a", 10)]), "append")  # v2
+    fmt.write("f.t", batch([("c", 5)]), "append")  # v3
+    agg.sync_from_changes(fmt, "f.t")  # two versions in one delta
+    check()
+    # idempotent when nothing new committed (and on a crash-retry the
+    # same (applied, cur) pair re-reads the identical delta)
+    agg.sync_from_changes(fmt, "f.t")
+    check()
+    # compaction of already-synced content is invisible to the feed
+    fmt.auto_compact_dirs = 1
+    assert fmt.maybe_compact("f.t") == 3  # v4: provenance-only change
+    fmt.write("f.t", batch([("b", 7)]), "append")  # v5
+    agg.sync_from_changes(fmt, "f.t")
+    check()
+    # a history rewrite cannot be absorbed additively: loud refusal
+    fmt.replace_atomic("f.t", batch([("z", 1)]))
+    import pytest
+
+    with pytest.raises(ValueError, match="rewritten"):
+        agg.sync_from_changes(fmt, "f.t")
