@@ -99,6 +99,7 @@ EXTENDED = [
     "manifest_data_skipping",   # per-entry min/max stats + entry pruning
     "topk_rollup_heavy_hitters",  # capped count-map top-k rollup
     "manifest_change_feed",     # append-only CDC read between versions
+    "manifest_clustered_skipping",  # range-clustered rewrite, file pruning
 ]
 
 

@@ -1038,3 +1038,44 @@ def manifest_change_feed(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+@query(
+    "manifest_clustered_skipping",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+           TRUE AS pruned
+    FROM events WHERE value >= 100 AND value <= 120 GROUP BY event_type
+    """,
+    gate=False,  # warehouse-machinery family (time travel / skipping / feed)
+)
+def manifest_clustered_skipping(spark, sf_dir):
+    """Range-clustered rewrite + file-level skipping end-to-end
+    (``ManifestFormat.cluster``/``read_where``): events land in ingest
+    order (value uncorrelated), the table is rewritten range-clustered
+    on ``value`` into 8 files with per-file min/max entries, and a
+    narrow value window is answered from the pruned file subset — the
+    ``pruned`` column pins (lit-folded into the hash) that the
+    manifest prune actually dropped files before the scan."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mcs_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("value",)
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    fmt.write("cs.ev", ev, "overwrite")
+    fmt.cluster("cs.ev", "value", n_files=8)
+    kept, m = fmt.prune_entries("cs.ev", "value", 100.0, 120.0)
+    return (
+        fmt.read_where("cs.ev", "value", 100.0, 120.0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .withColumn("pruned", F.lit(len(kept) < len(m["entries"])))
+    )

@@ -1003,6 +1003,96 @@ class ManifestFormat(TableFormat):
 
         return len(small) if self._commit_edit(name, swap) else 0
 
+    def cluster(
+        self,
+        name: str,
+        col: str,
+        n_files: int | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Range-clustered rewrite with PER-FILE stats — the 1-D version
+        of Delta's ``OPTIMIZE ... ZORDER BY`` / Iceberg's sort-order
+        rewrite, completing the data-skipping story: appends give
+        per-ENTRY stats for free only when the stream is already
+        ordered on the column; this rewrite makes any column skippable
+        by repartitioning the table BY RANGE on ``col`` (near-disjoint
+        min/max per output file) and recording one manifest entry PER
+        FILE.  ``read_where`` then prunes at file granularity — a
+        narrow range touches ~one file of a 100 TB table regardless of
+        ingest order.
+
+        Cost: one range-shuffle rewrite (``n_files`` sized from table
+        bytes at ``target_file_bytes`` unless given) plus ONE
+        ``input_file_name``-grouped aggregate for the stats — never a
+        per-file job loop.  Content is preserved, so the change feed
+        treats the rewrite like a compaction (flattened provenance),
+        not a history rewrite.  Unpartitioned tables only: partitioned
+        layouts already prune on their keys, and mixing hive dirs with
+        range files would make entry identity ambiguous.  Returns the
+        number of clustered files committed.
+        """
+        from pyspark.sql import functions as F
+
+        m = self._manifest(name)
+        if m is None:
+            raise FileNotFoundError(f"no committed manifest for table {name}")
+        if m["partition_columns"]:
+            raise ValueError(
+                f"cluster() supports unpartitioned tables; {name} is "
+                f"partitioned by {m['partition_columns']} (which already "
+                "prunes) — drop the layout via replace_atomic first"
+            )
+        import uuid
+
+        if n_files is None:
+            nbytes = self.table_bytes(name)
+            n_files = max(1, -(-nbytes // int(target_file_bytes)))
+        df = self.read(name)
+        dirname = f"d-{uuid.uuid4().hex}"
+        target = join_uri(self.path(name), dirname)
+        (
+            df.repartitionByRange(n_files, F.col(col))
+            .write.mode("overwrite")
+            .parquet(target)
+        )
+        # per-file min/max in ONE aggregate over the fresh dir — the
+        # groups are files, so the result is n_files rows, driver-bounded
+        scols = sorted({col, *self.stats_cols} & set(df.columns))
+        aggs = []
+        for c in scols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = (
+            self.spark.read.parquet(target)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+
+        def enc(v):
+            return v if isinstance(v, (int, float, bool, str)) or v is None else str(v)
+
+        provenance = sorted(
+            {d for e in m["entries"] for d in (e.get("sources") or [e["dir"]])}
+        )
+        entries = []
+        for r in sorted(rows, key=lambda r: r["__f"]):
+            fname = r["__f"].rsplit("/", 1)[-1]
+            entries.append(
+                {
+                    "dir": dirname,
+                    "rel": fname,
+                    "partitions": None,
+                    "sources": provenance,
+                    "stats": {
+                        c: [enc(r[f"__mn_{c}"]), enc(r[f"__mx_{c}"])]
+                        for c in scols
+                    },
+                }
+            )
+        self._commit(name, entries, [])
+        return len(entries)
+
     def read_changes(
         self, name: str, since_version: int, to_version: int | None = None
     ) -> DataFrame:

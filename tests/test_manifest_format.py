@@ -1062,3 +1062,70 @@ def test_change_feed_refuses_rewritten_history(spark, tmp_path):
     assert fmt.drop_partitions_below("s.p", "day", "20240102") == 1
     with pytest.raises(ValueError, match="rewritten"):
         fmt.read_changes("s.p", since)
+
+
+# -- round-8: range-clustered rewrite (file-level skipping) -----------------
+
+
+def test_cluster_gives_file_level_skipping(spark, tmp_path):
+    """Rewriting range-clustered on a column makes it skippable
+    regardless of ingest order: per-FILE entries carry near-disjoint
+    min/max, and a narrow range read prunes to a fraction of the
+    files while returning exactly the full-scan-filter result."""
+    from pyspark.sql import Row as R
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("v",)
+    )
+    import random
+
+    rng = random.Random(42)
+    vals = list(range(1000))
+    rng.shuffle(vals)  # ingest order uncorrelated with v
+    df = spark.createDataFrame(
+        [R(day=f"d{i}", v=v) for i, v in enumerate(vals)]
+    )
+    fmt.write("s.c", df, "overwrite")
+    n = fmt.cluster("s.c", "v", n_files=8)
+    assert n == 8
+    m = fmt._manifest("s.c")
+    assert len(m["entries"]) == 8 and all(e["rel"] for e in m["entries"])
+    # near-disjoint ranges: a 50-wide window intersects ~1 of 8 files
+    kept, _ = fmt.prune_entries("s.c", "v", 100, 149)
+    assert len(kept) <= 2
+    got = {r["v"] for r in fmt.read_where("s.c", "v", 100, 149).collect()}
+    assert got == set(range(100, 150))
+    # full read unchanged
+    assert fmt.read("s.c").count() == 1000
+
+
+def test_cluster_preserves_change_feed_and_rejects_partitioned(spark, tmp_path):
+    from pyspark.sql import Row as R
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("v",)
+    )
+    fmt.write("s.f", _days(spark, ("a", 1), ("b", 2)), "overwrite")
+    since = fmt._latest_version("s.f")
+    fmt.cluster("s.f", "v", n_files=2)  # content-preserving rewrite
+    fmt.write("s.f", _days(spark, ("c", 3)), "append")
+    # the feed sees ONLY the append — the clustered rewrite is absorbed
+    got = {r["day"] for r in fmt.read_changes("s.f", since).collect()}
+    assert got == {"c"}
+
+    fmt.write(
+        "s.p",
+        spark.createDataFrame([R(day="20240101", v=1)]),
+        "overwrite",
+        partition_by=("day",),
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        fmt.cluster("s.p", "v")
