@@ -500,7 +500,12 @@ class ManifestFormat(TableFormat):
     COMMIT_ATTEMPTS = 6
 
     def _try_write_manifest(
-        self, name: str, version: int, entries: list, partition_columns: list
+        self,
+        name: str,
+        version: int,
+        entries: list,
+        partition_columns: list,
+        txn: dict | None = None,
     ) -> bool:
         """The commit CAS primitive: create-exclusive of the version
         file.  True = this writer owns ``version``; False = another
@@ -519,6 +524,10 @@ class ManifestFormat(TableFormat):
                 "version": version,
                 "partition_columns": partition_columns,
                 "entries": entries,
+                # idempotent-writer watermarks {app_id: last_version}
+                # (Delta's txnAppId/txnVersion) — carried forward by
+                # every edit, reset only by a full replace
+                "txn": txn or {},
             }
         )
         try:
@@ -559,9 +568,14 @@ class ManifestFormat(TableFormat):
             out = edit_fn(prev)
             if out is None:
                 return False
-            entries, cols = out
+            entries, cols = out[0], out[1]
+            # every rebaseable edit preserves the head's idempotent-
+            # writer watermarks unless it supplies its own (3rd elem)
+            txn = out[2] if len(out) > 2 else dict(
+                (prev or {}).get("txn") or {}
+            )
             nxt = self._latest_version(name) + 1
-            if self._try_write_manifest(name, nxt, entries, cols):
+            if self._try_write_manifest(name, nxt, entries, cols, txn):
                 return True
             # jittered backoff: contending writers decorrelate
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
@@ -938,6 +952,54 @@ class ManifestFormat(TableFormat):
 
         self._commit_edit(name, drop_entries)
         return len(dropped_vals)
+
+    def write_streaming_batch(
+        self, name: str, df: DataFrame, batch_id: int, app_id: str = "stream"
+    ) -> bool:
+        """Idempotent append for at-least-once writers (Structured
+        Streaming ``foreachBatch``) — Delta's txnAppId/txnVersion
+        design: the manifest carries per-``app_id`` watermarks of the
+        last committed ``batch_id``, updated INSIDE the same CAS commit
+        as the appended entries, so a replayed batch (its id at or
+        below the watermark) no-ops instead of landing twice.  This is
+        the streaming twin of the rollup family's batch-id sentinel,
+        but for RAW appends: the exactly-once guarantee lives in the
+        table, not in a side cursor.  Multiple apps (or multiple
+        queries) write the same table independently — each id stream
+        is tracked per ``app_id``.  Returns True if the batch
+        committed, False if it was a recognized replay.
+
+        Contract: ``batch_id`` must be monotone per ``app_id`` (what
+        foreachBatch provides).  A full-table REPLACE resets the txn
+        watermarks — a stream resuming after a replace would re-append
+        its last batch — so replacing a streamed-into table requires
+        also resetting the stream's checkpoint (documented loudly here
+        because silently keeping stale watermarks would instead DROP
+        the first post-replace batches)."""
+        prev = self._manifest(name)
+        committed = ((prev or {}).get("txn") or {}).get(app_id)
+        if committed is not None and batch_id <= int(committed):
+            return False  # replay of an already-committed batch
+        cols = prev["partition_columns"] if prev else []
+        new, _ = self._new_data_dir(name, df, tuple(cols))
+
+        def add(head):
+            head_txn = dict((head or {}).get("txn") or {})
+            last = head_txn.get(app_id)
+            if last is not None and batch_id <= int(last):
+                return None  # another attempt of this very batch won
+            head_txn[app_id] = int(batch_id)
+            if head is None:
+                return new, cols, head_txn
+            if head["partition_columns"] != cols:
+                raise RuntimeError(
+                    f"streaming append to {name} lost to a concurrent "
+                    "layout change; restart the stream against the new "
+                    "table state"
+                )
+            return head["entries"] + new, cols, head_txn
+
+        return self._commit_edit(name, add)
 
     def maybe_compact(
         self, name: str, target_file_bytes: int = 128 * 1024 * 1024
@@ -1437,9 +1499,12 @@ class CatalogManifestFormat(ManifestFormat):
             out = edit_fn(prev)
             if out is None:
                 return False
-            entries, cols = out
+            entries, cols = out[0], out[1]
+            txn = out[2] if len(out) > 2 else dict(
+                (prev or {}).get("txn") or {}
+            )
             nxt = self._latest_version(name) + 1
-            if not self._try_write_manifest(name, nxt, entries, cols):
+            if not self._try_write_manifest(name, nxt, entries, cols, txn):
                 time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
                 continue
             if self._pending is not None:

@@ -389,3 +389,56 @@ class StreamingTopKSync:
 
     def read(self):
         return self.agg.read()
+
+
+class StreamingManifestSink:
+    """Structured Streaming into the transactional commit-log table:
+    each micro-batch lands as ONE manifest commit via
+    ``ManifestFormat.write_streaming_batch`` — the foreachBatch id is
+    recorded in the manifest's per-app txn watermark inside the same
+    CAS commit as the data, so at-least-once replays are exactly-once
+    on the table (Delta's idempotent-writes design).  Downstream
+    consumers then read the table mid-stream (every commit atomic) or
+    tail it incrementally via ``read_changes`` /
+    ``sync_from_changes`` — the full streaming -> transactional
+    storage -> incremental rollup chain with no side cursor anywhere."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        source_dir: str,
+        table_name: str,
+        table_format=None,
+        checkpoint_root: str | None = None,
+        app_id: str = "stream",
+    ):
+        from ..plans.table_format import ManifestFormat
+
+        self.spark = spark
+        self.fmt = table_format or ManifestFormat(spark, warehouse_root)
+        self.table_name = table_name
+        self.source_dir = source_dir
+        self.app_id = app_id
+        self.checkpoint = join_uri(
+            checkpoint_root or join_uri(warehouse_root, "_checkpoints"),
+            f"manifest_sink_{table_name.replace('.', '_')}",
+        )
+        self.schema = spark.read.parquet(source_dir).schema
+
+    def _process_batch(self, batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.fmt.write_streaming_batch(
+            self.table_name, batch_df, batch_id, self.app_id
+        )
+
+    def run_once(self) -> None:
+        """Drain every not-yet-checkpointed source file, then stop."""
+        _drain_once(
+            self.spark, self.schema, self.source_dir, self.checkpoint,
+            self._process_batch, fmt="parquet",
+        )
+
+    def read(self):
+        return self.fmt.read(self.table_name)

@@ -581,11 +581,11 @@ def test_append_rebases_after_lost_version_cas(spark, tmp_path, kind, monkeypatc
     orig = fmt._try_write_manifest
     state = {"injected": False}
 
-    def racing(name, version, entries, cols):
+    def racing(name, version, entries, cols, txn=None):
         if not state["injected"]:
             state["injected"] = True
             other.write("s.t", _days(spark, ("b", 2)), "append")
-        return orig(name, version, entries, cols)
+        return orig(name, version, entries, cols, txn)
 
     monkeypatch.setattr(fmt, "_try_write_manifest", racing)
     fmt.write("s.t", _days(spark, ("c", 3)), "append")
@@ -675,11 +675,11 @@ def test_replace_aborts_on_concurrent_commit(spark, tmp_path, kind, monkeypatch)
     orig = fmt._try_write_manifest
     state = {"injected": False}
 
-    def racing(name, version, entries, cols):
+    def racing(name, version, entries, cols, txn=None):
         if not state["injected"]:
             state["injected"] = True
             other.write("s.t", _days(spark, ("b", 2)), "append")
-        return orig(name, version, entries, cols)
+        return orig(name, version, entries, cols, txn)
 
     monkeypatch.setattr(fmt, "_try_write_manifest", racing)
     with pytest.raises(RuntimeError, match="does not commute"):
@@ -1129,3 +1129,66 @@ def test_cluster_preserves_change_feed_and_rejects_partitioned(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unpartitioned"):
         fmt.cluster("s.p", "v")
+
+
+# -- round-8: idempotent streaming appends (txn watermarks) -----------------
+
+
+def test_streaming_batch_write_is_idempotent(spark, tmp_path):
+    """A replayed foreachBatch id must no-op: the per-app watermark
+    commits inside the same CAS as the data."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    assert fmt.write_streaming_batch("s.t", _days(spark, ("a", 1)), 0)
+    assert fmt.write_streaming_batch("s.t", _days(spark, ("b", 2)), 1)
+    # replays (crash between sink write and stream commit)
+    assert not fmt.write_streaming_batch("s.t", _days(spark, ("b", 2)), 1)
+    assert not fmt.write_streaming_batch("s.t", _days(spark, ("a", 1)), 0)
+    got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    assert got == {("a", 1), ("b", 2)}
+    # independent apps track independently
+    assert fmt.write_streaming_batch("s.t", _days(spark, ("c", 3)), 0, "app2")
+    assert fmt.read("s.t").count() == 3
+
+
+def test_streaming_txn_watermark_survives_compaction(spark, tmp_path):
+    """Every rebaseable edit carries the txn watermarks forward — a
+    compaction between a batch and its replay must not reopen the
+    exactly-once window."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=1)
+    fmt.write_streaming_batch("s.t", _days(spark, ("a", 1)), 0)
+    fmt.write_streaming_batch("s.t", _days(spark, ("b", 2)), 1)
+    assert fmt.maybe_compact("s.t") == 2
+    assert not fmt.write_streaming_batch("s.t", _days(spark, ("b", 2)), 1)
+    assert fmt.read("s.t").count() == 2
+
+
+def test_streaming_manifest_sink_end_to_end(spark, tmp_path):
+    """File stream -> foreachBatch -> manifest commits -> change feed:
+    two drains land two deltas; the feed between them is exactly the
+    second drain's rows."""
+    from iot_elt_airflow_mongo_timescaledb_spark.streaming.pipeline_stream import (
+        StreamingManifestSink,
+    )
+
+    src = tmp_path / "facts"
+    _days(spark, ("a", 1)).coalesce(1).write.mode("append").parquet(str(src))
+    sink = StreamingManifestSink(
+        spark, str(tmp_path / "wh"), str(src), "raw.ev"
+    )
+    sink.run_once()
+    v1 = sink.fmt._latest_version("raw.ev")
+    _days(spark, ("b", 2), ("c", 3)).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    sink.run_once()
+    assert {r["day"] for r in sink.read().collect()} == {"a", "b", "c"}
+    delta = sink.fmt.read_changes("raw.ev", v1)
+    assert {r["day"] for r in delta.collect()} == {"b", "c"}
