@@ -85,6 +85,43 @@ class Warehouse:
     def _partition_columns(self, name: str) -> list[str]:
         return self.fmt.partition_columns(name)
 
+    def _format_verb(self, verb: str):
+        """Commit-log-only verbs (time travel, skipping, change feed,
+        clustering, vacuum) resolved from the format — a clear error on
+        formats without them instead of an AttributeError."""
+        fn = getattr(self.fmt, verb, None)
+        if fn is None:
+            raise NotImplementedError(
+                f"{type(self.fmt).__name__} does not support '{verb}'; "
+                "construct the Warehouse with a commit-log format "
+                "(ManifestFormat / CatalogManifestFormat)"
+            )
+        return fn
+
+    def read_where(self, name: str, col: str, lo=None, hi=None) -> DataFrame:
+        """Range read with manifest-level data skipping (commit-log
+        formats; see ``ManifestFormat.read_where``)."""
+        return self._format_verb("read_where")(name, col, lo, hi)
+
+    def read_changes(
+        self, name: str, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Append-only change feed between manifest versions (commit-log
+        formats; see ``ManifestFormat.read_changes``)."""
+        return self._format_verb("read_changes")(name, since_version, to_version)
+
+    def cluster(self, name: str, col: str, n_files: int | None = None) -> int:
+        """Range-clustered rewrite for file-level skipping (commit-log
+        formats; see ``ManifestFormat.cluster``)."""
+        return self._format_verb("cluster")(name, col, n_files)
+
+    def vacuum(
+        self, name: str, keep_last: int = 1, keep_hours: float | None = None
+    ) -> int:
+        """Reclaim unreferenced data dirs / old manifests (commit-log
+        formats; see ``ManifestFormat.vacuum``)."""
+        return self._format_verb("vacuum")(name, keep_last, keep_hours)
+
     def table_info(self, name: str) -> dict:
         """Operational metadata for one table: bytes, partition layout,
         and top-level partition values — all metadata calls, no data

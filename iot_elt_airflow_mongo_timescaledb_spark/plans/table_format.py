@@ -519,6 +519,8 @@ class ManifestFormat(TableFormat):
         final = join_uri(self._log_path(name), f"v{version:012d}.json")
         if self.fs.exists(final):
             return False
+        import time
+
         body = json.dumps(
             {
                 "version": version,
@@ -528,6 +530,10 @@ class ManifestFormat(TableFormat):
                 # (Delta's txnAppId/txnVersion) — carried forward by
                 # every edit, reset only by a full replace
                 "txn": txn or {},
+                # wall-clock commit time: the basis for time-based
+                # vacuum retention (Delta's RETAIN n HOURS); advisory
+                # only — correctness never depends on clocks
+                "committed_at": int(time.time()),
             }
         )
         try:
@@ -757,21 +763,43 @@ class ManifestFormat(TableFormat):
                     "n_entries": len(m["entries"]),
                     "n_data_dirs": len({e["dir"] for e in m["entries"]}),
                     "partition_columns": m["partition_columns"],
+                    "committed_at": m.get("committed_at"),
                 }
             )
         return out
 
-    def vacuum(self, name: str, keep_last: int = 1) -> int:
-        """Delete data directories none of the last ``keep_last``
-        manifest versions reference, and drop the manifests older than
-        those — trading time-travel depth for space, explicitly.
+    def vacuum(
+        self, name: str, keep_last: int = 1, keep_hours: float | None = None
+    ) -> int:
+        """Delete data directories none of the retained manifest
+        versions reference, and drop the manifests older than those —
+        trading time-travel depth for space, explicitly.
         ``keep_last=1`` (default) keeps only the current table;
         ``keep_last=7`` keeps a week of daily commits readable.
-        Returns the number of data directories removed."""
+        ``keep_hours`` (Delta's ``RETAIN n HOURS``) retains instead
+        every version committed within the window — whichever policy
+        keeps MORE wins, and the current version always survives.
+        Versions from before commit timestamps existed count as
+        ancient.  Returns the number of data directories removed."""
         if keep_last < 1:
             raise ValueError("vacuum keeps at least the current version")
         latest = self._latest_version(name)
-        kept_versions = range(max(1, latest - keep_last + 1), latest + 1)
+        kept_versions: list = list(
+            range(max(1, latest - keep_last + 1), latest + 1)
+        )
+        if keep_hours is not None:
+            import time
+
+            cutoff = time.time() - keep_hours * 3600
+            for v in range(1, latest + 1):
+                m = self._manifest(name, v)
+                if (
+                    m is not None
+                    and v not in kept_versions
+                    and (m.get("committed_at") or 0) >= cutoff
+                ):
+                    kept_versions.append(v)
+        kept_versions = sorted(kept_versions)
         live: set[str] = set()
         for v in kept_versions:
             m = self._manifest(name, v)
@@ -781,9 +809,10 @@ class ManifestFormat(TableFormat):
             if d.startswith("d-") and d not in live:
                 self.fs.delete(join_uri(self.path(name), d))
                 removed += 1
+        keep_set = set(kept_versions)
         for f in self.fs.list_files(self._log_path(name)):
             if f.startswith("v") and f.endswith(".json"):
-                if int(f[1:-5]) < kept_versions.start:
+                if int(f[1:-5]) not in keep_set:
                     self.fs.delete(join_uri(self._log_path(name), f))
         return removed
 
@@ -1580,11 +1609,16 @@ class CatalogManifestFormat(ManifestFormat):
         committed = self._committed_versions(name)
         return [h for h in super().history(name) if h["version"] in committed]
 
-    def vacuum(self, name: str, keep_last: int = 1) -> int:
+    def vacuum(
+        self, name: str, keep_last: int = 1, keep_hours: float | None = None
+    ) -> int:
         """Reclaim dirs not referenced by the manifests the last
         ``keep_last`` CATALOG versions resolve ``name`` to; drop every
         other manifest of the table (orphans from aborted transactions
-        included)."""
+        included).  ``keep_hours`` additionally retains every
+        catalog-REACHABLE manifest version committed within the window
+        (same union-of-policies rule as the parent class; orphans get
+        no time-based grace)."""
         if keep_last < 1:
             raise ValueError("vacuum keeps at least the current version")
         if self._pending is not None:
@@ -1607,6 +1641,14 @@ class CatalogManifestFormat(ManifestFormat):
                 tables = json.loads(self.fs.read_text(p))["tables"]
                 if tables.get(name):
                     keep_versions.add(int(tables[name]))
+        if keep_hours is not None:
+            import time
+
+            cutoff = time.time() - keep_hours * 3600
+            for v in self._committed_versions(name):
+                m = super()._manifest(name, v)
+                if m is not None and (m.get("committed_at") or 0) >= cutoff:
+                    keep_versions.add(v)
         live: set[str] = set()
         for v in keep_versions:
             m = super()._manifest(name, v)

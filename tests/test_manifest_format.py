@@ -1192,3 +1192,57 @@ def test_streaming_manifest_sink_end_to_end(spark, tmp_path):
     assert {r["day"] for r in sink.read().collect()} == {"a", "b", "c"}
     delta = sink.fmt.read_changes("raw.ev", v1)
     assert {r["day"] for r in delta.collect()} == {"b", "c"}
+
+
+# -- round-8: time-based vacuum retention -----------------------------------
+
+
+def test_vacuum_keep_hours_retention(spark, tmp_path, monkeypatch):
+    """Delta's RETAIN n HOURS: versions committed within the window
+    survive vacuum even past keep_last; once the clock moves on, only
+    the keep_last policy holds."""
+    import time as time_mod
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")  # v1
+    fmt.write("s.t", _days(spark, ("b", 2)), "append")  # v2
+    fmt.write("s.t", _days(spark, ("c", 3)), "append")  # v3
+    # everything is seconds old: the 24h window retains all versions
+    assert fmt.vacuum("s.t", keep_last=1, keep_hours=24) == 0
+    assert fmt.read_version("s.t", 1).count() == 1  # still travelable
+
+    # two days later the window is empty; keep_last=1 prevails
+    real_now = time_mod.time()
+    monkeypatch.setattr(time_mod, "time", lambda: real_now + 48 * 3600)
+    removed = fmt.vacuum("s.t", keep_last=1, keep_hours=24)
+    assert removed == 0  # v3 references all three dirs (append chain)
+    with pytest.raises(ValueError):
+        fmt.read_version("s.t", 1)  # manifest pruned
+    assert fmt.read("s.t").count() == 3  # current table intact
+
+
+def test_warehouse_passthroughs_and_format_guard(spark, tmp_path):
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("v",)
+    )
+    wh = Warehouse(spark, str(tmp_path), table_format=fmt)
+    wh.materialize_incremental("s.t", _days(spark, ("a", 1)), "day")
+    v1 = fmt._latest_version("s.t")
+    wh.materialize_incremental("s.t", _days(spark, ("b", 2)), "day")
+    assert {r["day"] for r in wh.read_changes("s.t", v1).collect()} == {"b"}
+    assert wh.read_where("s.t", "v", 2, 2).count() == 1
+    assert wh.cluster("s.t", "v", n_files=1) == 1
+    assert wh.vacuum("s.t") >= 1
+
+    plain = Warehouse(spark, str(tmp_path / "pq"))
+    plain.materialize_incremental("s.t", _days(spark, ("a", 1)), "day")
+    with pytest.raises(NotImplementedError, match="commit-log"):
+        plain.read_changes("s.t", 1)
