@@ -1664,6 +1664,34 @@ class CatalogManifestFormat(ManifestFormat):
                     self.fs.delete(join_uri(self._log_path(name), f))
         return removed
 
+    def vacuum_catalog(self, keep_last: int = 96) -> int:
+        """Prune old catalog pointer files — the unbounded-growth fix
+        for the warehouse's OWN metadata: every flip writes one
+        ``c*.json`` (96/day at the 15-minute cadence), and both
+        ``_catalog_version`` (every commit) and ``_committed_versions``
+        (every time travel) list the whole directory, so an unpruned
+        catalog makes commit cost grow with warehouse AGE.  Keeps the
+        newest ``keep_last`` files (default one day of 15-min flips);
+        cross-table time travel (``read_at``) and per-table
+        ``read_version`` reach back only as far as the kept files —
+        align ``keep_last`` with the vacuum retention you actually
+        serve.  Refuses inside an open transaction (same rationale as
+        ``vacuum``).  Returns the number of catalog files removed."""
+        if keep_last < 1:
+            raise ValueError("vacuum_catalog keeps at least the current file")
+        if self._pending is not None:
+            raise RuntimeError(
+                "vacuum_catalog cannot run inside an open transaction"
+            )
+        latest = self._catalog_version()
+        removed = 0
+        for f in self.fs.list_files(self._catalog_path()):
+            if f.startswith("c") and f.endswith(".json"):
+                if int(f[1:-5]) <= latest - keep_last:
+                    self.fs.delete(join_uri(self._catalog_path(), f))
+                    removed += 1
+        return removed
+
     def catalog_history(self) -> list[dict]:
         """The warehouse's transaction log as data: one row per catalog
         version with the tables it moved — the audit surface for "which

@@ -1246,3 +1246,28 @@ def test_warehouse_passthroughs_and_format_guard(spark, tmp_path):
     plain.materialize_incremental("s.t", _days(spark, ("a", 1)), "day")
     with pytest.raises(NotImplementedError, match="commit-log"):
         plain.read_changes("s.t", 1)
+
+
+def test_vacuum_catalog_prunes_pointer_files(spark, cat_wh):
+    """The catalog's own c*.json files are pruned on a keep-last policy
+    — commit cost must not grow with warehouse age — while the current
+    state and the retained time-travel window stay readable."""
+    wh = cat_wh
+    for i in range(6):
+        wh.materialize_upsert("a.t", _days(spark, ("d1", i)), "day")
+    fmt = wh.fmt
+    assert fmt._catalog_version() == 6
+    assert fmt.vacuum_catalog(keep_last=2) == 4
+    assert wh.read("a.t").collect()[0]["v"] == 5  # current intact
+    assert fmt.read_at("a.t", 6).collect()[0]["v"] == 5  # kept window
+    with pytest.raises(ValueError, match="no catalog version"):
+        fmt.read_at("a.t", 1)  # pruned window
+    with pytest.raises(ValueError, match="never committed"):
+        fmt.read_version("a.t", 1)  # unreachable from kept files
+    assert fmt.read_version("a.t", 6).count() == 1
+    # refused mid-transaction (pending pointers not yet in any file)
+    with fmt.transaction():
+        wh.materialize_upsert("a.t", _days(spark, ("d1", 99)), "day")
+        with pytest.raises(RuntimeError, match="open transaction"):
+            fmt.vacuum_catalog()
+    assert wh.read("a.t").collect()[0]["v"] == 99
