@@ -100,6 +100,7 @@ EXTENDED = [
     "topk_rollup_heavy_hitters",  # capped count-map top-k rollup
     "manifest_change_feed",     # append-only CDC read between versions
     "manifest_clustered_skipping",  # range-clustered rewrite, file pruning
+    "agg_rollup_regrain",       # stored-rollup regrain, no fact rescan
 ]
 
 

@@ -1434,3 +1434,51 @@ def topk_rollup_heavy_hitters(spark, sf_dir):
     )
     tk.sync(ev.filter(F.col("event_id") % 2 == 0))
     return tk.sync(ev.filter(F.col("event_id") % 2 == 1))
+
+
+@query(
+    "agg_rollup_regrain",
+    oracle="""
+    SELECT strftime(ts, '%Y%m') AS month, user_id,
+           ROUND(SUM(value), 2) AS total, COUNT(*) AS n_rows
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+    """,
+    gate=False,  # rollup-maintenance family; hist/topk rollups carry the gate
+)
+def agg_rollup_regrain(spark, sf_dir):
+    """Additive-rollup REGRAIN end-to-end (``IncrementalAggSync
+    .regrain``): a (day, user) sum rollup built from two disjoint
+    half-batches is re-aggregated to (month, user) purely from its
+    STORED groups — no fact rescan — and must hash-match the direct
+    month-grain recompute.  This is how the pipeline serves the
+    reference's weekly/monthly steps cadences from one maintained
+    daily rollup (HealthPipeline.weekly/monthly_steps_rollup)."""
+    from ..fs import scratch_dir
+    from .pipeline import IncrementalAggSync
+
+    root = scratch_dir(spark, "regrain_", cleanup_atexit=True)
+    roll = IncrementalAggSync(
+        spark, root, "agg.du", ("day", "user_id"), ("value",)
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyyMMdd").alias("day"),
+            "user_id",
+            "value",
+        )
+    )
+    roll.sync(ev.filter(F.col("event_id") % 2 == 0))
+    roll.sync(ev.filter(F.col("event_id") % 2 == 1))
+    out = roll.regrain(
+        {"month": F.substring("day", 1, 6), "user_id": F.col("user_id")}
+    )
+    return out.select(
+        "month",
+        "user_id",
+        F.round(F.col("sum_value"), 2).alias("total"),
+        "n_rows",
+    )
