@@ -1307,3 +1307,30 @@ def test_new_verbs_work_on_catalog_format(spark, tmp_path):
         fmt.write("s.t", _days(spark, ("d", 4)), "append")
         assert fmt.read("s.t").count() == 4  # read-your-writes
     assert fmt.read("s.t").count() == 4
+
+
+def test_cluster_and_skipping_handle_nulls(spark, tmp_path):
+    """NULLs in the clustered column: range repartitioning groups them
+    into some file whose stats may be [None, None]; pruning must KEEP
+    such entries (unknown range) and the row-level filter then drops
+    the NULLs — results stay exact, never a crash or a lost row."""
+    from pyspark.sql import Row as R
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("v",)
+    )
+    rows = [R(day=f"d{i}", v=i) for i in range(100)] + [
+        R(day=f"n{i}", v=None) for i in range(10)
+    ]
+    fmt.write("s.n", spark.createDataFrame(rows), "overwrite")
+    fmt.cluster("s.n", "v", n_files=4)
+    got = {r["v"] for r in fmt.read_where("s.n", "v", 10, 19).collect()}
+    assert got == set(range(10, 20))
+    # the NULL rows are still in the table (full read), just never in
+    # a range result
+    assert fmt.read("s.n").count() == 110
+    assert fmt.read("s.n").filter("v IS NULL").count() == 10
