@@ -149,6 +149,16 @@ class HadoopFS:
             if st.isFile()
         )
 
+    def mtime(self, uri: str) -> float:
+        """Modification time of the path in epoch seconds (0.0 when
+        absent) — the basis for vacuum's writer-grace age check, same
+        mechanism as Delta's vacuum file-age retention."""
+        p = self._jpath(uri)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return 0.0
+        return fs.getFileStatus(p).getModificationTime() / 1000.0
+
     def tree_bytes(self, uri: str) -> int:
         """Total bytes under ``uri`` via ``getContentSummary`` — one
         filesystem call for the whole tree (HDFS answers from the

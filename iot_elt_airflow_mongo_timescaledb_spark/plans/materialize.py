@@ -116,11 +116,17 @@ class Warehouse:
         return self._format_verb("cluster")(name, col, n_files)
 
     def vacuum(
-        self, name: str, keep_last: int = 1, keep_hours: float | None = None
+        self,
+        name: str,
+        keep_last: int = 1,
+        keep_hours: float | None = None,
+        writer_grace_s: float | None = None,
     ) -> int:
         """Reclaim unreferenced data dirs / old manifests (commit-log
         formats; see ``ManifestFormat.vacuum``)."""
-        return self._format_verb("vacuum")(name, keep_last, keep_hours)
+        return self._format_verb("vacuum")(
+            name, keep_last, keep_hours, writer_grace_s
+        )
 
     def table_info(self, name: str) -> dict:
         """Operational metadata for one table: bytes, partition layout,

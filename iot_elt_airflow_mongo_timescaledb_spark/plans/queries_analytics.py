@@ -1410,7 +1410,8 @@ def cohort_retention(spark, sf_dir):
            n AS est_count, CAST(n_tracked AS INT) AS n_tracked
     FROM r WHERE rank <= 5
     """,
-    gate=False,  # sketch-rollup family; hist_rollup_quantiles carries the gate
+    # r9 gate rotation (VERDICT r8 task 2): the round-8 flagship takes a
+    # driver row; doc_fingerprints demoted in exchange
 )
 def topk_rollup_heavy_hitters(spark, sf_dir):
     """Heavy-hitters rollup end-to-end (``IncrementalTopKSync``, the

@@ -874,7 +874,8 @@ def manifest_time_travel(spark, sf_dir):
     WHERE c_custkey > m * 2 // 5 AND c_custkey <= m * 3 // 5
     GROUP BY c_mktsegment
     """,
-    gate=False,  # warehouse-machinery family; manifest_time_travel's sibling
+    # r9 gate rotation (VERDICT r8 task 2): the round-8 skipping flagship
+    # takes a driver row; streaming_user_activity demoted in exchange
 )
 def manifest_data_skipping(spark, sf_dir):
     """Manifest-level data skipping end-to-end (ManifestFormat

@@ -136,6 +136,9 @@ def streaming_dedup_counts(spark, sf_dir):
            ROUND(COALESCE(MAX(gap_s), 0.0), 3) AS max_gap_s
     FROM gaps GROUP BY 1
     """,
+    gate=False,  # stream-agg family: streaming_hourly_rollup carries the T1
+    # gate; stateful-v2 parity stays pinned in tests/test_stateful_v2.py
+    # (r9 rotation)
 )
 def streaming_user_activity(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user

@@ -147,6 +147,7 @@ def dedup_exact(spark, sf_dir):
            CAST(floor(length({_NORM_SQL}) / 100) AS BIGINT) AS len_bucket
     FROM documents
     """,
+    gate=False,  # md5-fingerprint family: dedup_exact carries the gate (r9 rotation)
 )
 def doc_fingerprints(spark, sf_dir):
     return X.fingerprints(table(spark, sf_dir, "documents"), "doc_id", "text")

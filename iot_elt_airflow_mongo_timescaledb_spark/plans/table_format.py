@@ -53,6 +53,43 @@ from pyspark.sql import DataFrame, SparkSession
 from ..fs import HadoopFS, join_uri
 
 
+def _enc_stat(v):
+    """Encode one min/max stat for JSON manifest storage, with an
+    ORDER-SAFETY tag:
+
+    - ``'native'`` — int/float/bool/str/None: JSON-native, compares in
+      its own domain;
+    - ``'iso'`` — datetime/date, stored as a zero-padded ISO string
+      whose LEXICOGRAPHIC order equals chronological order (safe to
+      range-compare against string or datetime bounds);
+    - ``'opaque'`` — anything else (Decimal, custom types): stored
+      ``str(v)`` for display, but string order is NOT value order
+      (``'9' > '10'``) — pruning must treat it as no-stats (ADVICE r8
+      #5's silent-wrong-prune case).
+    """
+    import datetime
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v, "native"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" "), "iso"
+    if isinstance(v, datetime.date):
+        return v.isoformat(), "iso"
+    return str(v), "opaque"
+
+
+def _stat_triplet(mn, mx) -> list:
+    """The stored per-column stat: ``[mn, mx]`` for native values
+    (back-compatible shape), ``[mn, mx, tag]`` otherwise."""
+    emn, tmn = _enc_stat(mn)
+    emx, tmx = _enc_stat(mx)
+    tag = tmn if tmn == tmx else ("opaque" if "opaque" in (tmn, tmx) else tmn)
+    # None min with typed max (or vice versa) keeps the typed tag
+    if mn is None and mx is not None:
+        tag = tmx
+    return [emn, emx] if tag == "native" else [emn, emx, tag]
+
+
 class TableFormat(abc.ABC):
     """Storage verbs a warehouse table format must provide.
 
@@ -546,11 +583,27 @@ class ManifestFormat(TableFormat):
             return False
         return True
 
-    def _commit(self, name: str, entries: list, partition_columns: list) -> None:
+    def _commit(
+        self,
+        name: str,
+        entries: list,
+        partition_columns: list,
+        base_version: int = 0,
+    ) -> None:
         """Non-rebaseable (full-replace) commit: one CAS attempt, loud
         abort on a lost race — a replace computed against a stale base
-        would silently discard the concurrent commit."""
-        nxt = self._latest_version(name) + 1
+        would silently discard the concurrent commit.
+
+        ``base_version`` is the version of the manifest the edit was
+        COMPUTED against (0 = table absent at read time), and the CAS
+        target is exactly ``base_version + 1`` — never a re-list of the
+        log.  Re-listing (``_latest_version + 1``) would let a commit
+        that landed between the base read and the re-list slide the
+        target PAST the concurrent version, silently discarding its
+        entries instead of colliding on the version file (Delta computes
+        the attempt version from the read snapshot for the same reason;
+        ADVICE r8 #1)."""
+        nxt = base_version + 1
         if not self._try_write_manifest(name, nxt, entries, partition_columns):
             raise RuntimeError(
                 f"concurrent commit detected on {name} (v{nxt} exists): a "
@@ -580,7 +633,14 @@ class ManifestFormat(TableFormat):
             txn = out[2] if len(out) > 2 else dict(
                 (prev or {}).get("txn") or {}
             )
-            nxt = self._latest_version(name) + 1
+            # CAS target from the BASE the edit saw, never a re-list:
+            # a commit landing between the _manifest read above and a
+            # log re-list would make a higher version's create-exclusive
+            # succeed against a stale base, silently dropping the
+            # concurrent entries (ADVICE r8 #1).  Anchored to the base,
+            # the concurrent commit collides on the version file and
+            # this edit rebases as documented.
+            nxt = (prev["version"] if prev else 0) + 1
             if self._try_write_manifest(name, nxt, entries, cols, txn):
                 return True
             # jittered backoff: contending writers decorrelate
@@ -636,9 +696,9 @@ class ManifestFormat(TableFormat):
         ONE bounded aggregate over the freshly written dir (grouped by
         partition leaf; Spark reads only the stats columns, and parquet
         footers answer min/max without scanning data pages).  Values
-        JSON-serialize natively when numeric/bool/string; anything else
-        (timestamps, dates, decimals) is stored as ``str(v)`` —
-        lexicographic compare, fine for ISO timestamps."""
+        store through ``_stat_triplet``: native types as-is,
+        datetime/date as order-safe ISO strings, anything else tagged
+        ``opaque`` so pruning never compares it (ADVICE r8 #5)."""
         if not self.stats_cols or not entries:
             return
         from pyspark.sql import functions as F
@@ -651,9 +711,6 @@ class ManifestFormat(TableFormat):
         present = [c for c in self.stats_cols if c in df.columns]
         if not present:
             return
-
-        def enc(v):
-            return v if isinstance(v, (int, float, bool, str)) or v is None else str(v)
 
         aggs = []
         for c in present:
@@ -670,13 +727,14 @@ class ManifestFormat(TableFormat):
                 )
                 if r is not None:
                     e["stats"] = {
-                        c: [enc(r[f"__mn_{c}"]), enc(r[f"__mx_{c}"])]
+                        c: _stat_triplet(r[f"__mn_{c}"], r[f"__mx_{c}"])
                         for c in present
                     }
         else:
             r = df.agg(*aggs).first()
             entries[0]["stats"] = {
-                c: [enc(r[f"__mn_{c}"]), enc(r[f"__mx_{c}"])] for c in present
+                c: _stat_triplet(r[f"__mn_{c}"], r[f"__mx_{c}"])
+                for c in present
             }
 
     def _entry_path(self, name: str, e: dict) -> str:
@@ -768,8 +826,49 @@ class ManifestFormat(TableFormat):
             )
         return out
 
+    #: writer grace for the vacuum data sweep (seconds): d-* dirs
+    #: younger than this survive even when unreferenced, because every
+    #: write verb lands its data dir BEFORE its CAS commit — a vacuum
+    #: racing an in-flight writer would otherwise delete the
+    #: uncommitted dir, the writer's CAS would then succeed, and the
+    #: table would point at vanished data (ADVICE r8 #3; Delta's
+    #: vacuum has the same file-age check).  Default = one 15-minute
+    #: sync cadence; pass ``writer_grace_s=0`` only with writers
+    #: quiesced.
+    VACUUM_WRITER_GRACE_S = 900.0
+
+    def _sweep_data_dirs(
+        self, name: str, live: set, writer_grace_s: float | None
+    ) -> int:
+        """Delete ``d-*`` dirs not in ``live`` — EXCEPT dirs younger
+        than the writer grace, which may be an in-flight writer's
+        pre-commit data (see ``VACUUM_WRITER_GRACE_S``).  One
+        ``getFileStatus`` per candidate dir."""
+        import time
+
+        grace = (
+            self.VACUUM_WRITER_GRACE_S
+            if writer_grace_s is None
+            else writer_grace_s
+        )
+        now = time.time()
+        removed = 0
+        for d in self.fs.list_subdirs(self.path(name)):
+            if not d.startswith("d-") or d in live:
+                continue
+            target = join_uri(self.path(name), d)
+            if grace > 0 and (now - self.fs.mtime(target)) < grace:
+                continue  # possibly an in-flight writer's dir
+            self.fs.delete(target)
+            removed += 1
+        return removed
+
     def vacuum(
-        self, name: str, keep_last: int = 1, keep_hours: float | None = None
+        self,
+        name: str,
+        keep_last: int = 1,
+        keep_hours: float | None = None,
+        writer_grace_s: float | None = None,
     ) -> int:
         """Delete data directories none of the retained manifest
         versions reference, and drop the manifests older than those —
@@ -780,7 +879,11 @@ class ManifestFormat(TableFormat):
         every version committed within the window — whichever policy
         keeps MORE wins, and the current version always survives.
         Versions from before commit timestamps existed count as
-        ancient.  Returns the number of data directories removed."""
+        ancient.  ``writer_grace_s`` (default
+        ``VACUUM_WRITER_GRACE_S``) additionally keeps any
+        unreferenced data dir YOUNGER than the window — it may belong
+        to an in-flight writer whose CAS has not landed yet.  Returns
+        the number of data directories removed."""
         if keep_last < 1:
             raise ValueError("vacuum keeps at least the current version")
         latest = self._latest_version(name)
@@ -804,11 +907,7 @@ class ManifestFormat(TableFormat):
         for v in kept_versions:
             m = self._manifest(name, v)
             live |= {e["dir"] for e in (m["entries"] if m else [])}
-        removed = 0
-        for d in self.fs.list_subdirs(self.path(name)):
-            if d.startswith("d-") and d not in live:
-                self.fs.delete(join_uri(self.path(name), d))
-                removed += 1
+        removed = self._sweep_data_dirs(name, live, writer_grace_s)
         keep_set = set(kept_versions)
         for f in self.fs.list_files(self._log_path(name)):
             if f.startswith("v") and f.endswith(".json"):
@@ -891,7 +990,9 @@ class ManifestFormat(TableFormat):
             self._commit_edit(name, add_entries)
         else:
             entries, cols = self._new_data_dir(name, df, partition_by)
-            self._commit(name, entries, cols)
+            self._commit(
+                name, entries, cols, prev["version"] if prev else 0
+            )
 
     def replace_atomic(
         self,
@@ -900,9 +1001,13 @@ class ManifestFormat(TableFormat):
         partition_by: tuple[str, ...] = (),
         suffix: str = "__staging",
     ) -> None:
-        # suffix ignored: the commit itself is the transaction
+        # suffix ignored: the commit itself is the transaction.  The
+        # base is read BEFORE landing data: a commit racing into the
+        # write window collides on base+1 and aborts this replace loudly
+        # instead of being silently discarded.
+        prev = self._manifest(name)
         entries, cols = self._new_data_dir(name, df, partition_by)
-        self._commit(name, entries, cols)
+        self._commit(name, entries, cols, prev["version"] if prev else 0)
 
     def dynamic_partition_overwrite(
         self, name: str, df: DataFrame, partition_col: str
@@ -1084,11 +1189,31 @@ class ManifestFormat(TableFormat):
         for e in new:
             e["sources"] = provenance
 
+        def ident(e):
+            import json as _json
+
+            return (
+                e["dir"],
+                e.get("rel"),
+                _json.dumps(e["partitions"], sort_keys=True),
+            )
+
+        src_ids = {ident(e) for e in src}
+
         def swap(head):
             if head is None:
                 return None
-            if not small <= {e["dir"] for e in head["entries"]}:
-                return None  # a concurrent rewrite already took them
+            # ENTRY-granular guard, not dir-granular: a concurrent
+            # drop_partitions_below / dynamic_partition_overwrite can
+            # remove SOME entries of a small dir while the dir survives
+            # via its other partitions — a dir-membership check would
+            # pass and the compacted output (built from the OLD
+            # manifest's entries, whose immutable files still exist)
+            # would resurrect the dropped rows (ADVICE r8 #2).  Every
+            # source entry must still be present by identity, else the
+            # rewrite is stale and no-ops (vacuum reclaims it).
+            if not src_ids <= {ident(e) for e in head["entries"]}:
+                return None
             kept = [e for e in head["entries"] if e["dir"] not in small]
             return kept + new, head["partition_columns"]
 
@@ -1160,9 +1285,6 @@ class ManifestFormat(TableFormat):
             .collect()
         )
 
-        def enc(v):
-            return v if isinstance(v, (int, float, bool, str)) or v is None else str(v)
-
         provenance = sorted(
             {d for e in m["entries"] for d in (e.get("sources") or [e["dir"]])}
         )
@@ -1176,12 +1298,16 @@ class ManifestFormat(TableFormat):
                     "partitions": None,
                     "sources": provenance,
                     "stats": {
-                        c: [enc(r[f"__mn_{c}"]), enc(r[f"__mx_{c}"])]
+                        c: _stat_triplet(r[f"__mn_{c}"], r[f"__mx_{c}"])
                         for c in scols
                     },
                 }
             )
-        self._commit(name, entries, [])
+        # anchored to the manifest the rewrite read: a concurrent append
+        # landing during the range-shuffle collides on base+1 and aborts
+        # the cluster (its rewrite is stale) instead of silently
+        # dropping the append (ADVICE r8 #1's worst case)
+        self._commit(name, entries, [], m["version"])
         return len(entries)
 
     def read_changes(
@@ -1277,9 +1403,20 @@ class ManifestFormat(TableFormat):
             # empty delta with the table's schema (footer-only read)
             from pyspark.sql import functions as F
 
-            return self._read_entries(
-                name, to_m, to_m["entries"][:1] or since_m["entries"][:1]
-            ).filter(F.lit(False))
+            probe = to_m["entries"][:1] or since_m["entries"][:1]
+            if not probe:
+                # both versions hold ZERO entries (e.g. every partition
+                # dropped): there is no file to derive a schema from —
+                # refuse loudly instead of IndexError deep in
+                # _read_entries (ADVICE r8 #4); same error class read()
+                # raises for an entry-less table
+                raise FileNotFoundError(
+                    f"read_changes({name}): neither v"
+                    f"{since_m['version']} nor v{to_m['version']} has "
+                    "any data entries — no schema exists for an empty "
+                    "change feed; resync once the table has data"
+                )
+            return self._read_entries(name, to_m, probe).filter(F.lit(False))
         return self._read_entries(name, to_m, new_entries)
 
     def prune_entries(self, name: str, col: str, lo=None, hi=None) -> tuple:
@@ -1287,9 +1424,43 @@ class ManifestFormat(TableFormat):
         ``col`` range intersects ``[lo, hi]``.  Entries with no stats
         for the column (written before ``stats_cols`` included it, or
         all-NULL) are KEPT — pruning is an optimization that must never
-        change results.  Returns ``(kept_entries, manifest)``; driver
-        cost is one pass over the entry list (manifest-sized, never
-        data-sized)."""
+        change results.  The same keep-by-default rule covers DOMAIN
+        mismatches (ADVICE r8 #5): ``opaque``-tagged stats (str()-
+        encoded non-native types whose lexicographic order is not the
+        value order, e.g. Decimal) never compare, and a bound whose
+        comparison domain differs from the stored stat's (numeric vs
+        string) keeps the entry instead of silently mis-pruning or
+        raising TypeError.  datetime/date bounds normalize to the same
+        order-safe ISO strings the stats store.  Returns
+        ``(kept_entries, manifest)``; driver cost is one pass over the
+        entry list (manifest-sized, never data-sized)."""
+        import datetime
+
+        def norm_bound(b):
+            # (comparable_value, domain) — domain None = never compare
+            if b is None:
+                return None, None
+            if isinstance(b, bool):
+                return b, "b"
+            if isinstance(b, (int, float)):
+                return b, "n"
+            if isinstance(b, str):
+                return b, "s"
+            if isinstance(b, datetime.datetime):
+                return b.isoformat(sep=" "), "s"
+            if isinstance(b, datetime.date):
+                return b.isoformat(), "s"
+            return None, None  # unsupported bound type: no pruning
+
+        def dom(v):
+            if isinstance(v, bool):
+                return "b"
+            if isinstance(v, (int, float)):
+                return "n"
+            return "s"
+
+        lo_v, lo_d = norm_bound(lo)
+        hi_v, hi_d = norm_bound(hi)
         m = self._manifest(name)
         if m is None:
             raise FileNotFoundError(f"no committed manifest for table {name}")
@@ -1299,10 +1470,19 @@ class ManifestFormat(TableFormat):
             if not st or st[0] is None or st[1] is None:
                 kept.append(e)
                 continue
-            mn, mx = st
-            if lo is not None and mx < lo:
+            if len(st) > 2 and st[2] == "opaque":
+                kept.append(e)  # order-unsafe encoding: never prune
                 continue
-            if hi is not None and mn > hi:
+            mn, mx = st[0], st[1]
+            if lo is not None and (lo_d is None or lo_d != dom(mx)):
+                kept.append(e)  # cross-domain compare: keep
+                continue
+            if hi is not None and (hi_d is None or hi_d != dom(mn)):
+                kept.append(e)
+                continue
+            if lo is not None and mx < lo_v:
+                continue
+            if hi is not None and mn > hi_v:
                 continue
             kept.append(e)
         return kept, m
@@ -1495,22 +1675,47 @@ class CatalogManifestFormat(ManifestFormat):
                 return None
         return super()._manifest(name, version)
 
-    def _commit(self, name: str, entries: list, partition_columns: list) -> None:
-        """Non-rebaseable (replace) commit + catalog flip.  The
-        manifest-version CAS serializes same-table replaces (the loser
-        aborts, exactly like the parent class); the flip itself only
-        races flips of other tables, which commute."""
-        nxt = self._latest_version(name) + 1
-        if not self._try_write_manifest(name, nxt, entries, partition_columns):
+    def _commit(
+        self,
+        name: str,
+        entries: list,
+        partition_columns: list,
+        base_version: int = 0,
+    ) -> None:
+        """Non-rebaseable (replace) commit + catalog flip.  On this
+        format the COMMIT POINT is the catalog flip, so the replace's
+        loud-abort contract is enforced there: the flip is conditioned
+        on the table still resolving to ``base_version`` (the head the
+        replace was computed against).  The manifest-file write is only
+        unique ALLOCATION — orphans from aborted transactions may sit
+        above the catalog-resolved head, so the file version cannot be
+        ``base + 1``; a lost create race just re-allocates.  Previously
+        the flip was unconditional, so a replace racing a concurrent
+        append would silently overwrite the append's pointer (the
+        catalog-format twin of ADVICE r8 #1)."""
+        import random
+        import time
+
+        for attempt in range(self.COMMIT_ATTEMPTS):
+            nxt = self._latest_version(name) + 1
+            if self._try_write_manifest(name, nxt, entries, partition_columns):
+                break
+            time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        else:
             raise RuntimeError(
-                f"concurrent commit detected on {name} (v{nxt} exists): a "
-                "full-table replace does not commute with a concurrent "
-                "write — re-run the operation against the new table state"
+                f"manifest allocation for {name} lost the create race "
+                f"{self.COMMIT_ATTEMPTS} times — persistent contention "
+                "or a stuck IO error"
             )
         if self._pending is not None:
             self._pending[name] = nxt  # deferred: one flip commits all
-        else:
-            self._flip_catalog({name: nxt})
+        elif not self._flip_if_base(name, nxt, base_version):
+            raise RuntimeError(
+                f"concurrent commit detected on {name} (catalog moved "
+                f"past v{base_version}): a full-table replace does not "
+                "commute with a concurrent write — re-run the operation "
+                "against the new table state"
+            )
 
     def _commit_edit(self, name: str, edit_fn) -> bool:
         """Rebaseable commit through the CATALOG: the edit recomputes
@@ -1610,7 +1815,11 @@ class CatalogManifestFormat(ManifestFormat):
         return [h for h in super().history(name) if h["version"] in committed]
 
     def vacuum(
-        self, name: str, keep_last: int = 1, keep_hours: float | None = None
+        self,
+        name: str,
+        keep_last: int = 1,
+        keep_hours: float | None = None,
+        writer_grace_s: float | None = None,
     ) -> int:
         """Reclaim dirs not referenced by the manifests the last
         ``keep_last`` CATALOG versions resolve ``name`` to; drop every
@@ -1618,7 +1827,8 @@ class CatalogManifestFormat(ManifestFormat):
         included).  ``keep_hours`` additionally retains every
         catalog-REACHABLE manifest version committed within the window
         (same union-of-policies rule as the parent class; orphans get
-        no time-based grace)."""
+        no time-based grace).  ``writer_grace_s`` protects in-flight
+        writers' pre-commit data dirs exactly as in the parent class."""
         if keep_last < 1:
             raise ValueError("vacuum keeps at least the current version")
         if self._pending is not None:
@@ -1653,11 +1863,7 @@ class CatalogManifestFormat(ManifestFormat):
         for v in keep_versions:
             m = super()._manifest(name, v)
             live |= {e["dir"] for e in (m["entries"] if m else [])}
-        removed = 0
-        for d in self.fs.list_subdirs(self.path(name)):
-            if d.startswith("d-") and d not in live:
-                self.fs.delete(join_uri(self.path(name), d))
-                removed += 1
+        removed = self._sweep_data_dirs(name, live, writer_grace_s)
         for f in self.fs.list_files(self._log_path(name)):
             if f.startswith("v") and f.endswith(".json"):
                 if int(f[1:-5]) not in keep_versions:

@@ -16,8 +16,6 @@ parquet "_meta" table — the only driver-side scalar in the pipeline.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -66,19 +64,24 @@ class IncrementalCursor:
     """
 
     def __init__(self, spark: SparkSession, state_dir: str, source: str, cursor_field: str):
+        from ..fs import HadoopFS, join_uri
+
         self.spark = spark
-        self.state_path = os.path.join(state_dir, f"_meta_cursor_{source}")
+        self.state_path = join_uri(state_dir, f"_meta_cursor_{source}")
         self.cursor_field = cursor_field
+        self._fs = HadoopFS(spark)
 
     def last_value(self):
-        import os
-
         # missing state == first run; anything ELSE (corrupt half-written
         # file, permission error) must raise — treating it as a first run
-        # would silently re-extract the entire source history
-        if not os.path.isdir(self.state_path) and not os.path.exists(
-            self.state_path
-        ):
+        # would silently re-extract the entire source history.  Existence
+        # goes through the Hadoop FileSystem (fs.py), NEVER os.path: on
+        # the scheme-qualified warehouse roots the rest of the repo
+        # supports (hdfs://, s3a://), os.path answers "missing" for a
+        # POPULATED cursor, and the sync would silently re-extract full
+        # source history — correct (pk-dedup) but a full-history rescan
+        # per cadence at 100 TB.
+        if not self._fs.exists(self.state_path):
             return None
         rows = self.spark.read.parquet(self.state_path).collect()
         return rows[0]["last_value"] if rows else None

@@ -78,7 +78,7 @@ def test_orphan_data_dir_is_invisible_and_vacuumed(spark, wh, tmp_path):
     )
     assert orphan  # wrote something
     assert wh.read("stage.t").count() == 1  # invisible to readers
-    assert wh.fmt.vacuum("stage.t") == 1  # reclaimed
+    assert wh.fmt.vacuum("stage.t", writer_grace_s=0) == 1  # reclaimed
     assert wh.read("stage.t").count() == 1
 
 
@@ -104,7 +104,7 @@ def test_retention_is_a_manifest_edit(spark, wh):
     # this layout both live and dropped partitions share one data dir,
     # so vacuum keeps it (dir-granularity reclamation, like Delta before
     # OPTIMIZE rewrites)
-    assert wh.fmt.vacuum("stage.p") == 0
+    assert wh.fmt.vacuum("stage.p", writer_grace_s=0) == 0
 
 
 def test_backfill_replaces_exactly_named_partitions(spark, wh):
@@ -145,7 +145,7 @@ def test_compact_collapses_append_dirs(spark, wh):
     assert len({e["dir"] for e in wh.fmt._manifest("stage.t")["entries"]}) == 1
     assert wh.read("stage.t").count() == 3
     # old dirs reclaimed
-    assert wh.fmt.vacuum("stage.t") == 3
+    assert wh.fmt.vacuum("stage.t", writer_grace_s=0) == 3
 
 
 def test_schema_evolution_across_commits(spark, wh):
@@ -207,7 +207,7 @@ def test_time_travel_and_history(spark, wh):
         wh.fmt.read_version("stage.t", 9)
     # vacuum keeps only the LATEST version's dirs: v1/v2 become
     # unreadable after reclamation (the documented tradeoff)
-    assert wh.fmt.vacuum("stage.t") == 2
+    assert wh.fmt.vacuum("stage.t", writer_grace_s=0) == 2
 
 
 @pytest.mark.parametrize("fmt_name", ["manifest", "catalog"])
@@ -282,7 +282,7 @@ def test_vacuum_keep_last_preserves_recent_versions(spark, wh):
     wh.fmt.replace_atomic("stage.t", _days(spark, ("20240102", 2)))
     wh.fmt.replace_atomic("stage.t", _days(spark, ("20240103", 3)))
     # keep the last two versions: v2 stays readable, v1's dir goes
-    assert wh.fmt.vacuum("stage.t", keep_last=2) == 1
+    assert wh.fmt.vacuum("stage.t", keep_last=2, writer_grace_s=0) == 1
     assert wh.fmt.read_version("stage.t", 2).collect()[0]["day"] == "20240102"
     with pytest.raises(ValueError, match="no version"):
         wh.fmt.read_version("stage.t", 1)  # manifest pruned with its dir
@@ -311,7 +311,7 @@ def test_manifest_format_on_scheme_qualified_uri(spark, tmp_path):
         ("20240101", 9)
     }
     assert wh.fmt.read_version("stage.t", 1).collect()[0]["v"] == 1
-    assert wh.fmt.vacuum("stage.t") == 1
+    assert wh.fmt.vacuum("stage.t", writer_grace_s=0) == 1
     # log + current data dir really live under the local path
     log_local = os.path.join(str(tmp_path), "stage", "t", "_log")
     visible = [f for f in os.listdir(log_local) if not f.startswith(".")]
@@ -382,7 +382,7 @@ def test_transaction_is_read_your_writes_and_atomic(spark, cat_wh):
             raise RuntimeError("boom")
     assert wh.read("a.x").collect()[0]["v"] == 9  # unchanged
     # orphaned manifest + dirs reclaimed by vacuum
-    assert wh.fmt.vacuum("a.x") >= 1
+    assert wh.fmt.vacuum("a.x", writer_grace_s=0) >= 1
 
 
 def test_root_key_merge_is_cross_table_atomic(spark, tmp_path, cat_wh, monkeypatch):
@@ -794,7 +794,7 @@ if kind == "catalog":
     except ValueError:
         pass
 # 2. vacuum reclaims the crash leftovers from a fresh process
-removed = fmt.vacuum("s.t")
+removed = fmt.vacuum("s.t", writer_grace_s=0)
 assert removed >= 1, f"expected orphan dirs reclaimed, got {removed}"
 # 3. this session can commit on top
 fmt.write(
@@ -1218,7 +1218,7 @@ def test_vacuum_keep_hours_retention(spark, tmp_path, monkeypatch):
     # two days later the window is empty; keep_last=1 prevails
     real_now = time_mod.time()
     monkeypatch.setattr(time_mod, "time", lambda: real_now + 48 * 3600)
-    removed = fmt.vacuum("s.t", keep_last=1, keep_hours=24)
+    removed = fmt.vacuum("s.t", keep_last=1, keep_hours=24, writer_grace_s=0)
     assert removed == 0  # v3 references all three dirs (append chain)
     with pytest.raises(ValueError):
         fmt.read_version("s.t", 1)  # manifest pruned
@@ -1240,7 +1240,7 @@ def test_warehouse_passthroughs_and_format_guard(spark, tmp_path):
     assert {r["day"] for r in wh.read_changes("s.t", v1).collect()} == {"b"}
     assert wh.read_where("s.t", "v", 2, 2).count() == 1
     assert wh.cluster("s.t", "v", n_files=1) == 1
-    assert wh.vacuum("s.t") >= 1
+    assert wh.vacuum("s.t", writer_grace_s=0) >= 1
 
     plain = Warehouse(spark, str(tmp_path / "pq"))
     plain.materialize_incremental("s.t", _days(spark, ("a", 1)), "day")
@@ -1334,3 +1334,302 @@ def test_cluster_and_skipping_handle_nulls(spark, tmp_path):
     # a range result
     assert fmt.read("s.n").count() == 110
     assert fmt.read("s.n").filter("v IS NULL").count() == 10
+
+
+# -- round-9: CAS target anchored to the read base (ADVICE r8 #1) ----------
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_append_racing_commit_after_base_read_rebases(
+    spark, tmp_path, kind, monkeypatch
+):
+    """The ADVICE r8 #1 hole: a commit landing BETWEEN _commit_edit's
+    head read and its CAS.  A re-listed CAS target (_latest_version+1)
+    slides past the concurrent version and silently discards its
+    entries; the base-anchored target collides and rebases — all three
+    rows must land."""
+    root = str(tmp_path)
+    fmt = _fmt_of(spark, root, kind)
+    other = _fmt_of(spark, root, kind)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+
+    orig = type(fmt)._manifest
+    state = {"calls": 0, "injected": False}
+
+    def racing_manifest(self, name, version=None):
+        m = orig(self, name, version)
+        state["calls"] += 1
+        # call 1 = write()'s layout read; call 2 = _commit_edit's head
+        # read — inject the concurrent commit right after it
+        if state["calls"] == 2 and not state["injected"]:
+            state["injected"] = True
+            other.write("s.t", _days(spark, ("b", 2)), "append")
+        return m
+
+    monkeypatch.setattr(type(fmt), "_manifest", racing_manifest)
+    fmt.write("s.t", _days(spark, ("c", 3)), "append")
+    monkeypatch.undo()
+
+    got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_replace_racing_append_during_data_write_aborts(
+    spark, tmp_path, kind, monkeypatch
+):
+    """A replace whose data write overlaps a concurrent append must
+    abort loudly (stale base), never commit past the append — the
+    silent-discard path ADVICE r8 #1 names for the non-rebaseable
+    verbs."""
+    root = str(tmp_path)
+    fmt = _fmt_of(spark, root, kind)
+    other = _fmt_of(spark, root, kind)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+
+    orig = fmt._new_data_dir
+    state = {"injected": False}
+
+    def racing(name, df, partition_by):
+        out = orig(name, df, partition_by)
+        if not state["injected"]:
+            state["injected"] = True
+            other.write("s.t", _days(spark, ("b", 2)), "append")
+        return out
+
+    monkeypatch.setattr(fmt, "_new_data_dir", racing)
+    with pytest.raises(RuntimeError, match="does not commute"):
+        fmt.replace_atomic("s.t", _days(spark, ("c", 3)))
+    got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    assert got == {("a", 1), ("b", 2)}  # the append survives
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_cluster_racing_append_aborts_not_discards(
+    spark, tmp_path, kind, monkeypatch
+):
+    """cluster()'s stale window spans the whole range-shuffle rewrite —
+    the worst case in ADVICE r8 #1.  An append landing mid-rewrite must
+    abort the cluster commit and survive."""
+    root = str(tmp_path)
+    fmt = _fmt_of(spark, root, kind)
+    other = _fmt_of(spark, root, kind)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+    fmt.write("s.t", _days(spark, ("b", 2)), "append")
+
+    orig = fmt.read
+    state = {"injected": False}
+
+    def racing(name):
+        out = orig(name)
+        # the rewrite's source snapshot is taken; the append lands
+        # while the range shuffle is still "running"
+        if not state["injected"]:
+            state["injected"] = True
+            other.write("s.t", _days(spark, ("late", 9)), "append")
+        return out
+
+    monkeypatch.setattr(fmt, "read", racing)
+    with pytest.raises(RuntimeError, match="does not commute"):
+        fmt.cluster("s.t", "v", n_files=2)
+    got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    assert got == {("a", 1), ("b", 2), ("late", 9)}
+
+
+def test_vacuum_writer_grace_protects_inflight_dirs(spark, tmp_path, monkeypatch):
+    """Every write verb lands its d-* data dir BEFORE its CAS commit, so
+    a vacuum racing an in-flight writer must NOT delete young
+    unreferenced dirs (ADVICE r8 #3) — only once the grace window has
+    passed is an uncommitted dir fair game."""
+    from iot_elt_airflow_mongo_timescaledb_spark.fs import join_uri
+
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+    # simulate an in-flight writer: data landed, CAS not yet
+    _days(spark, ("inflight", 9)).write.parquet(
+        join_uri(fmt.path("s.t"), "d-00000000inflight")
+    )
+    assert fmt.vacuum("s.t") == 0  # default grace: young dir survives
+    # after the grace window an uncommitted dir is reclaimable
+    monkeypatch.setattr(fmt.fs, "mtime", lambda uri: 0.0)
+    assert fmt.vacuum("s.t") == 1
+
+
+def test_read_changes_both_versions_empty_is_clean_error(spark, tmp_path):
+    """An entry-less pair of versions has no file to derive a schema
+    from: read_changes must refuse with the same FileNotFoundError
+    contract as read(), not IndexError inside _read_entries (ADVICE r8
+    #4)."""
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.write(
+        "s.t",
+        _days(spark, ("20240101", 1)),
+        "overwrite",
+        partition_by=("day",),
+    )
+    assert fmt.drop_partitions_below("s.t", "day", "99999999") == 1
+    v = fmt._latest_version("s.t")
+    assert fmt._manifest("s.t", v)["entries"] == []
+    with pytest.raises(FileNotFoundError, match="no schema"):
+        fmt.read_changes("s.t", since_version=v, to_version=v)
+
+
+def test_stats_pruning_domain_safety(spark, tmp_path):
+    """ADVICE r8 #5: str()-encoded non-native stats (Decimal) must
+    never drive pruning ('9' > '10' lexicographically), cross-domain
+    bounds must keep entries instead of raising TypeError, and
+    datetime bounds must prune correctly against the ISO-stored
+    timestamp stats."""
+    import datetime
+    from decimal import Decimal
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("d", "ts")
+    )
+    rows = [
+        (Decimal("9"), datetime.datetime(2024, 1, 1, 8)),
+        (Decimal("10"), datetime.datetime(2024, 1, 1, 9)),
+    ]
+    df = spark.createDataFrame(rows, "d decimal(10,0), ts timestamp")
+    fmt.write("s.t", df, "overwrite")
+    later = spark.createDataFrame(
+        [(Decimal("100"), datetime.datetime(2024, 2, 1, 9))],
+        "d decimal(10,0), ts timestamp",
+    )
+    fmt.write("s.t", later, "append")
+
+    # Decimal stats are opaque-tagged: NO pruning, both entries kept —
+    # the old lexicographic compare ('10' < '9') silently dropped the
+    # matching entry here
+    kept, _ = fmt.prune_entries("s.t", "d", lo=10, hi=None)
+    assert len(kept) == 2
+    got = {int(r["d"]) for r in fmt.read_where("s.t", "d", 10, None).collect()}
+    assert got == {10, 100}
+
+    # cross-domain bound (numeric vs ISO-string ts stats): keep, no
+    # TypeError
+    kept, _ = fmt.prune_entries("s.t", "ts", lo=5, hi=None)
+    assert len(kept) == 2
+
+    # datetime bounds DO prune against the ISO-stored stats
+    kept, _ = fmt.prune_entries(
+        "s.t", "ts", lo=datetime.datetime(2024, 1, 15), hi=None
+    )
+    assert len(kept) == 1
+    got = {
+        r["ts"]
+        for r in fmt.read_where(
+            "s.t", "ts", datetime.datetime(2024, 1, 15), None
+        ).collect()
+    }
+    assert got == {datetime.datetime(2024, 2, 1, 9)}
+
+
+_CONCURRENT_WRITER = r"""
+import sys
+import time
+
+root, kind, repo, wid = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+    CatalogManifestFormat,
+    ManifestFormat,
+)
+
+fmt = {"manifest": ManifestFormat, "catalog": CatalogManifestFormat}[kind](
+    spark, root
+)
+# rendezvous: report ready, then spin until the parent fires the gun so
+# both writers' append loops genuinely overlap
+open(f"{root}/ready_{wid}", "w").write("")
+deadline = time.time() + 120
+while time.time() < deadline:
+    import os
+
+    if os.path.exists(f"{root}/go"):
+        break
+    time.sleep(0.05)
+else:
+    raise SystemExit("rendezvous timeout")
+for i in range(4):
+    fmt.write(
+        "s.t",
+        spark.createDataFrame([(f"w{wid}_{i}", i)], "day string, v bigint"),
+        "append",
+    )
+print("WRITER_OK")
+"""
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_two_process_writers_no_lost_update(spark, tmp_path, kind):
+    """VERDICT r8 task 4: the CAS's create-exclusive atomicity claim,
+    proven ACROSS PROCESSES (two JVMs, two Python drivers) — the
+    threaded drill shares one JVM and could mask per-process FS state.
+    Both writers' appends must all land; versions strictly ordered."""
+    import subprocess
+    import sys
+    import time
+
+    root = str(tmp_path / "wh")
+    fmt = _fmt_of(spark, root, kind)
+    fmt.write("s.t", _days(spark, ("seed", 0)), "overwrite")
+
+    script = tmp_path / "writer.py"
+    script.write_text(_CONCURRENT_WRITER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), root, kind, repo, wid],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for wid in ("a", "b")
+    ]
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if os.path.exists(f"{root}/ready_a") and os.path.exists(
+            f"{root}/ready_b"
+        ):
+            break
+        time.sleep(0.2)
+    else:
+        for p in procs:
+            p.kill()
+        raise AssertionError("writers never reached the rendezvous")
+    open(f"{root}/go", "w").write("")
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+        assert "WRITER_OK" in out
+
+    rows = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    want = {("seed", 0)} | {
+        (f"w{w}_{i}", i) for w in ("a", "b") for i in range(4)
+    }
+    assert rows == want
+
+    committed = sorted(h["version"] for h in fmt.history("s.t"))
+    assert len(committed) == 9  # seed + 8 appends, none lost
+    if kind == "manifest":
+        # no catalog layer: versions are exactly the contiguous CAS chain
+        assert committed == list(range(1, 10))
+    # every committed version is readable and entry counts are strictly
+    # monotone — each commit added exactly one entry on top of its base
+    counts = [
+        len(fmt._manifest("s.t", v)["entries"]) for v in committed
+    ]
+    assert counts == sorted(set(counts)) == list(range(1, 10))

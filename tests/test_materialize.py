@@ -710,3 +710,27 @@ def test_scratch_dir_honors_cluster_scratch_space(spark, tmp_path, monkeypatch):
     # fallback: no conf, no env -> system tempdir still works
     monkeypatch.delenv("SPARK_LOCAL_DIRS")
     assert os.path.isdir(scratch_dir(spark, "unit_"))
+
+
+def test_incremental_cursor_on_scheme_qualified_uri(spark, tmp_path):
+    """A POPULATED cursor must be found on a scheme-qualified state dir
+    (file:/ standing in for hdfs://s3a:) — the os.path probe it replaced
+    answered "missing" there, silently re-extracting full source
+    history on every sync (VERDICT r8 finding #1)."""
+    from iot_elt_airflow_mongo_timescaledb_spark.sources.ingest import (
+        IncrementalCursor,
+    )
+
+    root = f"file:{tmp_path}"
+    cur = IncrementalCursor(spark, root, "events", "ts")
+    assert cur.last_value() is None  # genuinely-first run
+    df = spark.createDataFrame([(1, 10), (2, 20)], "pk long, ts long")
+    assert cur.filter(df).count() == 2
+    cur.commit(df)
+
+    # reopen: the populated state must be FOUND through the scheme
+    cur2 = IncrementalCursor(spark, root, "events", "ts")
+    assert cur2.last_value() == 20
+    later = spark.createDataFrame([(2, 20), (3, 30), (0, 5)], "pk long, ts long")
+    # inclusive >= boundary re-read: 20 stays, 5 drops
+    assert {r["ts"] for r in cur2.filter(later).collect()} == {20, 30}
