@@ -1188,7 +1188,19 @@ class IncrementalTopKSync(_RollupSyncBase):
     boundary in the batches where it appears to survive — the
     space-saving-style regime where heavy hitters with frequency
     margins above the truncated tail are retained and LIGHT items may
-    undercount.  Size ``cap`` to the expected skew (8x headroom over
+    undercount.  The margin is quantified: an item forfeits
+    accumulated mass only when a truncation drops it, and at that
+    moment its count is at most the boundary (the cap-th retained
+    count), so with ``B = sum of boundaries over all truncation
+    events`` (per-batch partials and merges),
+
+        ``est_count >= true_count - B``  — and therefore every item
+        with ``true_count > B`` survives to the stored map.
+
+    Pinned against an exact pure-Python replay of the truncate/merge
+    semantics under adversarial batch orders in
+    ``tests/test_sketches.py::test_topk_retention_margin_property``.
+    Size ``cap`` to the expected skew (8x headroom over
     ``k`` default); groups near the cap are visible via
     ``n_tracked == cap`` in :meth:`read`.  Delivery/replay contract:
     ``_RollupSyncBase`` (batch-id sentinel rides the same atomic swap).

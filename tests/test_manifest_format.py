@@ -1633,3 +1633,69 @@ def test_two_process_writers_no_lost_update(spark, tmp_path, kind):
         len(fmt._manifest("s.t", v)["entries"]) for v in committed
     ]
     assert counts == sorted(set(counts)) == list(range(1, 10))
+
+
+def test_streaming_replay_races_compaction_of_its_own_batch(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r8 task 6: a replayed streaming batch racing a
+    compaction of the very dirs the original batch landed in.  Writer B
+    re-runs batch 2 (at-least-once retry); after B's top watermark
+    check, writer A commits batch 2 AND auto-compaction absorbs its
+    dir.  B's edit must no-op against the post-compaction head (the
+    watermark rides the compaction edit), B's landed dir becomes a
+    vacuumable orphan, and the change feed's flattened provenance still
+    resolves across the whole interleaving."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    root = str(tmp_path)
+    a = ManifestFormat(spark, root, auto_compact_dirs=1)
+    b = ManifestFormat(spark, root, auto_compact_dirs=1)
+    assert a.write_streaming_batch("s.t", _days(spark, ("b0", 0)), 0)
+    v_after_b0 = a._latest_version("s.t")
+    assert a.write_streaming_batch("s.t", _days(spark, ("b1", 1)), 1)
+
+    orig = type(b)._manifest
+    state = {"calls": 0, "injected": False}
+
+    def racing_manifest(self, name, version=None):
+        state["calls"] += 1
+        # call 1 = B's top watermark check (sees watermark 1 -> batch 2
+        # is new); call 2 = B's _commit_edit head read — A's commit AND
+        # the compaction land in between
+        if state["calls"] == 2 and not state["injected"]:
+            state["injected"] = True
+            assert a.write_streaming_batch(
+                "s.t", _days(spark, ("b2", 2)), 2
+            )
+            assert a.maybe_compact("s.t") >= 2
+        return orig(self, name, version)
+
+    monkeypatch.setattr(type(b), "_manifest", racing_manifest)
+    committed = b.write_streaming_batch("s.t", _days(spark, ("b2", 2)), 2)
+    monkeypatch.undo()
+    assert committed is False  # recognized replay, no double-land
+
+    rows = {(r["day"], r["v"]) for r in a.read("s.t").collect()}
+    assert rows == {("b0", 0), ("b1", 1), ("b2", 2)}
+    # a feed window the compaction STRADDLES (b0 was pre-feed, b1/b2
+    # post-feed, all three absorbed into one dir) refuses loudly with
+    # the documented resync guidance — never a silent wrong delta
+    with pytest.raises(ValueError, match="mixed pre- and post-feed"):
+        a.read_changes("s.t", since_version=v_after_b0)
+    # and after the race the provenance bookkeeping is coherent: a
+    # non-straddling window resolves exactly
+    head = a._latest_version("s.t")
+    assert a.write_streaming_batch("s.t", _days(spark, ("b3", 3)), 3)
+    got = {
+        (r["day"], r["v"])
+        for r in a.read_changes("s.t", since_version=head).collect()
+    }
+    assert got == {("b3", 3)}
+    # B's abandoned data dir is an orphan vacuum reclaims
+    assert a.vacuum("s.t", writer_grace_s=0) >= 1
+    assert {(r["day"], r["v"]) for r in a.read("s.t").collect()} == rows | {
+        ("b3", 3)
+    }

@@ -445,3 +445,91 @@ def test_sync_from_change_feed(spark, tmp_path):
 
     with pytest.raises(ValueError, match="rewritten"):
         agg.sync_from_changes(fmt, "f.t")
+
+
+def test_topk_retention_margin_property(spark, tmp_path):
+    """Property pin for the beyond-cap regime (VERDICT r8 task 5).
+
+    Reference model: the maintained map IS `truncate(merge(truncate(
+    batch_counts)))` with (count desc, item asc) order — so the Spark
+    pipeline must match a pure-Python replay EXACTLY for any batch
+    order.  And the retention margin is provable from the model: an
+    item forfeits accumulated mass only when a truncation drops it,
+    and at that moment its count is <= the boundary (the cap-th
+    retained count), so
+
+        est_count >= true_count - B,   B = sum of boundaries over all
+                                           truncation events
+
+    hence every item with true_count > B survives to the final map.
+    Three adversarial batch orders over a skewed corpus check both
+    facts; the class docstring states the bound from this test."""
+    import random
+    from collections import Counter
+
+    CAP, K = 12, 4
+
+    def trunc(d, boundaries):
+        items = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+        if len(items) > CAP:
+            boundaries.append(items[CAP - 1][1])
+        return dict(items[:CAP])
+
+    def model(batches):
+        boundaries = []
+        state = None
+        for rows in batches:
+            part = trunc(Counter(rows), boundaries)
+            if state is None:
+                state = part
+            else:
+                merged = dict(state)
+                for it, n in part.items():
+                    merged[it] = merged.get(it, 0) + n
+                state = trunc(merged, boundaries)
+        return state, sum(boundaries)
+
+    rng = random.Random(99)
+    # skewed corpus: 5 hot items + churning tail
+    corpus = []
+    for i, n in enumerate((300, 200, 120, 80, 50)):
+        corpus += [f"hot{i}"] * n
+    corpus += [f"tail{j}" for j in range(150)]
+    true = Counter(corpus)
+
+    step = -(-len(corpus) // 4)  # ceil: batches must COVER the corpus
+    orders = []
+    shuffled = corpus[:]
+    rng.shuffle(shuffled)
+    orders.append([shuffled[i::4] for i in range(4)])  # interleaved
+    tail_first = sorted(corpus, key=lambda s: not s.startswith("tail"))
+    orders.append([tail_first[i * step : (i + 1) * step] for i in range(4)])
+    hot_first = sorted(corpus, key=lambda s: s.startswith("tail"))
+    orders.append([hot_first[i * step : (i + 1) * step] for i in range(4)])
+
+    for oi, batches in enumerate(orders):
+        batches = [b for b in batches if b]
+        want_state, B = model(batches)
+        tk = _topk(spark, tmp_path, f"prop{oi}", k=K, cap=CAP)
+        for rows in batches:
+            tk.sync(
+                spark.createDataFrame([("g", it) for it in rows],
+                                      "g string, item string")
+            )
+        got = [
+            (r["item"], r["est_count"])
+            for r in sorted(tk.read().collect(), key=lambda r: r["rank"])
+        ]
+        # 1) exact model replay (merged maps identical => same top-k)
+        want_topk = sorted(
+            want_state.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:K]
+        assert got == want_topk, (oi, got, want_topk)
+        # 2) retention margin: every item with true > B is tracked with
+        #    undercount <= B (checked on the model state the pipeline
+        #    just reproduced)
+        survivors = {it for it, n in true.items() if n > B}
+        assert survivors, f"order {oi}: margin B={B} degenerate"
+        for it in survivors:
+            assert it in want_state, (oi, it, B)
+            assert true[it] - want_state[it] <= B
