@@ -98,7 +98,9 @@ class Warehouse:
             )
         return fn
 
-    def read_where(self, name: str, col: str, lo=None, hi=None) -> DataFrame:
+    def read_where(
+        self, name: str, col: str | dict, lo=None, hi=None
+    ) -> DataFrame:
         """Range read with manifest-level data skipping (commit-log
         formats; see ``ManifestFormat.read_where``)."""
         return self._format_verb("read_where")(name, col, lo, hi)

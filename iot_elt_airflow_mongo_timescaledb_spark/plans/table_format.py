@@ -1419,88 +1419,118 @@ class ManifestFormat(TableFormat):
             return self._read_entries(name, to_m, probe).filter(F.lit(False))
         return self._read_entries(name, to_m, new_entries)
 
-    def prune_entries(self, name: str, col: str, lo=None, hi=None) -> tuple:
-        """Manifest-level data skipping: the entries whose recorded
-        ``col`` range intersects ``[lo, hi]``.  Entries with no stats
-        for the column (written before ``stats_cols`` included it, or
-        all-NULL) are KEPT — pruning is an optimization that must never
-        change results.  The same keep-by-default rule covers DOMAIN
-        mismatches (ADVICE r8 #5): ``opaque``-tagged stats (str()-
-        encoded non-native types whose lexicographic order is not the
-        value order, e.g. Decimal) never compare, and a bound whose
-        comparison domain differs from the stored stat's (numeric vs
-        string) keeps the entry instead of silently mis-pruning or
-        raising TypeError.  datetime/date bounds normalize to the same
-        order-safe ISO strings the stats store.  Returns
-        ``(kept_entries, manifest)``; driver cost is one pass over the
-        entry list (manifest-sized, never data-sized)."""
+    @staticmethod
+    def _norm_bound(b):
+        """(comparable_value, domain) for one user-supplied bound;
+        domain ``None`` = never compare (unsupported type — pruning is
+        skipped, the row filter still applies)."""
         import datetime
 
-        def norm_bound(b):
-            # (comparable_value, domain) — domain None = never compare
-            if b is None:
-                return None, None
-            if isinstance(b, bool):
-                return b, "b"
-            if isinstance(b, (int, float)):
-                return b, "n"
-            if isinstance(b, str):
-                return b, "s"
-            if isinstance(b, datetime.datetime):
-                return b.isoformat(sep=" "), "s"
-            if isinstance(b, datetime.date):
-                return b.isoformat(), "s"
-            return None, None  # unsupported bound type: no pruning
+        if b is None:
+            return None, None
+        if isinstance(b, bool):
+            return b, "b"
+        if isinstance(b, (int, float)):
+            return b, "n"
+        if isinstance(b, str):
+            return b, "s"
+        if isinstance(b, datetime.datetime):
+            return b.isoformat(sep=" "), "s"
+        if isinstance(b, datetime.date):
+            return b.isoformat(), "s"
+        return None, None
 
-        def dom(v):
-            if isinstance(v, bool):
-                return "b"
-            if isinstance(v, (int, float)):
-                return "n"
-            return "s"
+    @staticmethod
+    def _stat_dom(v):
+        if isinstance(v, bool):
+            return "b"
+        if isinstance(v, (int, float)):
+            return "n"
+        return "s"
 
-        lo_v, lo_d = norm_bound(lo)
-        hi_v, hi_d = norm_bound(hi)
+    def _entry_may_match(self, e: dict, col: str, lo, hi) -> bool:
+        """One column's interval test against one entry's stats —
+        keep-by-default: missing/NULL stats, ``opaque``-tagged
+        encodings (str()-encoded non-native types whose lexicographic
+        order is not the value order, e.g. Decimal — ADVICE r8 #5),
+        and cross-domain bound/stat comparisons all answer True
+        (pruning must never change results)."""
+        st = (e.get("stats") or {}).get(col)
+        if not st or st[0] is None or st[1] is None:
+            return True
+        if len(st) > 2 and st[2] == "opaque":
+            return True
+        lo_v, lo_d = self._norm_bound(lo)
+        hi_v, hi_d = self._norm_bound(hi)
+        mn, mx = st[0], st[1]
+        if lo is not None:
+            if lo_d is None or lo_d != self._stat_dom(mx):
+                return True  # cross-domain compare: keep
+            if mx < lo_v:
+                return False
+        if hi is not None:
+            if hi_d is None or hi_d != self._stat_dom(mn):
+                return True
+            if mn > hi_v:
+                return False
+        return True
+
+    def prune_entries(
+        self, name: str, col: str | dict | None = None, lo=None, hi=None
+    ) -> tuple:
+        """Manifest-level data skipping: the entries whose recorded
+        stats can intersect the given range(s).  Two call shapes:
+
+        - ``prune_entries(name, col, lo, hi)`` — one column's range;
+        - ``prune_entries(name, {col: (lo, hi), ...})`` — a
+          CONJUNCTION of ranges (Delta/Iceberg skip on AND-ed
+          predicates); an entry survives only if EVERY column's
+          interval can intersect its stats.
+
+        Entries with no stats for a column (written before
+        ``stats_cols`` included it, or all-NULL), ``opaque``-tagged
+        stats, and cross-domain comparisons are KEPT for that column —
+        pruning is an optimization that must never change results
+        (see :meth:`_entry_may_match`).  datetime/date bounds
+        normalize to the same order-safe ISO strings the stats store.
+        Returns ``(kept_entries, manifest)``; driver cost is one pass
+        over the entry list (manifest-sized, never data-sized)."""
+        bounds = col if isinstance(col, dict) else {col: (lo, hi)}
         m = self._manifest(name)
         if m is None:
             raise FileNotFoundError(f"no committed manifest for table {name}")
-        kept = []
-        for e in m["entries"]:
-            st = (e.get("stats") or {}).get(col)
-            if not st or st[0] is None or st[1] is None:
-                kept.append(e)
-                continue
-            if len(st) > 2 and st[2] == "opaque":
-                kept.append(e)  # order-unsafe encoding: never prune
-                continue
-            mn, mx = st[0], st[1]
-            if lo is not None and (lo_d is None or lo_d != dom(mx)):
-                kept.append(e)  # cross-domain compare: keep
-                continue
-            if hi is not None and (hi_d is None or hi_d != dom(mn)):
-                kept.append(e)
-                continue
-            if lo is not None and mx < lo_v:
-                continue
-            if hi is not None and mn > hi_v:
-                continue
-            kept.append(e)
+        kept = [
+            e
+            for e in m["entries"]
+            if all(
+                self._entry_may_match(e, c, b[0], b[1])
+                for c, b in bounds.items()
+            )
+        ]
         return kept, m
 
-    def read_where(self, name: str, col: str, lo=None, hi=None) -> DataFrame:
+    def read_where(
+        self, name: str, col: str | dict, lo=None, hi=None
+    ) -> DataFrame:
         """Range read with manifest-level skipping (the Delta/Iceberg
-        file-skipping read path): entries whose ``col`` min/max cannot
-        intersect ``[lo, hi]`` never reach Spark's file listing, THEN
-        the same range applies as an ordinary pushed predicate for
-        row-level filtering inside surviving entries.  On a
-        time-ordered append stream this turns "last hour of a year of
-        appends" into a scan of ~one entry — partition pruning's win,
-        on a column the layout was never partitioned by.  Bounds
-        compare in the stats' stored domain (numeric native, other
-        types as strings — see ``stats_cols``)."""
+        file-skipping read path): entries whose stats cannot intersect
+        the range(s) never reach Spark's file listing, THEN the same
+        ranges apply as ordinary pushed predicates for row-level
+        filtering inside surviving entries.  On a time-ordered append
+        stream this turns "last hour of a year of appends" into a scan
+        of ~one entry — partition pruning's win, on a column the
+        layout was never partitioned by.
+
+        ``col`` is one column name (with ``lo``/``hi``) or a dict
+        ``{col: (lo, hi), ...}`` whose ranges AND together — the
+        multi-column conjunction Delta/Iceberg skip on (every stats
+        column prunes independently; VERDICT r8 task 9).  Bounds
+        compare in the stats' stored domain (numeric native,
+        datetime/date as order-safe ISO strings)."""
         from pyspark.sql import functions as F
 
-        kept, m = self.prune_entries(name, col, lo, hi)
+        bounds = col if isinstance(col, dict) else {col: (lo, hi)}
+        kept, m = self.prune_entries(name, bounds)
         if not m["entries"]:
             raise FileNotFoundError(
                 f"table {name} has no data at version {m['version']}"
@@ -1512,10 +1542,11 @@ class ManifestFormat(TableFormat):
                 F.lit(False)
             )
         df = self._read_entries(name, m, kept)
-        if lo is not None:
-            df = df.filter(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(F.col(col) <= F.lit(hi))
+        for c, (c_lo, c_hi) in bounds.items():
+            if c_lo is not None:
+                df = df.filter(F.col(c) >= F.lit(c_lo))
+            if c_hi is not None:
+                df = df.filter(F.col(c) <= F.lit(c_hi))
         return df
 
 

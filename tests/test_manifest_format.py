@@ -1699,3 +1699,50 @@ def test_streaming_replay_races_compaction_of_its_own_batch(
     assert {(r["day"], r["v"]) for r in a.read("s.t").collect()} == rows | {
         ("b3", 3)
     }
+
+
+def test_read_where_multi_column_conjunction(spark, tmp_path):
+    """VERDICT r8 task 9: skipping on a CONJUNCTION of ranges — the
+    per-column stats already exist, so an AND of intervals must prune
+    the intersection (entries surviving every column's test) and
+    return exactly the full-scan filter result."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("a", "b")
+    )
+    # 4 appends: a-ranges [0..9],[10..19],[20..29],[30..39]; b = 100-a
+    for i in range(4):
+        fmt.write(
+            "s.t",
+            spark.createDataFrame(
+                [(i * 10 + j, 100 - (i * 10 + j)) for j in range(10)],
+                "a long, b long",
+            ),
+            "append" if i else "overwrite",
+        )
+    # a>=15 keeps entries 1,2,3; b>=75 (a<=25) keeps entries 0,1,2;
+    # the conjunction keeps exactly entries 1,2
+    kept, _ = fmt.prune_entries("s.t", {"a": (15, None), "b": (75, None)})
+    assert len(kept) == 2
+    got = {
+        r["a"]
+        for r in fmt.read_where(
+            "s.t", {"a": (15, None), "b": (75, None)}
+        ).collect()
+    }
+    want = {
+        r["a"]
+        for r in fmt.read("s.t").filter("a >= 15 and b >= 75").collect()
+    }
+    assert got == want == set(range(15, 26))
+
+    # disjoint conjunction: zero entries, empty frame, correct schema
+    none = fmt.read_where("s.t", {"a": (None, 5), "b": (None, 65)})
+    assert none.count() == 0 and none.columns == ["a", "b"]
+
+    # single-column call shape unchanged
+    got1 = {r["a"] for r in fmt.read_where("s.t", "a", 35, None).collect()}
+    assert got1 == set(range(35, 40))
