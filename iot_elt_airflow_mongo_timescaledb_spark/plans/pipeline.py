@@ -127,24 +127,77 @@ class HealthPipeline:
 
     # -- extract + normalize -> raw (§3.1) ------------------------------
 
-    def sync(self, source_paths: dict[str, str], run_id: str = "manual") -> None:
-        """One micro-batch: per collection (T3 parallel in the reference;
-        here independent lazy plans), incremental-filter (S9), pk-dedup
-        (T8), flatten (S10), append to raw, commit cursor (T7).  With
-        ``run_log=True`` each collection's extract is timed + counted
-        into ``meta.run_log`` (the Airflow task-instance / dlt
-        load_info surface), failures recorded then re-raised."""
-        for coll, path in source_paths.items():
-            if self.run_log is not None:
-                with self.run_log.step(run_id, f"extract.{coll}") as info:
-                    info["rows_out"] = self._sync_one(coll, path)
-            else:
-                self._sync_one(coll, path)
+    def sync(
+        self,
+        source_paths: dict[str, str],
+        run_id: str = "manual",
+        max_workers: int = 1,
+    ) -> None:
+        """One micro-batch: per collection, incremental-filter (S9),
+        pk-dedup (T8), flatten (S10), append to raw, commit cursor
+        (T7).  With ``run_log=True`` each collection's extract is timed
+        + counted into ``meta.run_log`` (the Airflow task-instance /
+        dlt load_info surface), failures recorded then re-raised.
 
-    def _sync_one(self, coll: str, path: str) -> int:
+        T3: ``max_workers > 1`` submits the per-collection syncs from a
+        small thread pool — the reference fans extract into one Airflow
+        task per collection (``decompose='parallel'``,
+        dags/iot_mongo_extract_to_dwh.py:98-105); Spark's scheduler is
+        thread-safe and collections are ISOLATED by construction
+        (per-collection cursors, collection-prefixed raw/child tables,
+        a per-thread ``writer_copy`` of transactional formats, and
+        lock-serialized run-log appends).  On a shared cluster the
+        overlap hides per-collection I/O stalls; results are identical
+        to the sequential path (pinned by
+        tests/test_pipeline.py::test_parallel_sync_equals_sequential).
+        Every worker's failure is surfaced: the first exception
+        re-raises after all workers finish (matching Airflow's
+        fail-the-run-after-all-tasks semantics)."""
+        items = list(source_paths.items())
+        if max_workers <= 1 or len(items) <= 1:
+            for coll, path in items:
+                self._sync_step(run_id, coll, path, self.wh)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def worker(coll: str, path: str) -> None:
+            wh = Warehouse(
+                self.spark, self.wh.root, table_format=self.wh.fmt.writer_copy()
+            )
+            self._sync_step(run_id, coll, path, wh)
+
+        with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(items))
+        ) as pool:
+            futures = {
+                pool.submit(worker, coll, path): coll for coll, path in items
+            }
+            errors = []
+            for fut, coll in futures.items():
+                try:
+                    fut.result()
+                except Exception as e:  # noqa: BLE001 — gathered, re-raised
+                    errors.append((coll, e))
+        if errors:
+            raise RuntimeError(
+                f"{len(errors)} collection sync(s) failed: "
+                f"{[c for c, _ in errors]}"
+            ) from errors[0][1]
+
+    def _sync_step(
+        self, run_id: str, coll: str, path: str, wh: Warehouse
+    ) -> None:
+        if self.run_log is not None:
+            with self.run_log.step(run_id, f"extract.{coll}") as info:
+                info["rows_out"] = self._sync_one(coll, path, wh)
+        else:
+            self._sync_one(coll, path, wh)
+
+    def _sync_one(self, coll: str, path: str, wh: Warehouse | None = None) -> int:
+        wh = wh or self.wh
         docs = read_documents(self.spark, path)
         cursor = IncrementalCursor(
-            self.spark, self.wh.root, coll, "created_at"
+            self.spark, wh.root, coll, "created_at"
         )
         lv = cursor.last_value()
         # localCheckpoint = the batch SNAPSHOT: every flattened
@@ -156,7 +209,7 @@ class HealthPipeline:
         # mid-sync cannot advance the cursor past unloaded documents.
         fresh = dedup_by_pk(cursor.filter(docs), pk="_id").localCheckpoint()
         tables = flatten_document_table(fresh, coll, primary_key="_id")
-        root_key_merge(self.wh, coll, tables)
+        root_key_merge(wh, coll, tables)
         if self.steps_rollup is not None and coll == "steps":
             # BEFORE the cursor commit: a crash between rollup merge and
             # commit retries the whole batch, and the rollup's batch-id

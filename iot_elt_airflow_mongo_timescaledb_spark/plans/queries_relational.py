@@ -919,6 +919,67 @@ def manifest_data_skipping(spark, sf_dir):
 
 
 @query(
+    "manifest_multicol_skipping",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer)
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal_sum,
+           1 AS entries_read
+    FROM customer, mx
+    WHERE c_custkey > m // 2 AND c_acctbal <= 4500.0
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # skipping family: manifest_data_skipping carries the gate
+)
+def manifest_multicol_skipping(spark, sf_dir):
+    """Multi-column CONJUNCTION skipping (VERDICT r8 task 9 —
+    ``read_where(name, {col: (lo, hi), ...})``): customers land as a
+    2x2 grid of appends (custkey half x acctbal half, each entry
+    carrying min/max stats for BOTH columns), then an AND of two
+    ranges must prune to exactly ONE of the four entries — each range
+    alone keeps two.  ``entries_read`` lit-folds the pruning count
+    into the hash; the oracle recomputes the conjunction from the raw
+    table."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mmcs_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None,
+        stats_cols=("c_custkey", "c_acctbal"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    mid = int(c.agg(F.max("c_custkey")).first()[0]) // 2
+    BAL = 4500.0
+    first = True
+    for key_pred in (F.col("c_custkey") <= mid, F.col("c_custkey") > mid):
+        for bal_pred in (
+            F.col("c_acctbal") <= BAL,
+            F.col("c_acctbal") > BAL,
+        ):
+            fmt.write(
+                "ds.grid",
+                c.filter(key_pred & bal_pred),
+                "append" if not first else "overwrite",
+            )
+            first = False
+    bounds = {"c_custkey": (mid + 1, None), "c_acctbal": (None, BAL)}
+    kept, _ = fmt.prune_entries("ds.grid", bounds)
+    return (
+        fmt.read_where("ds.grid", bounds)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn("entries_read", F.lit(len(kept)))
+    )
+
+
+@query(
     "table_diff_summary",
     oracle="""
     WITH b AS (

