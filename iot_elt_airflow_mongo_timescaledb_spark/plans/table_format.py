@@ -556,18 +556,18 @@ class ManifestFormat(TableFormat):
     ) -> bool:
         """The commit CAS primitive: create-exclusive of the version
         file.  True = this writer owns ``version``; False = another
-        writer got there first (pre-existing file, or the exclusive
-        create lost).  Atomic on HDFS (namenode-arbitrated
+        writer got there first (the exclusive create refused).  ONE
+        filesystem call — no exists() pre-probe; the create itself is
+        the test (r9: the probe doubled py4j/namenode roundtrips per
+        attempt for nothing).  Atomic on HDFS (namenode-arbitrated
         ``create(overwrite=false)``); on raw local/object stores the
-        exists+create window is best-effort and a coordination service
-        (Delta-on-S3's LogStore, a lock table) slots in HERE."""
+        internal exists+create window is best-effort and a
+        coordination service (Delta-on-S3's LogStore, a lock table)
+        slots in HERE."""
         import json
-
-        final = join_uri(self._log_path(name), f"v{version:012d}.json")
-        if self.fs.exists(final):
-            return False
         import time
 
+        final = join_uri(self._log_path(name), f"v{version:012d}.json")
         body = json.dumps(
             {
                 "version": version,
@@ -1670,12 +1670,11 @@ class CatalogManifestFormat(ManifestFormat):
             body = json.dumps(
                 {"version": nxt, "tables": {**cat["tables"], **updates}}
             )
-            if not self.fs.exists(final):
-                try:
-                    self.fs.write_text(final, body, overwrite=False)
-                    return
-                except Exception:
-                    pass  # lost the create race: re-read and merge
+            try:
+                self.fs.write_text(final, body, overwrite=False)
+                return
+            except Exception:
+                pass  # lost the create race: re-read and merge
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
         raise RuntimeError(
             f"catalog flip lost the version race {self.COMMIT_ATTEMPTS} "
@@ -1702,12 +1701,11 @@ class CatalogManifestFormat(ManifestFormat):
             body = json.dumps(
                 {"version": nxt, "tables": {**cat["tables"], name: version}}
             )
-            if not self.fs.exists(final):
-                try:
-                    self.fs.write_text(final, body, overwrite=False)
-                    return True
-                except Exception:
-                    pass
+            try:
+                self.fs.write_text(final, body, overwrite=False)
+                return True
+            except Exception:
+                pass  # lost the create race on the catalog file: retry
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
         raise RuntimeError(
             f"catalog flip for {name} lost the version race "
