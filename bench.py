@@ -101,6 +101,9 @@ EXTENDED = [
     "manifest_change_feed",     # append-only CDC read between versions
     "manifest_clustered_skipping",  # range-clustered rewrite, file pruning
     "agg_rollup_regrain",       # stored-rollup regrain, no fact rescan
+    # round-9 additions
+    "manifest_multicol_skipping",  # AND-of-ranges entry pruning
+    "manifest_zorder_skipping",    # multi-col z-order rewrite + 2-D pruning
 ]
 
 

@@ -117,6 +117,14 @@ class Warehouse:
         formats; see ``ManifestFormat.cluster``)."""
         return self._format_verb("cluster")(name, col, n_files)
 
+    def cluster_zorder(
+        self, name: str, cols: tuple[str, ...], n_files: int | None = None
+    ) -> int:
+        """Multi-column z-order rewrite — locality in every listed
+        dimension (commit-log formats; see
+        ``ManifestFormat.cluster_zorder``)."""
+        return self._format_verb("cluster_zorder")(name, cols, n_files)
+
     def vacuum(
         self,
         name: str,

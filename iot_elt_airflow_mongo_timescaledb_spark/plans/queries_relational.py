@@ -980,6 +980,58 @@ def manifest_multicol_skipping(spark, sf_dir):
 
 
 @query(
+    "manifest_zorder_skipping",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer)
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal_sum,
+           1 AS pruned
+    FROM customer, mx
+    WHERE c_custkey >= m // 4 AND c_custkey <= m // 2
+      AND c_acctbal >= 0.0 AND c_acctbal <= 3000.0
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # skipping family: manifest_data_skipping carries the gate
+)
+def manifest_zorder_skipping(spark, sf_dir):
+    """Z-order clustered skipping end-to-end
+    (``ManifestFormat.cluster_zorder`` + the multi-column
+    ``read_where`` conjunction): customers rewritten with (c_custkey,
+    c_acctbal) bit-interleaved locality, then an AND of two narrow
+    ranges must PRUNE FILES (``pruned`` lit-folds `kept < n_files`
+    into the hash — a skipping regression flips it) and return exactly
+    the raw-table recompute.  The file count itself is not hashed:
+    approxQuantile edges depend on scan split order, so per-file
+    layout may vary while the pruning guarantee holds."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mzs_", cleanup_atexit=True)
+    fmt = ManifestFormat(spark, root, auto_compact_dirs=None)
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    fmt.write("ds.zcust", c, "overwrite")
+    n = fmt.cluster_zorder("ds.zcust", ("c_custkey", "c_acctbal"), n_files=16)
+    mx = int(c.agg(F.max("c_custkey")).first()[0])
+    bounds = {
+        "c_custkey": (mx // 4, mx // 2),
+        "c_acctbal": (0.0, 3000.0),
+    }
+    kept, _ = fmt.prune_entries("ds.zcust", bounds)
+    return (
+        fmt.read_where("ds.zcust", bounds)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn("pruned", F.lit(int(len(kept) < n)))
+    )
+
+
+@query(
     "table_diff_summary",
     oracle="""
     WITH b AS (

@@ -541,7 +541,53 @@ class ManifestFormat(TableFormat):
         path = join_uri(self._log_path(name), f"v{v:012d}.json")
         if not self.fs.exists(path):  # explicit version pruned by vacuum
             return None
-        return json.loads(self.fs.read_text(path))
+        try:
+            return json.loads(self.fs.read_text(path))
+        except ValueError as e:
+            # a writer that died between the create-exclusive and the
+            # body write leaves a TORN version file: unparseable, and
+            # blocking every future CAS at this version.  Name the
+            # repair path instead of surfacing a bare JSONDecodeError.
+            raise RuntimeError(
+                f"manifest {path} is unreadable — a writer likely died "
+                f"mid-commit leaving a torn version file; run "
+                f"repair_log({name!r}) to quarantine it (readers resume "
+                "at the previous version, the next commit reclaims the "
+                "version number)"
+            ) from e
+
+    def repair_log(self, name: str, grace_s: float | None = None) -> int:
+        """Quarantine TORN version files — the recovery verb for a
+        writer that died between its create-exclusive and its body
+        write.  Each unparseable ``v*.json`` older than ``grace_s``
+        (default ``VACUUM_WRITER_GRACE_S``; a younger one may be a
+        commit IN FLIGHT on a filesystem with visible-before-close
+        semantics) is renamed to ``<file>.torn`` — kept for forensics,
+        invisible to ``_latest_version`` (readers resume at the
+        previous committed version) and to the CAS (the next commit
+        reuses the version number; the dead writer's data dir is an
+        orphan vacuum reclaims).  Returns the number of files
+        quarantined."""
+        import json
+        import time
+
+        grace = self.VACUUM_WRITER_GRACE_S if grace_s is None else grace_s
+        now = time.time()
+        repaired = 0
+        for f in self.fs.list_files(self._log_path(name)):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            path = join_uri(self._log_path(name), f)
+            try:
+                json.loads(self.fs.read_text(path))
+                continue
+            except ValueError:
+                pass
+            if grace > 0 and (now - self.fs.mtime(path)) < grace:
+                continue  # possibly still being written
+            self.fs.rename(path, path + ".torn")
+            repaired += 1
+        return repaired
 
     #: bounded CAS retries for rebaseable commits before giving up
     COMMIT_ATTEMPTS = 6
@@ -1268,22 +1314,142 @@ class ManifestFormat(TableFormat):
                 f"partitioned by {m['partition_columns']} (which already "
                 "prunes) — drop the layout via replace_atomic first"
             )
+        df = self.read(name)
+        return self._clustered_rewrite(
+            name, m, df, F.col(col), (col,), n_files, target_file_bytes
+        )
+
+    def cluster_zorder(
+        self,
+        name: str,
+        cols: tuple[str, ...],
+        n_files: int | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        bits: int = 4,
+    ) -> int:
+        """MULTI-column clustered rewrite — Delta's ``OPTIMIZE ...
+        ZORDER BY (a, b, ...)`` proper, completing what :meth:`cluster`
+        (1-D) and the multi-column ``read_where`` conjunction started:
+        locality in EVERY listed dimension at once, so an AND of narrow
+        ranges prunes files even when no single column's sort could.
+
+        How (all pure expressions + one range shuffle — Spark-first,
+        no UDF):
+
+        1. per column, ``approxQuantile`` yields ``2**bits - 1`` edge
+           values (a driver-bounded list; equi-DEPTH buckets, so skew
+           in any column still spreads evenly across the curve);
+        2. each row's per-column bucket id = count of edges <= value
+           (``F.aggregate`` over the edge array — O(2**bits) codegen
+           ops per row);
+        3. bucket ids bit-INTERLEAVE into the z-value
+           (``shiftleft``/``shiftright``/``bitwiseAND``) — nearby z
+           means nearby in every dimension;
+        4. ``repartitionByRange`` on z + per-file min/max stats, same
+           commit path as :meth:`cluster` (anchored to the read base;
+           flattened provenance for the change feed).
+
+        NULLs sort to bucket 0 (clustered together; pruning keeps
+        null-stats entries regardless).  Numeric columns only — the
+        quantile probe requires it, and a loud error beats silently
+        un-z-ordered output.  A 2-D range query over ``n`` files
+        touches ~``n * (frac_a * frac_b)`` files instead of
+        ``n * min(frac_a, frac_b)`` for a 1-D sort — the win
+        ``tests/test_manifest_format.py::test_cluster_zorder_prunes_in_both_dims``
+        pins.  Returns the number of clustered files committed."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if len(cols) < 2:
+            raise ValueError(
+                "cluster_zorder needs >= 2 columns; use cluster() for 1-D"
+            )
+        if not 1 <= bits <= 8:
+            raise ValueError("bits must be in [1, 8]")
+        m = self._manifest(name)
+        if m is None:
+            raise FileNotFoundError(f"no committed manifest for table {name}")
+        if m["partition_columns"]:
+            raise ValueError(
+                f"cluster_zorder() supports unpartitioned tables; {name} is "
+                f"partitioned by {m['partition_columns']} (which already "
+                "prunes) — drop the layout via replace_atomic first"
+            )
+        df = self.read(name)
+        for c in cols:
+            if not isinstance(df.schema[c].dataType, T.NumericType):
+                raise ValueError(
+                    f"cluster_zorder column {c!r} is "
+                    f"{df.schema[c].dataType.simpleString()}; the quantile "
+                    "bucketing needs numeric columns"
+                )
+        n_buckets = 2**bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        # one quantile sketch pass for ALL columns (driver gets
+        # len(cols) * (n_buckets-1) floats — bounded metadata)
+        edges_per_col = dict(
+            zip(cols, df.approxQuantile(list(cols), probs, 0.01))
+        )
+
+        def bucket(c: str):
+            edges = F.array(
+                *[F.lit(float(x)) for x in edges_per_col[c]]
+            )
+            v = F.col(c).cast("double")
+            return F.aggregate(
+                edges,
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(v >= e, F.lit(1)).otherwise(F.lit(0)),
+            )
+
+        z = F.lit(0)
+        k = len(cols)
+        for i in range(bits):
+            for j, c in enumerate(cols):
+                bit = F.shiftright(bucket(c), i).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, i * k + j)
+        return self._clustered_rewrite(
+            name, m, df, z, cols, n_files, target_file_bytes
+        )
+
+    def _clustered_rewrite(
+        self,
+        name: str,
+        m: dict,
+        df: DataFrame,
+        order_expr,
+        stat_for: tuple[str, ...],
+        n_files: int | None,
+        target_file_bytes: int,
+    ) -> int:
+        """Shared tail of :meth:`cluster` / :meth:`cluster_zorder`:
+        range-shuffle on ``order_expr`` into a fresh dir, ONE
+        ``input_file_name``-grouped aggregate for per-file min/max
+        stats (never a per-file job loop), flattened provenance, and a
+        base-anchored commit (a concurrent append landing during the
+        rewrite collides on base+1 and aborts this rewrite instead of
+        being silently dropped — ADVICE r8 #1's worst case)."""
         import uuid
+
+        from pyspark.sql import functions as F
 
         if n_files is None:
             nbytes = self.table_bytes(name)
             n_files = max(1, -(-nbytes // int(target_file_bytes)))
-        df = self.read(name)
         dirname = f"d-{uuid.uuid4().hex}"
         target = join_uri(self.path(name), dirname)
         (
-            df.repartitionByRange(n_files, F.col(col))
+            df.withColumn("__cluster_key", order_expr)
+            .repartitionByRange(n_files, F.col("__cluster_key"))
+            .sortWithinPartitions("__cluster_key")
+            .drop("__cluster_key")
             .write.mode("overwrite")
             .parquet(target)
         )
         # per-file min/max in ONE aggregate over the fresh dir — the
         # groups are files, so the result is n_files rows, driver-bounded
-        scols = sorted({col, *self.stats_cols} & set(df.columns))
+        scols = sorted({*stat_for, *self.stats_cols} & set(df.columns))
         aggs = []
         for c in scols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
@@ -1313,10 +1479,6 @@ class ManifestFormat(TableFormat):
                     },
                 }
             )
-        # anchored to the manifest the rewrite read: a concurrent append
-        # landing during the range-shuffle collides on base+1 and aborts
-        # the cluster (its rewrite is stale) instead of silently
-        # dropping the append (ADVICE r8 #1's worst case)
         self._commit(name, entries, [], m["version"])
         return len(entries)
 
@@ -1641,15 +1803,55 @@ class CatalogManifestFormat(ManifestFormat):
         ]
         return max(vs, default=0)
 
+    def _load_catalog_file(self, path: str) -> dict:
+        """Parse one ``c*.json`` with the torn-file guard (same crash
+        window as a torn manifest: create-exclusive landed, body write
+        did not)."""
+        import json
+
+        try:
+            return json.loads(self.fs.read_text(path))
+        except ValueError as e:
+            raise RuntimeError(
+                f"catalog file {path} is unreadable — a writer likely "
+                "died mid-flip leaving a torn pointer file; run "
+                "repair_catalog() to quarantine it (resolution resumes "
+                "at the previous catalog version)"
+            ) from e
+
     def _catalog(self) -> dict:
         v = self._catalog_version()
         if v == 0:
             return {"version": 0, "tables": {}}
-        import json
-
-        return json.loads(
-            self.fs.read_text(join_uri(self._catalog_path(), f"c{v:012d}.json"))
+        return self._load_catalog_file(
+            join_uri(self._catalog_path(), f"c{v:012d}.json")
         )
+
+    def repair_catalog(self, grace_s: float | None = None) -> int:
+        """Quarantine TORN catalog pointer files (rename to
+        ``<file>.torn``) — the catalog twin of :meth:`repair_log`; the
+        same age grace protects flips in flight.  Returns the number
+        quarantined."""
+        import json
+        import time
+
+        grace = self.VACUUM_WRITER_GRACE_S if grace_s is None else grace_s
+        now = time.time()
+        repaired = 0
+        for f in self.fs.list_files(self._catalog_path()):
+            if not (f.startswith("c") and f.endswith(".json")):
+                continue
+            path = join_uri(self._catalog_path(), f)
+            try:
+                json.loads(self.fs.read_text(path))
+                continue
+            except ValueError:
+                pass
+            if grace > 0 and (now - self.fs.mtime(path)) < grace:
+                continue
+            self.fs.rename(path, path + ".torn")
+            repaired += 1
+        return repaired
 
     def _flip_catalog(self, updates: dict[str, int]) -> None:
         """Unconditional pointer flip (first writes, replaces,
@@ -1843,8 +2045,8 @@ class CatalogManifestFormat(ManifestFormat):
         out: set[int] = set()
         for f in self.fs.list_files(self._catalog_path()):
             if f.startswith("c") and f.endswith(".json"):
-                v = json.loads(
-                    self.fs.read_text(join_uri(self._catalog_path(), f))
+                v = self._load_catalog_file(
+                    join_uri(self._catalog_path(), f)
                 )["tables"].get(name)
                 if v:
                     out.add(int(v))
@@ -1900,7 +2102,7 @@ class CatalogManifestFormat(ManifestFormat):
         for cv in range(max(1, cat_latest - keep_last + 1), cat_latest + 1):
             p = join_uri(self._catalog_path(), f"c{cv:012d}.json")
             if self.fs.exists(p):
-                tables = json.loads(self.fs.read_text(p))["tables"]
+                tables = self._load_catalog_file(p)["tables"]
                 if tables.get(name):
                     keep_versions.add(int(tables[name]))
         if keep_hours is not None:
@@ -1964,7 +2166,7 @@ class CatalogManifestFormat(ManifestFormat):
                 continue  # pruned
             tables = {
                 k: int(x)
-                for k, x in json.loads(self.fs.read_text(p))["tables"].items()
+                for k, x in self._load_catalog_file(p)["tables"].items()
             }
             out.append(
                 {
@@ -1992,7 +2194,7 @@ class CatalogManifestFormat(ManifestFormat):
                 f"no catalog version {catalog_version}: log holds "
                 f"{[int(f[1:-5]) for f in self.fs.list_files(self._catalog_path()) if f.startswith('c')]}"
             )
-        v = json.loads(self.fs.read_text(p))["tables"].get(name)
+        v = self._load_catalog_file(p)["tables"].get(name)
         if not v:
             raise ValueError(
                 f"table {name} did not exist at catalog version "

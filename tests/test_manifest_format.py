@@ -1746,3 +1746,126 @@ def test_read_where_multi_column_conjunction(spark, tmp_path):
     # single-column call shape unchanged
     got1 = {r["a"] for r in fmt.read_where("s.t", "a", 35, None).collect()}
     assert got1 == set(range(35, 40))
+
+
+def test_cluster_zorder_prunes_in_both_dims(spark, tmp_path):
+    """Z-order rewrite (multi-column OPTIMIZE ZORDER BY): after
+    clustering on (x, y), a conjunction of narrow ranges over BOTH
+    columns prunes to a small fraction of the files — where the 1-D
+    x-sort prunes nothing for a y-only range.  Results always equal
+    the full-scan filter."""
+    import random
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(0, 9999), rng.randint(0, 9999)) for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    root_z = str(tmp_path / "z")
+    fz = ManifestFormat(spark, root_z, auto_compact_dirs=None)
+    fz.write("s.t", df, "overwrite")
+    n = fz.cluster_zorder("s.t", ("x", "y"), n_files=16)
+    assert n >= 8  # near the requested file count
+
+    # quarter-range in both dims -> ~1/16 of the area; z-locality must
+    # keep it well under half the files
+    bounds = {"x": (0, 2500), "y": (0, 2500)}
+    kept, _ = fz.prune_entries("s.t", bounds)
+    assert len(kept) <= n // 2, (len(kept), n)
+    got = {r["id"] for r in fz.read_where("s.t", bounds).collect()}
+    want = {
+        r["id"]
+        for r in fz.read("s.t")
+        .filter("x between 0 and 2500 and y between 0 and 2500")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    # y-only narrow range also prunes under z-order...
+    kept_y, _ = fz.prune_entries("s.t", "y", 0, 1200)
+    assert len(kept_y) < n
+    # ...whereas a 1-D x-sort cannot skip anything for it (y stats ARE
+    # recorded per file via stats_cols — they just all span everything)
+    root_x = str(tmp_path / "x1d")
+    fx = ManifestFormat(
+        spark, root_x, auto_compact_dirs=None, stats_cols=("y",)
+    )
+    fx.write("s.t", df, "overwrite")
+    nx = fx.cluster("s.t", "x", n_files=16)
+    assert all(
+        (e.get("stats") or {}).get("y")
+        for e in fx._manifest("s.t")["entries"]
+    )
+    kept_x, _ = fx.prune_entries("s.t", "y", 0, 1200)
+    assert len(kept_x) == nx  # every file spans the full y range
+
+    # guardrails
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        fz.cluster_zorder("s.t", ("x",))
+
+
+def test_torn_head_manifest_clear_error_and_repair(spark, tmp_path):
+    """A writer dying between its create-exclusive and its body write
+    leaves a TORN head version file.  Readers must get a clear error
+    naming repair_log (not a bare JSONDecodeError); repair quarantines
+    the file (age-gated), readers resume at the previous version, and
+    the next commit reclaims the version number."""
+    root = str(tmp_path)
+    fmt = _fmt_of(spark, root, "manifest")
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+    # forge the torn commit: v2 created, body never written
+    torn = os.path.join(
+        fmt._log_path("s.t").replace("file:", ""), f"v{2:012d}.json"
+    )
+    with open(torn, "w") as fh:
+        fh.write('{"version": 2, "entr')  # truncated mid-body
+
+    with pytest.raises(RuntimeError, match="repair_log"):
+        fmt.read("s.t")
+    # a concurrent append must not silently skip past the torn head
+    with pytest.raises(RuntimeError, match="repair_log"):
+        fmt.write("s.t", _days(spark, ("b", 2)), "append")
+
+    assert fmt.repair_log("s.t") == 0  # inside the grace: in flight?
+    assert fmt.repair_log("s.t", grace_s=0) == 1
+    assert {(r["day"], r["v"]) for r in fmt.read("s.t").collect()} == {
+        ("a", 1)
+    }
+    # version 2 is reclaimed by the next commit; the .torn file stays
+    fmt.write("s.t", _days(spark, ("b", 2)), "append")
+    assert fmt._latest_version("s.t") == 2
+    assert os.path.exists(torn + ".torn")
+    assert fmt.read("s.t").count() == 2
+
+
+def test_torn_catalog_file_clear_error_and_repair(spark, tmp_path):
+    """Catalog twin: a torn c*.json head gives the clear repair_catalog
+    error; repair restores resolution at the previous catalog version."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        CatalogManifestFormat,
+    )
+
+    root = str(tmp_path)
+    fmt = CatalogManifestFormat(spark, root)
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+    head = fmt._catalog_version()
+    torn = os.path.join(
+        fmt._catalog_path().replace("file:", ""), f"c{head + 1:012d}.json"
+    )
+    with open(torn, "w") as fh:
+        fh.write('{"version"')
+
+    with pytest.raises(RuntimeError, match="repair_catalog"):
+        fmt.read("s.t")
+    assert fmt.repair_catalog(grace_s=0) == 1
+    assert {(r["day"], r["v"]) for r in fmt.read("s.t").collect()} == {
+        ("a", 1)
+    }
+    # flips resume normally
+    fmt.write("s.t", _days(spark, ("b", 2)), "append")
+    assert fmt.read("s.t").count() == 2
