@@ -969,6 +969,10 @@ class ManifestFormat(TableFormat):
             if f.startswith("v") and f.endswith(".json"):
                 if int(f[1:-5]) not in keep_set:
                     self.fs.delete(join_uri(self._log_path(name), f))
+            elif f.endswith(".torn"):
+                # quarantined torn commits (repair_log) are kept for
+                # forensics until an explicit vacuum reclaims them
+                self.fs.delete(join_uri(self._log_path(name), f))
         return removed
 
     def list_tables(self) -> list[str]:
@@ -2122,6 +2126,8 @@ class CatalogManifestFormat(ManifestFormat):
             if f.startswith("v") and f.endswith(".json"):
                 if int(f[1:-5]) not in keep_versions:
                     self.fs.delete(join_uri(self._log_path(name), f))
+            elif f.endswith(".torn"):
+                self.fs.delete(join_uri(self._log_path(name), f))
         return removed
 
     def vacuum_catalog(self, keep_last: int = 96) -> int:
@@ -2150,6 +2156,10 @@ class CatalogManifestFormat(ManifestFormat):
                 if int(f[1:-5]) <= latest - keep_last:
                     self.fs.delete(join_uri(self._catalog_path(), f))
                     removed += 1
+            elif f.endswith(".torn"):
+                # quarantined torn flips (repair_catalog): reclaimed here
+                self.fs.delete(join_uri(self._catalog_path(), f))
+                removed += 1
         return removed
 
     def catalog_history(self) -> list[dict]:

@@ -1841,6 +1841,9 @@ def test_torn_head_manifest_clear_error_and_repair(spark, tmp_path):
     assert fmt._latest_version("s.t") == 2
     assert os.path.exists(torn + ".torn")
     assert fmt.read("s.t").count() == 2
+    # an explicit vacuum reclaims the quarantined forensics file
+    fmt.vacuum("s.t", writer_grace_s=0)
+    assert not os.path.exists(torn + ".torn")
 
 
 def test_torn_catalog_file_clear_error_and_repair(spark, tmp_path):

@@ -260,3 +260,23 @@ def test_manifest_time_travel_no_exchange(spark, sf_dir):
     facts = plan_facts(_Q["manifest_time_travel"](spark, sf_dir))
     assert facts["n_exchanges"] == 0, facts["plan"]
     assert "CartesianProduct" not in facts["joins"]
+
+
+def test_multicol_skipping_pushes_both_ranges(spark, sf_dir):
+    """The AND-of-ranges read must reach the parquet scan as TWO pushed
+    range predicates (row-level tier), on top of the manifest-entry
+    pruning the query's entries_read lit already pins (value tier)."""
+    facts = plan_facts(_Q["manifest_multicol_skipping"](spark, sf_dir))
+    pushed = " ".join(facts["pushed_filters"])
+    assert "GreaterThanOrEqual(c_custkey" in pushed, pushed
+    assert "LessThanOrEqual(c_acctbal" in pushed, pushed
+    assert facts["n_exchanges"] == 1, facts["plan"]
+
+
+def test_zorder_skipping_pushes_both_ranges(spark, sf_dir):
+    """Same two-tier contract for the z-order clustered read."""
+    facts = plan_facts(_Q["manifest_zorder_skipping"](spark, sf_dir))
+    pushed = " ".join(facts["pushed_filters"])
+    assert "GreaterThanOrEqual(c_custkey" in pushed, pushed
+    assert "LessThanOrEqual(c_acctbal" in pushed, pushed
+    assert "CartesianProduct" not in facts["joins"]
