@@ -1872,3 +1872,101 @@ def test_torn_catalog_file_clear_error_and_repair(spark, tmp_path):
     # flips resume normally
     fmt.write("s.t", _days(spark, ("b", 2)), "append")
     assert fmt.read("s.t").count() == 2
+
+
+_TXN_WRITER = r"""
+import os
+import sys
+import time
+
+root, repo, wid = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+    CatalogManifestFormat,
+)
+
+fmt = CatalogManifestFormat(spark, root)
+open(f"{root}/ready_{wid}", "w").write("")
+deadline = time.time() + 120
+while not os.path.exists(f"{root}/go"):
+    if time.time() > deadline:
+        raise SystemExit("rendezvous timeout")
+    time.sleep(0.05)
+# one multi-table transaction: parent + child flip together
+with fmt.transaction():
+    fmt.write(
+        f"{wid}.parent",
+        spark.createDataFrame([(f"{wid}_p", 1)], "k string, v bigint"),
+        "overwrite",
+    )
+    fmt.write(
+        f"{wid}.child",
+        spark.createDataFrame(
+            [(f"{wid}_c1", 1), (f"{wid}_c2", 2)], "k string, v bigint"
+        ),
+        "overwrite",
+    )
+print("TXN_OK")
+"""
+
+
+def test_two_process_transactions_disjoint_tables(spark, tmp_path):
+    """Concurrent multi-table TRANSACTIONS from separate processes on
+    DISJOINT tables: both catalog flips must land (they commute through
+    the catalog-version CAS), each transaction stays atomic (its parent
+    and child appear in the SAME catalog version), and nothing is
+    lost."""
+    import subprocess
+    import sys
+    import time
+
+    root = str(tmp_path / "wh")
+    fmt = _fmt_of(spark, root, "catalog")
+    fmt.write("seed.t", _days(spark, ("s", 0)), "overwrite")
+
+    script = tmp_path / "txn_writer.py"
+    script.write_text(_TXN_WRITER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), root, repo, wid],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for wid in ("a", "b")
+    ]
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if os.path.exists(f"{root}/ready_a") and os.path.exists(
+            f"{root}/ready_b"
+        ):
+            break
+        time.sleep(0.2)
+    else:
+        for p in procs:
+            p.kill()
+        raise AssertionError("writers never reached the rendezvous")
+    open(f"{root}/go", "w").write("")
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-3000:]
+        assert "TXN_OK" in out
+
+    for wid in ("a", "b"):
+        assert fmt.read(f"{wid}.parent").count() == 1
+        assert fmt.read(f"{wid}.child").count() == 2
+    # each transaction's tables moved in ONE catalog version (atomic),
+    # and the two transactions landed as separate flips
+    hist = fmt.catalog_history()
+    changed = [tuple(sorted(h["changed"])) for h in hist if h["changed"]]
+    assert ("a.child", "a.parent") in changed
+    assert ("b.child", "b.parent") in changed
