@@ -1661,7 +1661,9 @@ class ManifestFormat(TableFormat):
         - ``prune_entries(name, {col: (lo, hi), ...})`` — a
           CONJUNCTION of ranges (Delta/Iceberg skip on AND-ed
           predicates); an entry survives only if EVERY column's
-          interval can intersect its stats.
+          interval can intersect its stats.  A per-column spec may
+          also be a LIST/SET of values (an IN predicate): the entry
+          survives if any listed value can fall inside its range.
 
         Entries with no stats for a column (written before
         ``stats_cols`` included it, or all-NULL), ``opaque``-tagged
@@ -1675,15 +1677,40 @@ class ManifestFormat(TableFormat):
         m = self._manifest(name)
         if m is None:
             raise FileNotFoundError(f"no committed manifest for table {name}")
+
+        def may_match(e, c, spec):
+            if isinstance(spec, (list, set, frozenset)):
+                return self._entry_may_match_in(e, c, spec)
+            return self._entry_may_match(e, c, spec[0], spec[1])
+
         kept = [
             e
             for e in m["entries"]
-            if all(
-                self._entry_may_match(e, c, b[0], b[1])
-                for c, b in bounds.items()
-            )
+            if all(may_match(e, c, b) for c, b in bounds.items())
         ]
         return kept, m
+
+    def _entry_may_match_in(self, e: dict, col: str, values) -> bool:
+        """IN-set variant of :meth:`_entry_may_match`: keep unless the
+        stats PROVE no listed value can fall in the entry's [min, max]
+        — same keep-by-default rules for missing/opaque stats and
+        cross-domain values, and an empty set keeps everything (the
+        row filter, not the prune, decides emptiness)."""
+        st = (e.get("stats") or {}).get(col)
+        if not st or st[0] is None or st[1] is None:
+            return True
+        if len(st) > 2 and st[2] == "opaque":
+            return True
+        if not values:
+            return True
+        mn, mx = st[0], st[1]
+        for v in values:
+            nv, d = self._norm_bound(v)
+            if d is None or d != self._stat_dom(mn) or d != self._stat_dom(mx):
+                return True  # cross-domain value: cannot prove exclusion
+            if mn <= nv <= mx:
+                return True
+        return False
 
     def read_where(
         self, name: str, col: str | dict, lo=None, hi=None
@@ -1718,7 +1745,11 @@ class ManifestFormat(TableFormat):
                 F.lit(False)
             )
         df = self._read_entries(name, m, kept)
-        for c, (c_lo, c_hi) in bounds.items():
+        for c, spec in bounds.items():
+            if isinstance(spec, (list, set, frozenset)):
+                df = df.filter(F.col(c).isin(list(spec)))
+                continue
+            c_lo, c_hi = spec
             if c_lo is not None:
                 df = df.filter(F.col(c) >= F.lit(c_lo))
             if c_hi is not None:

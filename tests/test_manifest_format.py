@@ -1970,3 +1970,45 @@ def test_two_process_transactions_disjoint_tables(spark, tmp_path):
     changed = [tuple(sorted(h["changed"])) for h in hist if h["changed"]]
     assert ("a.child", "a.parent") in changed
     assert ("b.child", "b.parent") in changed
+
+
+def test_read_where_in_set_pruning(spark, tmp_path):
+    """IN-list skipping: a value set inside one chunk's range keeps one
+    entry; values straddling two chunks keep two; the row filter
+    returns exactly the isin() recompute.  Cross-domain values and
+    empty sets keep everything (prune must not change results)."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("v",)
+    )
+    for i in range(5):
+        fmt.write(
+            "s.t",
+            spark.createDataFrame(
+                [(f"d{i}_{j}", i * 100 + j) for j in range(10)],
+                "day string, v long",
+            ),
+            "append" if i else "overwrite",
+        )
+    kept, _ = fmt.prune_entries("s.t", {"v": [203, 207]})
+    assert len(kept) == 1
+    kept, _ = fmt.prune_entries("s.t", {"v": [203, 401]})
+    assert len(kept) == 2
+    got = {r["v"] for r in fmt.read_where("s.t", {"v": [203, 401]}).collect()}
+    assert got == {203, 401}
+    # value between chunk ranges: provably excluded everywhere
+    kept, _ = fmt.prune_entries("s.t", {"v": [50]})
+    assert len(kept) == 0
+    none = fmt.read_where("s.t", {"v": [50]})
+    assert none.count() == 0 and none.columns == ["day", "v"]
+    # cross-domain value or empty set: keep-by-default
+    kept, _ = fmt.prune_entries("s.t", {"v": ["not-a-long"]})
+    assert len(kept) == 5
+    kept, _ = fmt.prune_entries("s.t", {"v": []})
+    assert len(kept) == 5
+    # composes with a range on the same conjunction
+    kept, _ = fmt.prune_entries("s.t", {"v": [203, 401], "day": (None, None)})
+    assert len(kept) == 2

@@ -704,13 +704,19 @@ def test_weekly_monthly_rollups_regrain_from_daily(spark, tmp_path_factory):
     assert mat[("202002", "d2")] == 30 and roll[("202002", "d2")] == 41
 
 
-def test_parallel_sync_equals_sequential(spark, tmp_path_factory):
+import pytest
+
+
+@pytest.mark.parametrize("fmt_kind", ["catalog", "parquet"])
+def test_parallel_sync_equals_sequential(spark, tmp_path_factory, fmt_kind):
     """T3 (VERDICT r8 task 8): per-collection syncs submitted from a
     thread pool must be byte-identical to the sequential loop — on the
-    CATALOG format specifically, where each worker thread takes a
-    writer_copy so concurrent root-key-merge transactions on disjoint
-    tables don't trip the nesting guard.  Cursor/table isolation:
-    every collection's cursor lands populated, every table matches."""
+    CATALOG format (each worker thread takes a writer_copy so
+    concurrent root-key-merge transactions on disjoint tables don't
+    trip the nesting guard) AND on the default staging-swap parquet
+    format (disjoint table dirs, lock-serialized run log).
+    Cursor/table isolation: every collection's cursor lands populated,
+    every table matches."""
     import json
 
     from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
@@ -730,12 +736,12 @@ def test_parallel_sync_equals_sequential(spark, tmp_path_factory):
 
     def build(sub, max_workers):
         root = str(tmp_path_factory.mktemp(sub))
-        p = HealthPipeline(
-            spark,
-            root,
-            table_format=CatalogManifestFormat(spark, root),
-            run_log=True,
+        fmt = (
+            CatalogManifestFormat(spark, root)
+            if fmt_kind == "catalog"
+            else None  # default staging-swap ParquetFormat
         )
+        p = HealthPipeline(spark, root, table_format=fmt, run_log=True)
         p.sync(paths, run_id="r", max_workers=max_workers)
         return p
 
@@ -763,3 +769,33 @@ def test_parallel_sync_equals_sequential(spark, tmp_path_factory):
         f"extract.{c}" for c in paths
     )
     assert all(r["status"] == "ok" for r in log)
+
+
+def test_parallel_sync_gathers_failures(spark, tmp_path_factory):
+    """A failing collection must not abort its siblings mid-flight: all
+    workers finish, the healthy collections land, and ONE RuntimeError
+    names the failed collection(s) (Airflow's
+    fail-the-run-after-all-tasks shape)."""
+    import json
+
+    import pytest as _pytest
+
+    src = tmp_path_factory.mktemp("parfail_fixture")
+    (src / "users.json").write_text(json.dumps(USERS))
+    (src / "steps.json").write_text(json.dumps(STEPS))
+    paths = {
+        "users": str(src / "users.json"),
+        "steps": str(src / "steps.json"),
+        "ghost": str(src / "missing.json"),  # no such file
+    }
+    root = str(tmp_path_factory.mktemp("wh_parfail"))
+    p = HealthPipeline(spark, root, run_log=True)
+    with _pytest.raises(RuntimeError, match="ghost"):
+        p.sync(paths, run_id="r", max_workers=3)
+    # the healthy collections committed despite the sibling failure
+    assert p.wh.read("raw.users").count() == len(USERS)
+    assert p.wh.read("raw.steps").count() == len(STEPS)
+    log = p.wh.read("meta.run_log").collect()
+    by_step = {r["step"]: r["status"] for r in log}
+    assert by_step["extract.users"] == "ok"
+    assert by_step["extract.ghost"] == "error"
