@@ -117,6 +117,13 @@ class Warehouse:
         formats; see ``ManifestFormat.cluster``)."""
         return self._format_verb("cluster")(name, col, n_files)
 
+    def delete_where(
+        self, name: str, col: str | dict, lo=None, hi=None
+    ) -> int:
+        """Row-level DELETE, stats-bounded copy-on-write (commit-log
+        formats; see ``ManifestFormat.delete_where``)."""
+        return self._format_verb("delete_where")(name, col, lo, hi)
+
     def cluster_zorder(
         self, name: str, cols: tuple[str, ...], n_files: int | None = None
     ) -> int:

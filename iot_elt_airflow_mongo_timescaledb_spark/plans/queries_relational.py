@@ -897,8 +897,14 @@ def manifest_data_skipping(spark, sf_dir):
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    mx = int(c.agg(F.max("c_custkey")).first()[0])
-    bounds = [0] + [mx * i // 5 for i in range(1, 5)] + [mx]
+    row = c.agg(
+        F.max("c_custkey").alias("mx"), F.min("c_custkey").alias("mn")
+    ).first()
+    mx, mn = int(row["mx"]), int(row["mn"])
+    # first edge below the MIN key (this testdata's custkeys start at
+    # 0): the queried middle quintile is unaffected, but the staged
+    # table must hold EVERY source row
+    bounds = [mn - 1] + [mx * i // 5 for i in range(1, 5)] + [mx]
     for i in range(5):
         chunk = c.filter(
             (F.col("c_custkey") > bounds[i])
@@ -1028,6 +1034,65 @@ def manifest_zorder_skipping(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
         )
         .withColumn("pruned", F.lit(int(len(kept) < n)))
+    )
+
+
+@query(
+    "manifest_delete_where",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer)
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal_sum,
+           4 AS entries_untouched
+    FROM customer, mx
+    WHERE NOT (c_custkey > m * 2 // 5 + 10 AND c_custkey <= m * 3 // 5 - 10)
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+)
+def manifest_delete_where(spark, sf_dir):
+    """Row-level DELETE with stats-bounded copy-on-write
+    (``ManifestFormat.delete_where``): customers land as five
+    range-chunked appends, a sub-range of the middle chunk is deleted,
+    and exactly FOUR entries must carry over BY IDENTITY (lit-folded
+    into the hash) — the other four chunks' files are never rewritten.
+    The oracle recomputes the remainder from the raw table."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mdw_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    row = c.agg(
+        F.max("c_custkey").alias("mx"), F.min("c_custkey").alias("mn")
+    ).first()
+    mx, mn = int(row["mx"]), int(row["mn"])
+    # first edge below the MIN key: this testdata's custkeys start at 0,
+    # so a literal 0 lower edge would silently drop the min-key row
+    bounds = [mn - 1] + [mx * i // 5 for i in range(1, 5)] + [mx]
+    for i in range(5):
+        chunk = c.filter(
+            (F.col("c_custkey") > bounds[i])
+            & (F.col("c_custkey") <= bounds[i + 1])
+        )
+        fmt.write("dw.cust", chunk, "append" if i else "overwrite")
+    before = {e["dir"] for e in fmt._manifest("dw.cust")["entries"]}
+    lo, hi = mx * 2 // 5 + 11, mx * 3 // 5 - 10
+    fmt.delete_where("dw.cust", "c_custkey", lo, hi)
+    after = {e["dir"] for e in fmt._manifest("dw.cust")["entries"]}
+    return (
+        fmt.read("dw.cust")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn("entries_untouched", F.lit(len(before & after)))
     )
 
 

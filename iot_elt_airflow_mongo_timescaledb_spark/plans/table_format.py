@@ -585,6 +585,10 @@ class ManifestFormat(TableFormat):
                 pass
             if grace > 0 and (now - self.fs.mtime(path)) < grace:
                 continue  # possibly still being written
+            # a prior quarantine of the same (reclaimed) version may
+            # already hold the .torn name — replace it with the newer
+            # forensics rather than failing the repair
+            self.fs.delete(path + ".torn")
             self.fs.rename(path, path + ".torn")
             repaired += 1
         return repaired
@@ -1745,16 +1749,71 @@ class ManifestFormat(TableFormat):
                 F.lit(False)
             )
         df = self._read_entries(name, m, kept)
+        return df.filter(self._bounds_condition(bounds))
+
+    @staticmethod
+    def _bounds_condition(bounds: dict):
+        """One Column condition for a ``{col: (lo, hi) | [values]}``
+        spec — the row-level tier both ``read_where`` (keep matches)
+        and ``delete_where`` (drop matches) share."""
+        from pyspark.sql import functions as F
+
+        cond = F.lit(True)
         for c, spec in bounds.items():
             if isinstance(spec, (list, set, frozenset)):
-                df = df.filter(F.col(c).isin(list(spec)))
+                cond = cond & F.col(c).isin(list(spec))
                 continue
             c_lo, c_hi = spec
             if c_lo is not None:
-                df = df.filter(F.col(c) >= F.lit(c_lo))
+                cond = cond & (F.col(c) >= F.lit(c_lo))
             if c_hi is not None:
-                df = df.filter(F.col(c) <= F.lit(c_hi))
-        return df
+                cond = cond & (F.col(c) <= F.lit(c_hi))
+        return cond
+
+    def delete_where(self, name: str, col: str | dict, lo=None, hi=None) -> int:
+        """Row-level DELETE with STATS-BOUNDED copy-on-write (Iceberg's
+        copy-on-write ``DELETE WHERE``, scoped by the same manifest
+        pruning as ``read_where``): entries whose stats PROVE no row
+        matches are carried over UNTOUCHED — on a clustered 100 TB
+        table a narrow delete rewrites ~one file, never the table.
+        Candidate entries (may-match) are re-read, surviving rows
+        (predicate false or NULL — SQL DELETE semantics: a NULL
+        predicate does not delete) land in one fresh dir, and ONE
+        base-anchored commit swaps candidates for survivors.
+
+        Concurrency: loud abort on a lost race (like ``replace_atomic``
+        — a delete computed against a stale base could resurrect or
+        double-delete rows; Delta serializes DELETE the same way).
+        Change feed: the rewrite removes history without compaction
+        provenance, so ``read_changes`` across it REFUSES with the
+        documented resync error — correct, deletes are not appends.
+        Returns the number of rows deleted."""
+        from pyspark.sql import functions as F
+
+        bounds = col if isinstance(col, dict) else {col: (lo, hi)}
+        candidates, m = self.prune_entries(name, bounds)
+        if not m["entries"]:
+            return 0
+        if not candidates:
+            return 0  # stats prove nothing matches: pure metadata no-op
+        cand_ids = {
+            (e["dir"], e.get("rel"), str(e["partitions"])) for e in candidates
+        }
+        untouched = [
+            e
+            for e in m["entries"]
+            if (e["dir"], e.get("rel"), str(e["partitions"])) not in cand_ids
+        ]
+        cand_df = self._read_entries(name, m, candidates)
+        cond = F.coalesce(self._bounds_condition(bounds), F.lit(False))
+        n_deleted = cand_df.filter(cond).count()
+        if n_deleted == 0:
+            return 0  # candidates intersected by range, no actual rows
+        survivors = cand_df.filter(~cond)
+        cols = tuple(m["partition_columns"])
+        new, _ = self._new_data_dir(name, survivors, cols)
+        self._commit(name, untouched + new, list(cols), m["version"])
+        return n_deleted
 
 
 class CatalogManifestFormat(ManifestFormat):
@@ -1884,6 +1943,10 @@ class CatalogManifestFormat(ManifestFormat):
                 pass
             if grace > 0 and (now - self.fs.mtime(path)) < grace:
                 continue
+            # a prior quarantine of the same (reclaimed) version may
+            # already hold the .torn name — replace it with the newer
+            # forensics rather than failing the repair
+            self.fs.delete(path + ".torn")
             self.fs.rename(path, path + ".torn")
             repaired += 1
         return repaired

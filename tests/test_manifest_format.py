@@ -2012,3 +2012,98 @@ def test_read_where_in_set_pruning(spark, tmp_path):
     # composes with a range on the same conjunction
     kept, _ = fmt.prune_entries("s.t", {"v": [203, 401], "day": (None, None)})
     assert len(kept) == 2
+
+
+def test_delete_where_rewrites_only_intersecting_entries(spark, tmp_path):
+    """Stats-bounded copy-on-write DELETE: entries whose stats prove no
+    match carry over by identity (no rewrite); only may-match entries
+    re-land.  NULL predicate rows survive (SQL DELETE semantics)."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("v",)
+    )
+    for i in range(5):
+        rows = [(f"d{i}_{j}", i * 100 + j) for j in range(10)]
+        if i == 2:
+            rows.append((f"d{i}_null", None))  # NULL in the target chunk
+        fmt.write(
+            "s.t",
+            spark.createDataFrame(rows, "day string, v long"),
+            "append" if i else "overwrite",
+        )
+    before = {e["dir"] for e in fmt._manifest("s.t")["entries"]}
+
+    n = fmt.delete_where("s.t", "v", 205, 260)
+    assert n == 5  # 205..209
+
+    after_entries = fmt._manifest("s.t")["entries"]
+    after = {e["dir"] for e in after_entries}
+    # 4 untouched dirs survive BY IDENTITY; chunk 2's dir is replaced
+    assert len(before & after) == 4
+    got = sorted(
+        r["v"] for r in fmt.read("s.t").collect() if r["v"] is not None
+    )
+    want = [v for v in range(500) if v % 100 < 10 and not 205 <= v <= 260]
+    assert got == want
+    # the NULL row survived the delete
+    assert any(r["v"] is None for r in fmt.read("s.t").collect())
+
+    # stats prove no match: pure metadata no-op, zero commits
+    v_before = fmt._latest_version("s.t")
+    assert fmt.delete_where("s.t", "v", 9000, 9999) == 0
+    assert fmt._latest_version("s.t") == v_before
+
+    # a change-feed window in which the consumer had already SEEN the
+    # rewritten entry refuses (history rewrite, not append); an earlier
+    # window that never saw it is still serveable
+    with pytest.raises(ValueError, match="removed without compaction"):
+        fmt.read_changes("s.t", since_version=3)  # v3 included chunk 2
+
+
+def test_delete_where_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A delete racing a concurrent append must abort loudly, never
+    commit a survivor set computed against the stale base."""
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    other = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+
+    orig = fmt._new_data_dir
+    state = {"injected": False}
+
+    def racing(name, df, partition_by):
+        out = orig(name, df, partition_by)
+        if not state["injected"]:
+            state["injected"] = True
+            other.write("s.t", _days(spark, ("late", 1)), "append")
+        return out
+
+    monkeypatch.setattr(fmt, "_new_data_dir", racing)
+    with pytest.raises(RuntimeError, match="does not commute"):
+        fmt.delete_where("s.t", "v", 1, 1)
+    got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    assert got == {("a", 1), ("late", 1)}
+
+
+def test_delete_where_on_partitioned_table(spark, tmp_path):
+    """Partitioned layout: survivors re-land under the same partition
+    columns; untouched partitions' entries carry over."""
+    fmt = _fmt_of(spark, str(tmp_path), "catalog")
+    df = spark.createDataFrame(
+        [("20240101", i, float(i)) for i in range(10)]
+        + [("20240102", i, float(i)) for i in range(10)],
+        "day string, id long, v double",
+    )
+    fmt.write("s.t", df, "overwrite", partition_by=("day",))
+    n = fmt.delete_where("s.t", {"v": (3.0, 6.0)})
+    assert n == 8  # both days' 3..6
+    rows = {(r["day"], r["id"]) for r in fmt.read("s.t").collect()}
+    assert rows == {
+        (d, i)
+        for d in ("20240101", "20240102")
+        for i in range(10)
+        if not 3 <= i <= 6
+    }
+    assert fmt.partition_columns("s.t") == ["day"]
