@@ -2107,3 +2107,34 @@ def test_delete_where_on_partitioned_table(spark, tmp_path):
         if not 3 <= i <= 6
     }
     assert fmt.partition_columns("s.t") == ["day"]
+
+
+def test_delete_where_on_clustered_table_touches_few_files(spark, tmp_path):
+    """The 100 TB headline: after cluster(), a narrow DELETE rewrites
+    only the file(s) whose range intersects — every other per-file
+    entry carries over by identity, still pointing into the original
+    clustered dir."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+        ManifestFormat,
+    )
+
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(10000)], "v long, tag long"
+    )
+    fmt.write("s.t", df, "overwrite")
+    n_files = fmt.cluster("s.t", "v", n_files=10)
+    before = {
+        (e["dir"], e.get("rel")) for e in fmt._manifest("s.t")["entries"]
+    }
+
+    n = fmt.delete_where("s.t", "v", 4100, 4300)
+    assert n == 201
+    after_entries = fmt._manifest("s.t")["entries"]
+    after = {(e["dir"], e.get("rel")) for e in after_entries}
+    carried = before & after
+    # at most 2 clustered files intersect a 2%-wide range of 10
+    assert len(carried) >= n_files - 2, (len(carried), n_files)
+    got = fmt.read("s.t").count()
+    assert got == 10000 - 201
+    assert fmt.read("s.t").filter("v between 4100 and 4300").count() == 0
