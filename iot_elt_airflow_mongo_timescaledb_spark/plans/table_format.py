@@ -488,6 +488,7 @@ class ManifestFormat(TableFormat):
         root: str,
         auto_compact_dirs: int | None = 16,
         stats_cols: tuple[str, ...] = (),
+        segment_entries: int | None = None,
     ):
         """``auto_compact_dirs``: data-dir count above which the append
         path triggers :meth:`maybe_compact` (None disables).  Default 16
@@ -496,6 +497,22 @@ class ManifestFormat(TableFormat):
         footer-listing + union branch per dir), with 16 keeping the
         overhead low while amortizing one small-tail rewrite across 16
         appends.
+
+        ``segment_entries``: inline-entry count above which a commit
+        spills its entries into an immutable SEGMENT file
+        (``_log/seg-*.json``) and the manifest stores a reference —
+        the hierarchical-metadata tier (Iceberg's manifest list,
+        Delta's checkpoint) that removes the O(total entries) cost
+        every commit otherwise pays rewriting the full entry list
+        (measured ceiling in PERF_NOTES: ~10 MB manifests / ~340 ms
+        commits at 100k entries).  With segments, a commit's version
+        file holds only segment REFS plus an inline tail bounded by
+        this threshold; untouched segments are carried by reference
+        (never rewritten), and an edit that drops entries dissolves
+        only the segments it touches.  ``None`` (default) writes flat
+        manifests — but READING segmented tables always works, and a
+        flat-configured writer editing one preserves its untouched
+        segment refs, so flipping the setting never strands a table.
 
         ``stats_cols``: columns whose per-entry min/max land in the
         manifest at write time (Delta/Iceberg file-skipping stats) —
@@ -514,6 +531,16 @@ class ManifestFormat(TableFormat):
         self.fs = HadoopFS(spark)
         self.auto_compact_dirs = auto_compact_dirs
         self.stats_cols = tuple(stats_cols)
+        self.segment_entries = segment_entries
+        # parsed-segment cache: segment files are IMMUTABLE once
+        # committed, so a (path -> entries) map never goes stale; it
+        # turns repeated resolution (every read/commit re-lists the
+        # head) into O(inline tail) parses.  Bounded FIFO so a long-
+        # lived session over many tables can't grow without limit.
+        self._seg_cache: dict[str, list] = {}
+
+    #: parsed-segment cache bound (files); oldest evicted first
+    SEG_CACHE_FILES = 256
 
     # -- manifest machinery ---------------------------------------------
 
@@ -542,7 +569,7 @@ class ManifestFormat(TableFormat):
         if not self.fs.exists(path):  # explicit version pruned by vacuum
             return None
         try:
-            return json.loads(self.fs.read_text(path))
+            m = json.loads(self.fs.read_text(path))
         except ValueError as e:
             # a writer that died between the create-exclusive and the
             # body write leaves a TORN version file: unparseable, and
@@ -555,6 +582,97 @@ class ManifestFormat(TableFormat):
                 "at the previous version, the next commit reclaims the "
                 "version number)"
             ) from e
+        if m.get("segments"):
+            # hierarchical manifest: expand segment refs so every
+            # caller sees the full entry list under "entries" exactly
+            # as with a flat manifest; "segments" stays alongside so
+            # commit paths can carry untouched refs forward and vacuum
+            # can compute live segment files.  Entries are shallow-
+            # copied out of the immutable-segment cache so a caller
+            # that decorates an entry dict can never corrupt the cache.
+            seg_entries = [
+                dict(e)
+                for s in m["segments"]
+                for e in self._load_segment(name, s["file"])
+            ]
+            m["entries"] = seg_entries + m["entries"]
+        return m
+
+    def _load_segment(self, name: str, fname: str) -> list:
+        """Parse one immutable segment file (cached; see
+        ``_seg_cache``)."""
+        import json
+
+        path = join_uri(self._log_path(name), fname)
+        hit = self._seg_cache.get(path)
+        if hit is not None:
+            return hit
+        entries = json.loads(self.fs.read_text(path))["entries"]
+        if len(self._seg_cache) >= self.SEG_CACHE_FILES:
+            try:  # benign race: another writer thread evicted first
+                self._seg_cache.pop(next(iter(self._seg_cache)))
+            except (StopIteration, KeyError, RuntimeError):
+                pass
+        self._seg_cache[path] = entries
+        return entries
+
+    def _resegment(
+        self, name: str, prev: dict | None, entries: list
+    ) -> tuple[list, list]:
+        """Split a commit's entry list into (carried segment refs,
+        inline tail) — the step that bounds commit cost by CHANGE size
+        instead of table size.
+
+        A previous segment is carried BY REFERENCE iff every one of
+        its entries survives verbatim in the new list (identity =
+        canonical JSON, so stats/partition edits count as changes);
+        otherwise it dissolves and its survivors fall into the inline
+        tail.  Appends therefore never rewrite old segments, and a
+        drop rewrites only the segments it touches.  When the tail
+        outgrows ``segment_entries`` it is flushed into a NEW segment
+        file — written BEFORE the CAS like data dirs, so a lost race
+        leaves an orphan ``seg-*.json`` that vacuum's age-guarded
+        sweep reclaims.  With ``segment_entries=None`` no new segment
+        is ever written, but refs from an already-segmented table are
+        still carried (flipping the setting never forces an O(table)
+        rewrite)."""
+        import json
+        import uuid
+        from collections import Counter
+
+        prev_segs = (prev or {}).get("segments") or []
+        if self.segment_entries is None and not prev_segs:
+            return [], entries
+
+        def key(e):
+            return json.dumps(e, sort_keys=True)
+
+        new_keys = Counter(key(e) for e in entries)
+        kept, consumed = [], Counter()
+        for s in prev_segs:
+            seg_keys = Counter(
+                key(e) for e in self._load_segment(name, s["file"])
+            )
+            if all(new_keys[k] - consumed[k] >= n for k, n in seg_keys.items()):
+                kept.append(s)
+                consumed += seg_keys
+        tail = []
+        for e in entries:
+            k = key(e)
+            if consumed[k] > 0:
+                consumed[k] -= 1  # lives in a carried segment
+            else:
+                tail.append(e)
+        if self.segment_entries is not None and len(tail) > self.segment_entries:
+            fname = f"seg-{uuid.uuid4().hex}.json"
+            self.fs.write_text(
+                join_uri(self._log_path(name), fname),
+                json.dumps({"entries": tail}),
+                overwrite=False,
+            )
+            kept = kept + [{"file": fname, "n": len(tail)}]
+            tail = []
+        return kept, tail
 
     def repair_log(self, name: str, grace_s: float | None = None) -> int:
         """Quarantine TORN version files — the recovery verb for a
@@ -603,6 +721,7 @@ class ManifestFormat(TableFormat):
         entries: list,
         partition_columns: list,
         txn: dict | None = None,
+        segments: list | None = None,
     ) -> bool:
         """The commit CAS primitive: create-exclusive of the version
         file.  True = this writer owns ``version``; False = another
@@ -622,6 +741,9 @@ class ManifestFormat(TableFormat):
             {
                 "version": version,
                 "partition_columns": partition_columns,
+                # hierarchical tier: refs to immutable seg-*.json files
+                # whose entries logically precede the inline list below
+                "segments": segments or [],
                 "entries": entries,
                 # idempotent-writer watermarks {app_id: last_version}
                 # (Delta's txnAppId/txnVersion) — carried forward by
@@ -663,8 +785,12 @@ class ManifestFormat(TableFormat):
         entries instead of colliding on the version file (Delta computes
         the attempt version from the read snapshot for the same reason;
         ADVICE r8 #1)."""
+        prev = self._manifest(name, base_version) if base_version else None
+        segs, entries = self._resegment(name, prev, entries)
         nxt = base_version + 1
-        if not self._try_write_manifest(name, nxt, entries, partition_columns):
+        if not self._try_write_manifest(
+            name, nxt, entries, partition_columns, segments=segs
+        ):
             raise RuntimeError(
                 f"concurrent commit detected on {name} (v{nxt} exists): a "
                 "full-table replace does not commute with a concurrent "
@@ -700,8 +826,11 @@ class ManifestFormat(TableFormat):
             # concurrent entries (ADVICE r8 #1).  Anchored to the base,
             # the concurrent commit collides on the version file and
             # this edit rebases as documented.
+            segs, entries = self._resegment(name, prev, entries)
             nxt = (prev["version"] if prev else 0) + 1
-            if self._try_write_manifest(name, nxt, entries, cols, txn):
+            if self._try_write_manifest(
+                name, nxt, entries, cols, txn, segments=segs
+            ):
                 return True
             # jittered backoff: contending writers decorrelate
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
@@ -964,20 +1093,45 @@ class ManifestFormat(TableFormat):
                     kept_versions.append(v)
         kept_versions = sorted(kept_versions)
         live: set[str] = set()
+        live_segs: set[str] = set()
         for v in kept_versions:
             m = self._manifest(name, v)
             live |= {e["dir"] for e in (m["entries"] if m else [])}
+            live_segs |= {s["file"] for s in (m or {}).get("segments") or []}
         removed = self._sweep_data_dirs(name, live, writer_grace_s)
         keep_set = set(kept_versions)
         for f in self.fs.list_files(self._log_path(name)):
             if f.startswith("v") and f.endswith(".json"):
                 if int(f[1:-5]) not in keep_set:
                     self.fs.delete(join_uri(self._log_path(name), f))
+            elif f.startswith("seg-") and f.endswith(".json"):
+                if f not in live_segs:
+                    self._sweep_segment(name, f, writer_grace_s)
             elif f.endswith(".torn"):
                 # quarantined torn commits (repair_log) are kept for
                 # forensics until an explicit vacuum reclaims them
                 self.fs.delete(join_uri(self._log_path(name), f))
         return removed
+
+    def _sweep_segment(
+        self, name: str, fname: str, writer_grace_s: float | None
+    ) -> None:
+        """Delete one unreferenced segment file — with the same writer
+        grace as data dirs, because ``_resegment`` writes segments
+        BEFORE the CAS: a young orphan may belong to a commit whose
+        version file has not landed yet."""
+        import time
+
+        grace = (
+            self.VACUUM_WRITER_GRACE_S
+            if writer_grace_s is None
+            else writer_grace_s
+        )
+        path = join_uri(self._log_path(name), fname)
+        if grace > 0 and (time.time() - self.fs.mtime(path)) < grace:
+            return
+        self.fs.delete(path)
+        self._seg_cache.pop(path, None)
 
     def list_tables(self) -> list[str]:
         out = []
@@ -1864,10 +2018,12 @@ class CatalogManifestFormat(ManifestFormat):
         root: str,
         auto_compact_dirs: int | None = 16,
         stats_cols: tuple[str, ...] = (),
+        segment_entries: int | None = None,
     ):
         super().__init__(
             spark, root,
             auto_compact_dirs=auto_compact_dirs, stats_cols=stats_cols,
+            segment_entries=segment_entries,
         )
         self._pending: dict[str, int] | None = None
 
@@ -1882,6 +2038,7 @@ class CatalogManifestFormat(ManifestFormat):
             self.root,
             auto_compact_dirs=self.auto_compact_dirs,
             stats_cols=self.stats_cols,
+            segment_entries=self.segment_entries,
         )
 
     # -- catalog machinery ----------------------------------------------
@@ -2048,9 +2205,13 @@ class CatalogManifestFormat(ManifestFormat):
         import random
         import time
 
+        prev = self._manifest(name, base_version) if base_version else None
+        segs, entries = self._resegment(name, prev, entries)
         for attempt in range(self.COMMIT_ATTEMPTS):
             nxt = self._latest_version(name) + 1
-            if self._try_write_manifest(name, nxt, entries, partition_columns):
+            if self._try_write_manifest(
+                name, nxt, entries, partition_columns, segments=segs
+            ):
                 break
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
         else:
@@ -2089,8 +2250,11 @@ class CatalogManifestFormat(ManifestFormat):
             txn = out[2] if len(out) > 2 else dict(
                 (prev or {}).get("txn") or {}
             )
+            segs, entries = self._resegment(name, prev, entries)
             nxt = self._latest_version(name) + 1
-            if not self._try_write_manifest(name, nxt, entries, cols, txn):
+            if not self._try_write_manifest(
+                name, nxt, entries, cols, txn, segments=segs
+            ):
                 time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
                 continue
             if self._pending is not None:
@@ -2212,14 +2376,19 @@ class CatalogManifestFormat(ManifestFormat):
                 if m is not None and (m.get("committed_at") or 0) >= cutoff:
                     keep_versions.add(v)
         live: set[str] = set()
+        live_segs: set[str] = set()
         for v in keep_versions:
             m = super()._manifest(name, v)
             live |= {e["dir"] for e in (m["entries"] if m else [])}
+            live_segs |= {s["file"] for s in (m or {}).get("segments") or []}
         removed = self._sweep_data_dirs(name, live, writer_grace_s)
         for f in self.fs.list_files(self._log_path(name)):
             if f.startswith("v") and f.endswith(".json"):
                 if int(f[1:-5]) not in keep_versions:
                     self.fs.delete(join_uri(self._log_path(name), f))
+            elif f.startswith("seg-") and f.endswith(".json"):
+                if f not in live_segs:
+                    self._sweep_segment(name, f, writer_grace_s)
             elif f.endswith(".torn"):
                 self.fs.delete(join_uri(self._log_path(name), f))
         return removed

@@ -581,11 +581,11 @@ def test_append_rebases_after_lost_version_cas(spark, tmp_path, kind, monkeypatc
     orig = fmt._try_write_manifest
     state = {"injected": False}
 
-    def racing(name, version, entries, cols, txn=None):
+    def racing(name, version, entries, cols, txn=None, segments=None):
         if not state["injected"]:
             state["injected"] = True
             other.write("s.t", _days(spark, ("b", 2)), "append")
-        return orig(name, version, entries, cols, txn)
+        return orig(name, version, entries, cols, txn, segments=segments)
 
     monkeypatch.setattr(fmt, "_try_write_manifest", racing)
     fmt.write("s.t", _days(spark, ("c", 3)), "append")
@@ -675,11 +675,11 @@ def test_replace_aborts_on_concurrent_commit(spark, tmp_path, kind, monkeypatch)
     orig = fmt._try_write_manifest
     state = {"injected": False}
 
-    def racing(name, version, entries, cols, txn=None):
+    def racing(name, version, entries, cols, txn=None, segments=None):
         if not state["injected"]:
             state["injected"] = True
             other.write("s.t", _days(spark, ("b", 2)), "append")
-        return orig(name, version, entries, cols, txn)
+        return orig(name, version, entries, cols, txn, segments=segments)
 
     monkeypatch.setattr(fmt, "_try_write_manifest", racing)
     with pytest.raises(RuntimeError, match="does not commute"):

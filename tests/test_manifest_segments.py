@@ -1,0 +1,268 @@
+"""Hierarchical manifest segments: commit cost bounded by CHANGE size.
+
+The flat commit-log rewrites the full entry list in every version file
+— the measured O(entries) ceiling in PERF_NOTES (~10 MB manifests /
+~340 ms commits at 100k entries).  ``segment_entries`` adds the
+Iceberg-manifest-list / Delta-checkpoint tier: entries spill into
+immutable ``_log/seg-*.json`` files and the version file carries REFS
+plus a bounded inline tail.  These tests pin the contract:
+
+- reads/time-travel/history/change-feed over a segmented table are
+  byte-identical to the flat twin;
+- appends never rewrite an existing segment file (carried by ref);
+- an entry-dropping edit dissolves ONLY the segments it touches;
+- the inline tail in every committed version file stays <= threshold;
+- vacuum reclaims unreferenced segment files (age-guarded, like data
+  dirs — segments land BEFORE the CAS) and keeps referenced ones;
+- a flat-configured handle can read and edit a segmented table
+  without stranding it (setting flip safety);
+- both commit-log formats (plain + catalog) honor all of the above.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+    CatalogManifestFormat,
+    ManifestFormat,
+)
+
+
+def _mk(spark, root, seg, cls=ManifestFormat, **kw):
+    return cls(
+        spark, str(root), auto_compact_dirs=None, segment_entries=seg, **kw
+    )
+
+
+def _log_dir(fmt, name):
+    return os.path.join(fmt.path(name), fmt.LOG_DIR)
+
+
+def _raw_head(fmt, name):
+    d = _log_dir(fmt, name)
+    vf = sorted(f for f in os.listdir(d) if f.startswith("v"))[-1]
+    return json.load(open(os.path.join(d, vf)))
+
+
+def _seg_files(fmt, name):
+    return {
+        f: os.path.getmtime(os.path.join(_log_dir(fmt, name), f))
+        for f in os.listdir(_log_dir(fmt, name))
+        if f.startswith("seg-")
+    }
+
+
+def _days(spark, day, lo, hi):
+    return spark.createDataFrame(
+        [Row(day=day, v=v) for v in range(lo, hi)]
+    )
+
+
+def test_segmented_reads_match_flat_twin(spark, tmp_path):
+    seg = _mk(spark, tmp_path / "s", 4)
+    flat = _mk(spark, tmp_path / "f", None)
+    for i in range(8):
+        df = spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id as v", "cast(id % 3 as string) as p"
+        )
+        seg.write("s.t", df, "append", partition_by=("p",))
+        flat.write("s.t", df, "append", partition_by=("p",))
+    assert sorted(r["v"] for r in seg.read("s.t").collect()) == sorted(
+        r["v"] for r in flat.read("s.t").collect()
+    )
+    # every committed version file keeps its inline tail bounded
+    d = _log_dir(seg, "s.t")
+    for vf in (f for f in os.listdir(d) if f.startswith("v")):
+        m = json.load(open(os.path.join(d, vf)))
+        assert len(m["entries"]) <= 4, vf
+    # history / time travel resolve through segments
+    assert [h["n_entries"] for h in seg.history("s.t")] == [
+        h["n_entries"] for h in flat.history("s.t")
+    ]
+    assert seg.read_version("s.t", 3).count() == 30
+    # a cold handle (empty segment cache) resolves identically
+    cold = ManifestFormat(spark, str(tmp_path / "s"))
+    assert cold.read("s.t").count() == 80
+
+
+def test_append_never_rewrites_carried_segments(spark, tmp_path):
+    fmt = _mk(spark, tmp_path, 1)
+    fmt.write("s.t", _days(spark, "d1", 0, 3), "append", ("day",))
+    fmt.write("s.t", _days(spark, "d2", 3, 6), "append", ("day",))
+    before = _seg_files(fmt, "s.t")
+    assert before, "expected at least one segment after threshold overflow"
+    fmt.write("s.t", _days(spark, "d3", 6, 9), "append", ("day",))
+    after = _seg_files(fmt, "s.t")
+    for f, mtime in before.items():
+        assert f in after and after[f] == mtime, (
+            "append rewrote an existing segment file"
+        )
+    # carried refs appear in the new head
+    head = _raw_head(fmt, "s.t")
+    assert {s["file"] for s in head["segments"]} >= set(before)
+
+
+def test_drop_dissolves_only_touched_segments(spark, tmp_path):
+    # one append per day => each flushed segment holds one day's entry,
+    # so dropping one day must dissolve exactly that day's segment
+    fmt = _mk(spark, tmp_path, 0)  # flush every commit: 1 entry per seg
+    for i, day in enumerate(["d1", "d2", "d3", "d4"]):
+        fmt.write("s.t", _days(spark, day, i * 5, i * 5 + 5), "append", ("day",))
+    head = _raw_head(fmt, "s.t")
+    assert len(head["segments"]) == 4 and not head["entries"]
+    # map each segment to the day it holds
+    by_day = {}
+    for s in head["segments"]:
+        e = fmt._load_segment("s.t", s["file"])
+        assert len(e) == 1
+        by_day[e[0]["partitions"]["day"]] = s["file"]
+    fmt.drop_partitions_below("s.t", "day", "d2")  # drops only d1
+    head2 = _raw_head(fmt, "s.t")
+    kept = {s["file"] for s in head2["segments"]}
+    assert by_day["d1"] not in kept
+    assert {by_day["d2"], by_day["d3"], by_day["d4"]} <= kept
+    assert sorted(r["v"] for r in fmt.read("s.t").collect()) == list(
+        range(5, 20)
+    )
+
+
+def test_flat_handle_edits_segmented_table_without_stranding(
+    spark, tmp_path
+):
+    seg = _mk(spark, tmp_path, 0)
+    for i, day in enumerate(["d1", "d2", "d3"]):
+        seg.write("s.t", _days(spark, day, i * 2, i * 2 + 2), "append", ("day",))
+    carried = set(_seg_files(seg, "s.t"))
+    flat = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    # a flat-configured writer appends: carried refs preserved, new
+    # entries inline, nothing rewritten wholesale
+    flat.write("s.t", _days(spark, "d4", 6, 8), "append", ("day",))
+    head = _raw_head(flat, "s.t")
+    assert {s["file"] for s in head["segments"]} == carried
+    assert len(head["entries"]) == 1  # just the new day, inline
+    assert flat.read("s.t").count() == 8
+
+
+def test_vacuum_sweeps_orphan_segments_keeps_live(spark, tmp_path):
+    fmt = _mk(spark, tmp_path, 0)
+    for i, day in enumerate(["d1", "d2", "d3"]):
+        fmt.write("s.t", _days(spark, day, i, i + 1), "append", ("day",))
+    # dissolve d1's segment; its file is now referenced only by OLD
+    # versions, which vacuum(keep_last=1) drops
+    fmt.drop_partitions_below("s.t", "day", "d2")
+    live = {s["file"] for s in _raw_head(fmt, "s.t")["segments"]}
+    assert set(_seg_files(fmt, "s.t")) > live
+    fmt.vacuum("s.t", keep_last=1, writer_grace_s=0)
+    assert set(_seg_files(fmt, "s.t")) == live
+    assert fmt.read("s.t").count() == 2
+    # age guard: a young orphan segment survives a graced vacuum
+    orphan = os.path.join(_log_dir(fmt, "s.t"), "seg-orphan.json")
+    with open(orphan, "w") as fh:
+        json.dump({"entries": []}, fh)
+    fmt.vacuum("s.t", keep_last=1, writer_grace_s=3600)
+    assert os.path.exists(orphan), "graced vacuum deleted a young segment"
+    fmt.vacuum("s.t", keep_last=1, writer_grace_s=0)
+    assert not os.path.exists(orphan)
+
+
+def test_change_feed_and_streaming_append_on_segmented_table(
+    spark, tmp_path
+):
+    fmt = _mk(spark, tmp_path, 1)
+    flat = _mk(spark, tmp_path / "flat", None)
+    for f in (fmt, flat):
+        f.write_streaming_batch("s.t", _days(spark, "d1", 0, 2), 1, "app")
+        f.write_streaming_batch("s.t", _days(spark, "d2", 2, 4), 2, "app")
+        # replayed batch: must no-op on both
+        assert not f.write_streaming_batch(
+            "s.t", _days(spark, "d2", 2, 4), 2, "app"
+        )
+        f.write_streaming_batch("s.t", _days(spark, "d3", 4, 6), 3, "app")
+    assert fmt.read("s.t").count() == flat.read("s.t").count() == 6
+    ch_seg = fmt.read_changes("s.t", since_version=1)
+    ch_flat = flat.read_changes("s.t", since_version=1)
+    assert sorted(r["v"] for r in ch_seg.collect()) == sorted(
+        r["v"] for r in ch_flat.collect()
+    )
+
+
+@pytest.mark.parametrize("seg", [0, 2])
+def test_catalog_format_segments_and_transaction(spark, tmp_path, seg):
+    fmt = _mk(spark, tmp_path, seg, cls=CatalogManifestFormat)
+    with fmt.transaction():
+        fmt.write("s.a", spark.range(0, 5).toDF("v"), "append")
+        fmt.write("s.b", spark.range(5, 9).toDF("v"), "append")
+    for i in range(3):
+        fmt.write("s.a", spark.range(10 + i, 11 + i).toDF("v"), "append")
+    assert fmt.read("s.a").count() == 8
+    assert fmt.read("s.b").count() == 4
+    head = _raw_head(fmt, "s.a")
+    assert len(head["entries"]) <= seg
+    assert head["segments"]
+    fmt.vacuum("s.a", keep_last=1, writer_grace_s=0)
+    live = {s["file"] for s in _raw_head(fmt, "s.a")["segments"]}
+    assert set(_seg_files(fmt, "s.a")) == live
+    assert fmt.read("s.a").count() == 8
+    # aborted transaction: segments it wrote become orphans, swept
+    try:
+        with fmt.transaction():
+            fmt.write("s.a", spark.range(99, 105).toDF("v"), "append")
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    assert fmt.read("s.a").count() == 8
+    fmt.vacuum("s.a", keep_last=1, writer_grace_s=0)
+    assert set(_seg_files(fmt, "s.a")) == live
+
+
+def test_concurrent_appends_rebase_with_segments(spark, tmp_path):
+    """Two writer threads appending through the segmented commit path:
+    both land, neither lost, carried segments intact (the optimistic
+    protocol is orthogonal to the metadata tier)."""
+    import threading
+
+    fmt = _mk(spark, tmp_path, 1)
+    fmt.write("s.t", _days(spark, "d0", 0, 3), "append", ("day",))
+    errs = []
+
+    def appender(day, lo):
+        try:
+            w = fmt.writer_copy()
+            w.write("s.t", _days(spark, day, lo, lo + 3), "append", ("day",))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=appender, args=(f"d{i}", i * 10))
+        for i in (1, 2)
+    ]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    got = sorted(r["v"] for r in fmt.read("s.t").collect())
+    assert got == [0, 1, 2, 10, 11, 12, 20, 21, 22]
+
+
+def test_stats_pruning_survives_segmentation(spark, tmp_path):
+    """read_where's manifest-tier skipping works identically when the
+    stats-bearing entries live in segment files."""
+    fmt = ManifestFormat(
+        spark,
+        str(tmp_path),
+        auto_compact_dirs=None,
+        stats_cols=("v",),
+        segment_entries=0,
+    )
+    for i in range(4):
+        fmt.write(
+            "s.t", spark.range(i * 10, i * 10 + 10).toDF("v"), "append"
+        )
+    df = fmt.read_where("s.t", "v", 15, 25)
+    assert sorted(r["v"] for r in df.collect()) == list(range(15, 26))
+    kept, m = fmt.prune_entries("s.t", "v", 15, 25)
+    assert len(kept) == 2 and len(m["entries"]) == 4
