@@ -587,11 +587,14 @@ class ManifestFormat(TableFormat):
             # caller sees the full entry list under "entries" exactly
             # as with a flat manifest; "segments" stays alongside so
             # commit paths can carry untouched refs forward and vacuum
-            # can compute live segment files.  Entries are shallow-
-            # copied out of the immutable-segment cache so a caller
-            # that decorates an entry dict can never corrupt the cache.
+            # can compute live segment files.  The dicts handed out ARE
+            # the segment cache's objects — resolved entries are
+            # IMMUTABLE by contract (every edit verb builds new dicts
+            # for changed entries) — which lets ``_resegment`` detect
+            # carried entries by object identity instead of O(entries)
+            # re-serialization on every commit.
             seg_entries = [
-                dict(e)
+                e
                 for s in m["segments"]
                 for e in self._load_segment(name, s["file"])
             ]
@@ -624,18 +627,31 @@ class ManifestFormat(TableFormat):
         instead of table size.
 
         A previous segment is carried BY REFERENCE iff every one of
-        its entries survives verbatim in the new list (identity =
-        canonical JSON, so stats/partition edits count as changes);
-        otherwise it dissolves and its survivors fall into the inline
-        tail.  Appends therefore never rewrite old segments, and a
-        drop rewrites only the segments it touches.  When the tail
-        outgrows ``segment_entries`` it is flushed into a NEW segment
-        file — written BEFORE the CAS like data dirs, so a lost race
-        leaves an orphan ``seg-*.json`` that vacuum's age-guarded
-        sweep reclaims.  With ``segment_entries=None`` no new segment
-        is ever written, but refs from an already-segmented table are
-        still carried (flipping the setting never forces an O(table)
-        rewrite)."""
+        its entries survives verbatim in the new list; otherwise it
+        dissolves and its survivors fall into the inline tail.
+        Appends therefore never rewrite old segments, and a drop
+        rewrites only the segments it touches.  Survival is detected
+        in two tiers:
+
+        1. OBJECT IDENTITY (the probe-measured fast path, ~no cost):
+           resolution hands edit functions the segment cache's own
+           entry dicts, and every edit verb passes unchanged entries
+           through by reference — so an entry that IS the cached
+           object is the cached content (resolved entries are
+           immutable by contract).  No serialization touches carried
+           entries.
+        2. CANONICAL JSON (fallback, only for segments tier 1 could
+           not fully match — cache evicted between resolve and
+           commit, or an edit that rebuilt equal dicts): compare the
+           segment's key multiset against the residual entries.
+
+        When the tail outgrows ``segment_entries`` it is flushed into
+        a NEW segment file — written BEFORE the CAS like data dirs,
+        so a lost race leaves an orphan ``seg-*.json`` that vacuum's
+        age-guarded sweep reclaims.  With ``segment_entries=None`` no
+        new segment is ever written, but refs from an already-
+        segmented table are still carried (flipping the setting never
+        forces an O(table) rewrite)."""
         import json
         import uuid
         from collections import Counter
@@ -644,25 +660,69 @@ class ManifestFormat(TableFormat):
         if self.segment_entries is None and not prev_segs:
             return [], entries
 
+        # tier 1: object identity against the cached segment entries.
+        # _pins holds strong references for the duration of the diff so
+        # no compared id() can be recycled by the allocator mid-pass.
+        id_to_seg: dict[int, int] = {}
+        seg_sizes: list[int] = []
+        _pins: list[list] = []
+        for si, s in enumerate(prev_segs):
+            seg_entries = self._load_segment(name, s["file"])
+            _pins.append(seg_entries)
+            seg_sizes.append(len(seg_entries))
+            for e in seg_entries:
+                id_to_seg[id(e)] = si
+        hits = Counter()
+        seen_ids: set[int] = set()
+        for e in entries:
+            i = id(e)
+            if i in id_to_seg and i not in seen_ids:
+                seen_ids.add(i)
+                hits[id_to_seg[i]] += 1
+        carried = {
+            si for si in range(len(prev_segs)) if hits[si] == seg_sizes[si]
+        }
+        # one carried occurrence per object: a DUPLICATED reference to
+        # a carried entry is extra content and must stay in the tail
+        taken: set[int] = set()
+        tail = []
+        for e in entries:
+            si = id_to_seg.get(id(e))
+            if si in carried and id(e) not in taken:
+                taken.add(id(e))
+            else:
+                tail.append(e)
+
+        # tier 2: content keys for the segments identity couldn't carry
         def key(e):
             return json.dumps(e, sort_keys=True)
 
-        new_keys = Counter(key(e) for e in entries)
-        kept, consumed = [], Counter()
-        for s in prev_segs:
-            seg_keys = Counter(
-                key(e) for e in self._load_segment(name, s["file"])
-            )
-            if all(new_keys[k] - consumed[k] >= n for k, n in seg_keys.items()):
-                kept.append(s)
-                consumed += seg_keys
-        tail = []
-        for e in entries:
-            k = key(e)
-            if consumed[k] > 0:
-                consumed[k] -= 1  # lives in a carried segment
-            else:
-                tail.append(e)
+        residual = [si for si in range(len(prev_segs)) if si not in carried]
+        if residual and tail:
+            tail_keys = Counter(key(e) for e in tail)
+            consumed = Counter()
+            for si in residual:
+                seg_keys = Counter(
+                    key(e)
+                    for e in self._load_segment(name, prev_segs[si]["file"])
+                )
+                if all(
+                    tail_keys[k] - consumed[k] >= n
+                    for k, n in seg_keys.items()
+                ):
+                    carried.add(si)
+                    consumed += seg_keys
+            if consumed:
+                new_tail = []
+                for e in tail:
+                    k = key(e)
+                    if consumed[k] > 0:
+                        consumed[k] -= 1  # lives in a carried segment
+                    else:
+                        new_tail.append(e)
+                tail = new_tail
+
+        kept = [s for si, s in enumerate(prev_segs) if si in carried]
         if self.segment_entries is not None and len(tail) > self.segment_entries:
             fname = f"seg-{uuid.uuid4().hex}.json"
             self.fs.write_text(

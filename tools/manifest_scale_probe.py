@@ -14,6 +14,12 @@ count N in {1k, 10k, 100k}:
   metadata step);
 - prune: one ``prune_entries`` pass with a 1%%-selective range.
 
+A second sweep measures the SEGMENTED log (``segment_entries``, the
+hierarchical-metadata tier) at the same entry counts: steady-state
+append commit (carried segment refs + bounded inline tail, via the
+real ``_commit_edit`` path) and warm resolve (cached immutable
+segments) — the numbers that should stay FLAT in table size.
+
 Usage: ``python tools/manifest_scale_probe.py`` → one JSON line for
 PERF_NOTES.
 """
@@ -70,6 +76,65 @@ def main() -> None:
             "resolve_ms": round(statistics.median(resolve_ms), 2),
             "prune_ms": round(statistics.median(prune_ms), 2),
             "manifest_kb": round(size_kb, 1),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+
+    # -- segmented log: the same entry counts, commit+resolve bounded
+    # by CHANGE size (one appended entry per commit at steady state)
+    for n in (1_000, 10_000, 100_000):
+        root = tempfile.mkdtemp(prefix=f"sprobe_{n}_")
+        fmt = ManifestFormat(spark, root, segment_entries=1_000)
+        entries = [
+            {
+                "dir": "d-0",
+                "rel": f"part-{i:08d}.parquet",
+                "partitions": None,
+                "stats": {"v": [i * 10, i * 10 + 9]},
+            }
+            for i in range(n)
+        ]
+        # seed the table: one bulk commit segments the backlog
+        def seed(head):
+            return entries, []
+
+        fmt._commit_edit("s.t", seed)
+        commit_ms, resolve_ms = [], []
+        for rep in range(5):
+            extra = {
+                "dir": "d-1",
+                "rel": f"part-extra-{rep}.parquet",
+                "partitions": None,
+                "stats": {"v": [0, 1]},
+            }
+
+            def add(head):
+                return head["entries"] + [extra], []
+
+            t0 = time.perf_counter()
+            assert fmt._commit_edit("s.t", add)
+            commit_ms.append((time.perf_counter() - t0) * 1000)
+            t0 = time.perf_counter()
+            m = fmt._manifest("s.t")
+            resolve_ms.append((time.perf_counter() - t0) * 1000)
+            assert len(m["entries"]) == n + rep + 1
+        raw = json.loads(
+            fmt.fs.read_text(
+                os.path.join(
+                    fmt._log_path("s.t"),
+                    sorted(
+                        f
+                        for f in fmt.fs.list_files(fmt._log_path("s.t"))
+                        if f.startswith("v")
+                    )[-1],
+                )
+            )
+        )
+        out[f"seg_entries_{n}"] = {
+            "append_commit_ms": round(statistics.median(commit_ms), 2),
+            "warm_resolve_ms": round(statistics.median(resolve_ms), 2),
+            "version_file_kb": round(len(json.dumps(raw)) / 1024, 1),
+            "inline": len(raw["entries"]),
+            "segments": len(raw["segments"]),
         }
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({"probe": "manifest_entries", **out}))
