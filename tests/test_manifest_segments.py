@@ -266,3 +266,70 @@ def test_stats_pruning_survives_segmentation(spark, tmp_path):
     assert sorted(r["v"] for r in df.collect()) == list(range(15, 26))
     kept, m = fmt.prune_entries("s.t", "v", 15, 25)
     assert len(kept) == 2 and len(m["entries"]) == 4
+
+
+def test_segment_refs_carry_rolled_up_stats(spark, tmp_path):
+    fmt = ManifestFormat(
+        spark,
+        str(tmp_path),
+        auto_compact_dirs=None,
+        stats_cols=("v",),
+        segment_entries=0,
+    )
+    for i in range(3):
+        fmt.write("s.t", spark.range(i * 10, i * 10 + 10).toDF("v"), "append")
+    head = _raw_head(fmt, "s.t")
+    spans = sorted(
+        tuple(s["stats"]["v"][:2]) for s in head["segments"]
+    )
+    assert spans == [(0, 9), (10, 19), (20, 29)]
+
+
+def test_read_where_skips_whole_segments(spark, tmp_path):
+    fmt = ManifestFormat(
+        spark,
+        str(tmp_path),
+        auto_compact_dirs=None,
+        stats_cols=("v",),
+        segment_entries=0,
+    )
+    for i in range(4):
+        fmt.write("s.t", spark.range(i * 10, i * 10 + 10).toDF("v"), "append")
+    # cold reader: its segment cache records exactly which seg files
+    # were parsed — the excluded segments must never be touched
+    reader = ManifestFormat(spark, str(tmp_path))
+    got = sorted(r["v"] for r in reader.read_where("s.t", "v", 12, 17).collect())
+    assert got == list(range(12, 18))
+    head = _raw_head(fmt, "s.t")
+    by_span = {tuple(s["stats"]["v"][:2]): s["file"] for s in head["segments"]}
+    loaded = {os.path.basename(p) for p in reader._seg_cache}
+    assert loaded == {by_span[(10, 19)]}, loaded
+    # empty result: schema probe may parse one segment, but the frame
+    # is empty and correct
+    assert reader.read_where("s.t", "v", 900, 999).count() == 0
+
+
+def test_segment_without_full_stats_is_never_skipped(spark, tmp_path):
+    # first commit written WITHOUT stats_cols: its segment ref gets no
+    # rolled-up stats and must always be loaded (keep-by-default)
+    plain = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, segment_entries=0
+    )
+    plain.write("s.t", spark.range(0, 10).toDF("v"), "append")
+    fmt = ManifestFormat(
+        spark,
+        str(tmp_path),
+        auto_compact_dirs=None,
+        stats_cols=("v",),
+        segment_entries=0,
+    )
+    fmt.write("s.t", spark.range(10, 20).toDF("v"), "append")
+    head = _raw_head(fmt, "s.t")
+    with_stats = [s for s in head["segments"] if "stats" in s]
+    without = [s for s in head["segments"] if "stats" not in s]
+    assert len(with_stats) == 1 and len(without) == 1
+    reader = ManifestFormat(spark, str(tmp_path))
+    got = sorted(r["v"] for r in reader.read_where("s.t", "v", 2, 4).collect())
+    assert got == [2, 3, 4]
+    loaded = {os.path.basename(p) for p in reader._seg_cache}
+    assert without[0]["file"] in loaded
