@@ -2020,27 +2020,12 @@ class ManifestFormat(TableFormat):
         if m is None:
             raise FileNotFoundError(f"no committed manifest for table {name}")
 
-        def may_match(holder, c, spec):
-            if isinstance(spec, (list, set, frozenset)):
-                return self._entry_may_match_in(holder, c, spec)
-            return self._entry_may_match(holder, c, spec[0], spec[1])
-
         segs = m.get("segments") or []
         if not m["entries"] and not segs:
             raise FileNotFoundError(
                 f"table {name} has no data at version {m['version']}"
             )
-        kept = []
-        for s in segs:
-            # tier 1: the ref's rolled-up stats (seg ref quacks like an
-            # entry for the keep-by-default interval test)
-            if all(may_match(s, c, b) for c, b in bounds.items()):
-                for e in self._load_segment(name, s["file"]):
-                    if all(may_match(e, c, b) for c, b in bounds.items()):
-                        kept.append(e)
-        for e in m["entries"]:
-            if all(may_match(e, c, b) for c, b in bounds.items()):
-                kept.append(e)
+        kept = self._prune_two_tier(name, m, bounds)
         if not kept:
             # nothing can match: an empty frame with the table's schema
             # (footer-only read of one entry, no data pages)
@@ -2050,6 +2035,31 @@ class ManifestFormat(TableFormat):
             return self._read_entries(name, m, probe).filter(F.lit(False))
         df = self._read_entries(name, m, kept)
         return df.filter(self._bounds_condition(bounds))
+
+    def _prune_two_tier(self, name: str, m: dict, bounds: dict) -> list:
+        """Entries surviving stats pruning on a RAW (unresolved)
+        manifest: segment refs test first on their rolled-up stats (a
+        ref quacks like an entry for the keep-by-default interval
+        test), excluded segments are never parsed, surviving segments
+        prune per entry, inline tail entries prune directly.  The
+        equivalence with flat pruning over the resolved entry list is
+        property-pinned (tests/test_segment_properties.py)."""
+
+        def may_match(holder, c, spec):
+            if isinstance(spec, (list, set, frozenset)):
+                return self._entry_may_match_in(holder, c, spec)
+            return self._entry_may_match(holder, c, spec[0], spec[1])
+
+        kept = []
+        for s in m.get("segments") or []:
+            if all(may_match(s, c, b) for c, b in bounds.items()):
+                for e in self._load_segment(name, s["file"]):
+                    if all(may_match(e, c, b) for c, b in bounds.items()):
+                        kept.append(e)
+        for e in m["entries"]:
+            if all(may_match(e, c, b) for c, b in bounds.items()):
+                kept.append(e)
+        return kept
 
     @staticmethod
     def _bounds_condition(bounds: dict):
