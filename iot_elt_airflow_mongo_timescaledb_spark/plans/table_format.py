@@ -734,17 +734,26 @@ class ManifestFormat(TableFormat):
 
         kept = [s for si, s in enumerate(prev_segs) if si in carried]
         if self.segment_entries is not None and len(tail) > self.segment_entries:
-            fname = f"seg-{uuid.uuid4().hex}.json"
-            self.fs.write_text(
-                join_uri(self._log_path(name), fname),
-                json.dumps({"entries": tail}),
-                overwrite=False,
-            )
-            ref = {"file": fname, "n": len(tail)}
-            seg_stats = self._rollup_seg_stats(tail)
-            if seg_stats:
-                ref["stats"] = seg_stats
-            kept = kept + [ref]
+            # flush in CHUNKS of at most segment_entries (not one
+            # monolithic file): a bulk commit would otherwise produce a
+            # single table-sized segment whose rolled-up stats span
+            # everything — unskippable, and unbounded to parse.
+            # Chunked, a narrow read's metadata cost is
+            # O(matching chunks) and every segment parse is bounded.
+            chunk = max(self.segment_entries, 1)
+            for i in range(0, len(tail), chunk):
+                part = tail[i : i + chunk]
+                fname = f"seg-{uuid.uuid4().hex}.json"
+                self.fs.write_text(
+                    join_uri(self._log_path(name), fname),
+                    json.dumps({"entries": part}),
+                    overwrite=False,
+                )
+                ref = {"file": fname, "n": len(part)}
+                seg_stats = self._rollup_seg_stats(part)
+                if seg_stats:
+                    ref["stats"] = seg_stats
+                kept = kept + [ref]
             tail = []
         return kept, tail
 

@@ -129,9 +129,27 @@ def main() -> None:
                 )
             )
         )
+        # narrow read_where METADATA cost: a 1%-selective range on a
+        # COLD handle (fresh segment cache) — two-tier pruning should
+        # parse only the segments whose rolled-up stats intersect,
+        # vs the flat log parsing all N entries every time
+        prune_cold_ms, segs_parsed = [], []
+        for rep in range(5):
+            cold = ManifestFormat(spark, root, segment_entries=1_000)
+            lo = (n * 10) // 2
+            t0 = time.perf_counter()
+            m_raw = cold._manifest("s.t", resolve=False)
+            kept = cold._prune_two_tier(
+                "s.t", m_raw, {"v": (lo, lo + n // 10)}
+            )
+            prune_cold_ms.append((time.perf_counter() - t0) * 1000)
+            assert 0 < len(kept) < n
+            segs_parsed.append(len(cold._seg_cache))
         out[f"seg_entries_{n}"] = {
             "append_commit_ms": round(statistics.median(commit_ms), 2),
             "warm_resolve_ms": round(statistics.median(resolve_ms), 2),
+            "cold_prune_ms": round(statistics.median(prune_cold_ms), 2),
+            "segs_parsed_of": [segs_parsed[0], len(raw["segments"])],
             "version_file_kb": round(len(json.dumps(raw)) / 1024, 1),
             "inline": len(raw["entries"]),
             "segments": len(raw["segments"]),
