@@ -112,6 +112,15 @@ class Warehouse:
         formats; see ``ManifestFormat.read_changes``)."""
         return self._format_verb("read_changes")(name, since_version, to_version)
 
+    def read_at(self, name: str, ts) -> DataFrame:
+        """Time travel by COMMIT timestamp — the whole table as of
+        wall-clock ``ts`` (commit-log formats; see
+        ``ManifestFormat.read_asof``).  Distinct from ``read_asof``,
+        the SCD-2 row-history read: that answers "what did the ROW
+        look like at T" from snapshot intervals; this answers "what
+        did the TABLE look like at T" from the commit log."""
+        return self._format_verb("read_asof")(name, ts)
+
     def cluster(self, name: str, col: str, n_files: int | None = None) -> int:
         """Range-clustered rewrite for file-level skipping (commit-log
         formats; see ``ManifestFormat.cluster``)."""

@@ -1122,6 +1122,49 @@ class ManifestFormat(TableFormat):
             )
         return self.read(name, version)
 
+    def _travelable_versions(self, name: str) -> list[int]:
+        """Version numbers time travel may resolve to — every retained
+        log file here; only catalog-committed versions in the catalog
+        subclass (an aborted transaction's orphan manifest is not a
+        table state that ever existed)."""
+        return [
+            int(f[1:-5])
+            for f in self.fs.list_files(self._log_path(name))
+            if f.startswith("v") and f.endswith(".json")
+        ]
+
+    def version_at(self, name: str, ts) -> int:
+        """Latest committed version whose ``committed_at`` <= ``ts`` —
+        Delta's ``TIMESTAMP AS OF`` resolution.  ``ts`` is epoch
+        seconds or a datetime.  Scans NEWEST-first, so a wall-clock
+        regression between commits can only resolve to an older (still
+        correct-at-ts) version, never a future one; warm segment/
+        manifest parses make the scan cheap and the typical ask ("the
+        table as of an hour ago") terminates within a few probes."""
+        ts = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+        versions = sorted(self._travelable_versions(name), reverse=True)
+        if not versions:
+            raise FileNotFoundError(f"no committed manifest for table {name}")
+        earliest = None
+        for v in versions:
+            m = self._manifest(name, v)
+            if m is None:
+                continue
+            at = m.get("committed_at") or 0
+            earliest = at
+            if at <= ts:
+                return v
+        raise ValueError(
+            f"no version of {name} at or before ts={ts}: the earliest "
+            f"retained commit is at {earliest} (older versions may have "
+            "been vacuumed)"
+        )
+
+    def read_asof(self, name: str, ts) -> DataFrame:
+        """Time travel by timestamp: the table as of wall-clock ``ts``
+        (``read_version`` at ``version_at``)."""
+        return self.read_version(name, self.version_at(name, ts))
+
     def history(self, name: str) -> list[dict]:
         """The commit log as data: one row per version (version,
         entry/data-dir counts, partitioning) — the ops surface for
@@ -2499,6 +2542,12 @@ class CatalogManifestFormat(ManifestFormat):
     def history(self, name: str) -> list[dict]:
         committed = self._committed_versions(name)
         return [h for h in super().history(name) if h["version"] in committed]
+
+    def _travelable_versions(self, name: str) -> list[int]:
+        # only catalog-committed versions: an aborted transaction's
+        # orphan manifest carries a committed_at but was never a table
+        # state any reader could have seen
+        return sorted(self._committed_versions(name))
 
     def vacuum(
         self,

@@ -2138,3 +2138,92 @@ def test_delete_where_on_clustered_table_touches_few_files(spark, tmp_path):
     got = fmt.read("s.t").count()
     assert got == 10000 - 201
     assert fmt.read("s.t").filter("v between 4100 and 4300").count() == 0
+
+
+# -- round-9: timestamp time travel (TIMESTAMP AS OF) -----------------------
+
+
+def _restamp(fmt, name, stamps: dict) -> None:
+    """Rewrite committed_at of given versions (local-FS test helper —
+    production version files are immutable; this simulates commits that
+    happened at distinct wall-clock times without sleeping through the
+    1-second committed_at granularity)."""
+    import json
+
+    for v, at in stamps.items():
+        p = os.path.join(fmt._log_path(name), f"v{v:012d}.json")
+        body = json.load(open(p))
+        body["committed_at"] = at
+        json.dump(body, open(p, "w"))
+        # drop the local-FS sibling checksum the out-of-band rewrite
+        # invalidated (ChecksumFileSystem would refuse the read)
+        crc = os.path.join(
+            fmt._log_path(name), f".v{v:012d}.json.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+
+
+def test_version_at_resolves_timestamp_to_version(spark, wh):
+    for day, v in (("d1", 1), ("d2", 2), ("d3", 3)):
+        wh.materialize_incremental("tt.t", _days(spark, (day, v)), "day")
+    _restamp(wh.fmt, "tt.t", {1: 100, 2: 200, 3: 300})
+    assert wh.fmt.version_at("tt.t", 100) == 1  # exact stamp: inclusive
+    assert wh.fmt.version_at("tt.t", 199) == 1
+    assert wh.fmt.version_at("tt.t", 200) == 2
+    assert wh.fmt.version_at("tt.t", 10**12) == 3  # far future: head
+    import datetime
+
+    dt = datetime.datetime.fromtimestamp(250)
+    assert wh.fmt.version_at("tt.t", dt) == 2  # datetime accepted
+    with pytest.raises(ValueError, match="at or before"):
+        wh.fmt.version_at("tt.t", 99)  # before the first retained commit
+    got = {r["day"] for r in wh.fmt.read_asof("tt.t", 250).collect()}
+    assert got == {"d1", "d2"}
+
+
+def test_version_at_equal_stamps_resolve_to_latest(spark, wh):
+    """Two commits inside the same committed_at second: the stamp
+    resolves to the LATEST of them (Delta's tie rule — the state a
+    reader at that wall-clock instant would have seen last)."""
+    wh.materialize_incremental("tt.e", _days(spark, ("d1", 1)), "day")
+    wh.materialize_incremental("tt.e", _days(spark, ("d2", 2)), "day")
+    _restamp(wh.fmt, "tt.e", {1: 500, 2: 500})
+    assert wh.fmt.version_at("tt.e", 500) == 2
+    assert wh.fmt.version_at("tt.e", 501) == 2
+
+
+def test_version_at_survives_vacuumed_prefix(spark, wh):
+    for day, v in (("d1", 1), ("d2", 2), ("d3", 3)):
+        wh.materialize_incremental("tt.v", _days(spark, (day, v)), "day")
+    wh.fmt.vacuum("tt.v", keep_last=1, writer_grace_s=0)
+    _restamp(wh.fmt, "tt.v", {3: 300})
+    assert wh.fmt.version_at("tt.v", 10**12) == 3
+    with pytest.raises(ValueError, match="vacuumed"):
+        wh.fmt.version_at("tt.v", 299)
+
+
+def test_catalog_version_at_skips_aborted_orphans(spark, cat_wh):
+    """TIMESTAMP AS OF must never resolve to an aborted transaction's
+    orphan manifest: its committed_at exists, but no reader could ever
+    have seen that state."""
+    wh = cat_wh
+    wh.materialize_incremental("tt.c", _days(spark, ("d1", 1)), "day")
+    with pytest.raises(RuntimeError, match="boom"):
+        with wh.fmt.transaction():
+            wh.materialize_upsert("tt.c", _days(spark, ("d1", 99)), "day")
+            raise RuntimeError("boom")
+    wh.materialize_incremental("tt.c", _days(spark, ("d2", 2)), "day")
+    # log holds v1 (committed), v2 (orphan), v3 (committed)
+    _restamp(wh.fmt, "tt.c", {1: 100, 2: 200, 3: 300})
+    assert wh.fmt.version_at("tt.c", 250) == 1  # orphan v2 skipped
+    assert wh.fmt.version_at("tt.c", 300) == 3
+    got = {r["day"] for r in wh.fmt.read_asof("tt.c", 10**12).collect()}
+    assert got == {"d1", "d2"}
+
+
+def test_warehouse_read_at_passthrough(spark, wh):
+    wh.materialize_incremental("tt.w", _days(spark, ("d1", 1)), "day")
+    wh.materialize_incremental("tt.w", _days(spark, ("d2", 2)), "day")
+    _restamp(wh.fmt, "tt.w", {1: 100, 2: 200})
+    assert {r["day"] for r in wh.read_at("tt.w", 150).collect()} == {"d1"}
