@@ -112,14 +112,21 @@ class Warehouse:
         formats; see ``ManifestFormat.read_changes``)."""
         return self._format_verb("read_changes")(name, since_version, to_version)
 
-    def read_at(self, name: str, ts) -> DataFrame:
+    def read_at_timestamp(self, name: str, ts) -> DataFrame:
         """Time travel by COMMIT timestamp — the whole table as of
         wall-clock ``ts`` (commit-log formats; see
         ``ManifestFormat.read_asof``).  Distinct from ``read_asof``,
-        the SCD-2 row-history read: that answers "what did the ROW
-        look like at T" from snapshot intervals; this answers "what
-        did the TABLE look like at T" from the commit log."""
+        the SCD-2 row-history read ("what did the ROW look like at T"
+        from snapshot intervals), and from the catalog format's
+        ``read_at(name, catalog_version)`` (cross-table-consistent
+        reads at one catalog version): this answers "what did the
+        TABLE look like at wall-clock T" from the commit log."""
         return self._format_verb("read_asof")(name, ts)
+
+    def restore(self, name: str, version: int) -> int:
+        """Roll the table head back to an old version, metadata-only
+        (commit-log formats; see ``ManifestFormat.restore``)."""
+        return self._format_verb("restore")(name, version)
 
     def cluster(self, name: str, col: str, n_files: int | None = None) -> int:
         """Range-clustered rewrite for file-level skipping (commit-log

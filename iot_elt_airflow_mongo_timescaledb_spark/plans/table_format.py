@@ -559,6 +559,56 @@ class ManifestFormat(TableFormat):
         ]
         return max(vs, default=0)
 
+    #: in-flight window for commit files: the create-exclusive makes a
+    #: version/pointer file VISIBLE before its body is written (HDFS
+    #: and local FS both expose the empty file immediately), so a
+    #: reader racing a healthy writer can parse an incomplete file.
+    #: An unreadable commit file younger than this is that race, not a
+    #: corpse: retry briefly, then treat as not-yet-committed (readers
+    #: resolve the previous version).  Older unreadable files are torn
+    #: (writer died mid-commit) and raise, naming the repair verb.
+    INFLIGHT_GRACE_S = 5.0
+    INFLIGHT_RETRY_BUDGET_S = 0.5
+
+    def _read_commit_json(self, path: str) -> dict | None:
+        """Read+parse one commit file (version or catalog pointer) with
+        in-flight tolerance: None = not yet committed (young unreadable
+        file, or vanished mid-read under a concurrent repair/vacuum);
+        raises for an OLD torn file."""
+        import json
+        import time
+
+        deadline = time.monotonic() + self.INFLIGHT_RETRY_BUDGET_S
+        while True:
+            try:
+                return json.loads(self.fs.read_text(path))
+            except ValueError:
+                if time.monotonic() < deadline:
+                    time.sleep(0.05)
+                    continue
+                try:
+                    age = time.time() - self.fs.mtime(path)
+                except Exception:
+                    return None  # quarantined/vacuumed mid-read
+                if age < self.INFLIGHT_GRACE_S:
+                    return None  # healthy writer mid-body-write
+                return self._raise_torn(path)
+            except Exception as e:
+                if type(e).__name__ in (
+                    "FileNotFoundException",
+                    "FileNotFoundError",
+                ) or isinstance(e, FileNotFoundError):
+                    return None  # vanished between list and read
+                raise
+
+    def _raise_torn(self, path: str):
+        raise RuntimeError(
+            f"commit file {path} is unreadable — a writer likely died "
+            "mid-commit leaving a torn file; run repair_log(name) / "
+            "repair_catalog() to quarantine it (readers resume at the "
+            "previous version, the next commit reclaims the number)"
+        )
+
     def _manifest(
         self,
         name: str,
@@ -570,28 +620,35 @@ class ManifestFormat(TableFormat):
         returns the raw body (inline entries only, refs untouched) —
         the pruning read path uses it to skip whole segments by their
         stats without parsing them."""
-        v = self._latest_version(name) if version is None else version
-        if v == 0:
-            return None
-        import json
-
-        path = join_uri(self._log_path(name), f"v{v:012d}.json")
-        if not self.fs.exists(path):  # explicit version pruned by vacuum
-            return None
-        try:
-            m = json.loads(self.fs.read_text(path))
-        except ValueError as e:
-            # a writer that died between the create-exclusive and the
-            # body write leaves a TORN version file: unparseable, and
-            # blocking every future CAS at this version.  Name the
-            # repair path instead of surfacing a bare JSONDecodeError.
-            raise RuntimeError(
-                f"manifest {path} is unreadable — a writer likely died "
-                f"mid-commit leaving a torn version file; run "
-                f"repair_log({name!r}) to quarantine it (readers resume "
-                "at the previous version, the next commit reclaims the "
-                "version number)"
-            ) from e
+        if version is None:
+            # resolve the newest COMMITTED version: an unreadable head
+            # younger than the in-flight grace is a writer between its
+            # create-exclusive and body write — resolution falls back
+            # to the previous version instead of failing the read
+            v = self._latest_version(name)
+            m = None
+            while v > 0:
+                path = join_uri(self._log_path(name), f"v{v:012d}.json")
+                m = self._read_commit_json(path)
+                if m is not None:
+                    break
+                v -= 1
+            if m is None:
+                return None
+        else:
+            if version == 0:
+                return None
+            path = join_uri(
+                self._log_path(name), f"v{version:012d}.json"
+            )
+            if not self.fs.exists(path):  # pruned by vacuum
+                return None
+            m = self._read_commit_json(path)
+            if m is None:
+                # young-but-unreadable at an EXPLICITLY requested
+                # version: not committed yet — same caller contract as
+                # a missing version, never a silently different one
+                return None
         if m.get("segments") and resolve:
             # hierarchical manifest: expand segment refs so every
             # caller sees the full entry list under "entries" exactly
@@ -849,6 +906,7 @@ class ManifestFormat(TableFormat):
         partition_columns: list,
         txn: dict | None = None,
         segments: list | None = None,
+        schema: dict | None = None,
     ) -> bool:
         """The commit CAS primitive: create-exclusive of the version
         file.  True = this writer owns ``version``; False = another
@@ -876,6 +934,11 @@ class ManifestFormat(TableFormat):
                 # (Delta's txnAppId/txnVersion) — carried forward by
                 # every edit, reset only by a full replace
                 "txn": txn or {},
+                # table schema (StructType json; Delta stores it in the
+                # log for the same reason): the metadata-only basis for
+                # write-time enforcement — absent on pre-schema
+                # versions, self-heals on the next append
+                **({"schema": schema} if schema else {}),
                 # wall-clock commit time: the basis for time-based
                 # vacuum retention (Delta's RETAIN n HOURS); advisory
                 # only — correctness never depends on clocks
@@ -898,6 +961,7 @@ class ManifestFormat(TableFormat):
         entries: list,
         partition_columns: list,
         base_version: int = 0,
+        schema: dict | None = None,
     ) -> None:
         """Non-rebaseable (full-replace) commit: one CAS attempt, loud
         abort on a lost race — a replace computed against a stale base
@@ -916,7 +980,8 @@ class ManifestFormat(TableFormat):
         segs, entries = self._resegment(name, prev, entries)
         nxt = base_version + 1
         if not self._try_write_manifest(
-            name, nxt, entries, partition_columns, segments=segs
+            name, nxt, entries, partition_columns, segments=segs,
+            schema=schema,
         ):
             raise RuntimeError(
                 f"concurrent commit detected on {name} (v{nxt} exists): a "
@@ -942,9 +1007,18 @@ class ManifestFormat(TableFormat):
                 return False
             entries, cols = out[0], out[1]
             # every rebaseable edit preserves the head's idempotent-
-            # writer watermarks unless it supplies its own (3rd elem)
-            txn = out[2] if len(out) > 2 else dict(
-                (prev or {}).get("txn") or {}
+            # writer watermarks unless it supplies its own (3rd elem,
+            # None = carry) and the head's schema unless it supplies
+            # one (4th elem, None = carry)
+            txn = (
+                out[2]
+                if len(out) > 2 and out[2] is not None
+                else dict((prev or {}).get("txn") or {})
+            )
+            schema = (
+                out[3]
+                if len(out) > 3 and out[3] is not None
+                else (prev or {}).get("schema")
             )
             # CAS target from the BASE the edit saw, never a re-list:
             # a commit landing between the _manifest read above and a
@@ -956,7 +1030,8 @@ class ManifestFormat(TableFormat):
             segs, entries = self._resegment(name, prev, entries)
             nxt = (prev["version"] if prev else 0) + 1
             if self._try_write_manifest(
-                name, nxt, entries, cols, txn, segments=segs
+                name, nxt, entries, cols, txn, segments=segs,
+                schema=schema,
             ):
                 return True
             # jittered backoff: contending writers decorrelate
@@ -1165,6 +1240,42 @@ class ManifestFormat(TableFormat):
         (``read_version`` at ``version_at``)."""
         return self.read_version(name, self.version_at(name, ts))
 
+    def restore(self, name: str, version: int) -> int:
+        """Delta's ``RESTORE TABLE ... VERSION AS OF``: commit the old
+        version's entry list as a NEW head version — metadata-only
+        (immutable data dirs are shared; a retained manifest's dirs are
+        by construction un-vacuumed, since the sweep keeps every dir a
+        retained manifest references).  History is preserved: the bad
+        head stays readable via ``read_version``, and the restore
+        itself is one more auditable commit.  Rebaseable like any edit
+        — a concurrent append between the read and the CAS loses its
+        rows from the HEAD (that is what restore means) but keeps them
+        in its own version until vacuum.  Returns the new head
+        version."""
+        if version not in set(self._travelable_versions(name)):
+            raise ValueError(
+                f"cannot restore {name} to version {version}: not a "
+                f"committed retained version (vacuumed, never committed, "
+                "or an aborted transaction's orphan)"
+            )
+        old = self._manifest(name, version)
+        if old is None:
+            raise ValueError(
+                f"cannot restore {name} to version {version}: manifest "
+                "missing"
+            )
+
+        def to_old(head):
+            return (
+                old["entries"],
+                old["partition_columns"],
+                None,
+                old.get("schema"),
+            )
+
+        self._commit_edit(name, to_old)
+        return self._manifest(name)["version"]
+
     def history(self, name: str) -> list[dict]:
         """The commit log as data: one row per version (version,
         entry/data-dir counts, partitioning) — the ops surface for
@@ -1344,6 +1455,76 @@ class ManifestFormat(TableFormat):
 
     # -- writes ----------------------------------------------------------
 
+    def _enforce_append_schema(
+        self, name: str, prev: dict, df
+    ) -> dict | None:
+        """Delta-style write-time schema enforcement for append-family
+        verbs, BEFORE any data lands: new columns may arrive (additive
+        evolution — readers fill NULL on old files) and existing
+        columns may be absent (readers fill NULL on new files), but a
+        column present on both sides must carry the SAME type.  The
+        mergeSchema/unionByName read would otherwise coerce (an int
+        file unioned with a string file reads as string), silently
+        changing stored values — a refusal here is the loud version.
+
+        Metadata-only: compares against the schema the manifest stores
+        (Delta keeps it in the log for the same reason).  A pre-schema
+        table derives it once from parquet footers and the returned
+        MERGED schema self-heals the manifest at this commit, so every
+        later append is again footer-free.  Returns the merged schema
+        json (table fields first, new fields appended) for the commit
+        to store, or None when there is nothing to merge against."""
+        from pyspark.sql.types import StructType
+
+        if not prev or (
+            not prev.get("entries") and not prev.get("segments")
+        ):
+            return None
+        stored = prev.get("schema")
+        if stored is not None:
+            existing = StructType.fromJson(stored)
+        else:
+            try:
+                existing = self.read(name, prev["version"]).schema
+            except FileNotFoundError:
+                return None  # committed-but-empty head: nothing stored
+        old = {f.name: f.dataType for f in existing.fields}
+        clashes = [
+            (f.name, str(old[f.name]), str(f.dataType))
+            for f in df.schema.fields
+            if f.name in old and f.dataType != old[f.name]
+        ]
+        if clashes:
+            detail = "; ".join(
+                f"{c}: table={t}, append={a}" for c, t, a in clashes
+            )
+            raise TypeError(
+                f"append to {name} changes column type(s) — {detail}. "
+                "Additive columns evolve freely; a type change needs an "
+                "explicit full rewrite (replace/overwrite)."
+            )
+        merged = StructType(
+            list(existing.fields)
+            + [f for f in df.schema.fields if f.name not in old]
+        )
+        return merged.jsonValue()
+
+    @staticmethod
+    def _merge_schema_json(head_schema: dict | None, merged: dict | None):
+        """Re-merge a precomputed (base-relative) merged schema with the
+        HEAD a rebase landed on: head fields win their slots, fields
+        only the incoming merge knows append after.  None-safe."""
+        if head_schema is None:
+            return merged
+        if merged is None:
+            return head_schema
+        have = {f["name"] for f in head_schema["fields"]}
+        return {
+            **head_schema,
+            "fields": head_schema["fields"]
+            + [f for f in merged["fields"] if f["name"] not in have],
+        }
+
     def write(
         self,
         name: str,
@@ -1353,6 +1534,9 @@ class ManifestFormat(TableFormat):
     ) -> None:
         prev = self._manifest(name)
         if mode == "append" and prev is not None:
+            merged = self._enforce_append_schema(name, prev, df)
+            if merged is None:
+                merged = df.schema.jsonValue()
             # an append NEVER changes the table's layout: adopting the
             # caller's partition_by on a previously-unpartitioned table
             # would mix partitions=None entries with partitioned ones —
@@ -1363,7 +1547,8 @@ class ManifestFormat(TableFormat):
 
             def add_entries(head):
                 if head is None:
-                    return new, cols  # table replaced-away mid-append
+                    # table replaced-away mid-append
+                    return new, cols, None, df.schema.jsonValue()
                 if head["partition_columns"] != cols:
                     # a concurrent replace changed the layout: our data
                     # dir was written under the old one and cannot join
@@ -1373,13 +1558,22 @@ class ManifestFormat(TableFormat):
                         f"change ({cols} -> {head['partition_columns']}); "
                         "re-run the append"
                     )
-                return head["entries"] + new, cols
+                return (
+                    head["entries"] + new,
+                    cols,
+                    None,
+                    self._merge_schema_json(head.get("schema"), merged),
+                )
 
             self._commit_edit(name, add_entries)
         else:
             entries, cols = self._new_data_dir(name, df, partition_by)
             self._commit(
-                name, entries, cols, prev["version"] if prev else 0
+                name,
+                entries,
+                cols,
+                prev["version"] if prev else 0,
+                schema=df.schema.jsonValue(),
             )
 
     def replace_atomic(
@@ -1395,7 +1589,13 @@ class ManifestFormat(TableFormat):
         # instead of being silently discarded.
         prev = self._manifest(name)
         entries, cols = self._new_data_dir(name, df, partition_by)
-        self._commit(name, entries, cols, prev["version"] if prev else 0)
+        self._commit(
+            name,
+            entries,
+            cols,
+            prev["version"] if prev else 0,
+            schema=df.schema.jsonValue(),
+        )
 
     def dynamic_partition_overwrite(
         self, name: str, df: DataFrame, partition_col: str
@@ -1423,6 +1623,11 @@ class ManifestFormat(TableFormat):
                 "— rewrite the table via replace_atomic with the target "
                 "layout first"
             )
+        merged = (
+            self._enforce_append_schema(name, prev, df)
+            if prev is not None
+            else None
+        ) or df.schema.jsonValue()
         new, _ = self._new_data_dir(name, df, (partition_col,))
         replaced = {e["partitions"][partition_col] for e in new}
 
@@ -1442,7 +1647,14 @@ class ManifestFormat(TableFormat):
                 for e in head_entries
                 if e["partitions"].get(partition_col) not in replaced
             ]
-            return kept + new, [partition_col]
+            return (
+                kept + new,
+                [partition_col],
+                None,
+                self._merge_schema_json(
+                    (head or {}).get("schema"), merged
+                ),
+            )
 
         self._commit_edit(name, swap_partitions)
 
@@ -1502,6 +1714,11 @@ class ManifestFormat(TableFormat):
         committed = ((prev or {}).get("txn") or {}).get(app_id)
         if committed is not None and batch_id <= int(committed):
             return False  # replay of an already-committed batch
+        merged = (
+            self._enforce_append_schema(name, prev, df)
+            if prev is not None
+            else None
+        ) or df.schema.jsonValue()
         cols = prev["partition_columns"] if prev else []
         new, _ = self._new_data_dir(name, df, tuple(cols))
 
@@ -1512,14 +1729,19 @@ class ManifestFormat(TableFormat):
                 return None  # another attempt of this very batch won
             head_txn[app_id] = int(batch_id)
             if head is None:
-                return new, cols, head_txn
+                return new, cols, head_txn, merged
             if head["partition_columns"] != cols:
                 raise RuntimeError(
                     f"streaming append to {name} lost to a concurrent "
                     "layout change; restart the stream against the new "
                     "table state"
                 )
-            return head["entries"] + new, cols, head_txn
+            return (
+                head["entries"] + new,
+                cols,
+                head_txn,
+                self._merge_schema_json(head.get("schema"), merged),
+            )
 
         return self._commit_edit(name, add)
 
@@ -2262,29 +2484,43 @@ class CatalogManifestFormat(ManifestFormat):
         ]
         return max(vs, default=0)
 
-    def _load_catalog_file(self, path: str) -> dict:
+    def _load_catalog_file(
+        self, path: str, inflight_ok: bool = False
+    ) -> dict | None:
         """Parse one ``c*.json`` with the torn-file guard (same crash
         window as a torn manifest: create-exclusive landed, body write
-        did not)."""
-        import json
-
-        try:
-            return json.loads(self.fs.read_text(path))
-        except ValueError as e:
+        did not) and the same brief retry for a HEALTHY writer caught
+        mid-body-write.  ``inflight_ok=True`` returns None for a young
+        unreadable file (caller treats it as not-yet-committed — the
+        catalog resolution and time-travel listings); ``False`` raises
+        even for young files (the vacuum paths, where skipping an
+        in-flight pointer could uncount live references)."""
+        body = self._read_commit_json(path)
+        if body is None and not inflight_ok:
             raise RuntimeError(
                 f"catalog file {path} is unreadable — a writer likely "
-                "died mid-flip leaving a torn pointer file; run "
-                "repair_catalog() to quarantine it (resolution resumes "
-                "at the previous catalog version)"
-            ) from e
+                "died mid-flip leaving a torn pointer file (or a flip "
+                "is in flight right now; retry, quiesce writers); run "
+                "repair_catalog() to quarantine a genuinely torn file "
+                "(resolution resumes at the previous catalog version)"
+            )
+        return body
 
     def _catalog(self) -> dict:
+        # newest READABLE pointer wins: an unreadable head younger
+        # than the in-flight grace is a flip between create-exclusive
+        # and body write — resolution falls back to the previous
+        # catalog version instead of failing the read
         v = self._catalog_version()
-        if v == 0:
-            return {"version": 0, "tables": {}}
-        return self._load_catalog_file(
-            join_uri(self._catalog_path(), f"c{v:012d}.json")
-        )
+        while v > 0:
+            cat = self._load_catalog_file(
+                join_uri(self._catalog_path(), f"c{v:012d}.json"),
+                inflight_ok=True,
+            )
+            if cat is not None:
+                return cat
+            v -= 1
+        return {"version": 0, "tables": {}}
 
     def repair_catalog(self, grace_s: float | None = None) -> int:
         """Quarantine TORN catalog pointer files (rename to
@@ -2403,6 +2639,7 @@ class CatalogManifestFormat(ManifestFormat):
         entries: list,
         partition_columns: list,
         base_version: int = 0,
+        schema: dict | None = None,
     ) -> None:
         """Non-rebaseable (replace) commit + catalog flip.  On this
         format the COMMIT POINT is the catalog flip, so the replace's
@@ -2423,7 +2660,8 @@ class CatalogManifestFormat(ManifestFormat):
         for attempt in range(self.COMMIT_ATTEMPTS):
             nxt = self._latest_version(name) + 1
             if self._try_write_manifest(
-                name, nxt, entries, partition_columns, segments=segs
+                name, nxt, entries, partition_columns, segments=segs,
+                schema=schema,
             ):
                 break
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
@@ -2460,13 +2698,21 @@ class CatalogManifestFormat(ManifestFormat):
             if out is None:
                 return False
             entries, cols = out[0], out[1]
-            txn = out[2] if len(out) > 2 else dict(
-                (prev or {}).get("txn") or {}
+            txn = (
+                out[2]
+                if len(out) > 2 and out[2] is not None
+                else dict((prev or {}).get("txn") or {})
+            )
+            schema = (
+                out[3]
+                if len(out) > 3 and out[3] is not None
+                else (prev or {}).get("schema")
             )
             segs, entries = self._resegment(name, prev, entries)
             nxt = self._latest_version(name) + 1
             if not self._try_write_manifest(
-                name, nxt, entries, cols, txn, segments=segs
+                name, nxt, entries, cols, txn, segments=segs,
+                schema=schema,
             ):
                 time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
                 continue
@@ -2520,9 +2766,10 @@ class CatalogManifestFormat(ManifestFormat):
         out: set[int] = set()
         for f in self.fs.list_files(self._catalog_path()):
             if f.startswith("c") and f.endswith(".json"):
-                v = self._load_catalog_file(
-                    join_uri(self._catalog_path(), f)
-                )["tables"].get(name)
+                cat = self._load_catalog_file(
+                    join_uri(self._catalog_path(), f), inflight_ok=True
+                )
+                v = (cat or {}).get("tables", {}).get(name)
                 if v:
                     out.add(int(v))
         if self._pending is not None and name in self._pending:

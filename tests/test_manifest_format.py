@@ -12,6 +12,7 @@ the default implementation.
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import Row
@@ -581,11 +582,15 @@ def test_append_rebases_after_lost_version_cas(spark, tmp_path, kind, monkeypatc
     orig = fmt._try_write_manifest
     state = {"injected": False}
 
-    def racing(name, version, entries, cols, txn=None, segments=None):
+    def racing(
+        name, version, entries, cols, txn=None, segments=None, **kw
+    ):
         if not state["injected"]:
             state["injected"] = True
             other.write("s.t", _days(spark, ("b", 2)), "append")
-        return orig(name, version, entries, cols, txn, segments=segments)
+        return orig(
+            name, version, entries, cols, txn, segments=segments, **kw
+        )
 
     monkeypatch.setattr(fmt, "_try_write_manifest", racing)
     fmt.write("s.t", _days(spark, ("c", 3)), "append")
@@ -675,11 +680,15 @@ def test_replace_aborts_on_concurrent_commit(spark, tmp_path, kind, monkeypatch)
     orig = fmt._try_write_manifest
     state = {"injected": False}
 
-    def racing(name, version, entries, cols, txn=None, segments=None):
+    def racing(
+        name, version, entries, cols, txn=None, segments=None, **kw
+    ):
         if not state["injected"]:
             state["injected"] = True
             other.write("s.t", _days(spark, ("b", 2)), "append")
-        return orig(name, version, entries, cols, txn, segments=segments)
+        return orig(
+            name, version, entries, cols, txn, segments=segments, **kw
+        )
 
     monkeypatch.setattr(fmt, "_try_write_manifest", racing)
     with pytest.raises(RuntimeError, match="does not commute"):
@@ -1811,10 +1820,12 @@ def test_cluster_zorder_prunes_in_both_dims(spark, tmp_path):
 
 def test_torn_head_manifest_clear_error_and_repair(spark, tmp_path):
     """A writer dying between its create-exclusive and its body write
-    leaves a TORN head version file.  Readers must get a clear error
-    naming repair_log (not a bare JSONDecodeError); repair quarantines
-    the file (age-gated), readers resume at the previous version, and
-    the next commit reclaims the version number."""
+    leaves a TORN head version file.  Within the in-flight grace it is
+    indistinguishable from a HEALTHY writer mid-body-write, so readers
+    fall back to the previous committed version (the r9 reader-race
+    fix); once the file outlives the grace it is a corpse: reads raise
+    the clear repair error, repair quarantines it (age-gated), and the
+    next commit reclaims the version number."""
     root = str(tmp_path)
     fmt = _fmt_of(spark, root, "manifest")
     fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
@@ -1825,13 +1836,25 @@ def test_torn_head_manifest_clear_error_and_repair(spark, tmp_path):
     with open(torn, "w") as fh:
         fh.write('{"version": 2, "entr')  # truncated mid-body
 
-    with pytest.raises(RuntimeError, match="repair_log"):
-        fmt.read("s.t")
-    # a concurrent append must not silently skip past the torn head
-    with pytest.raises(RuntimeError, match="repair_log"):
+    # within the grace: maybe a healthy flip in flight — readers
+    # resolve the previous version instead of failing
+    assert {(r["day"], r["v"]) for r in fmt.read("s.t").collect()} == {
+        ("a", 1)
+    }
+    # ...and a concurrent append cannot silently skip past it: the CAS
+    # at the torn version collides until retries exhaust (shrink the
+    # per-read retry budget so the attempts finish inside the grace)
+    fmt.INFLIGHT_RETRY_BUDGET_S = 0.05
+    with pytest.raises(RuntimeError, match="lost the version race"):
         fmt.write("s.t", _days(spark, ("b", 2)), "append")
 
-    assert fmt.repair_log("s.t") == 0  # inside the grace: in flight?
+    # age the corpse past the in-flight grace: reads now raise loudly
+    aged = time.time() - fmt.INFLIGHT_GRACE_S - 1
+    os.utime(torn, (aged, aged))
+    with pytest.raises(RuntimeError, match="repair"):
+        fmt.read("s.t")
+
+    assert fmt.repair_log("s.t", grace_s=60) == 0  # inside the grace
     assert fmt.repair_log("s.t", grace_s=0) == 1
     assert {(r["day"], r["v"]) for r in fmt.read("s.t").collect()} == {
         ("a", 1)
@@ -1863,7 +1886,15 @@ def test_torn_catalog_file_clear_error_and_repair(spark, tmp_path):
     with open(torn, "w") as fh:
         fh.write('{"version"')
 
-    with pytest.raises(RuntimeError, match="repair_catalog"):
+    # within the in-flight grace: resolution falls back to the
+    # previous readable pointer (a healthy flip may be mid-body-write)
+    assert {(r["day"], r["v"]) for r in fmt.read("s.t").collect()} == {
+        ("a", 1)
+    }
+    # aged past the grace: the corpse raises the clear repair error
+    aged = time.time() - fmt.INFLIGHT_GRACE_S - 1
+    os.utime(torn, (aged, aged))
+    with pytest.raises(RuntimeError, match="repair"):
         fmt.read("s.t")
     assert fmt.repair_catalog(grace_s=0) == 1
     assert {(r["day"], r["v"]) for r in fmt.read("s.t").collect()} == {
@@ -2222,8 +2253,176 @@ def test_catalog_version_at_skips_aborted_orphans(spark, cat_wh):
     assert got == {"d1", "d2"}
 
 
-def test_warehouse_read_at_passthrough(spark, wh):
+def test_warehouse_read_at_timestamp_passthrough(spark, wh):
     wh.materialize_incremental("tt.w", _days(spark, ("d1", 1)), "day")
     wh.materialize_incremental("tt.w", _days(spark, ("d2", 2)), "day")
     _restamp(wh.fmt, "tt.w", {1: 100, 2: 200})
-    assert {r["day"] for r in wh.read_at("tt.w", 150).collect()} == {"d1"}
+    assert {
+        r["day"] for r in wh.read_at_timestamp("tt.w", 150).collect()
+    } == {"d1"}
+
+
+# -- round-9: RESTORE (roll back the head, metadata-only) -------------------
+
+
+def test_restore_rolls_head_back_and_preserves_history(spark, wh):
+    for day, v in (("d1", 1), ("d2", 2), ("d3", 3)):
+        wh.materialize_incremental("rs.t", _days(spark, (day, v)), "day")
+    n_dirs_before = len(
+        [
+            d
+            for d in wh.fs.list_subdirs(wh.fmt.path("rs.t"))
+            if d.startswith("d-")
+        ]
+    )
+    new_head = wh.restore("rs.t", 2)
+    assert new_head == 4
+    assert {r["day"] for r in wh.read("rs.t").collect()} == {"d1", "d2"}
+    # metadata-only: no data dir written
+    n_dirs_after = len(
+        [
+            d
+            for d in wh.fs.list_subdirs(wh.fmt.path("rs.t"))
+            if d.startswith("d-")
+        ]
+    )
+    assert n_dirs_after == n_dirs_before
+    # the rolled-past head is still auditable
+    assert wh.fmt.read_version("rs.t", 3).count() == 3
+    # appends continue normally on the restored head
+    wh.materialize_incremental("rs.t", _days(spark, ("d4", 4)), "day")
+    assert {r["day"] for r in wh.read("rs.t").collect()} == {"d1", "d2", "d4"}
+
+
+def test_restore_refuses_vacuumed_or_unknown_versions(spark, wh):
+    wh.materialize_incremental("rs.v", _days(spark, ("d1", 1)), "day")
+    wh.materialize_incremental("rs.v", _days(spark, ("d2", 2)), "day")
+    wh.fmt.vacuum("rs.v", keep_last=1, writer_grace_s=0)
+    with pytest.raises(ValueError, match="not a committed retained"):
+        wh.restore("rs.v", 1)
+    with pytest.raises(ValueError, match="not a committed retained"):
+        wh.restore("rs.v", 99)
+
+
+def test_catalog_restore_skips_orphans_and_flips_pointer(spark, cat_wh):
+    wh = cat_wh
+    wh.materialize_incremental("rs.c", _days(spark, ("d1", 1)), "day")
+    with pytest.raises(RuntimeError, match="boom"):
+        with wh.fmt.transaction():
+            wh.materialize_upsert("rs.c", _days(spark, ("d1", 99)), "day")
+            raise RuntimeError("boom")
+    wh.materialize_incremental("rs.c", _days(spark, ("d2", 2)), "day")
+    # v2 is the aborted orphan: not restorable
+    with pytest.raises(ValueError, match="not a committed retained"):
+        wh.restore("rs.c", 2)
+    wh.restore("rs.c", 1)
+    assert {r["day"] for r in wh.read("rs.c").collect()} == {"d1"}
+    assert wh.read("rs.c").collect()[0]["v"] == 1
+
+
+# -- round-9: schema in the log + write-time enforcement --------------------
+
+
+def test_append_type_conflict_refused_before_data_lands(spark, wh):
+    wh.materialize_incremental("sc.t", _days(spark, ("d1", 1)), "day")
+    n_dirs = len(
+        [
+            d
+            for d in wh.fs.list_subdirs(wh.fmt.path("sc.t"))
+            if d.startswith("d-")
+        ]
+    )
+    bad = spark.createDataFrame([Row(day="d2", v="not-an-int")])
+    with pytest.raises(TypeError, match="changes column type"):
+        wh.fmt.write("sc.t", bad, "append")
+    # fail-fast: refused BEFORE landing a data dir
+    assert (
+        len(
+            [
+                d
+                for d in wh.fs.list_subdirs(wh.fmt.path("sc.t"))
+                if d.startswith("d-")
+            ]
+        )
+        == n_dirs
+    )
+    # the table is untouched and still readable
+    assert wh.read("sc.t").count() == 1
+
+
+def test_additive_schema_evolution_and_stored_schema(spark, wh):
+    wh.materialize_incremental("sc.e", _days(spark, ("d1", 1)), "day")
+    wide = spark.createDataFrame([Row(day="d2", v=2, extra="x")])
+    wh.fmt.write("sc.e", wide, "append")
+    got = {
+        (r["day"], r["v"], r["extra"]) for r in wh.read("sc.e").collect()
+    }
+    assert got == {("d1", 1, None), ("d2", 2, "x")}
+    # the manifest now stores the MERGED schema; enforcement against
+    # the evolved column is metadata-only and still type-checked
+    m = wh.fmt._manifest("sc.e")
+    names = [f["name"] for f in m["schema"]["fields"]]
+    assert set(names) == {"day", "v", "extra"}
+    bad = spark.createDataFrame([Row(day="d3", extra=3)])
+    with pytest.raises(TypeError, match="extra"):
+        wh.fmt.write("sc.e", bad, "append")
+    # narrower appends (missing columns) stay allowed
+    wh.fmt.write("sc.e", _days(spark, ("d3", 3)), "append")
+    assert wh.read("sc.e").count() == 3
+
+
+def test_pre_schema_table_self_heals_on_first_append(spark, wh, tmp_path):
+    wh.materialize_incremental("sc.h", _days(spark, ("d1", 1)), "day")
+    # simulate a pre-schema manifest (older repo version): strip the
+    # stored schema from the head version file
+    import json as _json
+
+    d = os.path.join(wh.fmt._log_path("sc.h"))
+    vf = sorted(f for f in os.listdir(d) if f.startswith("v"))[-1]
+    p = os.path.join(d, vf)
+    body = _json.load(open(p))
+    body.pop("schema", None)
+    _json.dump(body, open(p, "w"))
+    crc = os.path.join(d, f".{vf}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert "schema" not in wh.fmt._manifest("sc.h")
+    # enforcement falls back to a one-time footer read — a conflicting
+    # append is still refused...
+    bad = spark.createDataFrame([Row(day="d2", v="s")])
+    with pytest.raises(TypeError, match="changes column type"):
+        wh.fmt.write("sc.h", bad, "append")
+    # ...and a clean append heals the manifest: schema stored again
+    wh.fmt.write("sc.h", _days(spark, ("d2", 2)), "append")
+    assert {f["name"] for f in wh.fmt._manifest("sc.h")["schema"]["fields"]} == {
+        "day",
+        "v",
+    }
+
+
+def test_replace_resets_schema_and_streaming_append_enforces(spark, wh):
+    wh.materialize_incremental("sc.s", _days(spark, ("d1", 1)), "day")
+    # full replace may change types freely (the explicit rewrite path)
+    wh.fmt.replace_atomic(
+        "sc.s", spark.createDataFrame([Row(day="d1", v="now-a-string")])
+    )
+    assert {f["name"] for f in wh.fmt._manifest("sc.s")["schema"]["fields"]} == {
+        "day",
+        "v",
+    }
+    # streaming appends enforce against the NEW schema
+    ok = wh.fmt.write_streaming_batch(
+        "sc.s", spark.createDataFrame([Row(day="d2", v="s2")]), 0
+    )
+    assert ok
+    with pytest.raises(TypeError, match="changes column type"):
+        wh.fmt.write_streaming_batch(
+            "sc.s", spark.createDataFrame([Row(day="d3", v=3)]), 1
+        )
+    # restore rolls the schema back with the entries
+    wh.fmt.restore("sc.s", 1)
+    sch = {
+        f["name"]: f["type"]
+        for f in wh.fmt._manifest("sc.s")["schema"]["fields"]
+    }
+    assert sch["v"] == "long"
