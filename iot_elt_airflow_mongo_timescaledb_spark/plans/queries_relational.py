@@ -1097,6 +1097,72 @@ def manifest_delete_where(spark, sf_dir):
 
 
 @query(
+    "manifest_schema_evolution",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    t AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey <= m // 2 THEN c_mktsegment END AS mkt,
+               CASE WHEN c_custkey > m // 2 THEN c_acctbal END AS bal
+        FROM customer, mx
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN mkt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_mkt,
+           CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_bal,
+           ROUND(SUM(bal), 2) AS bal_sum
+    FROM t
+    """,
+    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+)
+def manifest_schema_evolution(spark, sf_dir):
+    """Additive schema evolution end-to-end (schema-in-the-log,
+    r9): customers land as two appends with DIFFERENT column sets —
+    the lower half (c_custkey, c_mktsegment), the upper half
+    (c_custkey, c_acctbal) — so each side is missing a column the
+    other carries.  The mergeSchema/unionByName read must fill NULLs
+    both ways and the stored manifest schema must hold the union; the
+    oracle recomputes the NULL pattern from the raw table.  The
+    REFUSAL side (same-name type change) is pinned in
+    tests/test_manifest_format.py (enforcement is metadata-only
+    against the stored schema)."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mse_", cleanup_atexit=True)
+    fmt = ManifestFormat(spark, root, auto_compact_dirs=None)
+    c = table(spark, sf_dir, "customer")
+    mid = int(c.agg(F.max("c_custkey")).first()[0]) // 2
+    fmt.write(
+        "ev.cust",
+        c.filter(F.col("c_custkey") <= mid).select(
+            "c_custkey", "c_mktsegment"
+        ),
+        "overwrite",
+    )
+    fmt.write(
+        "ev.cust",
+        c.filter(F.col("c_custkey") > mid).select(
+            "c_custkey", "c_acctbal"
+        ),
+        "append",
+    )
+    stored = {f["name"] for f in fmt._manifest("ev.cust")["schema"]["fields"]}
+    assert stored == {"c_custkey", "c_mktsegment", "c_acctbal"}, stored
+    return fmt.read("ev.cust").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0)
+        ).alias("null_mkt"),
+        F.sum(
+            F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)
+        ).alias("null_bal"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+    )
+
+
+@query(
     "table_diff_summary",
     oracle="""
     WITH b AS (
