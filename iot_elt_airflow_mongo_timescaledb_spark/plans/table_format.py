@@ -2033,7 +2033,9 @@ class ManifestFormat(TableFormat):
                     },
                 }
             )
-        self._commit(name, entries, [], m["version"])
+        # the rewrite sees no DataFrame schema to re-derive: carry the
+        # base manifest's stored schema through the commit
+        self._commit(name, entries, [], m["version"], schema=m.get("schema"))
         return len(entries)
 
     def read_changes(
@@ -2396,7 +2398,10 @@ class ManifestFormat(TableFormat):
         survivors = cand_df.filter(~cond)
         cols = tuple(m["partition_columns"])
         new, _ = self._new_data_dir(name, survivors, cols)
-        self._commit(name, untouched + new, list(cols), m["version"])
+        self._commit(
+            name, untouched + new, list(cols), m["version"],
+            schema=m.get("schema"),
+        )
         return n_deleted
 
 

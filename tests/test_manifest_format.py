@@ -2426,3 +2426,35 @@ def test_replace_resets_schema_and_streaming_append_enforces(spark, wh):
         for f in wh.fmt._manifest("sc.s")["schema"]["fields"]
     }
     assert sch["v"] == "long"
+
+
+def test_schema_survives_every_rewrite_verb(spark, tmp_path):
+    """The stored schema rides the commit-edit carry: compaction,
+    clustering, row-level delete, and restore must all preserve it
+    (none of them sees a DataFrame to re-derive it from), and
+    enforcement keeps working afterwards."""
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    df = spark.createDataFrame([Row(v=i, s=f"x{i}") for i in range(40)])
+    fmt.write("sv.t", df, "overwrite")
+    want = fmt._manifest("sv.t")["schema"]
+    for i in range(4):
+        fmt.write(
+            "sv.t",
+            spark.createDataFrame(
+                [Row(v=40 + 10 * i + j, s="y") for j in range(10)]
+            ),
+            "append",
+        )
+    fmt.maybe_compact("sv.t", target_file_bytes=1)
+    assert fmt._manifest("sv.t")["schema"] == want
+    fmt.cluster("sv.t", "v", n_files=4)
+    assert fmt._manifest("sv.t")["schema"] == want
+    fmt.delete_where("sv.t", "v", 10, 20)
+    assert fmt._manifest("sv.t")["schema"] == want
+    head = fmt._manifest("sv.t")["version"]
+    fmt.restore("sv.t", head)
+    assert fmt._manifest("sv.t")["schema"] == want
+    with pytest.raises(TypeError, match="changes column type"):
+        fmt.write(
+            "sv.t", spark.createDataFrame([Row(v=1, s=2)]), "append"
+        )
