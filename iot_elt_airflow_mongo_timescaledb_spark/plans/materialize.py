@@ -123,6 +123,16 @@ class Warehouse:
         TABLE look like at wall-clock T" from the commit log."""
         return self._format_verb("read_asof")(name, ts)
 
+    def add_constraint(self, name: str, cname: str, expr: str) -> None:
+        """Named CHECK constraint, enforced on every landed batch
+        before commit (commit-log formats; see
+        ``ManifestFormat.add_constraint``)."""
+        return self._format_verb("add_constraint")(name, cname, expr)
+
+    def drop_constraint(self, name: str, cname: str) -> bool:
+        """Remove a CHECK constraint (commit-log formats)."""
+        return self._format_verb("drop_constraint")(name, cname)
+
     def restore(self, name: str, version: int) -> int:
         """Roll the table head back to an old version, metadata-only
         (commit-log formats; see ``ManifestFormat.restore``)."""

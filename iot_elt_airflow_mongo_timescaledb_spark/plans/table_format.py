@@ -907,6 +907,7 @@ class ManifestFormat(TableFormat):
         txn: dict | None = None,
         segments: list | None = None,
         schema: dict | None = None,
+        constraints: dict | None = None,
     ) -> bool:
         """The commit CAS primitive: create-exclusive of the version
         file.  True = this writer owns ``version``; False = another
@@ -939,6 +940,12 @@ class ManifestFormat(TableFormat):
                 # write-time enforcement — absent on pre-schema
                 # versions, self-heals on the next append
                 **({"schema": schema} if schema else {}),
+                # CHECK constraints {name: sql_expr} (Delta table
+                # constraints): enforced on every landed batch before
+                # its commit; carried by every edit and by replace
+                **(
+                    {"constraints": constraints} if constraints else {}
+                ),
                 # wall-clock commit time: the basis for time-based
                 # vacuum retention (Delta's RETAIN n HOURS); advisory
                 # only — correctness never depends on clocks
@@ -982,6 +989,7 @@ class ManifestFormat(TableFormat):
         if not self._try_write_manifest(
             name, nxt, entries, partition_columns, segments=segs,
             schema=schema,
+            constraints=(prev or {}).get("constraints"),
         ):
             raise RuntimeError(
                 f"concurrent commit detected on {name} (v{nxt} exists): a "
@@ -1020,6 +1028,11 @@ class ManifestFormat(TableFormat):
                 if len(out) > 3 and out[3] is not None
                 else (prev or {}).get("schema")
             )
+            constraints = (
+                out[4]
+                if len(out) > 4 and out[4] is not None
+                else (prev or {}).get("constraints")
+            )
             # CAS target from the BASE the edit saw, never a re-list:
             # a commit landing between the _manifest read above and a
             # log re-list would make a higher version's create-exclusive
@@ -1031,7 +1044,7 @@ class ManifestFormat(TableFormat):
             nxt = (prev["version"] if prev else 0) + 1
             if self._try_write_manifest(
                 name, nxt, entries, cols, txn, segments=segs,
-                schema=schema,
+                schema=schema, constraints=constraints,
             ):
                 return True
             # jittered backoff: contending writers decorrelate
@@ -1455,6 +1468,118 @@ class ManifestFormat(TableFormat):
 
     # -- writes ----------------------------------------------------------
 
+    def add_constraint(self, name: str, cname: str, expr: str) -> None:
+        """Delta's ``ALTER TABLE ADD CONSTRAINT ... CHECK``: store a
+        named SQL predicate in the log and enforce it on every landed
+        batch BEFORE its commit (append, overwrite/replace, dynamic
+        partition overwrite, streaming batch).  SQL CHECK semantics: a
+        row violates only when the predicate is FALSE — NULL (unknown)
+        passes.  Existing data must already satisfy the constraint
+        (validated here with one scan, as Delta does); constraints are
+        carried by every edit verb and by replace, and dropped only via
+        :meth:`drop_constraint`."""
+        from pyspark.sql import functions as F
+
+        bad = (
+            self.read(name)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {cname!r} to {name}: existing "
+                f"rows violate CHECK ({expr})"
+            )
+
+        def edit(head):
+            cons = {
+                k: v
+                for k, v in ((head or {}).get("constraints") or {}).items()
+                if k != "__none__"
+            }
+            if cons.get(cname) == expr:
+                return None  # idempotent re-add
+            if cname in cons:
+                raise ValueError(
+                    f"constraint {cname!r} already exists on {name} "
+                    f"with a different expression ({cons[cname]!r}); "
+                    "drop it first"
+                )
+            cons[cname] = expr
+            return (
+                head["entries"],
+                head["partition_columns"],
+                None,
+                None,
+                cons,
+            )
+
+        self._commit_edit(name, edit)
+
+    def drop_constraint(self, name: str, cname: str) -> bool:
+        """Remove a CHECK constraint; True if it existed."""
+        existed = {"v": False}
+
+        def edit(head):
+            cons = {
+                k: v
+                for k, v in ((head or {}).get("constraints") or {}).items()
+                if k != "__none__"
+            }
+            if cname not in cons:
+                return None
+            existed["v"] = True
+            del cons[cname]
+            # explicit empty dict would read as "carry" through the
+            # None-coalescing tuple protocol, so mark removal with a
+            # sentinel the writer strips
+            return (
+                head["entries"],
+                head["partition_columns"],
+                None,
+                None,
+                cons or {"__none__": True},
+            )
+
+        self._commit_edit(name, edit)
+        return existed["v"]
+
+    def _enforce_constraints(self, name: str, prev: dict | None, target: str) -> None:
+        """Validate a LANDED batch dir against the table's CHECK
+        constraints before its commit — one columnar scan of the new
+        files only (never a recompute of the caller's plan), all
+        constraints counted in a single aggregate.  On violation the
+        landed dir is deleted and the write raises, so the table never
+        holds uncommitted bad data."""
+        from pyspark.sql import functions as F
+
+        cons = {
+            k: v
+            for k, v in ((prev or {}).get("constraints") or {}).items()
+            if k != "__none__"
+        }
+        if not cons:
+            return
+        df = self.spark.read.parquet(target)
+        aggs = [
+            F.count(
+                F.when(~F.coalesce(F.expr(e), F.lit(True)), 1)
+            ).alias(k)
+            for k, e in cons.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {k: row[k] for k in cons if row[k]}
+        if bad:
+            self.fs.delete(target)
+            detail = "; ".join(
+                f"{k}: {n} row(s) violate CHECK ({cons[k]})"
+                for k, n in bad.items()
+            )
+            raise ValueError(
+                f"write to {name} rejected by constraint(s) — {detail}"
+            )
+
     def _enforce_append_schema(
         self, name: str, prev: dict, df
     ) -> dict | None:
@@ -1544,6 +1669,10 @@ class ManifestFormat(TableFormat):
             # layout via replace_atomic (a full rewrite) instead.
             cols = prev["partition_columns"]
             new, _ = self._new_data_dir(name, df, tuple(cols))
+            if new:
+                self._enforce_constraints(
+                    name, prev, join_uri(self.path(name), new[0]["dir"])
+                )
 
             def add_entries(head):
                 if head is None:
@@ -1568,6 +1697,10 @@ class ManifestFormat(TableFormat):
             self._commit_edit(name, add_entries)
         else:
             entries, cols = self._new_data_dir(name, df, partition_by)
+            if entries:
+                self._enforce_constraints(
+                    name, prev, join_uri(self.path(name), entries[0]["dir"])
+                )
             self._commit(
                 name,
                 entries,
@@ -1589,6 +1722,10 @@ class ManifestFormat(TableFormat):
         # instead of being silently discarded.
         prev = self._manifest(name)
         entries, cols = self._new_data_dir(name, df, partition_by)
+        if entries:
+            self._enforce_constraints(
+                name, prev, join_uri(self.path(name), entries[0]["dir"])
+            )
         self._commit(
             name,
             entries,
@@ -1629,6 +1766,10 @@ class ManifestFormat(TableFormat):
             else None
         ) or df.schema.jsonValue()
         new, _ = self._new_data_dir(name, df, (partition_col,))
+        if new:
+            self._enforce_constraints(
+                name, prev, join_uri(self.path(name), new[0]["dir"])
+            )
         replaced = {e["partitions"][partition_col] for e in new}
 
         def swap_partitions(head):
@@ -1721,6 +1862,10 @@ class ManifestFormat(TableFormat):
         ) or df.schema.jsonValue()
         cols = prev["partition_columns"] if prev else []
         new, _ = self._new_data_dir(name, df, tuple(cols))
+        if new:
+            self._enforce_constraints(
+                name, prev, join_uri(self.path(name), new[0]["dir"])
+            )
 
         def add(head):
             head_txn = dict((head or {}).get("txn") or {})
@@ -2667,6 +2812,7 @@ class CatalogManifestFormat(ManifestFormat):
             if self._try_write_manifest(
                 name, nxt, entries, partition_columns, segments=segs,
                 schema=schema,
+                constraints=(prev or {}).get("constraints"),
             ):
                 break
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
@@ -2713,11 +2859,16 @@ class CatalogManifestFormat(ManifestFormat):
                 if len(out) > 3 and out[3] is not None
                 else (prev or {}).get("schema")
             )
+            constraints = (
+                out[4]
+                if len(out) > 4 and out[4] is not None
+                else (prev or {}).get("constraints")
+            )
             segs, entries = self._resegment(name, prev, entries)
             nxt = self._latest_version(name) + 1
             if not self._try_write_manifest(
                 name, nxt, entries, cols, txn, segments=segs,
-                schema=schema,
+                schema=schema, constraints=constraints,
             ):
                 time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
                 continue

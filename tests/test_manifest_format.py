@@ -2458,3 +2458,67 @@ def test_schema_survives_every_rewrite_verb(spark, tmp_path):
         fmt.write(
             "sv.t", spark.createDataFrame([Row(v=1, s=2)]), "append"
         )
+
+
+# -- round-9: CHECK constraints (schema-in-the-log companion) ----------------
+
+
+def test_check_constraint_rejects_bad_batch_atomically(spark, wh):
+    wh.materialize_incremental("ck.t", _days(spark, ("d1", 1)), "day")
+    wh.add_constraint("ck.t", "v_positive", "v > 0")
+    n_dirs = len(
+        [
+            d
+            for d in wh.fs.list_subdirs(wh.fmt.path("ck.t"))
+            if d.startswith("d-")
+        ]
+    )
+    head = wh.fmt._manifest("ck.t")["version"]
+    with pytest.raises(ValueError, match="v_positive"):
+        wh.fmt.write(
+            "ck.t", _days(spark, ("d2", 2), ("d3", -1)), "append"
+        )
+    # atomic rejection: no new data dir survives, no commit happened
+    assert (
+        len(
+            [
+                d
+                for d in wh.fs.list_subdirs(wh.fmt.path("ck.t"))
+                if d.startswith("d-")
+            ]
+        )
+        == n_dirs
+    )
+    assert wh.fmt._manifest("ck.t")["version"] == head
+    # a clean batch lands; NULL predicate rows pass (SQL CHECK)
+    wh.fmt.write(
+        "ck.t",
+        spark.createDataFrame([Row(day="d4", v=4), Row(day="d5", v=None)]),
+        "append",
+    )
+    assert wh.read("ck.t").count() == 3
+
+
+def test_check_constraint_lifecycle_and_carry(spark, wh):
+    wh.materialize_incremental("ck.l", _days(spark, ("d1", 5)), "day")
+    # adding a constraint existing data violates is refused
+    with pytest.raises(ValueError, match="existing rows violate"):
+        wh.add_constraint("ck.l", "big", "v > 100")
+    wh.add_constraint("ck.l", "pos", "v > 0")
+    wh.add_constraint("ck.l", "pos", "v > 0")  # idempotent re-add
+    with pytest.raises(ValueError, match="already exists"):
+        wh.add_constraint("ck.l", "pos", "v > 1")
+    # constraints survive rewrite verbs and replace
+    wh.fmt.write("ck.l", _days(spark, ("d2", 2)), "append")
+    wh.fmt.maybe_compact("ck.l", target_file_bytes=1)
+    wh.fmt.replace_atomic("ck.l", _days(spark, ("d9", 9)))
+    with pytest.raises(ValueError, match="pos"):
+        wh.fmt.write("ck.l", _days(spark, ("dx", -3)), "append")
+    # streaming appends enforce too
+    with pytest.raises(ValueError, match="pos"):
+        wh.fmt.write_streaming_batch("ck.l", _days(spark, ("dy", 0)), 0)
+    # drop: bad batches land again
+    assert wh.drop_constraint("ck.l", "pos") is True
+    assert wh.drop_constraint("ck.l", "pos") is False
+    wh.fmt.write("ck.l", _days(spark, ("dx", -3)), "append")
+    assert wh.read("ck.l").count() == 2
