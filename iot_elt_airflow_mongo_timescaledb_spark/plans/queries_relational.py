@@ -1163,6 +1163,54 @@ def manifest_schema_evolution(spark, sf_dir):
 
 
 @query(
+    "manifest_check_constraints",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal_sum,
+           1 AS rejected
+    FROM customer
+    WHERE c_acctbal >= 0.0
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+)
+def manifest_check_constraints(spark, sf_dir):
+    """CHECK-constraint enforcement end-to-end (r9
+    ``add_constraint``): the non-negative-balance subset stages
+    cleanly under ``CHECK (c_acctbal >= 0.0)``, then an append of the
+    FULL table (TPC-H customers include negative balances) must be
+    rejected ATOMICALLY — ``rejected`` lit-folds the refusal into the
+    hash, and the final aggregate proves the table still holds exactly
+    the clean subset (a leaked batch changes every group's count).
+    The oracle recomputes the clean aggregate from the raw table."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mcc_", cleanup_atexit=True)
+    fmt = ManifestFormat(spark, root, auto_compact_dirs=None)
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    fmt.write("cc.cust", c.filter(F.col("c_acctbal") >= 0.0), "overwrite")
+    fmt.add_constraint("cc.cust", "nonneg_bal", "c_acctbal >= 0.0")
+    rejected = 0
+    try:
+        fmt.write("cc.cust", c, "append")
+    except ValueError:
+        rejected = 1
+    return (
+        fmt.read("cc.cust")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn("rejected", F.lit(rejected))
+    )
+
+
+@query(
     "table_diff_summary",
     oracle="""
     WITH b AS (
