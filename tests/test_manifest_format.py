@@ -2522,3 +2522,28 @@ def test_check_constraint_lifecycle_and_carry(spark, wh):
     assert wh.drop_constraint("ck.l", "pos") is False
     wh.fmt.write("ck.l", _days(spark, ("dx", -3)), "append")
     assert wh.read("ck.l").count() == 2
+
+
+def test_constraints_and_schema_on_catalog_format(spark, cat_wh):
+    """The catalog format's _commit/_commit_edit are separate code
+    paths: schema and constraints must carry through them too —
+    including a multi-table transaction's deferred flip."""
+    wh = cat_wh
+    wh.materialize_incremental("ck.c", _days(spark, ("d1", 1)), "day")
+    wh.add_constraint("ck.c", "pos", "v > 0")
+    with pytest.raises(ValueError, match="pos"):
+        wh.fmt.write("ck.c", _days(spark, ("d2", -2)), "append")
+    with pytest.raises(TypeError, match="changes column type"):
+        wh.fmt.write(
+            "ck.c", spark.createDataFrame([Row(day="d", v="s")]), "append"
+        )
+    with wh.fmt.transaction():
+        wh.materialize_upsert("ck.c", _days(spark, ("d1", 3)), "day")
+    m = wh.fmt._manifest("ck.c")
+    assert {
+        k: v for k, v in m["constraints"].items() if k != "__none__"
+    } == {"pos": "v > 0"}
+    assert {f["name"] for f in m["schema"]["fields"]} == {"day", "v"}
+    # enforcement still live after the transaction's replace
+    with pytest.raises(ValueError, match="pos"):
+        wh.fmt.write("ck.c", _days(spark, ("dz", 0)), "append")
