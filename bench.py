@@ -104,6 +104,9 @@ EXTENDED = [
     # round-9 additions
     "manifest_multicol_skipping",  # AND-of-ranges entry pruning
     "manifest_zorder_skipping",    # multi-col z-order rewrite + 2-D pruning
+    "manifest_delete_where",       # stats-bounded row-level DELETE
+    "manifest_schema_evolution",   # additive evolution, NULL-fill reads
+    "manifest_check_constraints",  # pre-commit batch rejection
 ]
 
 
