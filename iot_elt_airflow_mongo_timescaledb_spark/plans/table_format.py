@@ -594,10 +594,11 @@ class ManifestFormat(TableFormat):
                     return None  # healthy writer mid-body-write
                 return self._raise_torn(path)
             except Exception as e:
-                if type(e).__name__ in (
-                    "FileNotFoundException",
-                    "FileNotFoundError",
-                ) or isinstance(e, FileNotFoundError):
+                # Java FileNotFoundException surfaces as Py4JJavaError,
+                # never as a Python FileNotFoundError subclass
+                if isinstance(e, FileNotFoundError) or (
+                    "FileNotFoundException" in str(e)
+                ):
                     return None  # vanished between list and read
                 raise
 
