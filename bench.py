@@ -107,6 +107,7 @@ EXTENDED = [
     "manifest_delete_where",       # stats-bounded row-level DELETE
     "manifest_schema_evolution",   # additive evolution, NULL-fill reads
     "manifest_check_constraints",  # pre-commit batch rejection
+    "manifest_update_where",       # stats-bounded row-level UPDATE
 ]
 
 

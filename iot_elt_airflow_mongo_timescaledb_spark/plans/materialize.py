@@ -150,6 +150,13 @@ class Warehouse:
         formats; see ``ManifestFormat.delete_where``)."""
         return self._format_verb("delete_where")(name, col, lo, hi)
 
+    def update_where(
+        self, name: str, col: str | dict, set_exprs: dict, lo=None, hi=None
+    ) -> int:
+        """Row-level UPDATE, stats-bounded copy-on-write (commit-log
+        formats; see ``ManifestFormat.update_where``)."""
+        return self._format_verb("update_where")(name, col, set_exprs, lo, hi)
+
     def cluster_zorder(
         self, name: str, cols: tuple[str, ...], n_files: int | None = None
     ) -> int:

@@ -1163,6 +1163,79 @@ def manifest_schema_evolution(spark, sf_dir):
 
 
 @query(
+    "manifest_update_where",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer)
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(
+               CASE WHEN c_custkey > m * 2 // 5 + 10
+                     AND c_custkey <= m * 3 // 5 - 10
+                    THEN ROUND(c_acctbal + 100.0, 2)
+                    ELSE c_acctbal END
+           ), 2) AS bal_sum,
+           4 AS entries_untouched
+    FROM customer, mx
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+)
+def manifest_update_where(spark, sf_dir):
+    """Row-level UPDATE with stats-bounded copy-on-write (r9
+    ``update_where``): customers land as five range-chunked appends, a
+    sub-range of the middle chunk gets ``SET c_acctbal =
+    round(c_acctbal + 100.0, 2)``, and exactly FOUR entries must carry
+    over BY IDENTITY (lit-folded into the hash).  The oracle
+    recomputes the post-update aggregate from the raw table."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "muw_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    row = c.agg(
+        F.max("c_custkey").alias("mx"), F.min("c_custkey").alias("mn")
+    ).first()
+    mx, mn = int(row["mx"]), int(row["mn"])
+    bounds = [mn - 1] + [mx * i // 5 for i in range(1, 5)] + [mx]
+    for i in range(5):
+        chunk = c.filter(
+            (F.col("c_custkey") > bounds[i])
+            & (F.col("c_custkey") <= bounds[i + 1])
+        )
+        fmt.write("uw.cust", chunk, "append" if i else "overwrite")
+    before = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest("uw.cust")["entries"]
+    }
+    lo, hi = mx * 2 // 5 + 11, mx * 3 // 5 - 10
+    fmt.update_where(
+        "uw.cust",
+        "c_custkey",
+        {"c_acctbal": "round(c_acctbal + 100.0, 2)"},
+        lo,
+        hi,
+    )
+    after = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest("uw.cust")["entries"]
+    }
+    return (
+        fmt.read("uw.cust")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn("entries_untouched", F.lit(len(before & after)))
+    )
+
+
+@query(
     "manifest_check_constraints",
     oracle="""
     SELECT c_mktsegment,

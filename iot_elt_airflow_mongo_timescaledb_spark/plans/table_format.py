@@ -2550,6 +2550,94 @@ class ManifestFormat(TableFormat):
         )
         return n_deleted
 
+    def update_where(
+        self,
+        name: str,
+        col: str | dict,
+        set_exprs: dict[str, str],
+        lo=None,
+        hi=None,
+    ) -> int:
+        """Row-level UPDATE with the same STATS-BOUNDED copy-on-write
+        as :meth:`delete_where` (Delta's ``UPDATE ... WHERE``):
+        entries whose stats prove no row matches carry over BY
+        IDENTITY, may-match entries re-land with ``set_exprs``
+        ({column: SQL expression, evaluated per matched row — old
+        column values referencable}) applied to matched rows only,
+        one base-anchored commit.  SQL semantics: a NULL predicate
+        row is NOT updated.  Updated rows are validated against the
+        table's CHECK constraints like any landed batch, and
+        assignments must not change a column's type (same rule as
+        append enforcement).  Returns the number of rows updated.
+
+        Scale shape: on a clustered table a narrow update rewrites
+        ~one file.  Note the rewritten entries' stats are recomputed
+        from the NEW values, so later skipping stays sound."""
+        from pyspark.sql import functions as F
+
+        bounds = col if isinstance(col, dict) else {col: (lo, hi)}
+        candidates, m = self.prune_entries(name, bounds)
+        if not m["entries"] or not candidates:
+            return 0
+        cand_ids = {
+            (e["dir"], e.get("rel"), str(e["partitions"])) for e in candidates
+        }
+        untouched = [
+            e
+            for e in m["entries"]
+            if (e["dir"], e.get("rel"), str(e["partitions"])) not in cand_ids
+        ]
+        cand_df = self._read_entries(name, m, candidates)
+        unknown = set(set_exprs) - set(cand_df.columns)
+        if unknown:
+            raise ValueError(
+                f"update_where on {name}: SET names unknown column(s) "
+                f"{sorted(unknown)} (additive columns arrive via append "
+                "schema evolution, not UPDATE)"
+            )
+        # type-check each raw SET expression BEFORE when/otherwise can
+        # coerce it (Spark unifies branch types silently, deferring a
+        # bad assignment to a runtime cast error mid-rewrite)
+        expr_types = cand_df.select(
+            *[F.expr(e).alias(c) for c, e in set_exprs.items()]
+        ).schema
+        for c, e in set_exprs.items():
+            old_t = cand_df.schema[c].dataType
+            new_t = expr_types[c].dataType
+            if old_t != new_t:
+                raise TypeError(
+                    f"update_where on {name}: SET {c} = ({e}) changes "
+                    f"the column type ({old_t} -> {new_t}); cast the "
+                    "expression or rewrite via replace"
+                )
+        cond = F.coalesce(self._bounds_condition(bounds), F.lit(False))
+        n_updated = cand_df.filter(cond).count()
+        if n_updated == 0:
+            return 0
+        rewritten = cand_df.select(
+            *[
+                (
+                    F.when(cond, F.expr(set_exprs[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in cand_df.columns
+            ]
+        )
+        cols = tuple(m["partition_columns"])
+        new, _ = self._new_data_dir(name, rewritten, cols)
+        if new:
+            self._enforce_constraints(
+                name, m, join_uri(self.path(name), new[0]["dir"])
+            )
+        self._commit(
+            name, untouched + new, list(cols), m["version"],
+            schema=m.get("schema"),
+        )
+        return n_updated
+
 
 class CatalogManifestFormat(ManifestFormat):
     """ManifestFormat + a warehouse-level CATALOG pointer — multi-table

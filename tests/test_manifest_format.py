@@ -2547,3 +2547,67 @@ def test_constraints_and_schema_on_catalog_format(spark, cat_wh):
     # enforcement still live after the transaction's replace
     with pytest.raises(ValueError, match="pos"):
         wh.fmt.write("ck.c", _days(spark, ("dz", 0)), "append")
+
+
+# -- round-9: row-level UPDATE (stats-bounded copy-on-write) -----------------
+
+
+def test_update_where_rewrites_only_matching_entries(spark, tmp_path):
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.stats_cols = ("v",)
+    for i in range(5):
+        fmt.write(
+            "up.t",
+            spark.createDataFrame(
+                [Row(v=i * 10 + j, s="a") for j in range(10)]
+            ),
+            "append" if i else "overwrite",
+        )
+    before = {
+        (e["dir"], e.get("rel")) for e in fmt._manifest("up.t")["entries"]
+    }
+    n = fmt.update_where("up.t", "v", {"s": "'hit'"}, 22, 27)
+    assert n == 6
+    after = {
+        (e["dir"], e.get("rel")) for e in fmt._manifest("up.t")["entries"]
+    }
+    # four of the five range-disjoint entries carried untouched
+    assert len(before & after) == 4
+    got = {(r["v"], r["s"]) for r in fmt.read("up.t").collect()}
+    assert {(v, "hit") for v in range(22, 28)} <= got
+    assert {(v, "a") for v in list(range(22)) + list(range(28, 50))} <= got
+    assert len(got) == 50
+    # old values referencable in SET; stats recomputed → skipping sound
+    n = fmt.update_where("up.t", "v", {"v": "v + 100"}, 0, 4)
+    assert n == 5
+    assert (
+        sorted(r["v"] for r in fmt.read_where("up.t", "v", 100, 110).collect())
+        == [100, 101, 102, 103, 104]
+    )
+
+
+def test_update_where_guards_types_nulls_and_constraints(spark, wh):
+    wh.materialize_incremental(
+        "up.g",
+        spark.createDataFrame(
+            [Row(day="d1", v=1), Row(day="d2", v=None), Row(day="d3", v=3)]
+        ),
+        None,
+    )
+    # NULL predicate rows are not updated (SQL semantics)
+    n = wh.update_where("up.g", "v", {"day": "'x'"}, 0, 100)
+    assert n == 2
+    got = {(r["day"], r["v"]) for r in wh.read("up.g").collect()}
+    assert got == {("x", 1), ("d2", None), ("x", 3)}
+    # type-changing SET refused
+    with pytest.raises(TypeError, match="changes the column type"):
+        wh.update_where("up.g", "v", {"v": "'str'"}, 0, 100)
+    # unknown column refused
+    with pytest.raises(ValueError, match="unknown column"):
+        wh.update_where("up.g", "v", {"nope": "1"}, 0, 100)
+    # CHECK constraints validate the rewritten rows
+    wh.add_constraint("up.g", "pos", "v > 0")
+    with pytest.raises(ValueError, match="pos"):
+        wh.update_where("up.g", "v", {"v": "v - 10"}, 0, 100)
+    # the failed update left the table untouched
+    assert {(r["day"], r["v"]) for r in wh.read("up.g").collect()} == got
