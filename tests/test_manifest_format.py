@@ -2611,3 +2611,31 @@ def test_update_where_guards_types_nulls_and_constraints(spark, wh):
         wh.update_where("up.g", "v", {"v": "v - 10"}, 0, 100)
     # the failed update left the table untouched
     assert {(r["day"], r["v"]) for r in wh.read("up.g").collect()} == got
+
+
+def test_update_where_racing_append_aborts_not_discards(
+    spark, tmp_path, monkeypatch
+):
+    """update_where shares delete_where's serialization contract: an
+    append landing between the base read and the rewrite commit must
+    abort the UPDATE loudly (a stale-base rewrite would silently drop
+    the concurrent rows) and the append must survive."""
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    other = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
+    fmt.write("s.t", _days(spark, ("b", 2)), "append")
+
+    orig = fmt._new_data_dir
+    state = {"injected": False}
+
+    def racing(name, df, partition_by):
+        if not state["injected"]:
+            state["injected"] = True
+            other.write("s.t", _days(spark, ("late", 9)), "append")
+        return orig(name, df, partition_by)
+
+    monkeypatch.setattr(fmt, "_new_data_dir", racing)
+    with pytest.raises(RuntimeError, match="does not commute"):
+        fmt.update_where("s.t", "v", {"day": "'hit'"}, 0, 100)
+    got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
+    assert got == {("a", 1), ("b", 2), ("late", 9)}
