@@ -2639,3 +2639,16 @@ def test_update_where_racing_append_aborts_not_discards(
         fmt.update_where("s.t", "v", {"day": "'hit'"}, 0, 100)
     got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
     assert got == {("a", 1), ("b", 2), ("late", 9)}
+
+
+def test_update_where_on_catalog_format(spark, cat_wh):
+    wh = cat_wh
+    wh.materialize_incremental(
+        "up.c", spark.createDataFrame([Row(day="d1", v=1), Row(day="d2", v=2)]), None
+    )
+    assert wh.update_where("up.c", "v", {"day": "'hit'"}, 2, 9) == 1
+    got = {(r["day"], r["v"]) for r in wh.read("up.c").collect()}
+    assert got == {("d1", 1), ("hit", 2)}
+    # schema still stored after the rewrite (catalog _commit carry)
+    m = wh.fmt._manifest("up.c")
+    assert {f["name"] for f in m["schema"]["fields"]} == {"day", "v"}
