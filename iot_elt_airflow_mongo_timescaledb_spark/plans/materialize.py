@@ -112,6 +112,16 @@ class Warehouse:
         formats; see ``ManifestFormat.read_changes``)."""
         return self._format_verb("read_changes")(name, since_version, to_version)
 
+    def read_changes_cdf(
+        self, name: str, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change data feed with _change_type tags — serves
+        delete/update rewrites the append-only feed refuses (commit-log
+        formats; see ``ManifestFormat.read_changes_cdf``)."""
+        return self._format_verb("read_changes_cdf")(
+            name, since_version, to_version
+        )
+
     def read_at_timestamp(self, name: str, ts) -> DataFrame:
         """Time travel by COMMIT timestamp — the whole table as of
         wall-clock ``ts`` (commit-log formats; see

@@ -909,6 +909,7 @@ class ManifestFormat(TableFormat):
         segments: list | None = None,
         schema: dict | None = None,
         constraints: dict | None = None,
+        cdc: dict | None = None,
     ) -> bool:
         """The commit CAS primitive: create-exclusive of the version
         file.  True = this writer owns ``version``; False = another
@@ -947,6 +948,12 @@ class ManifestFormat(TableFormat):
                 **(
                     {"constraints": constraints} if constraints else {}
                 ),
+                # row-level change data for THIS version (Delta CDF's
+                # _change_data): present only on delete_where /
+                # update_where commits — {"dir", "n", "op"}; the CDF
+                # read serves these instead of refusing across the
+                # rewrite
+                **({"cdc": cdc} if cdc else {}),
                 # wall-clock commit time: the basis for time-based
                 # vacuum retention (Delta's RETAIN n HOURS); advisory
                 # only — correctness never depends on clocks
@@ -970,6 +977,7 @@ class ManifestFormat(TableFormat):
         partition_columns: list,
         base_version: int = 0,
         schema: dict | None = None,
+        cdc: dict | None = None,
     ) -> None:
         """Non-rebaseable (full-replace) commit: one CAS attempt, loud
         abort on a lost race — a replace computed against a stale base
@@ -991,6 +999,7 @@ class ManifestFormat(TableFormat):
             name, nxt, entries, partition_columns, segments=segs,
             schema=schema,
             constraints=(prev or {}).get("constraints"),
+            cdc=cdc,
         ):
             raise RuntimeError(
                 f"concurrent commit detected on {name} (v{nxt} exists): a "
@@ -1338,7 +1347,7 @@ class ManifestFormat(TableFormat):
         now = time.time()
         removed = 0
         for d in self.fs.list_subdirs(self.path(name)):
-            if not d.startswith("d-") or d in live:
+            if not (d.startswith("d-") or d.startswith("cdc-")) or d in live:
                 continue
             target = join_uri(self.path(name), d)
             if grace > 0 and (now - self.fs.mtime(target)) < grace:
@@ -1393,6 +1402,8 @@ class ManifestFormat(TableFormat):
             m = self._manifest(name, v)
             live |= {e["dir"] for e in (m["entries"] if m else [])}
             live_segs |= {s["file"] for s in (m or {}).get("segments") or []}
+            if (m or {}).get("cdc"):
+                live.add(m["cdc"]["dir"])  # retained CDF data
         removed = self._sweep_data_dirs(name, live, writer_grace_s)
         keep_set = set(kept_versions)
         for f in self.fs.list_files(self._log_path(name)):
@@ -2184,6 +2195,79 @@ class ManifestFormat(TableFormat):
         self._commit(name, entries, [], m["version"], schema=m.get("schema"))
         return len(entries)
 
+    def _land_cdc(self, name: str, changed, n: int, op: str) -> dict:
+        """Land a rewrite's row-level change data in a ``cdc-*`` dir
+        (Delta CDF's ``_change_data``), BEFORE the CAS like every data
+        dir — an orphan from a lost race is vacuum-swept with the same
+        writer grace.  Cost: one extra scan of the MATCHED rows only
+        (bounded by the predicate, never the table)."""
+        import uuid
+
+        dirname = f"cdc-{uuid.uuid4().hex}"
+        changed.write.mode("overwrite").parquet(
+            join_uri(self.path(name), dirname)
+        )
+        return {"dir": dirname, "n": int(n), "op": op}
+
+    def read_changes_cdf(
+        self, name: str, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """ROW-LEVEL change data feed (Delta CDF): every change between
+        ``since_version`` (exclusive) and ``to_version`` (inclusive)
+        as rows tagged ``_change_type`` in {insert, delete,
+        update_preimage, update_postimage} plus ``_commit_version``.
+        Where :meth:`read_changes` REFUSES across a delete/update
+        rewrite (correct for additive consumers), this feed serves the
+        recorded change rows — the surface a downstream mirror or
+        retraction-aware aggregate needs.
+
+        Stepping is over COMMITTED versions only (the catalog subclass
+        excludes aborted-transaction orphans); replace / retention /
+        backfill still refuse with the resync error, because no change
+        rows were recorded for them."""
+        from pyspark.sql import functions as F
+
+        head = self._manifest(name)
+        if head is None:
+            raise FileNotFoundError(f"no committed manifest for table {name}")
+        to_version = head["version"] if to_version is None else to_version
+        versions = sorted(
+            v
+            for v in self._travelable_versions(name)
+            if since_version < v <= to_version
+        )
+        frames = []
+        prev = since_version
+        for v in versions:
+            m = self._manifest(name, v)
+            if m is None:
+                raise ValueError(
+                    f"read_changes_cdf({name}): version {v} is not "
+                    "readable (vacuumed mid-range); resync with a full "
+                    "read"
+                )
+            if m.get("cdc"):
+                step = self.spark.read.parquet(
+                    join_uri(self.path(name), m["cdc"]["dir"])
+                )
+            else:
+                step = self.read_changes(name, prev, v).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            frames.append(step.withColumn("_commit_version", F.lit(v)))
+            prev = v
+        if not frames:
+            return (
+                self.read(name)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(0))
+                .filter(F.lit(False))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def read_changes(
         self, name: str, since_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -2542,11 +2626,15 @@ class ManifestFormat(TableFormat):
         if n_deleted == 0:
             return 0  # candidates intersected by range, no actual rows
         survivors = cand_df.filter(~cond)
+        cdc = self._land_cdc(
+            name, cand_df.filter(cond).withColumn("_change_type", F.lit("delete")),
+            n_deleted, "delete",
+        )
         cols = tuple(m["partition_columns"])
         new, _ = self._new_data_dir(name, survivors, cols)
         self._commit(
             name, untouched + new, list(cols), m["version"],
-            schema=m.get("schema"),
+            schema=m.get("schema"), cdc=cdc,
         )
         return n_deleted
 
@@ -2626,6 +2714,14 @@ class ManifestFormat(TableFormat):
                 for c in cand_df.columns
             ]
         )
+        changed = cand_df.filter(cond).withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            rewritten.filter(cond).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+        cdc = self._land_cdc(name, changed, n_updated, "update")
         cols = tuple(m["partition_columns"])
         new, _ = self._new_data_dir(name, rewritten, cols)
         if new:
@@ -2634,7 +2730,7 @@ class ManifestFormat(TableFormat):
             )
         self._commit(
             name, untouched + new, list(cols), m["version"],
-            schema=m.get("schema"),
+            schema=m.get("schema"), cdc=cdc,
         )
         return n_updated
 
@@ -2879,6 +2975,7 @@ class CatalogManifestFormat(ManifestFormat):
         partition_columns: list,
         base_version: int = 0,
         schema: dict | None = None,
+        cdc: dict | None = None,
     ) -> None:
         """Non-rebaseable (replace) commit + catalog flip.  On this
         format the COMMIT POINT is the catalog flip, so the replace's
@@ -2902,6 +2999,7 @@ class CatalogManifestFormat(ManifestFormat):
                 name, nxt, entries, partition_columns, segments=segs,
                 schema=schema,
                 constraints=(prev or {}).get("constraints"),
+                cdc=cdc,
             ):
                 break
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
@@ -3092,6 +3190,8 @@ class CatalogManifestFormat(ManifestFormat):
             m = super()._manifest(name, v)
             live |= {e["dir"] for e in (m["entries"] if m else [])}
             live_segs |= {s["file"] for s in (m or {}).get("segments") or []}
+            if (m or {}).get("cdc"):
+                live.add(m["cdc"]["dir"])  # retained CDF data
         removed = self._sweep_data_dirs(name, live, writer_grace_s)
         for f in self.fs.list_files(self._log_path(name)):
             if f.startswith("v") and f.endswith(".json"):

@@ -2652,3 +2652,103 @@ def test_update_where_on_catalog_format(spark, cat_wh):
     # schema still stored after the rewrite (catalog _commit carry)
     m = wh.fmt._manifest("up.c")
     assert {f["name"] for f in m["schema"]["fields"]} == {"day", "v"}
+
+
+# -- round-9: row-level change data feed (Delta CDF) -------------------------
+
+
+def test_cdf_serves_inserts_deletes_and_updates(spark, tmp_path):
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.stats_cols = ("v",)
+    fmt.write(
+        "cdf.t",
+        spark.createDataFrame([Row(v=i, s="a") for i in range(10)]),
+        "overwrite",
+    )  # v1
+    fmt.write(
+        "cdf.t",
+        spark.createDataFrame([Row(v=10 + i, s="b") for i in range(5)]),
+        "append",
+    )  # v2
+    assert fmt.delete_where("cdf.t", "v", 3, 4) == 2  # v3
+    assert fmt.update_where("cdf.t", "v", {"s": "'hit'"}, 11, 12) == 2  # v4
+    feed = fmt.read_changes_cdf("cdf.t", 1).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert sorted(r["v"] for r in by_type["insert"]) == list(range(10, 15))
+    assert all(r["_commit_version"] == 2 for r in by_type["insert"])
+    assert sorted(r["v"] for r in by_type["delete"]) == [3, 4]
+    assert all(r["_commit_version"] == 3 for r in by_type["delete"])
+    pre = {(r["v"], r["s"]) for r in by_type["update_preimage"]}
+    post = {(r["v"], r["s"]) for r in by_type["update_postimage"]}
+    assert pre == {(11, "b"), (12, "b")}
+    assert post == {(11, "hit"), (12, "hit")}
+    # a downstream mirror replaying the feed converges to the table:
+    # apply inserts, drop deletes and preimages, keep postimages
+    base = {(r["v"], r["s"]) for r in fmt.read_version("cdf.t", 1).collect()}
+    for r in sorted(feed, key=lambda r: r["_commit_version"]):
+        t = r["_change_type"]
+        if t in ("insert", "update_postimage"):
+            base.add((r["v"], r["s"]))
+        if t in ("delete", "update_preimage"):
+            base.discard((r["v"], r["s"]))
+    now = {(r["v"], r["s"]) for r in fmt.read("cdf.t").collect()}
+    assert base == now
+    # the append-only feed still refuses across the rewrite (additive
+    # consumers must not silently miss retractions)
+    with pytest.raises(ValueError, match="resync"):
+        fmt.read_changes("cdf.t", 1)
+    # empty range: typed empty frame
+    assert fmt.read_changes_cdf("cdf.t", 4).count() == 0
+
+
+def test_cdf_vacuum_keeps_retained_sweeps_dropped(spark, tmp_path):
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.write(
+        "cdf.v",
+        spark.createDataFrame([Row(v=i) for i in range(10)]),
+        "overwrite",
+    )
+    fmt.delete_where("cdf.v", "v", 2, 3)  # v2 with cdc dir
+    fmt.write(
+        "cdf.v", spark.createDataFrame([Row(v=100)]), "append"
+    )  # v3
+    cdc_dirs = [
+        d
+        for d in fmt.fs.list_subdirs(fmt.path("cdf.v"))
+        if d.startswith("cdc-")
+    ]
+    assert len(cdc_dirs) == 1
+    # keep_last=2 retains v2+v3: the cdc dir survives, CDF reads back
+    fmt.vacuum("cdf.v", keep_last=2, writer_grace_s=0)
+    assert [
+        d
+        for d in fmt.fs.list_subdirs(fmt.path("cdf.v"))
+        if d.startswith("cdc-")
+    ] == cdc_dirs
+    assert fmt.read_changes_cdf("cdf.v", 1, 2).count() == 2
+    # keep_last=1 drops v2: the cdc dir is swept with it
+    fmt.vacuum("cdf.v", keep_last=1, writer_grace_s=0)
+    assert [
+        d
+        for d in fmt.fs.list_subdirs(fmt.path("cdf.v"))
+        if d.startswith("cdc-")
+    ] == []
+
+
+def test_cdf_on_catalog_format_skips_orphans(spark, cat_wh):
+    wh = cat_wh
+    wh.materialize_incremental("cdf.c", _days(spark, ("d1", 1)), "day")
+    with pytest.raises(RuntimeError, match="boom"):
+        with wh.fmt.transaction():
+            wh.materialize_upsert("cdf.c", _days(spark, ("d1", 99)), "day")
+            raise RuntimeError("boom")
+    wh.materialize_incremental("cdf.c", _days(spark, ("d2", 2)), "day")
+    feed = wh.read_changes_cdf("cdf.c", 1).collect()
+    # the aborted v2 orphan contributes nothing; only the committed
+    # append shows, at its manifest version
+    assert {(r["day"], r["_change_type"]) for r in feed} == {
+        ("d2", "insert")
+    }
+    assert feed[0]["_commit_version"] == 3
