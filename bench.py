@@ -108,6 +108,7 @@ EXTENDED = [
     "manifest_schema_evolution",   # additive evolution, NULL-fill reads
     "manifest_check_constraints",  # pre-commit batch rejection
     "manifest_update_where",       # stats-bounded row-level UPDATE
+    "manifest_cdf_feed",           # row-level change data feed
 ]
 
 

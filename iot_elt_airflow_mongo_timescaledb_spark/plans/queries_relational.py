@@ -1236,6 +1236,81 @@ def manifest_update_where(spark, sf_dir):
 
 
 @query(
+    "manifest_cdf_feed",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    cls AS (
+        SELECT c.c_custkey, c.c_acctbal, mx.m,
+               c_custkey > m // 2 AS upper_half,
+               c_custkey > m // 10 AND c_custkey <= m // 5 AS deleted,
+               c_custkey > m * 3 // 10 AND c_custkey <= m * 2 // 5
+                   AS updated
+        FROM customer c, mx
+    ),
+    feed AS (
+        SELECT 'insert' AS _change_type, c_custkey, c_acctbal
+        FROM cls WHERE upper_half
+        UNION ALL
+        SELECT 'delete', c_custkey, c_acctbal FROM cls WHERE deleted
+        UNION ALL
+        SELECT 'update_preimage', c_custkey, c_acctbal
+        FROM cls WHERE updated
+        UNION ALL
+        SELECT 'update_postimage', c_custkey,
+               ROUND(c_acctbal + 100.0, 2)
+        FROM cls WHERE updated
+    )
+    SELECT _change_type,
+           COUNT(*) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           ROUND(SUM(c_acctbal), 2) AS bal_sum
+    FROM feed
+    GROUP BY _change_type
+    """,
+    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+)
+def manifest_cdf_feed(spark, sf_dir):
+    """Row-level change data feed end-to-end (r9 ``read_changes_cdf``):
+    customers stage as two halves (v1 overwrite, v2 append), a range
+    is deleted (v3) and another updated (v4, ``SET c_acctbal += 100``);
+    the feed since v1 must contain exactly the upper half as inserts,
+    the deleted range as deletes, and the updated range as pre- AND
+    postimages — the oracle recomputes every class from the raw table
+    with the same range arithmetic.  A wrong or missing change row
+    shifts a group's count/sum and breaks the hash."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "cdf_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    m = int(c.agg(F.max("c_custkey")).first()[0])
+    fmt.write("cdf.cust", c.filter(F.col("c_custkey") <= m // 2), "overwrite")
+    fmt.write("cdf.cust", c.filter(F.col("c_custkey") > m // 2), "append")
+    fmt.delete_where("cdf.cust", "c_custkey", m // 10 + 1, m // 5)
+    fmt.update_where(
+        "cdf.cust",
+        "c_custkey",
+        {"c_acctbal": "round(c_acctbal + 100.0, 2)"},
+        m * 3 // 10 + 1,
+        m * 2 // 5,
+    )
+    return (
+        fmt.read_changes_cdf("cdf.cust", 1)
+        .groupBy("_change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c_custkey").alias("key_sum"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+    )
+
+
+@query(
     "manifest_check_constraints",
     oracle="""
     SELECT c_mktsegment,
