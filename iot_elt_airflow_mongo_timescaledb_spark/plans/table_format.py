@@ -2250,6 +2250,13 @@ class ManifestFormat(TableFormat):
                 step = self.spark.read.parquet(
                     join_uri(self.path(name), m["cdc"]["dir"])
                 )
+            elif prev == 0:
+                # feed from the beginning: the first committed version
+                # is full content — all inserts (Delta CDF's
+                # startingVersion 0)
+                step = self.read_version(name, v).withColumn(
+                    "_change_type", F.lit("insert")
+                )
             else:
                 step = self.read_changes(name, prev, v).withColumn(
                     "_change_type", F.lit("insert")

@@ -2752,3 +2752,17 @@ def test_cdf_on_catalog_format_skips_orphans(spark, cat_wh):
         ("d2", "insert")
     }
     assert feed[0]["_commit_version"] == 3
+
+
+def test_cdf_from_version_zero_is_all_inserts_plus_changes(spark, tmp_path):
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.stats_cols = ("v",)
+    fmt.write(
+        "cdf.z", spark.createDataFrame([Row(v=i) for i in range(5)]), "overwrite"
+    )
+    fmt.delete_where("cdf.z", "v", 1, 1)
+    feed = fmt.read_changes_cdf("cdf.z", 0).collect()
+    ins = sorted(r["v"] for r in feed if r["_change_type"] == "insert")
+    dels = [r["v"] for r in feed if r["_change_type"] == "delete"]
+    assert ins == [0, 1, 2, 3, 4]  # v1 full content, all inserts
+    assert dels == [1]
