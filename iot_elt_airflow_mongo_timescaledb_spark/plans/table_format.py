@@ -586,10 +586,13 @@ class ManifestFormat(TableFormat):
                 if time.monotonic() < deadline:
                     time.sleep(0.05)
                     continue
-                try:
-                    age = time.time() - self.fs.mtime(path)
-                except Exception:
-                    return None  # quarantined/vacuumed mid-read
+                # fs.mtime returns 0.0 for an ABSENT path (it does
+                # not raise), so probe existence first: a file
+                # quarantined/vacuumed mid-read is not-yet-committed
+                # to this reader, not a corpse
+                if not self.fs.exists(path):
+                    return None
+                age = time.time() - self.fs.mtime(path)
                 if age < self.INFLIGHT_GRACE_S:
                     return None  # healthy writer mid-body-write
                 return self._raise_torn(path)
@@ -1245,7 +1248,8 @@ class ManifestFormat(TableFormat):
             raise FileNotFoundError(f"no committed manifest for table {name}")
         earliest = None
         for v in versions:
-            m = self._manifest(name, v)
+            # committed_at is a top-level field: never expand segments
+            m = self._manifest(name, v, resolve=False)
             if m is None:
                 continue
             at = m.get("committed_at") or 0
@@ -1289,11 +1293,17 @@ class ManifestFormat(TableFormat):
             )
 
         def to_old(head):
+            # constraints restore EXACTLY (a version without any maps
+            # to the removal sentinel — carrying the bad head's
+            # constraints would leave schema and constraints
+            # inconsistent, e.g. a CHECK on a column the restored
+            # schema no longer has)
             return (
                 old["entries"],
                 old["partition_columns"],
                 None,
                 old.get("schema"),
+                old.get("constraints") or {"__none__": True},
             )
 
         self._commit_edit(name, to_old)
@@ -1408,7 +1418,12 @@ class ManifestFormat(TableFormat):
         keep_set = set(kept_versions)
         for f in self.fs.list_files(self._log_path(name)):
             if f.startswith("v") and f.endswith(".json"):
-                if int(f[1:-5]) not in keep_set:
+                v = int(f[1:-5])
+                # a version ABOVE the snapshot head is a commit that
+                # landed while this vacuum ran (version CAS numbers are
+                # monotone): deleting it would silently destroy the
+                # concurrent writer's committed rows
+                if v not in keep_set and v <= latest:
                     self.fs.delete(join_uri(self._log_path(name), f))
             elif f.startswith("seg-") and f.endswith(".json"):
                 if f not in live_segs:
@@ -1492,12 +1507,15 @@ class ManifestFormat(TableFormat):
         :meth:`drop_constraint`."""
         from pyspark.sql import functions as F
 
-        bad = (
-            self.read(name)
-            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
-            .limit(1)
-            .count()
-        )
+        try:
+            bad = (
+                self.read(name)
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .count()
+            )
+        except FileNotFoundError:
+            bad = 0  # empty or not-yet-written: zero rows satisfy any CHECK
         if bad:
             raise ValueError(
                 f"cannot add constraint {cname!r} to {name}: existing "
@@ -1519,9 +1537,12 @@ class ManifestFormat(TableFormat):
                     "drop it first"
                 )
             cons[cname] = expr
+            # declaring constraints BEFORE the first write is legal
+            # (Delta allows it): a never-written table commits an
+            # empty-entries version carrying only the constraint map
             return (
-                head["entries"],
-                head["partition_columns"],
+                head["entries"] if head else [],
+                head["partition_columns"] if head else [],
                 None,
                 None,
                 cons,
@@ -1574,13 +1595,34 @@ class ManifestFormat(TableFormat):
         if not cons:
             return
         df = self.spark.read.parquet(target)
+        stored = (prev or {}).get("schema")
+        if stored:
+            # a NARROWING append legally omits existing columns
+            # (readers fill NULL) — evaluate constraints under the
+            # same semantics: missing columns are NULL, and SQL CHECK
+            # passes on NULL, instead of an unresolved-column error
+            from pyspark.sql.types import StructType
+
+            have = set(df.columns)
+            for f in StructType.fromJson(stored).fields:
+                if f.name not in have:
+                    df = df.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
         aggs = [
             F.count(
                 F.when(~F.coalesce(F.expr(e), F.lit(True)), 1)
             ).alias(k)
             for k, e in cons.items()
         ]
-        row = df.agg(*aggs).first()
+        try:
+            row = df.agg(*aggs).first()
+        except Exception:
+            # the landed dir must not leak past a failed validation
+            # (e.g. a constraint referencing a column outside the
+            # stored schema)
+            self.fs.delete(target)
+            raise
         bad = {k: row[k] for k in cons if row[k]}
         if bad:
             self.fs.delete(target)
@@ -1646,6 +1688,53 @@ class ManifestFormat(TableFormat):
         )
         return merged.jsonValue()
 
+    def _recheck_on_rebase(
+        self, name: str, head: dict, df, new_entries: list, checked: dict
+    ) -> None:
+        """Re-run the write-time guards against a REBASED head: a
+        commit that landed between this writer's pre-land checks and
+        its CAS may have (a) evolved the schema — a TYPE conflict with
+        the landed files must abort loudly, not merge head-biased into
+        a stored schema that lies about the parquet underneath — or
+        (b) added CHECK constraints the landed batch was never
+        validated against.  On the no-contention path head equals the
+        pre-checked base, both checks reduce to dict comparisons, and
+        no Spark job runs."""
+        from pyspark.sql.types import StructType
+
+        stored = head.get("schema")
+        if stored is not None:
+            old_t = {
+                f.name: f.dataType
+                for f in StructType.fromJson(stored).fields
+            }
+            clashes = [
+                f.name
+                for f in df.schema.fields
+                if f.name in old_t and f.dataType != old_t[f.name]
+            ]
+            if clashes:
+                raise RuntimeError(
+                    f"append to {name} lost to a concurrent schema "
+                    f"evolution: column(s) {clashes} now carry a "
+                    "different type than this writer's landed files — "
+                    "re-run the append against the new table state"
+                )
+        head_cons = {
+            k: v
+            for k, v in (head.get("constraints") or {}).items()
+            if k != "__none__"
+        }
+        unchecked = {
+            k: v for k, v in head_cons.items() if checked.get(k) != v
+        }
+        if unchecked and new_entries:
+            self._enforce_constraints(
+                name,
+                {"constraints": unchecked, "schema": stored},
+                join_uri(self.path(name), new_entries[0]["dir"]),
+            )
+
     @staticmethod
     def _merge_schema_json(head_schema: dict | None, merged: dict | None):
         """Re-merge a precomputed (base-relative) merged schema with the
@@ -1686,10 +1775,20 @@ class ManifestFormat(TableFormat):
                     name, prev, join_uri(self.path(name), new[0]["dir"])
                 )
 
+            checked_cons = {
+                k: v
+                for k, v in (prev.get("constraints") or {}).items()
+                if k != "__none__"
+            }
+
             def add_entries(head):
                 if head is None:
                     # table replaced-away mid-append
                     return new, cols, None, df.schema.jsonValue()
+                if head is not prev:
+                    self._recheck_on_rebase(
+                        name, head, df, new, checked_cons
+                    )
                 if head["partition_columns"] != cols:
                     # a concurrent replace changed the layout: our data
                     # dir was written under the old one and cannot join
@@ -1784,7 +1883,15 @@ class ManifestFormat(TableFormat):
             )
         replaced = {e["partitions"][partition_col] for e in new}
 
+        checked_cons = {
+            k: v
+            for k, v in ((prev or {}).get("constraints") or {}).items()
+            if k != "__none__"
+        }
+
         def swap_partitions(head):
+            if head is not None and head is not prev:
+                self._recheck_on_rebase(name, head, df, new, checked_cons)
             head_entries = head["entries"] if head else []
             if any(
                 not e["partitions"] or partition_col not in e["partitions"]
@@ -1879,6 +1986,12 @@ class ManifestFormat(TableFormat):
                 name, prev, join_uri(self.path(name), new[0]["dir"])
             )
 
+        checked_cons = {
+            k: v
+            for k, v in ((prev or {}).get("constraints") or {}).items()
+            if k != "__none__"
+        }
+
         def add(head):
             head_txn = dict((head or {}).get("txn") or {})
             last = head_txn.get(app_id)
@@ -1887,6 +2000,8 @@ class ManifestFormat(TableFormat):
             head_txn[app_id] = int(batch_id)
             if head is None:
                 return new, cols, head_txn, merged
+            if head is not prev:
+                self._recheck_on_rebase(name, head, df, new, checked_cons)
             if head["partition_columns"] != cols:
                 raise RuntimeError(
                     f"streaming append to {name} lost to a concurrent "
@@ -2239,7 +2354,10 @@ class ManifestFormat(TableFormat):
         frames = []
         prev = since_version
         for v in versions:
-            m = self._manifest(name, v)
+            # the cdc probe needs only a top-level field — never
+            # expand segments for it (the insert path's read_changes
+            # resolves internally where it must)
+            m = self._manifest(name, v, resolve=False)
             if m is None:
                 raise ValueError(
                     f"read_changes_cdf({name}): version {v} is not "
@@ -2721,12 +2839,26 @@ class ManifestFormat(TableFormat):
                 for c in cand_df.columns
             ]
         )
-        changed = cand_df.filter(cond).withColumn(
+        matched = cand_df.filter(cond)
+        # postimage = SET expressions applied UNCONDITIONALLY to the
+        # matched rows — re-filtering the rewritten frame would test
+        # the bounds against POST-update values, silently dropping
+        # postimages whenever a SET moves the predicate column out of
+        # range (e.g. SET v = v + 100 WHERE v BETWEEN 0 AND 4)
+        postimage = matched.select(
+            *[
+                (
+                    F.expr(set_exprs[c]).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in cand_df.columns
+            ]
+        )
+        changed = matched.withColumn(
             "_change_type", F.lit("update_preimage")
         ).unionByName(
-            rewritten.filter(cond).withColumn(
-                "_change_type", F.lit("update_postimage")
-            )
+            postimage.withColumn("_change_type", F.lit("update_postimage"))
         )
         cdc = self._land_cdc(name, changed, n_updated, "update")
         cols = tuple(m["partition_columns"])
@@ -3199,11 +3331,30 @@ class CatalogManifestFormat(ManifestFormat):
             live_segs |= {s["file"] for s in (m or {}).get("segments") or []}
             if (m or {}).get("cdc"):
                 live.add(m["cdc"]["dir"])  # retained CDF data
+        latest = self._latest_version(name)
         removed = self._sweep_data_dirs(name, live, writer_grace_s)
+        import time as _time
+
+        grace = (
+            self.VACUUM_WRITER_GRACE_S
+            if writer_grace_s is None
+            else writer_grace_s
+        )
+        now = _time.time()
         for f in self.fs.list_files(self._log_path(name)):
             if f.startswith("v") and f.endswith(".json"):
-                if int(f[1:-5]) not in keep_versions:
-                    self.fs.delete(join_uri(self._log_path(name), f))
+                v = int(f[1:-5])
+                if v in keep_versions or v > latest:
+                    # v > latest: allocated while this vacuum ran —
+                    # a concurrent writer's manifest must survive
+                    continue
+                p = join_uri(self._log_path(name), f)
+                if grace > 0 and (now - self.fs.mtime(p)) < grace:
+                    # allocation precedes the catalog flip on this
+                    # format: a young unkept manifest may be a commit
+                    # whose flip is still in flight
+                    continue
+                self.fs.delete(p)
             elif f.startswith("seg-") and f.endswith(".json"):
                 if f not in live_segs:
                     self._sweep_segment(name, f, writer_grace_s)

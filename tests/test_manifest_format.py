@@ -2766,3 +2766,163 @@ def test_cdf_from_version_zero_is_all_inserts_plus_changes(spark, tmp_path):
     dels = [r["v"] for r in feed if r["_change_type"] == "delete"]
     assert ins == [0, 1, 2, 3, 4]  # v1 full content, all inserts
     assert dels == [1]
+
+
+# -- round-9: review-driven hardening (post-self-review fixes) ---------------
+
+
+def test_cdf_postimage_when_set_moves_predicate_column(spark, tmp_path):
+    """SET v = v + 100 WHERE v BETWEEN 0 AND 4: the postimages' new
+    values leave the predicate range — they must still be recorded
+    (the regression re-filtered the REWRITTEN frame on the bounds and
+    silently dropped every such postimage)."""
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.write(
+        "cdf.m", spark.createDataFrame([Row(v=i) for i in range(8)]), "overwrite"
+    )
+    assert fmt.update_where("cdf.m", "v", {"v": "v + 100"}, 0, 4) == 5
+    feed = fmt.read_changes_cdf("cdf.m", 1).collect()
+    pre = sorted(r["v"] for r in feed if r["_change_type"] == "update_preimage")
+    post = sorted(
+        r["v"] for r in feed if r["_change_type"] == "update_postimage"
+    )
+    assert pre == [0, 1, 2, 3, 4]
+    assert post == [100, 101, 102, 103, 104]
+    # mirror replay converges
+    base = {r["v"] for r in fmt.read_version("cdf.m", 1).collect()}
+    for r in feed:
+        if r["_change_type"] == "update_postimage":
+            base.add(r["v"])
+        if r["_change_type"] in ("delete", "update_preimage"):
+            base.discard(r["v"])
+    assert base == {r["v"] for r in fmt.read("cdf.m").collect()}
+
+
+def test_narrowing_append_passes_constraints_as_null(spark, wh):
+    """A legal narrowing append (missing an existing column) must
+    evaluate CHECK constraints under NULL semantics — NULL passes —
+    not crash on an unresolved column."""
+    wh.materialize_incremental("ck.n", _days(spark, ("d1", 1)), "day")
+    wh.add_constraint("ck.n", "pos", "v > 0")
+    wh.fmt.write(
+        "ck.n", spark.createDataFrame([Row(day="d2")]), "append"
+    )
+    got = {(r["day"], r["v"]) for r in wh.read("ck.n").collect()}
+    assert got == {("d1", 1), ("d2", None)}
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_vacuum_spares_concurrent_commit_version_files(
+    spark, tmp_path, kind, monkeypatch
+):
+    """A commit landing WHILE vacuum runs (between its keep-set
+    snapshot and its version-file sweep) has a version number above
+    the snapshot head — vacuum must never delete it (it would silently
+    destroy the concurrent writer's committed rows)."""
+    fmt = _fmt_of(spark, str(tmp_path), kind)
+    other = _fmt_of(spark, str(tmp_path), kind)
+    for day, v in (("d1", 1), ("d2", 2)):
+        fmt.write("vc.t", _days(spark, (day, v)), "append")
+    orig = fmt._sweep_data_dirs
+    state = {"injected": False}
+
+    def racing(name, live, grace):
+        if not state["injected"]:
+            state["injected"] = True
+            other.write("vc.t", _days(spark, ("late", 9)), "append")
+        return orig(name, live, grace)
+
+    monkeypatch.setattr(fmt, "_sweep_data_dirs", racing)
+    # default writer grace: the concurrent append's young DATA DIR is
+    # protected by the age check (writer_grace_s=0 is the caller's
+    # explicit no-concurrent-writers assertion); the VERSION FILE is
+    # protected unconditionally by the snapshot guard
+    fmt.vacuum("vc.t", keep_last=1)
+    got = {(r["day"], r["v"]) for r in fmt.read("vc.t").collect()}
+    assert ("late", 9) in got
+    head = fmt._manifest("vc.t")
+    assert {e["dir"] for e in head["entries"]} <= {
+        d
+        for d in fmt.fs.list_subdirs(fmt.path("vc.t"))
+        if d.startswith("d-")
+    }
+
+
+def test_rebase_aborts_on_concurrent_conflicting_schema_evolution(
+    spark, tmp_path, monkeypatch
+):
+    """Two appends each introduce column x with DIFFERENT types; the
+    loser's rebase must abort loudly — a head-biased merge would store
+    a schema that lies about the loser's parquet files."""
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    other = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.write("sc.r", _days(spark, ("d1", 1)), "overwrite")
+    orig = fmt._try_write_manifest
+    state = {"injected": False}
+
+    def racing(name, version, entries, cols, txn=None, segments=None, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            other.write(
+                "sc.r",
+                spark.createDataFrame([Row(day="d2", v=2, x="str")]),
+                "append",
+            )
+        return orig(
+            name, version, entries, cols, txn, segments=segments, **kw
+        )
+
+    monkeypatch.setattr(fmt, "_try_write_manifest", racing)
+    with pytest.raises(RuntimeError, match="concurrent schema evolution"):
+        fmt.write(
+            "sc.r",
+            spark.createDataFrame([Row(day="d3", v=3, x=33)]),
+            "append",
+        )
+    # the winner's column survives with its type
+    m = fmt._manifest("sc.r")
+    types = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+    assert types["x"] == "string"
+
+
+def test_rebase_revalidates_concurrently_added_constraint(
+    spark, tmp_path, monkeypatch
+):
+    """A constraint added between an append's pre-land check and its
+    CAS must be enforced on the rebase — otherwise violating rows land
+    under a manifest that claims the CHECK holds."""
+    fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    other = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.write("ck.r", _days(spark, ("d1", 1)), "overwrite")
+    orig = fmt._try_write_manifest
+    state = {"injected": False}
+
+    def racing(name, version, entries, cols, txn=None, segments=None, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            other.add_constraint("ck.r", "pos", "v > 0")
+        return orig(
+            name, version, entries, cols, txn, segments=segments, **kw
+        )
+
+    monkeypatch.setattr(fmt, "_try_write_manifest", racing)
+    with pytest.raises(ValueError, match="pos"):
+        fmt.write("ck.r", _days(spark, ("bad", -5)), "append")
+    assert fmt.read("ck.r").count() == 1  # nothing leaked
+
+
+def test_restore_rolls_constraints_back_with_the_entries(spark, wh):
+    wh.materialize_incremental("rs.k", _days(spark, ("d1", 1)), "day")
+    wh.add_constraint("rs.k", "pos", "v > 0")
+    wh.restore("rs.k", 1)  # v1 predates the constraint
+    # the restored state has no constraints: a "violating" batch lands
+    wh.fmt.write("rs.k", _days(spark, ("d2", -2)), "append")
+    assert wh.read("rs.k").count() == 2
+
+
+def test_add_constraint_before_first_write(spark, wh):
+    wh.add_constraint("ck.first", "pos", "v > 0")
+    with pytest.raises(ValueError, match="pos"):
+        wh.fmt.write("ck.first", _days(spark, ("d1", -1)), "append")
+    wh.fmt.write("ck.first", _days(spark, ("d1", 1)), "append")
+    assert wh.read("ck.first").count() == 1
