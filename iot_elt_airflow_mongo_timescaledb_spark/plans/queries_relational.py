@@ -1049,7 +1049,7 @@ def manifest_zorder_skipping(spark, sf_dir):
     WHERE NOT (c_custkey > m * 2 // 5 + 10 AND c_custkey <= m * 3 // 5 - 10)
     GROUP BY c_mktsegment
     """,
-    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+    # round-10 gate rotation (VERDICT r9 task 3): promoted to a driver row
 )
 def manifest_delete_where(spark, sf_dir):
     """Row-level DELETE with stats-bounded copy-on-write
@@ -1178,7 +1178,7 @@ def manifest_schema_evolution(spark, sf_dir):
     FROM customer, mx
     GROUP BY c_mktsegment
     """,
-    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+    # round-10 gate rotation (VERDICT r9 task 3): promoted to a driver row
 )
 def manifest_update_where(spark, sf_dir):
     """Row-level UPDATE with stats-bounded copy-on-write (r9
@@ -1267,7 +1267,7 @@ def manifest_update_where(spark, sf_dir):
     FROM feed
     GROUP BY _change_type
     """,
-    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+    # round-10 gate rotation (VERDICT r9 task 3): promoted to a driver row
 )
 def manifest_cdf_feed(spark, sf_dir):
     """Row-level change data feed end-to-end (r9 ``read_changes_cdf``):
@@ -1307,6 +1307,104 @@ def manifest_cdf_feed(spark, sf_dir):
             F.sum("c_custkey").alias("key_sum"),
             F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
         )
+    )
+
+
+@query(
+    "manifest_merge_bounded",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    b AS (
+        SELECT m * 2 // 5 AS b2,
+               (m * 3 // 5 - m * 2 // 5) // 3 AS w
+        FROM mx
+    ),
+    t AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey > b2 AND c_custkey <= b2 + w
+                    THEN c_acctbal + 1000.0 ELSE c_acctbal END AS bal,
+               c_custkey > b2 + w AND c_custkey <= b2 + 2 * w AS deleted,
+               c_custkey > b2 AND c_custkey <= b2 + w AS updated
+        FROM customer, b
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(bal), 2) AS bal_sum,
+           4 AS entries_untouched,
+           (SELECT COUNT(*) FROM t WHERE updated) AS cdc_updates,
+           (SELECT COUNT(*) FROM t WHERE deleted) AS cdc_deletes,
+           0 AS cdc_inserts
+    FROM t
+    WHERE NOT deleted
+    GROUP BY c_mktsegment
+    """,
+)
+def manifest_merge_bounded(spark, sf_dir):
+    """STATS-BOUNDED MERGE end-to-end (round-10 ``ManifestFormat.
+    merge`` — the reference's M2 upsert, dags/dlt_sources/mongodb/
+    __init__.py:61-67, re-expressed as Delta-style copy-on-write):
+    customers land as five key-range chunks, then ONE merge batch
+    updates a narrow middle slice (``c_acctbal += 1000``) while its
+    delete keys cover a second adjacent slice whose documents carry no
+    batch rows (the dlt root-key shrunk-array case).  Exactly FOUR
+    chunks must carry over BY IDENTITY (lit-folded into the hash — a
+    full-table rewrite breaks it), and the merge commit's CDC classes
+    (update pre/postimages, deletes, zero inserts) are read back via
+    ``read_changes_cdf`` and lit-folded too, pinning the change feed
+    ACROSS a merge (round-9 refused here).  The oracle recomputes the
+    surviving table and the class counts from the raw table with the
+    same range arithmetic."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mmb_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    row = c.agg(
+        F.max("c_custkey").alias("mx"), F.min("c_custkey").alias("mn")
+    ).first()
+    mx, mn = int(row["mx"]), int(row["mn"])
+    bounds = [mn - 1] + [mx * i // 5 for i in range(1, 5)] + [mx]
+    for i in range(5):
+        chunk = c.filter(
+            (F.col("c_custkey") > bounds[i])
+            & (F.col("c_custkey") <= bounds[i + 1])
+        )
+        fmt.write("mb.cust", chunk, "append" if i else "overwrite")
+    base = fmt._manifest("mb.cust")["version"]
+    before = {e["dir"] for e in fmt._manifest("mb.cust")["entries"]}
+    b2 = mx * 2 // 5
+    w = (mx * 3 // 5 - b2) // 3
+    batch = c.filter(
+        (F.col("c_custkey") > b2) & (F.col("c_custkey") <= b2 + w)
+    ).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+    keys = c.filter(
+        (F.col("c_custkey") > b2) & (F.col("c_custkey") <= b2 + 2 * w)
+    ).select("c_custkey")
+    fmt.merge("mb.cust", batch, "c_custkey", delete_keys=keys)
+    after = {e["dir"] for e in fmt._manifest("mb.cust")["entries"]}
+    cls = {
+        r["_change_type"]: int(r["n"])
+        for r in fmt.read_changes_cdf("mb.cust", base)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return (
+        fmt.read("mb.cust")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn("entries_untouched", F.lit(len(before & after)))
+        .withColumn("cdc_updates", F.lit(cls.get("update_postimage", 0)))
+        .withColumn("cdc_deletes", F.lit(cls.get("delete", 0)))
+        .withColumn("cdc_inserts", F.lit(cls.get("insert", 0)))
     )
 
 

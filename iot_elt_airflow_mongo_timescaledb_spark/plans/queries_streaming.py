@@ -113,6 +113,9 @@ def streaming_enriched_counts(spark, sf_dir):
 
 @query(
     "streaming_dedup_counts",
+    # round-10 gate rotation: streaming family keeps hourly_rollup (T1)
+    # and stream_join gated; this row stays pytest-oracle-verified
+    gate=False,
     oracle="""
     SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
     FROM events GROUP BY 1

@@ -180,6 +180,9 @@ def lsh_candidate_pairs(spark, sf_dir):
 
 @query(
     "ngram_jaccard_pairs",
+    # round-10 gate rotation: lsh_candidate_pairs carries the shingle/
+    # band family gate; this row stays pytest-oracle-verified
+    gate=False,
     oracle=f"""
     WITH shingles AS ({_SHINGLES_KEPT}), pairs AS ({_PAIRS}),
     inter AS (
@@ -410,6 +413,9 @@ _VECS = """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
 
 @query(
     "embedding_norms",
+    # round-10 gate rotation: cosine_topk subsumes the norm expression;
+    # this row stays pytest-oracle-verified
+    gate=False,
     oracle=f"""
     SELECT vec_id, label, len(e) AS dim, ROUND(nrm, 6) AS norm
     FROM ({_VECS})

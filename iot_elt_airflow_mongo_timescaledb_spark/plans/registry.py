@@ -83,14 +83,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # MICROS footer (current testdata): reads natively, and the
             # session conf is NOT touched
             df = spark.read.parquet(path)
-        except Exception:
+        except Exception as first_err:
             # NANOS footer: readable only under the legacy flag.  The
             # flag must STAY set while the lazy frame is alive (the
             # scan consults it at execution), so it is session-scoped
             # by necessity — but only ever set on the NANOS shape, and
             # it is read-side only and idempotent (VERDICT r8 nit 2).
+            # The retry is scoped to the NANOS failure only: any OTHER
+            # read error (missing/corrupt file, transient IO) must not
+            # leave the session conf mutated on its way to re-raising
+            # (ADVICE r9 #5).
+            if "nanos" not in str(first_err).lower():
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path)
+            try:
+                df = spark.read.parquet(path)
+            except Exception:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                raise
         if isinstance(df.schema["ts"].dataType, T.LongType):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -768,7 +768,17 @@ class ManifestFormat(TableFormat):
         def key(e):
             return json.dumps(e, sort_keys=True)
 
-        residual = [si for si in range(len(prev_segs)) if si not in carried]
+        # a segment strictly larger than the whole tail cannot be a
+        # subset of it — skip before any canonical-JSON serialization.
+        # Without this, every replace_atomic of a segmented table
+        # (fresh data dir, small tail) pays O(total table entries) of
+        # driver-side json.dumps per commit (ADVICE r9 #4); with it the
+        # replace path is O(tail) again.
+        residual = [
+            si
+            for si in range(len(prev_segs))
+            if si not in carried and seg_sizes[si] <= len(tail)
+        ]
         if residual and tail:
             tail_keys = Counter(key(e) for e in tail)
             consumed = Counter()
@@ -927,6 +937,15 @@ class ManifestFormat(TableFormat):
         import json
         import time
 
+        # the {"__none__": true} removal sentinel is an IN-MEMORY edit-
+        # tuple convention only (None = carry vs "no constraints") — it
+        # must never reach the on-disk format, where an external
+        # manifest reader would see it as a real constraint and every
+        # later commit would carry it forever (ADVICE r9 #3)
+        if constraints:
+            constraints = {
+                k: v for k, v in constraints.items() if k != "__none__"
+            }
         final = join_uri(self._log_path(name), f"v{version:012d}.json")
         body = json.dumps(
             {
@@ -981,6 +1000,7 @@ class ManifestFormat(TableFormat):
         base_version: int = 0,
         schema: dict | None = None,
         cdc: dict | None = None,
+        txn: dict | None = None,
     ) -> None:
         """Non-rebaseable (full-replace) commit: one CAS attempt, loud
         abort on a lost race — a replace computed against a stale base
@@ -994,12 +1014,19 @@ class ManifestFormat(TableFormat):
         target PAST the concurrent version, silently discarding its
         entries instead of colliding on the version file (Delta computes
         the attempt version from the read snapshot for the same reason;
-        ADVICE r8 #1)."""
+        ADVICE r8 #1).
+
+        ``txn`` carries the idempotent-writer watermarks forward — the
+        ROW-LEVEL verbs (delete_where/update_where/merge) pass the base
+        manifest's map so a DML commit does not silently reset them
+        (Delta carries txnAppId/txnVersion through DELETE for the same
+        reason; ADVICE r9 #1).  ``None`` (the replace paths) keeps the
+        documented reset-on-replace semantics."""
         prev = self._manifest(name, base_version) if base_version else None
         segs, entries = self._resegment(name, prev, entries)
         nxt = base_version + 1
         if not self._try_write_manifest(
-            name, nxt, entries, partition_columns, segments=segs,
+            name, nxt, entries, partition_columns, txn, segments=segs,
             schema=schema,
             constraints=(prev or {}).get("constraints"),
             cdc=cdc,
@@ -2310,19 +2337,29 @@ class ManifestFormat(TableFormat):
         self._commit(name, entries, [], m["version"], schema=m.get("schema"))
         return len(entries)
 
-    def _land_cdc(self, name: str, changed, n: int, op: str) -> dict:
+    def _land_cdc(
+        self, name: str, changed, n: int, op: str, since: int
+    ) -> dict:
         """Land a rewrite's row-level change data in a ``cdc-*`` dir
         (Delta CDF's ``_change_data``), BEFORE the CAS like every data
         dir — an orphan from a lost race is vacuum-swept with the same
         writer grace.  Cost: one extra scan of the MATCHED rows only
-        (bounded by the predicate, never the table)."""
+        (bounded by the predicate, never the table).
+
+        ``since`` records the BASE version the rewrite was computed
+        against: the CDF read refuses when the feed's previous step is
+        not exactly that base (intermediate versions vacuumed, or
+        folded away by a catalog transaction's single flip) instead of
+        silently omitting the intervening appends' insert rows —
+        mirroring Delta CDF's refusal on unavailable versions (ADVICE
+        r9 #2)."""
         import uuid
 
         dirname = f"cdc-{uuid.uuid4().hex}"
         changed.write.mode("overwrite").parquet(
             join_uri(self.path(name), dirname)
         )
-        return {"dir": dirname, "n": int(n), "op": op}
+        return {"dir": dirname, "n": int(n), "op": op, "since": int(since)}
 
     def read_changes_cdf(
         self, name: str, since_version: int, to_version: int | None = None
@@ -2365,6 +2402,23 @@ class ManifestFormat(TableFormat):
                     "read"
                 )
             if m.get("cdc"):
+                # a cdc payload covers EXACTLY base -> v.  If the feed's
+                # previous step is not that base (intermediate versions
+                # vacuumed, or folded away under one catalog-transaction
+                # flip), the intervening appends' insert rows exist in
+                # no payload — refuse like any unreadable mid-range
+                # version instead of silently omitting them (ADVICE r9
+                # #2; Delta CDF refuses on unavailable versions)
+                base = m["cdc"].get("since", prev)
+                if base != prev:
+                    raise ValueError(
+                        f"read_changes_cdf({name}): version {v}'s change "
+                        f"rows were computed against v{base}, but the "
+                        f"feed's previous step is v{prev} — intermediate "
+                        "versions are unreadable (vacuumed, or folded "
+                        "into one catalog-transaction flip); resync with "
+                        "a full read"
+                    )
                 step = self.spark.read.parquet(
                     join_uri(self.path(name), m["cdc"]["dir"])
                 )
@@ -2753,13 +2807,15 @@ class ManifestFormat(TableFormat):
         survivors = cand_df.filter(~cond)
         cdc = self._land_cdc(
             name, cand_df.filter(cond).withColumn("_change_type", F.lit("delete")),
-            n_deleted, "delete",
+            n_deleted, "delete", m["version"],
         )
         cols = tuple(m["partition_columns"])
         new, _ = self._new_data_dir(name, survivors, cols)
+        # txn carried from the base: a row-level DELETE must not reset
+        # the idempotent streaming-writer watermarks (ADVICE r9 #1)
         self._commit(
             name, untouched + new, list(cols), m["version"],
-            schema=m.get("schema"), cdc=cdc,
+            schema=m.get("schema"), cdc=cdc, txn=m.get("txn"),
         )
         return n_deleted
 
@@ -2860,7 +2916,7 @@ class ManifestFormat(TableFormat):
         ).unionByName(
             postimage.withColumn("_change_type", F.lit("update_postimage"))
         )
-        cdc = self._land_cdc(name, changed, n_updated, "update")
+        cdc = self._land_cdc(name, changed, n_updated, "update", m["version"])
         cols = tuple(m["partition_columns"])
         new, _ = self._new_data_dir(name, rewritten, cols)
         if new:
@@ -2869,9 +2925,133 @@ class ManifestFormat(TableFormat):
             )
         self._commit(
             name, untouched + new, list(cols), m["version"],
-            schema=m.get("schema"), cdc=cdc,
+            schema=m.get("schema"), cdc=cdc, txn=m.get("txn"),
         )
         return n_updated
+
+    def merge(
+        self,
+        name: str,
+        df: DataFrame,
+        unique_key: str,
+        delete_keys: DataFrame | None = None,
+    ) -> None:
+        """MERGE (upsert by key) with STATS-BOUNDED copy-on-write — the
+        Delta ``MERGE INTO`` plan shape, replacing the base class's
+        full-table rewrite (VERDICT r9 task 1).  The verb the reference
+        exercises most: every 15-minute sync upserts every raw table on
+        ``_dlt_id``/``_dlt_root_id`` (dags/dlt_sources/mongodb/
+        __init__.py:61-67, models/stage/users.sql:2-5), so at 100 TB a
+        full rewrite per micro-batch is THE scale-killer.
+
+        Plan: the batch's key range [min, max] is two scalars (one
+        bounded agg); entries whose ``unique_key`` min/max stats prove
+        NO batch key can fall inside carry over BY IDENTITY — on a
+        key-clustered table a micro-batch rewrites ~the files its keys
+        live in, never the table.  May-match entries re-read, rows
+        whose key is in the delete set drop (left anti), survivors plus
+        the batch land in ONE fresh dir, one base-anchored commit swaps
+        candidates for it.  When stats prove no candidate at all, the
+        merge degrades to a plain rebaseable APPEND of the batch.
+
+        Change feed: the commit records Delta-style merge CDC classes —
+        matched keys present in the batch emit update_preimage/
+        update_postimage, matched keys absent from the batch (root-key
+        deletes) emit delete, unmatched batch rows emit insert — so
+        ``read_changes_cdf`` serves the feed across the reference's M2
+        path instead of refusing (VERDICT r9 task 2).
+
+        Concurrency: loud abort on a lost race, like delete_where (a
+        merge computed against a stale base could resurrect deleted
+        rows); the degraded append path stays rebaseable.  Writer
+        watermarks (``txn``) carry from the base — a merge is DML, not
+        a replace.  Tables without stats on ``unique_key`` keep the
+        correct-but-full rewrite (every entry is a may-match candidate);
+        declare the key in ``stats_cols`` and cluster on it for the
+        bounded behavior."""
+        from pyspark.sql import functions as F
+
+        prev = self._manifest(name)
+        if prev is None or (
+            not prev["entries"] and not prev.get("segments")
+        ):
+            # absent/empty target: the batch IS the table
+            self.replace_atomic(name, df, ())
+            return
+        keys = (
+            delete_keys if delete_keys is not None else df
+        ).select(unique_key).distinct()
+        row = keys.agg(
+            F.min(unique_key).alias("mn"), F.max(unique_key).alias("mx")
+        ).first()
+        lo, hi = row["mn"], row["mx"]
+        candidates, m = (
+            self.prune_entries(name, unique_key, lo, hi)
+            if lo is not None
+            else ([], self._manifest(name))
+        )
+        n_matched = 0
+        if candidates:
+            cand_df = self._read_entries(name, m, candidates)
+            matched = cand_df.join(keys, unique_key, "left_semi")
+            n_matched = matched.count()
+        if n_matched == 0:
+            # no target row carries a batch key: the merge IS an append
+            # (rebaseable — commutes with concurrent appends)
+            if df.isEmpty():
+                return  # delete-only merge with nothing to delete
+            self.write(name, df, "append")
+            return
+        # write-time schema guard BEFORE landing (same contract as
+        # append: additive evolution ok, type change refuses loudly)
+        merged_schema = self._enforce_append_schema(name, m, df)
+        if merged_schema is None:
+            merged_schema = df.schema.jsonValue()
+        cand_ids = {
+            (e["dir"], e.get("rel"), str(e["partitions"])) for e in candidates
+        }
+        untouched = [
+            e
+            for e in m["entries"]
+            if (e["dir"], e.get("rel"), str(e["partitions"])) not in cand_ids
+        ]
+        keep = cand_df.join(keys, unique_key, "left_anti")
+        merged = keep.unionByName(df, allowMissingColumns=True)
+        cols = tuple(m["partition_columns"])
+        new, _ = self._new_data_dir(name, merged, cols)
+        if new:
+            self._enforce_constraints(
+                name, m, join_uri(self.path(name), new[0]["dir"])
+            )
+        df_keys = df.select(unique_key).distinct()
+        matched_keys = matched.select(unique_key).distinct()
+        changed = (
+            matched.join(df_keys, unique_key, "left_semi")
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                matched.join(df_keys, unique_key, "left_anti")
+                .withColumn("_change_type", F.lit("delete")),
+                allowMissingColumns=True,
+            )
+            .unionByName(
+                df.join(matched_keys, unique_key, "left_semi")
+                .withColumn("_change_type", F.lit("update_postimage")),
+                allowMissingColumns=True,
+            )
+            .unionByName(
+                df.join(matched_keys, unique_key, "left_anti")
+                .withColumn("_change_type", F.lit("insert")),
+                allowMissingColumns=True,
+            )
+        )
+        n_batch = df.count()
+        cdc = self._land_cdc(
+            name, changed, n_matched + n_batch, "merge", m["version"]
+        )
+        self._commit(
+            name, untouched + new, list(cols), m["version"],
+            schema=merged_schema, cdc=cdc, txn=m.get("txn"),
+        )
 
 
 class CatalogManifestFormat(ManifestFormat):
@@ -3115,6 +3295,7 @@ class CatalogManifestFormat(ManifestFormat):
         base_version: int = 0,
         schema: dict | None = None,
         cdc: dict | None = None,
+        txn: dict | None = None,
     ) -> None:
         """Non-rebaseable (replace) commit + catalog flip.  On this
         format the COMMIT POINT is the catalog flip, so the replace's
@@ -3126,7 +3307,9 @@ class CatalogManifestFormat(ManifestFormat):
         ``base + 1``; a lost create race just re-allocates.  Previously
         the flip was unconditional, so a replace racing a concurrent
         append would silently overwrite the append's pointer (the
-        catalog-format twin of ADVICE r8 #1)."""
+        catalog-format twin of ADVICE r8 #1).  ``txn`` as on the base
+        class: DML verbs carry the base's writer watermarks, replaces
+        reset them."""
         import random
         import time
 
@@ -3135,7 +3318,7 @@ class CatalogManifestFormat(ManifestFormat):
         for attempt in range(self.COMMIT_ATTEMPTS):
             nxt = self._latest_version(name) + 1
             if self._try_write_manifest(
-                name, nxt, entries, partition_columns, segments=segs,
+                name, nxt, entries, partition_columns, txn, segments=segs,
                 schema=schema,
                 constraints=(prev or {}).get("constraints"),
                 cdc=cdc,

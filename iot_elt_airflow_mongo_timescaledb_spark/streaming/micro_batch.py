@@ -120,9 +120,18 @@ def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     path = os.path.join(sf_dir, "events.parquet")
     try:
         return spark.read.parquet(path).schema
-    except Exception:
+    except Exception as first_err:
+        # retry only the TIMESTAMP(NANOS) unsupported-type failure —
+        # any other read error must not mutate the session conf on its
+        # way to re-raising (ADVICE r9 #5)
+        if "nanos" not in str(first_err).lower():
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).schema
+        try:
+            return spark.read.parquet(path).schema
+        except Exception:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            raise
 
 
 def events_stream(
