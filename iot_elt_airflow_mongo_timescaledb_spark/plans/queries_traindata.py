@@ -2173,3 +2173,86 @@ def ann_ivf_int_topk(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     out = S.ivf_int_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_probe=4)
     return out.select("query_id", "neighbor_id", "score", "rk")
+
+
+@query(
+    "ann_maintained_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    m AS (SELECT vec_id, label, e,
+            list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM v),
+    q AS (SELECT vec_id, label,
+            list_transform(e, x -> coalesce(CAST(round(x / scale) AS BIGINT), 0))
+              AS qv
+          FROM m),
+    pos AS (SELECT label, unnest(qv) AS x,
+                   unnest(range(1, len(qv) + 1)) AS i
+            FROM q WHERE vec_id % 3 = 0),
+    cent AS (
+      SELECT CAST(label AS VARCHAR) AS cluster, array_agg(s ORDER BY i) AS cvec
+      FROM (SELECT label, i, CAST(SUM(x) AS BIGINT) AS s
+            FROM pos GROUP BY 1, 2) t
+      GROUP BY label),
+    assign AS (
+      SELECT vec_id, qv, cluster FROM (
+        SELECT q.vec_id, q.qv, cent.cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(cent.cvec, q.qv)
+                 / sqrt(list_dot_product(cent.cvec, cent.cvec)
+                        * list_dot_product(q.qv, q.qv)) DESC,
+                 cent.cluster ASC) AS ark
+        FROM q CROSS JOIN cent) a
+      WHERE ark = 1),
+    qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, cluster FROM (
+        SELECT qs.query_id, cent.cluster,
+               ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+                 list_dot_product(cent.cvec, qs.qv)
+                 / sqrt(list_dot_product(cent.cvec, cent.cvec)
+                        * list_dot_product(qs.qv, qs.qv)) DESC,
+                 cent.cluster ASC) AS prk
+        FROM qs CROSS JOIN cent) p
+      WHERE prk <= 4),
+    cand AS (
+      SELECT qs.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.qv, qs.qv)
+                   / sqrt(list_dot_product(a.qv, a.qv)
+                          * list_dot_product(qs.qv, qs.qv)), 6) AS score
+      FROM probe
+      JOIN qs ON qs.query_id = probe.query_id
+      JOIN assign a ON a.cluster = probe.cluster
+                   AND a.vec_id <> qs.query_id)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rk
+      FROM cand) r
+    WHERE rk <= 3
+    """,
+    gate=False,  # ANN family: ann_lsh_topk carries the gate
+)
+def ann_maintained_topk(spark, sf_dir):
+    """MAINTAINED IVF index (round 10, VERDICT r9 task 5): centroids
+    train ONCE on a third of the corpus and freeze in the warehouse;
+    the remaining vectors arrive as two incremental syncs (assignment
+    to nearest stored centroid — a broadcast over the centroid table,
+    never a corpus pass); queries then probe the STORED index.  The
+    one-shot ``ivf_int_topk`` recomputes centroids per call — O(corpus)
+    per query batch at 100 TB; this is the amortized replacement.  The
+    oracle rebuilds the frozen codebook from the train subset, assigns
+    every vector to its nearest centroid, and serves the same
+    integer-exact probe/scoring — index-served == recompute-served is
+    additionally pinned in tests/test_ann_index.py
+    (plans/ann_index.py:IncrementalANNSync)."""
+    from ..fs import scratch_dir
+    from .ann_index import IncrementalANNSync
+
+    root = scratch_dir(spark, "anni_", cleanup_atexit=True)
+    idx = IncrementalANNSync(spark, root, "agg.ann")
+    e = table(spark, sf_dir, "embeddings")
+    idx.train(e.filter(F.col("vec_id") % 3 == 0))
+    idx.sync(e.filter(F.col("vec_id") % 3 == 1))
+    idx.sync(e.filter(F.col("vec_id") % 3 == 2))
+    out = idx.topk(e.filter(F.col("vec_id") < 5), k=3, n_probe=4)
+    return out.select("query_id", "neighbor_id", "score", "rk")

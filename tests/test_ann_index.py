@@ -1,0 +1,183 @@
+"""Maintained IVF index (VERDICT r9 task 5): centroids stored in the
+warehouse, membership maintained batch-incrementally from the change
+feed — query cost probe-bounded, maintenance cost batch-bounded, and
+the ONE O(corpus) verb (retrain) explicit.
+
+Pins: index-served top-k == recompute-served top-k against the same
+frozen codebook on the synced corpus (the maintained-index correctness
+invariant), exactly-once syncs via the manifest txn watermarks, recall
+floor after several incremental batches, and the realtime-tail union.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import iot_elt_airflow_mongo_timescaledb_spark.operators.similarity as S
+from iot_elt_airflow_mongo_timescaledb_spark.plans.ann_index import (
+    IncrementalANNSync,
+)
+from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+    ManifestFormat,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """10 tight clusters x 30 points, dim 32 (deterministic seed)."""
+    rng = random.Random(7)
+    dim, n_clusters, per = 32, 10, 30
+    rows = []
+    for cl in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for j in range(per):
+            vec = [c + rng.gauss(0, 0.05) for c in center]
+            rows.append((cl * per + j, [float(x) for x in vec], cl))
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    ).cache()
+
+
+def _rows(df):
+    return {
+        (r["query_id"], r["neighbor_id"], r["score"], r["rk"])
+        for r in df.collect()
+    }
+
+
+def _split(clustered):
+    """Train on vec_id % 3 == 0, sync the rest in two batches — every
+    cluster contributes to all three slices."""
+    train = clustered.filter(F.col("vec_id") % 3 == 0)
+    b1 = clustered.filter(F.col("vec_id") % 3 == 1)
+    b2 = clustered.filter(F.col("vec_id") % 3 == 2)
+    return train, b1, b2
+
+
+def test_index_served_equals_recompute_served(spark, tmp_path, clustered):
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann")
+    train, b1, b2 = _split(clustered)
+    n = idx.train(train)
+    assert n == 10
+    assert idx.sync(b1) and idx.sync(b2)
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    served = idx.topk(queries, k=3, n_probe=2)
+    recomputed = idx.recompute_topk(clustered, queries, k=3, n_probe=2)
+    assert _rows(served) == _rows(recomputed)
+    assert served.count() == queries.count() * 3
+
+
+def test_sync_exactly_once_on_manifest_format(spark, tmp_path, clustered):
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    idx = IncrementalANNSync(
+        spark, str(tmp_path), "agg.ann", table_format=fmt
+    )
+    train, b1, _ = _split(clustered)
+    idx.train(train)
+    base = idx.wh.read(idx.assign_table).count()
+    assert idx.sync(b1, batch_id=5) is True
+    n1 = idx.wh.read(idx.assign_table).count()
+    assert n1 == base + b1.count()
+    # a foreachBatch replay of the same batch id no-ops
+    assert idx.sync(b1, batch_id=5) is False
+    assert idx.wh.read(idx.assign_table).count() == n1
+
+
+def test_sync_from_changes_is_incremental_and_idempotent(
+    spark, tmp_path, clustered
+):
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    idx = IncrementalANNSync(
+        spark, str(tmp_path), "agg.ann", table_format=fmt
+    )
+    train, b1, b2 = _split(clustered)
+    idx.train(train)
+    # the source table the index follows
+    fmt.write("raw.vecs", b1, "overwrite")
+    assert idx.sync_from_changes(fmt, "raw.vecs") is True  # bootstrap
+    assert idx.sync_from_changes(fmt, "raw.vecs") is False  # nothing new
+    fmt.write("raw.vecs", b2, "append")
+    assert idx.sync_from_changes(fmt, "raw.vecs") is True  # the delta only
+    assert idx.sync_from_changes(fmt, "raw.vecs") is False
+    # membership is complete and identical to the recompute path
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    served = idx.topk(queries, k=3, n_probe=2)
+    recomputed = idx.recompute_topk(clustered, queries, k=3, n_probe=2)
+    assert _rows(served) == _rows(recomputed)
+
+
+def _recall(truth_df, approx_df) -> float:
+    truth: dict = {}
+    for r in truth_df.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx: dict = {}
+    for r in approx_df.collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    return hit / total
+
+
+def test_recall_floor_after_incremental_batches(spark, tmp_path, clustered):
+    """After train + two incremental batches, the INDEX's own loss
+    (probe misses) must be ~zero on planted clustered data: recall@3
+    vs the exact brute force over the SAME int8 tier
+    (quantized_cosine_topk) >= 0.95 at single probe.  The tier's own
+    quantization reordering vs float ground truth is bounded
+    separately (tests/test_quantization.py); against float truth the
+    composed floor here is 0.8 (int8 noise reorders near-ties inside
+    tight clusters — measured 0.84)."""
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann")
+    train, b1, b2 = _split(clustered)
+    idx.train(train)
+    idx.sync(b1)
+    idx.sync(b2)
+    queries = clustered.filter(F.col("vec_id") % 10 == 0)
+    served = idx.topk(queries, k=3, n_probe=1)
+    q_truth = S.quantized_cosine_topk(clustered, queries, k=3)
+    assert _recall(q_truth, served) >= 0.95
+    f_truth = S.cosine_topk(clustered, queries, k=3)
+    assert _recall(f_truth, served) >= 0.8
+
+
+def test_topk_realtime_serves_unindexed_tail(spark, tmp_path, clustered):
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann")
+    train, b1, b2 = _split(clustered)
+    idx.train(train)
+    idx.sync(b1)
+    # b2 is the unindexed tail: its vectors must still be reachable
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    out = idx.topk_realtime(queries, b2, k=3, n_probe=2)
+    tail_ids = {r["vec_id"] for r in b2.collect()}
+    served_ids = {r["neighbor_id"] for r in out.collect()}
+    assert served_ids & tail_ids  # tight clusters: tail members rank
+    # and the union equals recompute over the full corpus membership
+    recomputed = idx.recompute_topk(clustered, queries, k=3, n_probe=2)
+    # realtime scores tail vectors brute-force (no probe gate), so it
+    # can only see MORE candidates than the index path — every indexed
+    # result it returns must carry the same score
+    rec = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in recomputed.collect()
+    }
+    for r in out.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in rec:
+            assert rec[key] == r["score"]
+
+
+def test_retrain_recenteres_and_keeps_equivalence(spark, tmp_path, clustered):
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann")
+    train, b1, b2 = _split(clustered)
+    idx.train(train)
+    idx.sync(b1)
+    idx.sync(b2)
+    n = idx.retrain()
+    assert 1 <= n <= 10
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    served = idx.topk(queries, k=3, n_probe=2)
+    recomputed = idx.recompute_topk(clustered, queries, k=3, n_probe=2)
+    assert _rows(served) == _rows(recomputed)
