@@ -804,29 +804,63 @@ class ManifestFormat(TableFormat):
                 tail = new_tail
 
         kept = [s for si, s in enumerate(prev_segs) if si in carried]
-        if self.segment_entries is not None and len(tail) > self.segment_entries:
-            # flush in CHUNKS of at most segment_entries (not one
-            # monolithic file): a bulk commit would otherwise produce a
-            # single table-sized segment whose rolled-up stats span
-            # everything — unskippable, and unbounded to parse.
-            # Chunked, a narrow read's metadata cost is
-            # O(matching chunks) and every segment parse is bounded.
-            chunk = max(self.segment_entries, 1)
-            for i in range(0, len(tail), chunk):
-                part = tail[i : i + chunk]
-                fname = f"seg-{uuid.uuid4().hex}.json"
-                self.fs.write_text(
-                    join_uri(self._log_path(name), fname),
-                    json.dumps({"entries": part}),
-                    overwrite=False,
-                )
-                ref = {"file": fname, "n": len(part)}
-                seg_stats = self._rollup_seg_stats(part)
-                if seg_stats:
-                    ref["stats"] = seg_stats
-                kept = kept + [ref]
-            tail = []
-        return kept, tail
+        return self._flush_tail(name, kept, tail)
+
+    def _flush_tail(self, name: str, kept: list, tail: list) -> tuple[list, list]:
+        """Flush an oversized inline tail into new segment files (the
+        shared last step of ``_resegment`` and the raw two-tier edit
+        path): chunks of at most ``segment_entries`` each — a bulk
+        commit would otherwise produce a single table-sized segment
+        whose rolled-up stats span everything (unskippable, unbounded
+        to parse).  Each ref carries rolled-up column stats AND
+        partition-value ranges so both the read path and partition
+        edits can skip the segment without parsing it."""
+        import json
+        import uuid
+
+        if self.segment_entries is None or len(tail) <= self.segment_entries:
+            return kept, tail
+        chunk = max(self.segment_entries, 1)
+        for i in range(0, len(tail), chunk):
+            part = tail[i : i + chunk]
+            fname = f"seg-{uuid.uuid4().hex}.json"
+            self.fs.write_text(
+                join_uri(self._log_path(name), fname),
+                json.dumps({"entries": part}),
+                overwrite=False,
+            )
+            ref = {"file": fname, "n": len(part)}
+            seg_stats = self._rollup_seg_stats(part)
+            if seg_stats:
+                ref["stats"] = seg_stats
+            seg_parts = self._rollup_seg_partitions(part)
+            if seg_parts:
+                ref["partitions"] = seg_parts
+            kept = kept + [ref]
+        return kept, []
+
+    @staticmethod
+    def _rollup_seg_partitions(entries: list) -> dict:
+        """Segment-level [min, max] of hive partition VALUES, per
+        column — the tier that lets ``drop_partitions_below`` /
+        ``dynamic_partition_overwrite`` carry an untouched segment BY
+        REFERENCE without parsing it (VERDICT r9 task 6).  A column
+        appears only when EVERY entry carries a non-NULL value for it
+        (an entry without one could hide inside an excludable
+        segment); values compare as strings — exactly the fixed-width
+        contract the partition verbs document."""
+        out: dict = {}
+        if not entries:
+            return out
+        cols = set((entries[0].get("partitions") or {}).keys())
+        for e in entries[1:]:
+            cols &= set((e.get("partitions") or {}).keys())
+        for c in cols:
+            vals = [(e.get("partitions") or {}).get(c) for e in entries]
+            if any(v is None or not isinstance(v, str) for v in vals):
+                continue
+            out[c] = [min(vals), max(vals)]
+        return out
 
     @classmethod
     def _rollup_seg_stats(cls, entries: list) -> dict:
@@ -1037,19 +1071,28 @@ class ManifestFormat(TableFormat):
                 "write — re-run the operation against the new table state"
             )
 
-    def _commit_edit(self, name: str, edit_fn) -> bool:
+    def _commit_edit(self, name: str, edit_fn, resolve: bool = True) -> bool:
         """Rebaseable commit: ``edit_fn(prev_manifest | None) ->
         (entries, partition_columns) | None`` is re-applied against the
         CURRENT head on every attempt, so a lost CAS rebases instead of
         aborting (append vs append commutes; partition edits re-filter
         the new head).  ``None`` from ``edit_fn`` means nothing to
         commit (returns False).  Raises after ``COMMIT_ATTEMPTS`` lost
-        races — livelock turns into a loud error, not silent loss."""
+        races — livelock turns into a loud error, not silent loss.
+
+        ``resolve=False`` is the TWO-TIER edit mode (VERDICT r9 task
+        6): edit_fn receives the RAW manifest (segment refs unparsed)
+        and returns a 6-tuple whose last element is the list of
+        segment refs it carries BY REFERENCE — those are written
+        through verbatim (no ``_resegment``, no parse, no
+        re-serialization) and only the returned inline entries flush;
+        the metadata cost of a narrow partition edit then scales with
+        the segments it touches, not table size."""
         import random
         import time
 
         for attempt in range(self.COMMIT_ATTEMPTS):
-            prev = self._manifest(name)
+            prev = self._manifest(name, resolve=resolve)
             out = edit_fn(prev)
             if out is None:
                 return False
@@ -1080,7 +1123,10 @@ class ManifestFormat(TableFormat):
             # concurrent entries (ADVICE r8 #1).  Anchored to the base,
             # the concurrent commit collides on the version file and
             # this edit rebases as documented.
-            segs, entries = self._resegment(name, prev, entries)
+            if len(out) > 5 and out[5] is not None:
+                segs, entries = self._flush_tail(name, list(out[5]), entries)
+            else:
+                segs, entries = self._resegment(name, prev, entries)
             nxt = (prev["version"] if prev else 0) + 1
             if self._try_write_manifest(
                 name, nxt, entries, cols, txn, segments=segs,
@@ -1879,25 +1925,60 @@ class ManifestFormat(TableFormat):
         edit: old entries for those partition values drop out, the new
         dir's entries take their place.  Atomic per TABLE here (one
         commit), strictly stronger than the parquet commit protocol's
-        per-partition atomicity."""
-        prev = self._manifest(name)
-        # guard BEFORE landing any data: an existing entry with no value
-        # for partition_col (unpartitioned write, or a different layout)
-        # cannot be compared against the replace set — keeping it would
-        # silently duplicate rows for the replaced values
-        stale = [
-            e
-            for e in (prev["entries"] if prev else [])
-            if not e["partitions"] or partition_col not in e["partitions"]
-        ]
-        if stale:
-            raise ValueError(
-                f"dynamic_partition_overwrite on {name}: {len(stale)} "
-                f"existing entr(ies) carry no '{partition_col}' partition "
-                "value (unpartitioned or differently-partitioned history) "
-                "— rewrite the table via replace_atomic with the target "
-                "layout first"
-            )
+        per-partition atomicity.
+
+        TWO-TIER on a segmented manifest (VERDICT r9 task 6): a
+        segment whose rolled-up partition range excludes every
+        replaced value carries by reference WITHOUT being parsed — the
+        backfill's metadata cost scales with the days it replaces, not
+        table entry count.  A ref with a recorded range for the column
+        also proves every member entry HAS the value, so the layout
+        guard holds for unparsed segments too."""
+
+        def guard(e):
+            # an existing entry with no value for partition_col
+            # (unpartitioned write, or a different layout) cannot be
+            # compared against the replace set — keeping it would
+            # silently duplicate rows for the replaced values
+            if not e["partitions"] or partition_col not in e["partitions"]:
+                raise ValueError(
+                    f"dynamic_partition_overwrite on {name}: an existing "
+                    f"entry carries no '{partition_col}' partition value "
+                    "(unpartitioned or differently-partitioned history) "
+                    "— rewrite the table via replace_atomic with the "
+                    "target layout first"
+                )
+
+        def split_two_tier(head):
+            """(untouched segment refs, entries needing comparison) of
+            a RAW head; guards every entry it parses."""
+            kept_refs, loose = [], []
+            for s in (head.get("segments") or []) if head else []:
+                rng = (s.get("partitions") or {}).get(partition_col)
+                if rng is not None and not any(
+                    rng[0] <= v <= rng[1] for v in replaced
+                ):
+                    kept_refs.append(s)  # provably untouched: no parse
+                    continue
+                for e in self._load_segment(name, s["file"]):
+                    guard(e)
+                    loose.append(e)
+            for e in (head["entries"] if head else []):
+                guard(e)
+                loose.append(e)
+            return kept_refs, loose
+
+        prev = self._manifest(name, resolve=False)
+        # guard BEFORE landing any data — segments whose recorded range
+        # proves membership are not parsed even here (replaced is not
+        # known yet, so pre-guard only skips refs with a range at all)
+        if prev is not None:
+            for s in prev.get("segments") or []:
+                if (s.get("partitions") or {}).get(partition_col) is None:
+                    for e in self._load_segment(name, s["file"]):
+                        guard(e)
+            for e in prev["entries"]:
+                guard(e)
         merged = (
             self._enforce_append_schema(name, prev, df)
             if prev is not None
@@ -1915,23 +1996,23 @@ class ManifestFormat(TableFormat):
             for k, v in ((prev or {}).get("constraints") or {}).items()
             if k != "__none__"
         }
+        prev_version = prev["version"] if prev else 0
 
         def swap_partitions(head):
-            if head is not None and head is not prev:
+            if head is not None and head["version"] != prev_version:
                 self._recheck_on_rebase(name, head, df, new, checked_cons)
-            head_entries = head["entries"] if head else []
-            if any(
-                not e["partitions"] or partition_col not in e["partitions"]
-                for e in head_entries
-            ):
+            try:
+                kept_refs, loose = split_two_tier(head)
+            except ValueError as e:
+                # a concurrent layout change landed after the pre-guard
                 raise RuntimeError(
                     f"dynamic_partition_overwrite on {name} lost to a "
                     "concurrent layout change; re-run against the new "
                     "table state"
-                )
+                ) from e
             kept = [
                 e
-                for e in head_entries
+                for e in loose
                 if e["partitions"].get(partition_col) not in replaced
             ]
             return (
@@ -1941,9 +2022,11 @@ class ManifestFormat(TableFormat):
                 self._merge_schema_json(
                     (head or {}).get("schema"), merged
                 ),
+                None,
+                kept_refs,
             )
 
-        self._commit_edit(name, swap_partitions)
+        self._commit_edit(name, swap_partitions, resolve=False)
 
     def drop_partitions_below(
         self, name: str, partition_col: str, cutoff: str
@@ -1951,8 +2034,16 @@ class ManifestFormat(TableFormat):
         """Logical delete: partitions below the cutoff leave the
         manifest in ONE commit; no data moves (``vacuum`` reclaims the
         bytes later).  On a 100 TB table this is one small-file write
-        where the directory format does 90 deletes."""
-        if self._manifest(name) is None:
+        where the directory format does 90 deletes.
+
+        TWO-TIER on a segmented manifest (VERDICT r9 task 6): a
+        segment whose rolled-up partition range proves every entry is
+        AT/ABOVE the cutoff carries by reference WITHOUT being parsed
+        — the retention edit's metadata cost scales with the old tail
+        it drops, not with the table's entry count.  Segments without
+        a recorded range (pre-r10, or mixed layouts) parse as before —
+        pruning never changes results."""
+        if self._manifest(name, resolve=False) is None:
             return 0
         dropped_vals: set = set()
 
@@ -1960,18 +2051,31 @@ class ManifestFormat(TableFormat):
             if head is None:
                 return None
             dropped_vals.clear()  # recompute against the current head
-            keep = []
-            for e in head["entries"]:
+            kept_refs, keep = [], []
+
+            def classify(e):
                 val = (e["partitions"] or {}).get(partition_col)
                 if val is not None and val < cutoff:
                     dropped_vals.add(val)
                 else:
                     keep.append(e)
+
+            for s in head.get("segments") or []:
+                rng = (s.get("partitions") or {}).get(partition_col)
+                if rng is not None and rng[0] >= cutoff:
+                    kept_refs.append(s)  # provably untouched: no parse
+                    continue
+                for e in self._load_segment(name, s["file"]):
+                    classify(e)
+            for e in head["entries"]:
+                classify(e)
             if not dropped_vals:
                 return None  # nothing below the cutoff: no commit
-            return keep, head["partition_columns"]
+            return (
+                keep, head["partition_columns"], None, None, None, kept_refs
+            )
 
-        self._commit_edit(name, drop_entries)
+        self._commit_edit(name, drop_entries, resolve=False)
         return len(dropped_vals)
 
     def write_streaming_batch(
@@ -3341,18 +3445,21 @@ class CatalogManifestFormat(ManifestFormat):
                 "against the new table state"
             )
 
-    def _commit_edit(self, name: str, edit_fn) -> bool:
+    def _commit_edit(self, name: str, edit_fn, resolve: bool = True) -> bool:
         """Rebaseable commit through the CATALOG: the edit recomputes
         against the catalog-resolved head, the manifest lands via the
         version CAS, and the flip is CONDITIONED on the table still
         resolving to the edit's base (``_flip_if_base``) — if another
         writer advanced it in between, the fresh manifest is abandoned
-        as an orphan and the whole edit rebases on the new head."""
+        as an orphan and the whole edit rebases on the new head.
+        ``resolve=False`` + 6-tuple = the two-tier edit mode, as on the
+        base class."""
         import random
         import time
 
         for attempt in range(self.COMMIT_ATTEMPTS):
-            prev = self._manifest(name)  # catalog/pending-resolved head
+            # catalog/pending-resolved head
+            prev = self._manifest(name, resolve=resolve)
             base_v = prev["version"] if prev else 0
             out = edit_fn(prev)
             if out is None:
@@ -3373,7 +3480,10 @@ class CatalogManifestFormat(ManifestFormat):
                 if len(out) > 4 and out[4] is not None
                 else (prev or {}).get("constraints")
             )
-            segs, entries = self._resegment(name, prev, entries)
+            if len(out) > 5 and out[5] is not None:
+                segs, entries = self._flush_tail(name, list(out[5]), entries)
+            else:
+                segs, entries = self._resegment(name, prev, entries)
             nxt = self._latest_version(name) + 1
             if not self._try_write_manifest(
                 name, nxt, entries, cols, txn, segments=segs,

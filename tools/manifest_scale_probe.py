@@ -155,6 +155,54 @@ def main() -> None:
             "segments": len(raw["segments"]),
         }
         shutil.rmtree(root, ignore_errors=True)
+
+    # -- partition edits on the segmented log (r10, VERDICT r9 task 6):
+    # drop_partitions_below must parse ONLY the segments whose recorded
+    # partition range intersects the drop — commit cost flat in table
+    # entry count, scaling with the dropped tail
+    for n in (10_000, 100_000):
+        root = tempfile.mkdtemp(prefix=f"pprobe_{n}_")
+        fmt = ManifestFormat(spark, root, segment_entries=1_000)
+        per_day = n // 100
+        entries = [
+            {
+                "dir": f"d-{i // per_day:03d}",
+                "rel": f"part-{i:08d}.parquet",
+                "partitions": {"day": f"d{i // per_day:03d}"},
+            }
+            for i in range(n)
+        ]
+
+        def seed(head):
+            return entries, ["day"]
+
+        fmt._commit_edit("s.t", seed)
+        drop_ms, segs_parsed = [], []
+        for rep in range(5):
+            cold = ManifestFormat(spark, root, segment_entries=1_000)
+            cutoff = f"d{rep + 1:03d}"  # drops exactly one more day
+            t0 = time.perf_counter()
+            dropped = cold.drop_partitions_below("s.t", "day", cutoff)
+            drop_ms.append((time.perf_counter() - t0) * 1000)
+            assert dropped == 1, dropped
+            segs_parsed.append(len(cold._seg_cache))
+        raw = json.loads(
+            fmt.fs.read_text(
+                os.path.join(
+                    fmt._log_path("s.t"),
+                    sorted(
+                        f
+                        for f in fmt.fs.list_files(fmt._log_path("s.t"))
+                        if f.startswith("v")
+                    )[-1],
+                )
+            )
+        )
+        out[f"pedit_entries_{n}"] = {
+            "drop_partition_ms": round(statistics.median(drop_ms), 2),
+            "segs_parsed_of": [segs_parsed[0], len(raw["segments"])],
+        }
+        shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({"probe": "manifest_entries", **out}))
 
 
