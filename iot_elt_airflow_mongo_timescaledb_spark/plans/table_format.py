@@ -871,8 +871,11 @@ class ManifestFormat(TableFormat):
         exclusion is always sound (an entry without stats would
         otherwise hide inside an excludable segment).  ``opaque``
         tags and mixed domains drop the column — same keep-by-default
-        rules as entry pruning."""
+        rules as entry pruning.  Recorded ZERO-row entries are skipped
+        outright: they match nothing, and their [None, None] stats
+        would otherwise drop the column for the whole segment."""
         out: dict = {}
+        entries = [e for e in entries if e.get("rows") != 0]
         if not entries:
             return out
         cols = set((entries[0].get("stats") or {}).keys())
@@ -1202,7 +1205,7 @@ class ManifestFormat(TableFormat):
         if not present:
             return
 
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__n")]
         for c in present:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
@@ -1216,12 +1219,18 @@ class ManifestFormat(TableFormat):
                     tuple(e["partitions"][c] for c in partition_by)
                 )
                 if r is not None:
+                    e["rows"] = int(r["__n"])
                     e["stats"] = {
                         c: _stat_triplet(r[f"__mn_{c}"], r[f"__mx_{c}"])
                         for c in present
                     }
         else:
             r = df.agg(*aggs).first()
+            # a ZERO-row entry (routine: empty 15-minute micro-batches)
+            # has [None, None] stats, which keep-by-default pruning
+            # would treat as unknowable forever — the recorded count
+            # lets every pruning tier exclude it outright
+            entries[0]["rows"] = int(r["__n"])
             entries[0]["stats"] = {
                 c: _stat_triplet(r[f"__mn_{c}"], r[f"__mx_{c}"])
                 for c in present
@@ -2695,7 +2704,11 @@ class ManifestFormat(TableFormat):
         encodings (str()-encoded non-native types whose lexicographic
         order is not the value order, e.g. Decimal — ADVICE r8 #5),
         and cross-domain bound/stat comparisons all answer True
-        (pruning must never change results)."""
+        (pruning must never change results).  The one PROVABLE
+        exclusion without stats: a recorded ZERO-row entry (an empty
+        micro-batch's dir) matches nothing, ever."""
+        if e.get("rows") == 0:
+            return False
         st = (e.get("stats") or {}).get(col)
         if not st or st[0] is None or st[1] is None:
             return True
@@ -2761,6 +2774,8 @@ class ManifestFormat(TableFormat):
         — same keep-by-default rules for missing/opaque stats and
         cross-domain values, and an empty set keeps everything (the
         row filter, not the prune, decides emptiness)."""
+        if e.get("rows") == 0:
+            return False
         st = (e.get("stats") or {}).get(col)
         if not st or st[0] is None or st[1] is None:
             return True

@@ -1365,8 +1365,8 @@ def test_append_racing_commit_after_base_read_rebases(
     orig = type(fmt)._manifest
     state = {"calls": 0, "injected": False}
 
-    def racing_manifest(self, name, version=None):
-        m = orig(self, name, version)
+    def racing_manifest(self, name, version=None, resolve=True):
+        m = orig(self, name, version, resolve=resolve)
         state["calls"] += 1
         # call 1 = write()'s layout read; call 2 = _commit_edit's head
         # read — inject the concurrent commit right after it
@@ -1669,7 +1669,7 @@ def test_streaming_replay_races_compaction_of_its_own_batch(
     orig = type(b)._manifest
     state = {"calls": 0, "injected": False}
 
-    def racing_manifest(self, name, version=None):
+    def racing_manifest(self, name, version=None, resolve=True):
         state["calls"] += 1
         # call 1 = B's top watermark check (sees watermark 1 -> batch 2
         # is new); call 2 = B's _commit_edit head read — A's commit AND
@@ -1680,7 +1680,7 @@ def test_streaming_replay_races_compaction_of_its_own_batch(
                 "s.t", _days(spark, ("b2", 2)), 2
             )
             assert a.maybe_compact("s.t") >= 2
-        return orig(self, name, version)
+        return orig(self, name, version, resolve=resolve)
 
     monkeypatch.setattr(type(b), "_manifest", racing_manifest)
     committed = b.write_streaming_batch("s.t", _days(spark, ("b2", 2)), 2)

@@ -456,3 +456,23 @@ def test_txn_crash_between_bounded_merges_no_skew_no_resurrection(
     assert {f"v2d{i}" for i in range(100, 105)} <= got
     assert not {f"d{i}" for i in range(100, 110)} & got  # purged stay purged
     assert len(got) == 145
+
+
+def test_zero_row_entries_are_prunable(spark, tmp_path):
+    """An EMPTY micro-batch append (routine at a 15-minute cadence)
+    records rows=0 on its entry; every pruning tier excludes it
+    outright instead of keeping it forever as unknowable [None, None]
+    stats — so later merges/deletes never rewrite it."""
+    fmt = _fmt(spark, str(tmp_path), "manifest")
+    fmt.write("s.t", _rows(spark, (1, 10), (2, 20)), "overwrite")
+    fmt.write("s.t", spark.createDataFrame([], "k long, v long"), "append")
+    m = fmt._manifest("s.t")
+    assert [e.get("rows") for e in m["entries"]] == [2, 0]
+    kept, _ = fmt.prune_entries("s.t", "k", 1, 100)
+    assert len(kept) == 1  # the empty entry is provably no-match
+    before = {e["dir"] for e in m["entries"]}
+    fmt.merge("s.t", _rows(spark, (2, 22)), "k")
+    after = {e["dir"] for e in fmt._manifest("s.t")["entries"]}
+    # the empty entry carried by identity; only the real chunk re-landed
+    assert len(before & after) == 1
+    assert {r["v"] for r in fmt.read("s.t").collect()} == {10, 22}
