@@ -188,7 +188,12 @@ class IncrementalANNSync:
         if applied is not None and cur == int(applied):
             return False
         if applied is None:
-            delta = fmt.read(source_table)
+            # bootstrap from the SNAPSHOT at the captured version, not
+            # the head: fmt.read is lazy and would resolve whatever is
+            # latest when the assignment write executes — a concurrent
+            # append landing in that window would be indexed now AND
+            # re-delivered by the next incremental sync (duplicates)
+            delta = fmt.read_version(source_table, cur)
         else:
             delta = fmt.read_changes(source_table, int(applied), cur)
         return self.sync(delta, batch_id=cur, id_col=id_col, vec_col=vec_col)
@@ -200,7 +205,15 @@ class IncrementalANNSync:
         then every vector re-assigns to its new nearest.  Both tables
         rewrite atomically; O(indexed corpus), by design — run it on
         the maintenance cadence, not the sync cadence.  Returns the
-        number of centroids (empty clusters dissolve)."""
+        number of centroids (empty clusters dissolve).
+
+        The sync cursor SURVIVES the retrain: the assignments rewrite
+        is a replace (which resets the idempotent-writer watermarks by
+        contract), so the last applied batch id is re-recorded after
+        it — otherwise the next ``sync_from_changes`` would see a
+        fresh table and re-index the whole source (duplicate
+        neighbors at every rank)."""
+        applied = self._applied_batch_id()
         a = self.wh.read(self.assign_table)
         cent = (
             a.select("__cluster", F.posexplode("q").alias("i", "x"))
@@ -216,25 +229,48 @@ class IncrementalANNSync:
         self.wh.fmt.replace_atomic(self.centroids_table, cent, ())
         reassigned = self._assign(a.select("vec_id", "q"))
         self.wh.fmt.replace_atomic(self.assign_table, reassigned, ())
+        wsb = getattr(self.wh.fmt, "write_streaming_batch", None)
+        if applied is not None and wsb is not None:
+            # an EMPTY idempotent append re-records the watermark the
+            # replace reset (its zero-row entry is prunable metadata)
+            wsb(
+                self.assign_table,
+                self.wh.read(self.assign_table).limit(0),
+                int(applied),
+                app_id=self._APP_ID,
+            )
         return self.wh.read(self.centroids_table).count()
 
     # -- serve ---------------------------------------------------------------
 
-    def _score_candidates(self, probes: DataFrame, cand: DataFrame) -> DataFrame:
-        num = int_dot(F.col("__cq"), F.col("__qq")).cast("double")
-        den = F.sqrt(
-            (
-                int_dot(F.col("__cq"), F.col("__cq"))
-                * int_dot(F.col("__qq"), F.col("__qq"))
-            ).cast("double")
+    @staticmethod
+    def _int_cosine(a, b):
+        """The module's ONE scoring expression (exact integer dots, a
+        single bit-stable float division, round 6) — the contract with
+        the DuckDB oracle and with index==recompute equivalence; every
+        serving path must use it so a precision change can never split
+        the tiers."""
+        num = int_dot(a, b).cast("double")
+        den = F.sqrt((int_dot(a, a) * int_dot(b, b)).cast("double"))
+        return F.round(F.try_divide(num, den), 6)
+
+    @staticmethod
+    def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
         )
+        return scored.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= k
+        )
+
+    def _score_candidates(self, probes: DataFrame, cand: DataFrame) -> DataFrame:
         return (
             probes.join(cand, "__cluster")
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select(
                 "query_id",
                 "neighbor_id",
-                F.round(F.try_divide(num, den), 6).alias("score"),
+                self._int_cosine(F.col("__cq"), F.col("__qq")).alias("score"),
             )
         )
 
@@ -260,12 +296,7 @@ class IncrementalANNSync:
             "__cluster",
         )
         scored = self._score_candidates(probes.join(qq, "query_id"), cand)
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("neighbor_id").asc()
-        )
-        return scored.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") <= k
-        )
+        return self._rank_topk(scored, k)
 
     def _probe(self, queries, id_col, vec_col, n_probe):
         qq = quantize_embeddings(queries, id_col, vec_col, self.bits).select(
@@ -314,20 +345,13 @@ class IncrementalANNSync:
         tq = quantize_embeddings(tail, id_col, vec_col, self.bits).select(
             F.col(id_col).alias("neighbor_id"), F.col("q").alias("__cq")
         )
-        num = int_dot(F.col("__cq"), F.col("__qq")).cast("double")
-        den = F.sqrt(
-            (
-                int_dot(F.col("__cq"), F.col("__cq"))
-                * int_dot(F.col("__qq"), F.col("__qq"))
-            ).cast("double")
-        )
         fresh = (
             qq.crossJoin(F.broadcast(tq))
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select(
                 "query_id",
                 "neighbor_id",
-                F.round(F.try_divide(num, den), 6).alias("score"),
+                self._int_cosine(F.col("__cq"), F.col("__qq")).alias("score"),
             )
         )
         # a tail vector may ALSO be indexed already (sync raced the
@@ -335,12 +359,7 @@ class IncrementalANNSync:
         allc = indexed.unionByName(fresh).groupBy(
             "query_id", "neighbor_id"
         ).agg(F.max("score").alias("score"))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("neighbor_id").asc()
-        )
-        return allc.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") <= k
-        )
+        return self._rank_topk(allc, k)
 
     def recompute_topk(
         self,
@@ -368,9 +387,4 @@ class IncrementalANNSync:
             "__cluster",
         )
         scored = self._score_candidates(probes.join(qq, "query_id"), cand)
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("neighbor_id").asc()
-        )
-        return scored.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") <= k
-        )
+        return self._rank_topk(scored, k)

@@ -1716,6 +1716,38 @@ class ManifestFormat(TableFormat):
                 f"write to {name} rejected by constraint(s) — {detail}"
             )
 
+    @classmethod
+    def _normalize_nullability(cls, dt):
+        """The type with every nullability flag (field nullable, array
+        containsNull, map valueContainsNull) forced permissive —
+        schema enforcement compares THESE: nullability differences are
+        not type clashes (a computed frame's array<int> with
+        containsNull=false appending onto a parquet-derived
+        containsNull=true column is safe — parquet reads resolve
+        nullable anyway), and the stored schema keeps the permissive
+        variant so it never claims non-null over files that may hold
+        NULLs."""
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(cls._normalize_nullability(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                cls._normalize_nullability(dt.keyType),
+                cls._normalize_nullability(dt.valueType),
+                True,
+            )
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(
+                        f.name, cls._normalize_nullability(f.dataType), True
+                    )
+                    for f in dt.fields
+                ]
+            )
+        return dt
+
     def _enforce_append_schema(
         self, name: str, prev: dict, df
     ) -> dict | None:
@@ -1753,7 +1785,9 @@ class ManifestFormat(TableFormat):
         clashes = [
             (f.name, str(old[f.name]), str(f.dataType))
             for f in df.schema.fields
-            if f.name in old and f.dataType != old[f.name]
+            if f.name in old
+            and self._normalize_nullability(f.dataType)
+            != self._normalize_nullability(old[f.name])
         ]
         if clashes:
             detail = "; ".join(
@@ -1764,8 +1798,21 @@ class ManifestFormat(TableFormat):
                 "Additive columns evolve freely; a type change needs an "
                 "explicit full rewrite (replace/overwrite)."
             )
+        from pyspark.sql.types import StructField
+
+        appended = {f.name: f.dataType for f in df.schema.fields}
         merged = StructType(
-            list(existing.fields)
+            [
+                # widen to the permissive-nullability variant whenever
+                # the sides differ only there — the stored schema must
+                # never claim non-null over files that may hold NULLs
+                f
+                if f.name not in appended or appended[f.name] == f.dataType
+                else StructField(
+                    f.name, self._normalize_nullability(f.dataType), True
+                )
+                for f in existing.fields
+            ]
             + [f for f in df.schema.fields if f.name not in old]
         )
         return merged.jsonValue()
@@ -1793,7 +1840,9 @@ class ManifestFormat(TableFormat):
             clashes = [
                 f.name
                 for f in df.schema.fields
-                if f.name in old_t and f.dataType != old_t[f.name]
+                if f.name in old_t
+                and self._normalize_nullability(f.dataType)
+                != self._normalize_nullability(old_t[f.name])
             ]
             if clashes:
                 raise RuntimeError(
@@ -2446,8 +2495,15 @@ class ManifestFormat(TableFormat):
                 }
             )
         # the rewrite sees no DataFrame schema to re-derive: carry the
-        # base manifest's stored schema through the commit
-        self._commit(name, entries, [], m["version"], schema=m.get("schema"))
+        # base manifest's stored schema through the commit; txn carried
+        # too — clustering is row-preserving maintenance, and resetting
+        # the idempotent streaming-writer watermarks here would make a
+        # foreachBatch replay after a cluster() land twice (the same
+        # class of bug ADVICE r9 #1 closed on delete/update)
+        self._commit(
+            name, entries, [], m["version"], schema=m.get("schema"),
+            txn=m.get("txn"),
+        )
         return len(entries)
 
     def _land_cdc(
@@ -2990,8 +3046,8 @@ class ManifestFormat(TableFormat):
             *[F.expr(e).alias(c) for c, e in set_exprs.items()]
         ).schema
         for c, e in set_exprs.items():
-            old_t = cand_df.schema[c].dataType
-            new_t = expr_types[c].dataType
+            old_t = self._normalize_nullability(cand_df.schema[c].dataType)
+            new_t = self._normalize_nullability(expr_types[c].dataType)
             if old_t != new_t:
                 raise TypeError(
                     f"update_where on {name}: SET {c} = ({e}) changes "
@@ -3104,10 +3160,18 @@ class ManifestFormat(TableFormat):
             F.min(unique_key).alias("mn"), F.max(unique_key).alias("mx")
         ).first()
         lo, hi = row["mn"], row["mx"]
-        candidates, m = (
-            self.prune_entries(name, unique_key, lo, hi)
+        # prune against the ALREADY-READ head (one manifest resolve per
+        # merge — this is the 15-minute hot path — and no TOCTOU window
+        # between the emptiness check and the pruned snapshot)
+        m = prev
+        candidates = (
+            [
+                e
+                for e in m["entries"]
+                if self._entry_may_match(e, unique_key, lo, hi)
+            ]
             if lo is not None
-            else ([], self._manifest(name))
+            else []
         )
         n_matched = 0
         if candidates:

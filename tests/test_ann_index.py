@@ -181,3 +181,28 @@ def test_retrain_recenteres_and_keeps_equivalence(spark, tmp_path, clustered):
     served = idx.topk(queries, k=3, n_probe=2)
     recomputed = idx.recompute_topk(clustered, queries, k=3, n_probe=2)
     assert _rows(served) == _rows(recomputed)
+
+
+def test_retrain_preserves_sync_cursor(spark, tmp_path, clustered):
+    """The sync cursor survives a retrain: the assignments replace
+    resets the txn watermarks by contract, so retrain re-records the
+    applied batch id — otherwise the next sync_from_changes would
+    bootstrap a FULL re-read and duplicate every indexed vector."""
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
+    train, b1, b2 = _split(clustered)
+    idx.train(train)
+    fmt.write("raw.vecs", b1, "overwrite")
+    assert idx.sync_from_changes(fmt, "raw.vecs") is True
+    n_before = idx.wh.read(idx.assign_table).filter(
+        F.col("vec_id").isNotNull()
+    ).count()
+    idx.retrain()
+    # nothing new in the source: the retrained index must NOT re-read
+    assert idx.sync_from_changes(fmt, "raw.vecs") is False
+    fmt.write("raw.vecs", b2, "append")
+    assert idx.sync_from_changes(fmt, "raw.vecs") is True
+    got = idx.wh.read(idx.assign_table).filter(F.col("vec_id").isNotNull())
+    assert got.count() == n_before + b2.count()
+    # no vector indexed twice
+    assert got.select("vec_id").distinct().count() == got.count()

@@ -476,3 +476,44 @@ def test_zero_row_entries_are_prunable(spark, tmp_path):
     # the empty entry carried by identity; only the real chunk re-landed
     assert len(before & after) == 1
     assert {r["v"] for r in fmt.read("s.t").collect()} == {10, 22}
+
+
+def test_cluster_rewrite_carries_streaming_watermarks(spark, tmp_path):
+    """Clustering is row-preserving maintenance: it must not reset the
+    idempotent streaming-writer watermarks (same contract as
+    delete/update/merge — a foreachBatch replay after an OPTIMIZE
+    would otherwise land twice)."""
+    fmt = _fmt(spark, str(tmp_path), "manifest")
+    fmt.write("s.t", _rows(spark, (1, 10), (2, 20)), "overwrite")
+    assert fmt.write_streaming_batch("s.t", _rows(spark, (3, 30)), 7) is True
+    fmt.cluster("s.t", "k", n_files=2)
+    assert fmt._manifest("s.t")["txn"] == {"stream": 7}
+    assert fmt.write_streaming_batch("s.t", _rows(spark, (3, 30)), 7) is False
+    assert fmt.read("s.t").filter(F.col("k") == 3).count() == 1
+
+
+def test_append_nullability_narrowing_is_not_a_type_clash(spark, tmp_path):
+    """Nullability is not a type: a computed frame whose array column
+    carries containsNull=false must append onto a table whose stored
+    schema says containsNull=true (parquet-derived frames always do),
+    and the stored schema keeps the permissive variant.  A REAL
+    element-type change still refuses."""
+    fmt = _fmt(spark, str(tmp_path), "manifest")
+    fmt.write(
+        "s.t",
+        spark.createDataFrame([Row(k=1, arr=[1, 2])]),  # containsNull=true
+        "overwrite",
+    )
+    narrow = spark.range(1).select(
+        (F.col("id") + 10).alias("k"),
+        F.array(F.lit(3).cast("long"), F.lit(4).cast("long")).alias("arr"),
+    )
+    assert not narrow.schema["arr"].dataType.containsNull
+    fmt.write("s.t", narrow, "append")  # must NOT refuse
+    stored = fmt._manifest("s.t")["schema"]
+    arr_f = next(f for f in stored["fields"] if f["name"] == "arr")
+    assert arr_f["type"]["containsNull"] is True
+    assert fmt.read("s.t").count() == 2
+    bad = spark.createDataFrame([Row(k=2, arr=["x"])])
+    with pytest.raises(TypeError, match="type"):
+        fmt.write("s.t", bad, "append")
