@@ -517,3 +517,50 @@ def test_append_nullability_narrowing_is_not_a_type_clash(spark, tmp_path):
     bad = spark.createDataFrame([Row(k=2, arr=["x"])])
     with pytest.raises(TypeError, match="type"):
         fmt.write("s.t", bad, "append")
+
+
+def test_cluster_on_compact_makes_random_keys_prunable(spark, tmp_path):
+    """The reference's merge key (_dlt_id) is a HASH — every append
+    spans the whole key space, so min/max stats never prune and the
+    bounded merge would degrade to a full rewrite forever.  With
+    cluster_by, the threshold compaction lands the absorbed tail
+    range-shuffled with per-file stats: the table converges to
+    near-disjoint key ranges and a later micro-batch merge carries
+    most files by identity."""
+    import random as _r
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=4,
+        stats_cols=("k",), cluster_by="k",
+    )
+    rng = _r.Random(3)
+    keys = list(range(600))
+    rng.shuffle(keys)
+    for i in range(6):  # each append spans ~the whole key space
+        part = keys[i * 100 : (i + 1) * 100]
+        fmt.write(
+            "s.t", _rows(spark, *[(k, k) for k in part]),
+            "append" if i else "overwrite",
+        )
+    # pre-compaction: every entry's range covers ~everything — a
+    # narrow merge would be a full rewrite
+    cand_pre, m_pre = fmt.prune_entries("s.t", "k", 21, 22)
+    assert len(cand_pre) == len(m_pre["entries"])
+    assert fmt.maybe_compact("s.t", target_file_bytes=10_000) >= 4
+    m = fmt._manifest("s.t")
+    per_file = [e for e in m["entries"] if e.get("rel")]
+    assert len(per_file) >= 2  # clustered per-file entries landed
+    # post-compaction: the same narrow range prunes to a strict subset
+    cand_post, m2 = fmt.prune_entries("s.t", "k", 21, 22)
+    assert 0 < len(cand_post) < len(m2["entries"])
+    before = {
+        (e["dir"], e.get("rel")) for e in m2["entries"]
+    }
+    fmt.merge("s.t", _rows(spark, (21, -1), (22, -2)), "k")
+    after = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest("s.t")["entries"]
+    }
+    assert len(before & after) == len(before) - len(cand_post)
+    got = {r["k"]: r["v"] for r in fmt.read("s.t").collect()}
+    assert got[21] == -1 and got[22] == -2 and len(got) == 600
