@@ -97,7 +97,16 @@ class HealthPipeline:
         warehouse storage under the WHOLE pipeline — raw, stage, agg and
         the maintained rollup all ride the same format (the e2e seam
         proof: tests/test_manifest_format.py runs the full fixture
-        pipeline on ManifestFormat)."""
+        pipeline on ManifestFormat).
+
+        Production configuration for the 15-minute sync at scale:
+        ``CatalogManifestFormat(spark, root,
+        stats_cols=("_dlt_id", "_dlt_root_id"), cluster_by="_dlt_id")``
+        — the stats make every root-key merge STATS-BOUNDED (untouched
+        files carry by identity) and cluster-on-compact keeps the
+        random dlt hash keys convergent to near-disjoint per-file
+        ranges so that pruning actually bites (r10; see
+        ``TableFormat.merge`` / ``ManifestFormat.maybe_compact``)."""
         from .runlog import RunLog
 
         self.spark = spark

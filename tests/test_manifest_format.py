@@ -211,14 +211,18 @@ def test_time_travel_and_history(spark, wh):
     assert wh.fmt.vacuum("stage.t", writer_grace_s=0) == 2
 
 
-@pytest.mark.parametrize("fmt_name", ["manifest", "catalog"])
+@pytest.mark.parametrize("fmt_name", ["manifest", "catalog", "catalog_prod"])
 def test_full_pipeline_on_manifest_format(spark, tmp_path_factory, fmt_name):
     """System-level seam proof: the ENTIRE reference pipeline — extract,
     flatten, root-key merge, stage, aggregate DAGs, maintained rollup —
     runs on the commit-log format (and its transactional catalog
     variant, where every root-key merge commits parent+children in one
     catalog flip) and produces the same answers the parquet format
-    produces in tests/test_pipeline.py."""
+    produces in tests/test_pipeline.py.  ``catalog_prod`` is the
+    documented production configuration (r10): _dlt key stats make
+    every root-key merge stats-bounded, cluster_by converges the
+    random hash keys via cluster-on-compact, and an aggressive
+    compaction threshold exercises both on the fixture run."""
     import json
 
     import test_pipeline as tp
@@ -230,9 +234,16 @@ def test_full_pipeline_on_manifest_format(spark, tmp_path_factory, fmt_name):
         CatalogManifestFormat,
     )
 
-    fmt_cls = {"manifest": ManifestFormat, "catalog": CatalogManifestFormat}[
-        fmt_name
-    ]
+    fmt_factories = {
+        "manifest": ManifestFormat,
+        "catalog": CatalogManifestFormat,
+        "catalog_prod": lambda spark, root: CatalogManifestFormat(
+            spark, root,
+            stats_cols=("_dlt_id", "_dlt_root_id"), cluster_by="_dlt_id",
+            auto_compact_dirs=2,
+        ),
+    }
+    fmt_cls = fmt_factories[fmt_name]
     src = tmp_path_factory.mktemp("mf_src")
     for name, docs in (
         ("users", tp.USERS), ("heart_rates", tp.HEART_RATES),
@@ -251,7 +262,7 @@ def test_full_pipeline_on_manifest_format(spark, tmp_path_factory, fmt_name):
         for n in ("users", "heart_rates", "sleeps", "steps")
     }
     p.run_all(paths)
-    assert isinstance(p.wh.fmt, fmt_cls)
+    assert isinstance(p.wh.fmt, ManifestFormat)
     # same hand-computed values test_pipeline pins on the parquet format
     steps = {
         (r["day"], r["device_id"]): r["step_count"]
