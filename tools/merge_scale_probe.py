@@ -97,6 +97,51 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
+
+    # -- the RANDOM-key story (the reference's _dlt_id is a hash): raw
+    # appends span the whole key space, so stats never prune — until
+    # cluster-on-compact converges the table to near-disjoint per-file
+    # ranges and the same micro-batch merge becomes bounded again
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="mergeprobe_converged_")
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=8,
+        stats_cols=("o_orderkey",), cluster_by="o_orderkey",
+    )
+    for i in range(n_chunks):  # each append = a hash-mod slice: spans everything
+        sl = o.filter(F.pmod(F.col("o_orderkey"), F.lit(n_chunks)) == i)
+        fmt.write("raw.orders", sl, "append" if i else "overwrite")
+    pre_cand, pre_m = fmt.prune_entries(
+        "raw.orders", "o_orderkey", mid_lo, mid_lo + 10_000
+    )
+    t0 = time.perf_counter()
+    collapsed = fmt.maybe_compact(
+        "raw.orders", target_file_bytes=4 * 1024 * 1024
+    )
+    compact_s = time.perf_counter() - t0
+    before = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest("raw.orders")["entries"]
+    }
+    t0 = time.perf_counter()
+    fmt.merge("raw.orders", batch, "o_orderkey")
+    wall = time.perf_counter() - t0
+    after = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest("raw.orders")["entries"]
+    }
+    assert fmt.read("raw.orders").count() == n_rows
+    out["random_key_converged"] = {
+        "pre_compact_prunable": len(pre_m["entries"]) - len(pre_cand),
+        "dirs_collapsed": collapsed,
+        "compact_s": round(compact_s, 2),
+        "merge_s": round(wall, 2),
+        "entries_carried": len(before & after),
+        "entries_total": len(before),
+        "carry_ratio": round(len(before & after) / len(before), 3),
+    }
+    shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({"probe": "bounded_merge", **out}))
 
 
