@@ -137,6 +137,7 @@ class IncrementalANNSync:
         batch_id: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        app_id: str | None = None,
     ) -> bool:
         """Index one batch of NEW vectors: quantize, assign to the
         frozen codebook, append — cost bounded by the batch, never the
@@ -144,7 +145,9 @@ class IncrementalANNSync:
         append rides the idempotent-writer watermark
         (``write_streaming_batch``) — a replayed batch no-ops
         (returns False).  On formats without txn watermarks the append
-        is at-least-once; deduplicate upstream."""
+        is at-least-once; deduplicate upstream.  ``app_id`` separates
+        independent id streams (the change-feed cursor vs a Structured
+        Streaming micro-batch counter must never share a watermark)."""
         codes = quantize_embeddings(batch, id_col, vec_col, self.bits).select(
             F.col(id_col).alias("vec_id"), "q"
         )
@@ -152,17 +155,18 @@ class IncrementalANNSync:
         wsb = getattr(self.wh.fmt, "write_streaming_batch", None)
         if batch_id is not None and wsb is not None:
             return wsb(
-                self.assign_table, assigned, int(batch_id), app_id=self._APP_ID
+                self.assign_table, assigned, int(batch_id),
+                app_id=app_id or self._APP_ID,
             )
         self.wh.fmt.write(self.assign_table, assigned, "append")
         return True
 
-    def _applied_batch_id(self):
+    def _applied_batch_id(self, app_id: str | None = None):
         man = getattr(self.wh.fmt, "_manifest", None)
         if man is None or not self.wh.exists(self.assign_table):
             return None
         m = man(self.assign_table)
-        return ((m or {}).get("txn") or {}).get(self._APP_ID)
+        return ((m or {}).get("txn") or {}).get(app_id or self._APP_ID)
 
     def sync_from_changes(
         self,
@@ -207,13 +211,19 @@ class IncrementalANNSync:
         the maintenance cadence, not the sync cadence.  Returns the
         number of centroids (empty clusters dissolve).
 
-        The sync cursor SURVIVES the retrain: the assignments rewrite
+        The sync cursors SURVIVE the retrain: the assignments rewrite
         is a replace (which resets the idempotent-writer watermarks by
-        contract), so the last applied batch id is re-recorded after
-        it — otherwise the next ``sync_from_changes`` would see a
+        contract), so the WHOLE watermark map is re-recorded after it
+        via the metadata-only ``set_txn`` — otherwise the next
+        ``sync_from_changes`` (or a streaming replay) would see a
         fresh table and re-index the whole source (duplicate
         neighbors at every rank)."""
-        applied = self._applied_batch_id()
+        man = getattr(self.wh.fmt, "_manifest", None)
+        txn_before = (
+            dict((man(self.assign_table) or {}).get("txn") or {})
+            if man is not None
+            else {}
+        )
         a = self.wh.read(self.assign_table)
         cent = (
             a.select("__cluster", F.posexplode("q").alias("i", "x"))
@@ -229,16 +239,9 @@ class IncrementalANNSync:
         self.wh.fmt.replace_atomic(self.centroids_table, cent, ())
         reassigned = self._assign(a.select("vec_id", "q"))
         self.wh.fmt.replace_atomic(self.assign_table, reassigned, ())
-        wsb = getattr(self.wh.fmt, "write_streaming_batch", None)
-        if applied is not None and wsb is not None:
-            # an EMPTY idempotent append re-records the watermark the
-            # replace reset (its zero-row entry is prunable metadata)
-            wsb(
-                self.assign_table,
-                self.wh.read(self.assign_table).limit(0),
-                int(applied),
-                app_id=self._APP_ID,
-            )
+        set_txn = getattr(self.wh.fmt, "set_txn", None)
+        if txn_before and set_txn is not None:
+            set_txn(self.assign_table, txn_before)
         return self.wh.read(self.centroids_table).count()
 
     # -- serve ---------------------------------------------------------------
@@ -360,6 +363,40 @@ class IncrementalANNSync:
             "query_id", "neighbor_id"
         ).agg(F.max("score").alias("score"))
         return self._rank_topk(allc, k)
+
+    def topk_auto(
+        self,
+        queries: DataFrame,
+        fmt,
+        source_table: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 3,
+        n_probe: int = 1,
+    ) -> DataFrame:
+        """``topk_realtime`` with the tail DERIVED: everything the
+        source table committed since the last sync (its change feed
+        between the recorded cursor and the head) scores brute-force
+        alongside the index — the ANN twin of the rollups'
+        ``read_realtime_auto``: results are always current, index lag
+        costs |queries| x |unsynced tail|, and no caller bookkeeping.
+        Requires at least one prior ``sync_from_changes`` against the
+        same source (the cursor anchors the tail)."""
+        applied = self._applied_batch_id()
+        if applied is None:
+            raise ValueError(
+                f"topk_auto: index {self.name} has no sync cursor for "
+                f"{source_table} — run sync_from_changes first (the "
+                "cursor anchors the realtime tail)"
+            )
+        m = fmt._manifest(source_table)
+        cur = int(m["version"]) if m else int(applied)
+        if cur == int(applied):
+            return self.topk(queries, id_col, vec_col, k, n_probe)
+        tail = fmt.read_changes(source_table, int(applied), cur)
+        return self.topk_realtime(
+            queries, tail, id_col, vec_col, k, n_probe
+        )
 
     def recompute_topk(
         self,

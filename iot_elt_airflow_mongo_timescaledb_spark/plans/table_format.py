@@ -2152,6 +2152,36 @@ class ManifestFormat(TableFormat):
         self._commit_edit(name, drop_entries, resolve=False)
         return len(dropped_vals)
 
+    def set_txn(self, name: str, txn: dict) -> bool:
+        """Merge idempotent-writer watermarks into the head manifest —
+        a METADATA-ONLY rebaseable commit (entries untouched, no data
+        write).  Per app id the HIGHER batch id wins (watermarks are
+        monotone), so restoring never rolls a cursor back under a
+        concurrent stream.  The legitimate use: re-recording cursors a
+        deliberate replace reset — e.g. the ANN index's retrain
+        rewrites its assignments table via replace_atomic (reset by
+        contract) and then restores the sync cursor so incremental
+        maintenance stays incremental.  Returns False when nothing
+        needed recording."""
+
+        def edit(head):
+            if head is None:
+                raise FileNotFoundError(
+                    f"set_txn: no committed manifest for table {name}"
+                )
+            merged = dict(head.get("txn") or {})
+            for k, v in txn.items():
+                if v is None:
+                    continue
+                cur = merged.get(k)
+                if cur is None or int(v) > int(cur):
+                    merged[k] = int(v)
+            if merged == (head.get("txn") or {}):
+                return None
+            return head["entries"], head["partition_columns"], merged
+
+        return self._commit_edit(name, edit)
+
     def write_streaming_batch(
         self, name: str, df: DataFrame, batch_id: int, app_id: str = "stream"
     ) -> bool:

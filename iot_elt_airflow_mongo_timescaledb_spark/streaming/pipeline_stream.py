@@ -391,6 +391,70 @@ class StreamingTopKSync:
         return self.agg.read()
 
 
+class StreamingANNSync:
+    """Streaming ANN-index maintenance: each micro-batch of new
+    vectors assigns to the frozen codebook and appends to the
+    warehouse assignments table (``IncrementalANNSync.sync`` inside
+    ``foreachBatch``) — the index is always ~one trigger behind the
+    vector stream and is never rebuilt from history.
+
+    Exactly-once: the micro-batch id rides the manifest's
+    idempotent-writer watermark under a DEDICATED app id
+    (``ann_stream``) so foreachBatch replays no-op, and the id stream
+    never collides with the change-feed cursor ``sync_from_changes``
+    keeps under its own app id.  Requires a manifest-format warehouse
+    (on plain parquet the appends are at-least-once).  ``train`` must
+    have run before the first trigger — assignment needs a codebook.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        source_dir: str,
+        name: str,
+        checkpoint_root: str | None = None,
+        table_format=None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        bits: int = 8,
+    ):
+        from ..plans.ann_index import IncrementalANNSync
+
+        self.spark = spark
+        self.idx = IncrementalANNSync(
+            spark, warehouse_root, name, table_format=table_format,
+            bits=bits,
+        )
+        self.id_col, self.vec_col = id_col, vec_col
+        self.source_dir = source_dir
+        self.checkpoint = join_uri(
+            checkpoint_root or join_uri(warehouse_root, "_checkpoints"),
+            f"ann_sync_{name.replace('.', '_')}",
+        )
+        self.schema = spark.read.parquet(source_dir).schema
+
+    def _process_batch(self, batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.idx.sync(
+            batch_df, batch_id=batch_id, id_col=self.id_col,
+            vec_col=self.vec_col, app_id="ann_stream",
+        )
+
+    def run_once(self) -> None:
+        """Drain every not-yet-checkpointed vector file, then stop."""
+        _drain_once(
+            self.spark, self.schema, self.source_dir, self.checkpoint,
+            self._process_batch, fmt="parquet",
+        )
+
+    def topk(self, queries, k: int = 3, n_probe: int = 1):
+        return self.idx.topk(
+            queries, self.id_col, self.vec_col, k=k, n_probe=n_probe
+        )
+
+
 class StreamingManifestSink:
     """Structured Streaming into the transactional commit-log table:
     each micro-batch lands as ONE manifest commit via

@@ -206,3 +206,66 @@ def test_retrain_preserves_sync_cursor(spark, tmp_path, clustered):
     assert got.count() == n_before + b2.count()
     # no vector indexed twice
     assert got.select("vec_id").distinct().count() == got.count()
+
+
+def test_topk_auto_serves_unsynced_tail(spark, tmp_path, clustered):
+    """topk_auto derives the realtime tail from the source's change
+    feed since the recorded cursor — results equal the recompute over
+    the FULL corpus even before the sync catches up."""
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
+    train, b1, b2 = _split(clustered)
+    idx.train(train)
+    fmt.write("raw.vecs", b1, "overwrite")
+    assert idx.sync_from_changes(fmt, "raw.vecs") is True
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    # cursor current: topk_auto == topk
+    assert _rows(idx.topk_auto(queries, fmt, "raw.vecs", k=3, n_probe=2)) == (
+        _rows(idx.topk(queries, k=3, n_probe=2))
+    )
+    # source moved past the cursor: the unsynced tail must be served
+    fmt.write("raw.vecs", b2, "append")
+    out = idx.topk_auto(queries, fmt, "raw.vecs", k=3, n_probe=2)
+    tail_ids = {r["vec_id"] for r in b2.collect()}
+    assert {r["neighbor_id"] for r in out.collect()} & tail_ids
+    # and syncing then converges the plain index read to the same top-k
+    idx.sync_from_changes(fmt, "raw.vecs")
+    assert _rows(out) == _rows(idx.topk(queries, k=3, n_probe=2))
+
+
+def test_topk_auto_requires_a_cursor(spark, tmp_path, clustered):
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
+    train, b1, _ = _split(clustered)
+    idx.train(train)
+    fmt.write("raw.vecs", b1, "overwrite")
+    with pytest.raises(ValueError, match="sync_from_changes first"):
+        idx.topk_auto(clustered.limit(1), fmt, "raw.vecs")
+
+
+def test_streaming_ann_sync_exactly_once(spark, tmp_path, clustered):
+    """The streaming twin: micro-batches of vectors index through
+    foreachBatch with a dedicated watermark app id; a re-run drains
+    nothing new, and the indexed top-k equals the batch recompute."""
+    from iot_elt_airflow_mongo_timescaledb_spark.streaming.pipeline_stream import (
+        StreamingANNSync,
+    )
+
+    fmt = ManifestFormat(spark, str(tmp_path / "wh"), auto_compact_dirs=None)
+    src = str(tmp_path / "vecs")
+    train, b1, b2 = _split(clustered)
+    b1.write.mode("overwrite").parquet(src)
+    s = StreamingANNSync(
+        spark, str(tmp_path / "wh"), src, "agg.ann", table_format=fmt
+    )
+    s.idx.train(train)
+    s.run_once()
+    n1 = s.idx.wh.read(s.idx.assign_table).count()
+    s.run_once()  # checkpointed: nothing new, nothing duplicated
+    assert s.idx.wh.read(s.idx.assign_table).count() == n1
+    b2.write.mode("append").parquet(src)
+    s.run_once()
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    served = s.topk(queries, k=3, n_probe=2)
+    recomputed = s.idx.recompute_topk(clustered, queries, k=3, n_probe=2)
+    assert _rows(served) == _rows(recomputed)

@@ -564,3 +564,24 @@ def test_cluster_on_compact_makes_random_keys_prunable(spark, tmp_path):
     assert len(before & after) == len(before) - len(cand_post)
     got = {r["k"]: r["v"] for r in fmt.read("s.t").collect()}
     assert got[21] == -1 and got[22] == -2 and len(got) == 600
+
+
+def test_set_txn_restores_watermarks_monotonically(spark, tmp_path):
+    """set_txn: metadata-only watermark restore — per app the HIGHER
+    id wins, so restoring a captured map never rolls a cursor back
+    under a stream that advanced meanwhile."""
+    fmt = _fmt(spark, str(tmp_path), "manifest")
+    fmt.write("s.t", _rows(spark, (1, 10)), "overwrite")
+    fmt.write_streaming_batch("s.t", _rows(spark, (2, 20)), 5, app_id="a")
+    captured = dict(fmt._manifest("s.t")["txn"])
+    fmt.replace_atomic("s.t", _rows(spark, (9, 90)))
+    assert fmt._manifest("s.t")["txn"] == {}
+    v = fmt._latest_version("s.t")
+    assert fmt.set_txn("s.t", captured) is True
+    assert fmt._manifest("s.t")["txn"] == {"a": 5}
+    assert fmt._latest_version("s.t") == v + 1  # one metadata commit
+    assert fmt.read("s.t").count() == 1  # entries untouched
+    # a stream that advanced past the captured id is never rolled back
+    fmt.write_streaming_batch("s.t", _rows(spark, (3, 30)), 8, app_id="a")
+    assert fmt.set_txn("s.t", captured) is False  # 5 < 8: no-op, no commit
+    assert fmt._manifest("s.t")["txn"] == {"a": 8}
