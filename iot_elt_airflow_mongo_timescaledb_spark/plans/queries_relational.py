@@ -1409,6 +1409,98 @@ def manifest_merge_bounded(spark, sf_dir):
 
 
 @query(
+    "manifest_merge_converged",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    b AS (
+        SELECT m * 2 // 5 AS b2,
+               (m * 3 // 5 - m * 2 // 5) // 3 AS w
+        FROM mx
+    ),
+    t AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey > b2 AND c_custkey <= b2 + w
+                    THEN c_acctbal + 1000.0 ELSE c_acctbal END AS bal
+        FROM customer, b
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(bal), 2) AS bal_sum,
+           0 AS pre_compact_prunable,
+           1 AS post_compact_prunable,
+           1 AS merge_bounded
+    FROM t
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # storage-verb family: manifest_merge_bounded carries the gate
+)
+def manifest_merge_converged(spark, sf_dir):
+    """CLUSTER-ON-COMPACT end-to-end (r10): customers land as six
+    hash-mod appends — each spans the WHOLE key space, so key-range
+    stats prune NOTHING (lit-folded as pre_compact_prunable=0; the
+    reference's ``_dlt_id`` merge key is a hash with exactly this
+    shape).  One threshold compaction with ``cluster_by`` range-lands
+    the tail with per-file stats, after which the same narrow range
+    PRUNES (post_compact_prunable=1) and a micro-batch merge carries
+    at least one file by identity (merge_bounded=1) — converging a
+    random-key table to the layout the stats-bounded MERGE needs,
+    as a side effect of the compaction the append path already runs.
+    The oracle recomputes the surviving table and pins the three
+    booleans."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mmc_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=4,
+        stats_cols=("c_custkey",), cluster_by="c_custkey",
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    for i in range(6):
+        sl = c.filter(F.pmod(F.col("c_custkey"), F.lit(6)) == i)
+        fmt.write("mc.cust", sl, "append" if i else "overwrite")
+    mx = int(c.agg(F.max("c_custkey")).first()[0])
+    b2 = mx * 2 // 5
+    w = (mx * 3 // 5 - b2) // 3
+    pre_cand, pre_m = fmt.prune_entries("mc.cust", "c_custkey", b2 + 1, b2 + w)
+    pre_prunable = len(pre_m["entries"]) - len(pre_cand)
+    # compaction target sized from the actual table so the clustered
+    # landing always yields several files at every SF
+    target = max(4096, fmt.table_bytes("mc.cust") // 4)
+    fmt.maybe_compact("mc.cust", target_file_bytes=target)
+    post_cand, post_m = fmt.prune_entries(
+        "mc.cust", "c_custkey", b2 + 1, b2 + w
+    )
+    post_prunable = len(post_m["entries"]) - len(post_cand)
+    before = {(e["dir"], e.get("rel")) for e in post_m["entries"]}
+    batch = c.filter(
+        (F.col("c_custkey") > b2) & (F.col("c_custkey") <= b2 + w)
+    ).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+    fmt.merge("mc.cust", batch, "c_custkey")
+    after = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest("mc.cust")["entries"]
+    }
+    return (
+        fmt.read("mc.cust")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn(
+            "pre_compact_prunable", F.lit(min(pre_prunable, 1))
+        )
+        .withColumn(
+            "post_compact_prunable", F.lit(min(post_prunable, 1))
+        )
+        .withColumn("merge_bounded", F.lit(min(len(before & after), 1)))
+    )
+
+
+@query(
     "manifest_check_constraints",
     oracle="""
     SELECT c_mktsegment,

@@ -2175,9 +2175,10 @@ def ann_ivf_int_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "score", "rk")
 
 
-@query(
-    "ann_maintained_topk",
-    oracle="""
+# shared by ann_maintained_topk and its streaming twin: membership is
+# the FULL corpus either way (train subset + synced/streamed rest), so
+# both must serve byte-identical results
+_ANN_MAINTAINED_ORACLE = """
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),
     m AS (SELECT vec_id, label, e,
@@ -2229,7 +2230,12 @@ def ann_ivf_int_topk(spark, sf_dir):
                                    ORDER BY score DESC, neighbor_id ASC) AS rk
       FROM cand) r
     WHERE rk <= 3
-    """,
+    """
+
+
+@query(
+    "ann_maintained_topk",
+    oracle=_ANN_MAINTAINED_ORACLE,
     gate=False,  # ANN family: ann_lsh_topk carries the gate
 )
 def ann_maintained_topk(spark, sf_dir):
@@ -2255,4 +2261,33 @@ def ann_maintained_topk(spark, sf_dir):
     idx.sync(e.filter(F.col("vec_id") % 3 == 1))
     idx.sync(e.filter(F.col("vec_id") % 3 == 2))
     out = idx.topk(e.filter(F.col("vec_id") < 5), k=3, n_probe=4)
+    return out.select("query_id", "neighbor_id", "score", "rk")
+
+
+@query(
+    "ann_streaming_topk",
+    oracle=_ANN_MAINTAINED_ORACLE,
+    gate=False,  # ANN family: ann_lsh_topk carries the gate
+)
+def ann_streaming_topk(spark, sf_dir):
+    """The STREAMING maintenance twin of ann_maintained_topk: the
+    non-training vectors arrive as a vector stream
+    (``StreamingANNSync`` — foreachBatch assignment to the frozen
+    codebook, exactly-once via a dedicated watermark app id), and the
+    served top-k must be IDENTICAL to the batch-maintained index —
+    same oracle, byte for byte (plans/ann_index.py,
+    streaming/pipeline_stream.py:StreamingANNSync)."""
+    import os
+
+    from ..fs import scratch_dir
+    from ..streaming.pipeline_stream import StreamingANNSync
+
+    root = scratch_dir(spark, "anns_", cleanup_atexit=True)
+    e = table(spark, sf_dir, "embeddings")
+    src = os.path.join(root, "_vector_stream")
+    e.filter(F.col("vec_id") % 3 != 0).write.mode("overwrite").parquet(src)
+    s = StreamingANNSync(spark, root, src, "agg.ann")
+    s.idx.train(e.filter(F.col("vec_id") % 3 == 0))
+    s.run_once()
+    out = s.topk(e.filter(F.col("vec_id") < 5), k=3, n_probe=4)
     return out.select("query_id", "neighbor_id", "score", "rk")
