@@ -112,6 +112,8 @@ EXTENDED = [
     # round-10 additions
     "manifest_merge_bounded",      # stats-bounded MERGE + merge CDC classes
     "ann_maintained_topk",         # warehouse-maintained IVF index
+    "manifest_merge_converged",    # cluster-on-compact random-key convergence
+    "ann_streaming_topk",          # streaming index-maintenance twin
 ]
 
 
