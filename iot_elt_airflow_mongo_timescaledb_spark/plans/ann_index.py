@@ -154,12 +154,20 @@ class IncrementalANNSync:
         assigned = self._assign(codes)
         wsb = getattr(self.wh.fmt, "write_streaming_batch", None)
         if batch_id is not None and wsb is not None:
-            return wsb(
+            committed = wsb(
                 self.assign_table, assigned, int(batch_id),
                 app_id=app_id or self._APP_ID,
             )
-        self.wh.fmt.write(self.assign_table, assigned, "append")
-        return True
+        else:
+            self.wh.fmt.write(self.assign_table, assigned, "append")
+            committed = True
+        # one immutable dir lands per synced batch: the threshold
+        # compaction keeps the index's read amplification flat over
+        # unbounded cadences, like every other append stream
+        maybe_compact = getattr(self.wh.fmt, "maybe_compact", None)
+        if committed and maybe_compact is not None:
+            maybe_compact(self.assign_table)
+        return committed
 
     def _applied_batch_id(self, app_id: str | None = None):
         man = getattr(self.wh.fmt, "_manifest", None)
