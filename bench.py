@@ -114,6 +114,7 @@ EXTENDED = [
     "ann_maintained_topk",         # warehouse-maintained IVF index
     "manifest_merge_converged",    # cluster-on-compact random-key convergence
     "ann_streaming_topk",          # streaming index-maintenance twin
+    "manifest_mor_delete",         # merge-on-read DELETE (zero data rewrite)
 ]
 
 

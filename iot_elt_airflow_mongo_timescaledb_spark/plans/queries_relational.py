@@ -1409,6 +1409,83 @@ def manifest_merge_bounded(spark, sf_dir):
 
 
 @query(
+    "manifest_mor_delete",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    t AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               c_custkey > m * 2 // 5 + 10
+                   AND c_custkey <= m * 3 // 5 - 10 AS deleted
+        FROM customer, mx
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal_sum,
+           5 AS entries_untouched,
+           (SELECT COUNT(*) FROM t WHERE deleted) AS cdf_deletes
+    FROM t
+    WHERE NOT deleted
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # storage-verb family: manifest_merge_bounded carries the gate
+)
+def manifest_mor_delete(spark, sf_dir):
+    """MERGE-ON-READ row-level DELETE (round 10 ``delete_where_mor`` —
+    Delta deletion vectors / Iceberg v2 equality deletes as stored
+    predicates): customers land as five key-range chunks, a sub-range
+    of the middle chunk is deleted, and ALL FIVE entries must survive
+    byte-identical (lit-folded — the copy-on-write twin
+    manifest_delete_where carries four and rewrites one; here the
+    write cost is ONE manifest).  Reads apply the predicate, the CDF
+    serves the delete rows (count lit-folded), and the oracle
+    recomputes both from the raw table."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mor_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    row = c.agg(
+        F.max("c_custkey").alias("mx"), F.min("c_custkey").alias("mn")
+    ).first()
+    mx, mn = int(row["mx"]), int(row["mn"])
+    bounds = [mn - 1] + [mx * i // 5 for i in range(1, 5)] + [mx]
+    for i in range(5):
+        chunk = c.filter(
+            (F.col("c_custkey") > bounds[i])
+            & (F.col("c_custkey") <= bounds[i + 1])
+        )
+        fmt.write("mor.cust", chunk, "append" if i else "overwrite")
+    base = fmt._manifest("mor.cust")["version"]
+    before = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest("mor.cust")["entries"]
+    }
+    fmt.delete_where_mor(
+        "mor.cust", "c_custkey", mx * 2 // 5 + 11, mx * 3 // 5 - 10
+    )
+    after = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest("mor.cust")["entries"]
+    }
+    n_cdf = fmt.read_changes_cdf("mor.cust", base).count()
+    return (
+        fmt.read("mor.cust")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn("entries_untouched", F.lit(len(before & after)))
+        .withColumn("cdf_deletes", F.lit(int(n_cdf)))
+    )
+
+
+@query(
     "manifest_merge_converged",
     oracle="""
     WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),

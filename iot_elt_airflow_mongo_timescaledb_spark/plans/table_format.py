@@ -976,6 +976,7 @@ class ManifestFormat(TableFormat):
         schema: dict | None = None,
         constraints: dict | None = None,
         cdc: dict | None = None,
+        dv: list | None = None,
     ) -> bool:
         """The commit CAS primitive: create-exclusive of the version
         file.  True = this writer owns ``version``; False = another
@@ -1029,6 +1030,13 @@ class ManifestFormat(TableFormat):
                 # read serves these instead of refusing across the
                 # rewrite
                 **({"cdc": cdc} if cdc else {}),
+                # merge-on-read DELETE predicates (Delta deletion
+                # vectors / Iceberg v2 equality deletes, as stored
+                # predicates): each {"bounds", "n", "applies"} filters
+                # the rows of the entries it APPLIES to at read time —
+                # zero data rewrite at delete time; COW verbs
+                # materialize and shed them per rewritten entry
+                **({"dv": dv} if dv else {}),
                 # wall-clock commit time: the basis for time-based
                 # vacuum retention (Delta's RETAIN n HOURS); advisory
                 # only — correctness never depends on clocks
@@ -1054,6 +1062,7 @@ class ManifestFormat(TableFormat):
         schema: dict | None = None,
         cdc: dict | None = None,
         txn: dict | None = None,
+        dv: list | None = None,
     ) -> None:
         """Non-rebaseable (full-replace) commit: one CAS attempt, loud
         abort on a lost race — a replace computed against a stale base
@@ -1082,7 +1091,7 @@ class ManifestFormat(TableFormat):
             name, nxt, entries, partition_columns, txn, segments=segs,
             schema=schema,
             constraints=(prev or {}).get("constraints"),
-            cdc=cdc,
+            cdc=cdc, dv=dv,
         ):
             raise RuntimeError(
                 f"concurrent commit detected on {name} (v{nxt} exists): a "
@@ -1135,6 +1144,15 @@ class ManifestFormat(TableFormat):
                 if len(out) > 4 and out[4] is not None
                 else (prev or {}).get("constraints")
             )
+            # merge-on-read delete predicates carry from the head
+            # unless the edit supplies its own list ([] clears) — an
+            # append dropping the head's dv would resurrect deleted
+            # rows
+            dv = (
+                out[6]
+                if len(out) > 6 and out[6] is not None
+                else (prev or {}).get("dv")
+            )
             # CAS target from the BASE the edit saw, never a re-list:
             # a commit landing between the _manifest read above and a
             # log re-list would make a higher version's create-exclusive
@@ -1149,7 +1167,7 @@ class ManifestFormat(TableFormat):
             nxt = (prev["version"] if prev else 0) + 1
             if self._try_write_manifest(
                 name, nxt, entries, cols, txn, segments=segs,
-                schema=schema, constraints=constraints,
+                schema=schema, constraints=constraints, dv=dv,
             ):
                 return True
             # jittered backoff: contending writers decorrelate
@@ -1275,7 +1293,7 @@ class ManifestFormat(TableFormat):
                 f"table {name} has no data at version {m['version']} "
                 "(all partitions dropped or empty write)"
             )
-        return self._read_entries(name, m, m["entries"])
+        return self._read_with_dv(name, m, m["entries"])
 
     def _read_entries(self, name: str, m: dict, entries: list) -> DataFrame:
         """DataFrame over a subset of a manifest's entries.  Entries
@@ -1396,12 +1414,17 @@ class ManifestFormat(TableFormat):
             # constraints would leave schema and constraints
             # inconsistent, e.g. a CHECK on a column the restored
             # schema no longer has)
+            # dv restores EXACTLY too ([] clears when the restored
+            # version had none — carrying the bad head's delete
+            # predicates would delete rows the restored version holds)
             return (
                 old["entries"],
                 old["partition_columns"],
                 None,
                 old.get("schema"),
                 old.get("constraints") or {"__none__": True},
+                None,
+                old.get("dv") or [],
             )
 
         self._commit_edit(name, to_old)
@@ -2287,6 +2310,20 @@ class ManifestFormat(TableFormat):
             d: self.fs.tree_bytes(join_uri(self.path(name), d)) for d in dirs
         }
         small = {d for d, s in sizes.items() if s < target_file_bytes}
+        # dirs a merge-on-read delete predicate still applies to stay
+        # out of compaction: absorbing them would either resurrect
+        # deleted rows or silently materialize a predicate the change
+        # feed has no provenance for — materialize_deletes (or any COW
+        # verb touching them) clears the predicate first
+        dv_idents = {
+            a for d in (m.get("dv") or []) for a in (d.get("applies") or ())
+        }
+        if dv_idents:
+            small -= {
+                e["dir"]
+                for e in m["entries"]
+                if self._dv_ident(e) in dv_idents
+            }
         if len(small) < 2:
             return 0  # nothing merges without rewriting full-size history
         src = [e for e in m["entries"] if e["dir"] in small]
@@ -2730,6 +2767,15 @@ class ManifestFormat(TableFormat):
                 f"{since_version if since_m is None else to_version} "
                 "is not readable (never committed, or vacuumed)"
             )
+        if (since_m.get("dv") or []) != (to_m.get("dv") or []):
+            raise ValueError(
+                f"read_changes({name}): the merge-on-read delete "
+                f"predicates changed between v{since_m['version']} and "
+                f"v{to_m['version']} — rows were deleted (or deletes "
+                "materialized), so the delta is not an append feed; "
+                "additive consumers must resync, row-level consumers "
+                "use read_changes_cdf"
+            )
 
         def ident(e):
             return (e["dir"], e.get("rel"))
@@ -2974,7 +3020,7 @@ class ManifestFormat(TableFormat):
                 name, segs[0]["file"]
             )[:1]
             return self._read_entries(name, m, probe).filter(F.lit(False))
-        df = self._read_entries(name, m, kept)
+        df = self._read_with_dv(name, m, kept)
         return df.filter(self._bounds_condition(bounds))
 
     def _prune_two_tier(self, name: str, m: dict, bounds: dict) -> list:
@@ -3021,6 +3067,187 @@ class ManifestFormat(TableFormat):
                 cond = cond & (F.col(c) <= F.lit(c_hi))
         return cond
 
+    # -- merge-on-read deletes (stored delete predicates) -----------------
+
+    @staticmethod
+    def _dv_ident(e: dict) -> str:
+        """Stable entry identity for delete-predicate scoping."""
+        import json
+
+        return "|".join(
+            (e["dir"], e.get("rel") or "",
+             json.dumps(e["partitions"], sort_keys=True))
+        )
+
+    @staticmethod
+    def _dv_bounds_json(bounds: dict) -> dict:
+        """JSON-safe encoding of a ``{col: (lo, hi) | values}`` spec —
+        explicit range/in tags (a 2-element IN list is not a range).
+        Merge-on-read predicates persist in the manifest, so only
+        JSON-representable bound types are accepted; anything else
+        must use the copy-on-write mode."""
+        out = {}
+        for c, spec in bounds.items():
+            if isinstance(spec, (list, set, frozenset)):
+                vals = sorted(spec)
+                enc = {"in": vals}
+            else:
+                enc = {"range": [spec[0], spec[1]]}
+            for v in enc.get("in", enc.get("range", [])):
+                if v is not None and not isinstance(v, (int, float, str, bool)):
+                    raise TypeError(
+                        f"merge-on-read delete bound for {c!r} is "
+                        f"{type(v).__name__} — not JSON-storable; use "
+                        "mode='cow'"
+                    )
+            out[c] = enc
+        return out
+
+    @staticmethod
+    def _dv_bounds_spec(jb: dict) -> dict:
+        """The inverse of :meth:`_dv_bounds_json`."""
+        return {
+            c: (enc["in"] if "in" in enc else tuple(enc["range"]))
+            for c, enc in jb.items()
+        }
+
+    def _read_with_dv(self, name: str, m: dict, entries: list) -> DataFrame:
+        """``_read_entries`` with the manifest's MERGE-ON-READ delete
+        predicates applied: entries group by the SET of predicates
+        that apply to them (driver-side, manifest-sized), each group
+        reads once and filters ``NOT(coalesce(pred, FALSE))`` per
+        applying predicate (SQL DELETE semantics: a NULL predicate
+        does not delete), groups union.  Entries no predicate applies
+        to — notably everything appended AFTER a delete — read
+        untouched, which is exactly Delta's per-file deletion-vector
+        scoping."""
+        from pyspark.sql import functions as F
+
+        dvs = m.get("dv") or []
+        if not dvs or not entries:
+            return self._read_entries(name, m, entries)
+        applies = [set(d.get("applies") or ()) for d in dvs]
+        groups: dict = {}
+        for e in entries:
+            ident = self._dv_ident(e)
+            key = frozenset(
+                i for i, a in enumerate(applies) if ident in a
+            )
+            groups.setdefault(key, []).append(e)
+        frames = []
+        for key in sorted(groups, key=sorted):
+            df = self._read_entries(name, m, groups[key])
+            for i in sorted(key):
+                cond = self._bounds_condition(
+                    self._dv_bounds_spec(dvs[i]["bounds"])
+                )
+                df = df.filter(~F.coalesce(cond, F.lit(False)))
+            frames.append(df)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    @classmethod
+    def _dv_without(cls, dvs: list | None, removed: set) -> list:
+        """The dv list after a COW rewrite of the entries in
+        ``removed`` (idents): rewritten entries materialized their
+        deletes, so they leave every applies set; a predicate that no
+        longer applies to anything drops entirely — dv lists are
+        self-cleaning under rewrites."""
+        out = []
+        for d in dvs or []:
+            left = [a for a in (d.get("applies") or ()) if a not in removed]
+            if left:
+                out.append({**d, "applies": left})
+        return out
+
+    def delete_where_mor(
+        self, name: str, col: str | dict, lo=None, hi=None
+    ) -> int:
+        """Row-level DELETE as MERGE-ON-READ (Delta deletion vectors /
+        Iceberg v2 equality deletes, expressed as a stored predicate):
+        NO data file is rewritten — the commit records the predicate,
+        scoped to the entries that may contain matches, and every read
+        applies it.  The write cost of a narrow delete drops from
+        O(touched files) to O(one manifest) — the right verb when the
+        matched files are large and reads can afford one more codegen
+        filter.  Matched rows still land as CDC (the count and the
+        change feed need them — one bounded scan, like COW).
+
+        Semantics: point-in-time — rows appended AFTER this commit are
+        NOT affected even if they match (the predicate applies only to
+        entries present now; Delta DVs scope per file the same way).
+        COW verbs (delete/update/merge/cluster/replace) MATERIALIZE
+        applying predicates for every entry they rewrite and shed them
+        from the manifest; ``materialize_deletes`` does it on demand;
+        threshold compaction skips predicate-bearing dirs until then.
+        Returns the number of rows deleted."""
+        from pyspark.sql import functions as F
+
+        bounds = col if isinstance(col, dict) else {col: (lo, hi)}
+        jb = self._dv_bounds_json(bounds)  # validate FIRST: no cdc orphan
+        candidates, m = self.prune_entries(name, bounds)
+        if not m["entries"] or not candidates:
+            return 0
+        cand_df = self._read_with_dv(name, m, candidates)
+        cond = F.coalesce(self._bounds_condition(bounds), F.lit(False))
+        n_deleted = cand_df.filter(cond).count()
+        if n_deleted == 0:
+            return 0
+        cdc = self._land_cdc(
+            name,
+            cand_df.filter(cond).withColumn("_change_type", F.lit("delete")),
+            n_deleted, "delete", m["version"],
+        )
+        dv = (m.get("dv") or []) + [
+            {
+                "bounds": jb,
+                "n": int(n_deleted),
+                "applies": [self._dv_ident(e) for e in candidates],
+            }
+        ]
+        self._commit(
+            name, m["entries"], list(m["partition_columns"]), m["version"],
+            schema=m.get("schema"), cdc=cdc, txn=m.get("txn"), dv=dv,
+        )
+        return n_deleted
+
+    def materialize_deletes(self, name: str) -> int:
+        """COW-rewrite every entry a merge-on-read delete predicate
+        still applies to, and clear the predicates — the explicit
+        maintenance verb that converts read-time filter debt back into
+        clean files (Delta's PURGE).  Bounded by the applying entries,
+        never the table.  Returns the number of entries rewritten."""
+        m = self._manifest(name)
+        if m is None or not (m.get("dv") or []):
+            return 0
+        affected_idents = {
+            a for d in m["dv"] for a in (d.get("applies") or ())
+        }
+        affected = [
+            e for e in m["entries"] if self._dv_ident(e) in affected_idents
+        ]
+        if not affected:
+            # ghost idents only (their entries were dropped): clear
+            self._commit(
+                name, m["entries"], list(m["partition_columns"]),
+                m["version"], schema=m.get("schema"), txn=m.get("txn"),
+                dv=[],
+            )
+            return 0
+        clean = self._read_with_dv(name, m, affected)
+        untouched = [
+            e for e in m["entries"] if self._dv_ident(e) not in affected_idents
+        ]
+        cols = tuple(m["partition_columns"])
+        new, _ = self._new_data_dir(name, clean, cols)
+        self._commit(
+            name, untouched + new, list(cols), m["version"],
+            schema=m.get("schema"), txn=m.get("txn"), dv=[],
+        )
+        return len(affected)
+
     def delete_where(self, name: str, col: str | dict, lo=None, hi=None) -> int:
         """Row-level DELETE with STATS-BOUNDED copy-on-write (Iceberg's
         copy-on-write ``DELETE WHERE``, scoped by the same manifest
@@ -3055,7 +3282,9 @@ class ManifestFormat(TableFormat):
             for e in m["entries"]
             if (e["dir"], e.get("rel"), str(e["partitions"])) not in cand_ids
         ]
-        cand_df = self._read_entries(name, m, candidates)
+        # dv-aware: rows a merge-on-read predicate already deleted must
+        # not be re-counted, and must NOT resurrect in the rewrite
+        cand_df = self._read_with_dv(name, m, candidates)
         cond = F.coalesce(self._bounds_condition(bounds), F.lit(False))
         n_deleted = cand_df.filter(cond).count()
         if n_deleted == 0:
@@ -3068,10 +3297,15 @@ class ManifestFormat(TableFormat):
         cols = tuple(m["partition_columns"])
         new, _ = self._new_data_dir(name, survivors, cols)
         # txn carried from the base: a row-level DELETE must not reset
-        # the idempotent streaming-writer watermarks (ADVICE r9 #1)
+        # the idempotent streaming-writer watermarks (ADVICE r9 #1);
+        # rewritten entries materialized their merge-on-read deletes,
+        # so they shed from every dv applies set
         self._commit(
             name, untouched + new, list(cols), m["version"],
             schema=m.get("schema"), cdc=cdc, txn=m.get("txn"),
+            dv=self._dv_without(
+                m.get("dv"), {self._dv_ident(e) for e in candidates}
+            ),
         )
         return n_deleted
 
@@ -3112,7 +3346,7 @@ class ManifestFormat(TableFormat):
             for e in m["entries"]
             if (e["dir"], e.get("rel"), str(e["partitions"])) not in cand_ids
         ]
-        cand_df = self._read_entries(name, m, candidates)
+        cand_df = self._read_with_dv(name, m, candidates)
         unknown = set(set_exprs) - set(cand_df.columns)
         if unknown:
             raise ValueError(
@@ -3182,6 +3416,9 @@ class ManifestFormat(TableFormat):
         self._commit(
             name, untouched + new, list(cols), m["version"],
             schema=m.get("schema"), cdc=cdc, txn=m.get("txn"),
+            dv=self._dv_without(
+                m.get("dv"), {self._dv_ident(e) for e in candidates}
+            ),
         )
         return n_updated
 
@@ -3256,7 +3493,7 @@ class ManifestFormat(TableFormat):
         )
         n_matched = 0
         if candidates:
-            cand_df = self._read_entries(name, m, candidates)
+            cand_df = self._read_with_dv(name, m, candidates)
             matched = cand_df.join(keys, unique_key, "left_semi")
             n_matched = matched.count()
         if n_matched == 0:
@@ -3315,6 +3552,9 @@ class ManifestFormat(TableFormat):
         self._commit(
             name, untouched + new, list(cols), m["version"],
             schema=merged_schema, cdc=cdc, txn=m.get("txn"),
+            dv=self._dv_without(
+                m.get("dv"), {self._dv_ident(e) for e in candidates}
+            ),
         )
 
 
@@ -3562,6 +3802,7 @@ class CatalogManifestFormat(ManifestFormat):
         schema: dict | None = None,
         cdc: dict | None = None,
         txn: dict | None = None,
+        dv: list | None = None,
     ) -> None:
         """Non-rebaseable (replace) commit + catalog flip.  On this
         format the COMMIT POINT is the catalog flip, so the replace's
@@ -3587,7 +3828,7 @@ class CatalogManifestFormat(ManifestFormat):
                 name, nxt, entries, partition_columns, txn, segments=segs,
                 schema=schema,
                 constraints=(prev or {}).get("constraints"),
-                cdc=cdc,
+                cdc=cdc, dv=dv,
             ):
                 break
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
@@ -3642,6 +3883,11 @@ class CatalogManifestFormat(ManifestFormat):
                 if len(out) > 4 and out[4] is not None
                 else (prev or {}).get("constraints")
             )
+            dv = (
+                out[6]
+                if len(out) > 6 and out[6] is not None
+                else (prev or {}).get("dv")
+            )
             if len(out) > 5 and out[5] is not None:
                 segs, entries = self._flush_tail(name, list(out[5]), entries)
             else:
@@ -3649,7 +3895,7 @@ class CatalogManifestFormat(ManifestFormat):
             nxt = self._latest_version(name) + 1
             if not self._try_write_manifest(
                 name, nxt, entries, cols, txn, segments=segs,
-                schema=schema, constraints=constraints,
+                schema=schema, constraints=constraints, dv=dv,
             ):
                 time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
                 continue
