@@ -558,6 +558,11 @@ class ManifestFormat(TableFormat):
     #: parsed-segment cache bound (files); oldest evicted first
     SEG_CACHE_FILES = 256
 
+    #: reader protocol features THIS build implements; a manifest
+    #: listing one outside this set refuses to resolve (see
+    #: _try_write_manifest's reader_features)
+    READER_FEATURES = frozenset({"dv"})
+
     # -- manifest machinery ---------------------------------------------
 
     def path(self, name: str) -> str:
@@ -669,6 +674,15 @@ class ManifestFormat(TableFormat):
                 # version: not committed yet — same caller contract as
                 # a missing version, never a silently different one
                 return None
+        unknown = set(m.get("reader_features") or ()) - self.READER_FEATURES
+        if unknown:
+            raise RuntimeError(
+                f"table {name} (v{m.get('version')}) requires reader "
+                f"feature(s) {sorted(unknown)} this build does not "
+                "implement — reading anyway would silently misinterpret "
+                "the data (Delta's readerFeatures contract); upgrade "
+                "the reader"
+            )
         if m.get("segments") and resolve:
             # hierarchical manifest: expand segment refs so every
             # caller sees the full entry list under "entries" exactly
@@ -1037,6 +1051,14 @@ class ManifestFormat(TableFormat):
                 # zero data rewrite at delete time; COW verbs
                 # materialize and shed them per rewritten entry
                 **({"dv": dv} if dv else {}),
+                # READER protocol features (Delta's readerFeatures): a
+                # reader that does not understand a listed feature must
+                # refuse the table rather than silently misread it —
+                # e.g. ignoring "dv" would serve deleted rows.  Only
+                # features whose MISREAD is silent corruption list here
+                # (segments self-describe: an unknown key would fail
+                # loudly in entry resolution).
+                **({"reader_features": ["dv"]} if dv else {}),
                 # wall-clock commit time: the basis for time-based
                 # vacuum retention (Delta's RETAIN n HOURS); advisory
                 # only — correctness never depends on clocks

@@ -193,3 +193,29 @@ def test_mor_delete_inside_catalog_transaction(spark, tmp_path):
         assert fmt.delete_where_mor("s.t", "k", 0, 4) == 5
     got = {r["k"] for r in fmt.read("s.t").collect()}
     assert 0 not in got and 60 in got and len(got) == 46
+
+
+def test_reader_features_guard(spark, tmp_path):
+    """A manifest requiring a reader feature this build lacks must
+    REFUSE to resolve (Delta's readerFeatures contract) — silently
+    ignoring e.g. an unknown future delete encoding would serve
+    deleted rows."""
+    import json as _json
+    import os as _os
+
+    fmt = _fmt(spark, str(tmp_path))
+    fmt.write("s.t", _rows(spark, (1, 10)), "overwrite")
+    fmt.delete_where_mor("s.t", "k", 1, 1)
+    # this build understands "dv": reads work
+    assert fmt.read("s.t").count() == 0
+    # forge a manifest demanding a future feature
+    log = _os.path.join(str(tmp_path), "s", "t", "_log")
+    vf = sorted(f for f in _os.listdir(log) if f.startswith("v"))[-1]
+    path = _os.path.join(log, vf)
+    body = _json.loads(fmt.fs.read_text(path))
+    body["reader_features"] = ["dv", "dv_v99_bitmap"]
+    fmt.fs.delete(path)
+    fmt.fs.write_text(path, _json.dumps(body), overwrite=False)
+    cold = _fmt(spark, str(tmp_path))
+    with pytest.raises(RuntimeError, match="dv_v99_bitmap"):
+        cold.read("s.t")
