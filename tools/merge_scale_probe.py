@@ -98,6 +98,44 @@ def main() -> None:
 
         shutil.rmtree(root, ignore_errors=True)
 
+    # -- row-level DELETE: copy-on-write vs merge-on-read on the same
+    # clustered table (narrow predicate inside one chunk)
+    for mode in ("cow_delete", "mor_delete"):
+        root = tempfile.mkdtemp(prefix=f"delprobe_{mode}_")
+        fmt = ManifestFormat(
+            spark, root, auto_compact_dirs=None, stats_cols=("o_orderkey",)
+        )
+        for i in range(n_chunks):
+            chunk = o.filter(
+                (F.col("o_orderkey") > bounds[i])
+                & (F.col("o_orderkey") <= bounds[i + 1])
+            )
+            fmt.write("raw.orders", chunk, "append" if i else "overwrite")
+        lo = bounds[n_chunks // 2] + 1
+        hi_k = int(
+            o.filter(F.col("o_orderkey") >= lo)
+            .orderBy("o_orderkey").limit(max(1, n_rows // 1000))
+            .agg(F.max("o_orderkey")).first()[0]
+        )
+        before = {e["dir"] for e in fmt._manifest("raw.orders")["entries"]}
+        t0 = time.perf_counter()
+        if mode == "cow_delete":
+            n = fmt.delete_where("raw.orders", "o_orderkey", lo, hi_k)
+        else:
+            n = fmt.delete_where_mor("raw.orders", "o_orderkey", lo, hi_k)
+        wall = time.perf_counter() - t0
+        after = {e["dir"] for e in fmt._manifest("raw.orders")["entries"]}
+        assert fmt.read("raw.orders").count() == n_rows - n
+        out[mode] = {
+            "delete_s": round(wall, 2),
+            "rows_deleted": int(n),
+            "entries_carried": len(before & after),
+            "entries_total": len(before),
+        }
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
     # -- the RANDOM-key story (the reference's _dlt_id is a hash): raw
     # appends span the whole key space, so stats never prune — until
     # cluster-on-compact converges the table to near-disjoint per-file
