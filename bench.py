@@ -115,6 +115,7 @@ EXTENDED = [
     "manifest_merge_converged",    # cluster-on-compact random-key convergence
     "ann_streaming_topk",          # streaming index-maintenance twin
     "manifest_mor_delete",         # merge-on-read DELETE (zero data rewrite)
+    "rollup_cdf_upsert",           # retraction-aware rollup over merges
 ]
 
 

@@ -895,14 +895,77 @@ class IncrementalAggSync(_RollupSyncBase):
     def _partial(self, batch: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
-        # plain SUM: NULL means "no non-NULL value ever seen", exactly
-        # like a full recompute — the merge below preserves that (NULL +
-        # NULL = NULL) while never letting a NULL side wipe a real total
-        aggs = [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
-        aggs.append(F.count("*").alias("n_rows"))
+        if "__sign" in batch.columns:
+            # SIGNED partials (the row-level change-feed path): a
+            # retraction weighs -1, so sum(c * sign) nets an update to
+            # postimage - preimage and a delete to -old — additive
+            # sums absorb upserts exactly.  NULL values skip either
+            # way (retracting a never-measured value changes nothing).
+            aggs = [
+                F.sum(F.col(c) * F.col("__sign")).alias(f"sum_{c}")
+                for c in self.sum_cols
+            ]
+            aggs.append(F.sum("__sign").alias("n_rows"))
+        else:
+            # plain SUM: NULL means "no non-NULL value ever seen",
+            # exactly like a full recompute — the merge below preserves
+            # that (NULL + NULL = NULL) while never letting a NULL side
+            # wipe a real total
+            aggs = [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
+            aggs.append(F.count("*").alias("n_rows"))
         return batch.groupBy(*self.group_cols).agg(*aggs).withColumn(
             "__agg_key", self._key()
         )
+
+    def _stored(self) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        # a group whose rows fully retracted (n_rows netted to 0 via
+        # the signed path) must disappear like a recompute's would; the
+        # append-only path never produces 0 (counts only ever add)
+        return super()._stored().filter(F.col("n_rows") != 0)
+
+    def sync_from_cdf(self, fmt, source_table: str) -> DataFrame:
+        """Maintain this ADDITIVE rollup over a source that UPSERTS —
+        the reference's M2 cadence (stage.users merges every 15
+        minutes), exactly where the append-only ``sync_from_changes``
+        refuses.  The row-level change feed's classes become SIGNED
+        facts: insert/update_postimage weigh +1, delete/
+        update_preimage weigh -1, and additive sums absorb the
+        retractions exactly (Flink's retract streams; only possible
+        because SUM/COUNT form a GROUP, not just a semigroup — the
+        sketch rollups cannot do this).  Exactly-once like
+        ``sync_from_changes``: the source's manifest version is the
+        batch id, committed inside the same atomic swap as the merged
+        sums.  A feed refusal (replace / vacuumed range) propagates —
+        rebuild from a full read."""
+        from pyspark.sql import functions as F
+
+        m = fmt._manifest(source_table)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed manifest for table {source_table}"
+            )
+        cur = int(m["version"])
+        applied = self._applied_batch_id()
+        if applied is not None and cur == int(applied):
+            return self.read()
+        if applied is None:
+            delta = fmt.read_version(source_table, cur).withColumn(
+                "__sign", F.lit(1)
+            )
+        else:
+            feed = fmt.read_changes_cdf(source_table, int(applied), cur)
+            delta = feed.withColumn(
+                "__sign",
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ).drop("_change_type", "_commit_version")
+        return self.sync(delta, batch_id=cur)
 
     def _merge_metric(self, m: str):
         from pyspark.sql import functions as F

@@ -1409,6 +1409,77 @@ def manifest_merge_bounded(spark, sf_dir):
 
 
 @query(
+    "rollup_cdf_upsert",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    b AS (
+        SELECT m * 2 // 5 AS b2,
+               (m * 3 // 5 - m * 2 // 5) // 3 AS w
+        FROM mx
+    ),
+    t AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey > b2 AND c_custkey <= b2 + w
+                    THEN c_acctbal + 1000.0 ELSE c_acctbal END AS bal,
+               c_custkey > b2 + w AND c_custkey <= b2 + 2 * w AS deleted
+        FROM customer, b
+    )
+    SELECT c_mktsegment,
+           ROUND(SUM(bal), 2) AS bal_sum,
+           COUNT(*) AS n_rows
+    FROM t
+    WHERE NOT deleted
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # rollup family: topk/hist rollups carry the gate
+)
+def rollup_cdf_upsert(spark, sf_dir):
+    """Retraction-aware rollup maintenance over an UPSERTED source
+    (round 10 ``IncrementalAggSync.sync_from_cdf``): a maintained
+    per-segment balance rollup bootstraps from the raw customers, the
+    source then takes a MERGE (one range's balances +1000, an adjacent
+    range purged via delete keys — the reference's M2 shape), and the
+    rollup absorbs the change feed as SIGNED facts (postimage +,
+    preimage/delete -) instead of refusing or rescanning.  The oracle
+    recomputes the post-merge aggregate from the raw table — a drift
+    in any retraction breaks the hash
+    (plans/pipeline.py:IncrementalAggSync.sync_from_cdf)."""
+    from ..fs import scratch_dir
+    from .pipeline import IncrementalAggSync
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "rcdf_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    fmt.write("raw.cust", c, "overwrite")
+    agg = IncrementalAggSync(
+        spark, root, "agg.seg_bal", group_cols=("c_mktsegment",),
+        sum_cols=("c_acctbal",), table_format=fmt,
+    )
+    agg.sync_from_cdf(fmt, "raw.cust")  # bootstrap
+    mx = int(c.agg(F.max("c_custkey")).first()[0])
+    b2 = mx * 2 // 5
+    w = (mx * 3 // 5 - b2) // 3
+    batch = c.filter(
+        (F.col("c_custkey") > b2) & (F.col("c_custkey") <= b2 + w)
+    ).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+    keys = c.filter(
+        (F.col("c_custkey") > b2) & (F.col("c_custkey") <= b2 + 2 * w)
+    ).select("c_custkey")
+    fmt.merge("raw.cust", batch, "c_custkey", delete_keys=keys)
+    agg.sync_from_cdf(fmt, "raw.cust")  # signed delta, no rescan
+    return agg.read().select(
+        "c_mktsegment",
+        F.round(F.col("sum_c_acctbal"), 2).alias("bal_sum"),
+        F.col("n_rows"),
+    )
+
+
+@query(
     "manifest_mor_delete",
     oracle="""
     WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
