@@ -98,10 +98,16 @@ class IncrementalANNSync:
                 F.transform("im", lambda t: t.getField("s")).alias("__cvec"),
             )
         )
-        self.wh.fmt.replace_atomic(self.centroids_table, cent, ())
-        codes = cq.select(F.col(id_col).alias("vec_id"), "q")
-        assigned = self._assign(codes)
-        self.wh.fmt.replace_atomic(self.assign_table, assigned, ())
+        import contextlib
+
+        tx = getattr(self.wh.fmt, "transaction", None)
+        with tx() if tx is not None else contextlib.nullcontext():
+            # one flip commits codebook + memberships together on the
+            # catalog format — no reader sees one without the other
+            self.wh.fmt.replace_atomic(self.centroids_table, cent, ())
+            codes = cq.select(F.col(id_col).alias("vec_id"), "q")
+            assigned = self._assign(codes)
+            self.wh.fmt.replace_atomic(self.assign_table, assigned, ())
         return self.wh.read(self.centroids_table).count()
 
     def _centroids(self) -> DataFrame:
@@ -219,13 +225,16 @@ class IncrementalANNSync:
         the maintenance cadence, not the sync cadence.  Returns the
         number of centroids (empty clusters dissolve).
 
-        The sync cursors SURVIVE the retrain: the assignments rewrite
-        is a replace (which resets the idempotent-writer watermarks by
-        contract), so the WHOLE watermark map is re-recorded after it
-        via the metadata-only ``set_txn`` — otherwise the next
-        ``sync_from_changes`` (or a streaming replay) would see a
-        fresh table and re-index the whole source (duplicate
-        neighbors at every rank)."""
+        The sync cursors SURVIVE the retrain crash-safely: the whole
+        watermark map rides INSIDE the assignments replace commit
+        (``replace_atomic(txn=...)``) — a separate restore commit
+        would leave a window where a crash (or a concurrent sync
+        trigger) sees a cursor-less table and re-indexes the whole
+        source (duplicate neighbors at every rank).  On a catalog
+        format both rewrites flip in ONE transaction, so a reader can
+        never see the new codebook with the old memberships."""
+        import contextlib
+
         man = getattr(self.wh.fmt, "_manifest", None)
         txn_before = (
             dict((man(self.assign_table) or {}).get("txn") or {})
@@ -244,12 +253,13 @@ class IncrementalANNSync:
                 F.transform("im", lambda t: t.getField("s")).alias("__cvec"),
             )
         )
-        self.wh.fmt.replace_atomic(self.centroids_table, cent, ())
-        reassigned = self._assign(a.select("vec_id", "q"))
-        self.wh.fmt.replace_atomic(self.assign_table, reassigned, ())
-        set_txn = getattr(self.wh.fmt, "set_txn", None)
-        if txn_before and set_txn is not None:
-            set_txn(self.assign_table, txn_before)
+        tx = getattr(self.wh.fmt, "transaction", None)
+        with tx() if tx is not None else contextlib.nullcontext():
+            self.wh.fmt.replace_atomic(self.centroids_table, cent, ())
+            reassigned = self._assign(a.select("vec_id", "q"))
+            self.wh.fmt.replace_atomic(
+                self.assign_table, reassigned, (), txn=txn_before or None
+            )
         return self.wh.read(self.centroids_table).count()
 
     # -- serve ---------------------------------------------------------------

@@ -890,7 +890,15 @@ class IncrementalAggSync(_RollupSyncBase):
             table_format=table_format,
         )
         self.sum_cols = list(sum_cols)
-        self._metrics = [f"sum_{c}" for c in self.sum_cols] + ["n_rows"]
+        # nn_<c> = count of NON-NULL values per sum column: the state
+        # that lets a sum RETRACTED back to no-values serve NULL like a
+        # recompute would (sum(+5) + sum(-5) nets 0, not NULL; nn tells
+        # the two apart).  Internal — _derive drops it.
+        self._metrics = (
+            [f"sum_{c}" for c in self.sum_cols]
+            + [f"nn_{c}" for c in self.sum_cols]
+            + ["n_rows"]
+        )
 
     def _partial(self, batch: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
@@ -905,6 +913,14 @@ class IncrementalAggSync(_RollupSyncBase):
                 F.sum(F.col(c) * F.col("__sign")).alias(f"sum_{c}")
                 for c in self.sum_cols
             ]
+            aggs += [
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("__sign")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"nn_{c}")
+                for c in self.sum_cols
+            ]
             aggs.append(F.sum("__sign").alias("n_rows"))
         else:
             # plain SUM: NULL means "no non-NULL value ever seen",
@@ -912,6 +928,7 @@ class IncrementalAggSync(_RollupSyncBase):
             # that (NULL + NULL = NULL) while never letting a NULL side
             # wipe a real total
             aggs = [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
+            aggs += [F.count(c).alias(f"nn_{c}") for c in self.sum_cols]
             aggs.append(F.count("*").alias("n_rows"))
         return batch.groupBy(*self.group_cols).agg(*aggs).withColumn(
             "__agg_key", self._key()
@@ -979,10 +996,22 @@ class IncrementalAggSync(_RollupSyncBase):
 
     def _derive(self, df: DataFrame) -> DataFrame:
         """Means derive from sums at read time (AVG of AVGs is wrong
-        under merge; sum/count is exact)."""
+        under merge; sum/count is exact).  A sum whose non-null count
+        netted back to ZERO (every measured value retracted via the
+        signed path) serves NULL, exactly like a recompute — the
+        0-vs-NULL distinction plain additive state cannot make.
+        Internal ``nn_`` columns drop from the presentation."""
         from pyspark.sql import functions as F
 
         for c in self.sum_cols:
+            nn = f"nn_{c}"
+            if nn in df.columns:
+                df = df.withColumn(
+                    f"sum_{c}",
+                    F.when(F.col(nn) == 0, F.lit(None)).otherwise(
+                        F.col(f"sum_{c}")
+                    ),
+                ).drop(nn)
             df = df.withColumn(
                 f"avg_{c}",
                 F.round(F.try_divide(F.col(f"sum_{c}"), F.col("n_rows")), 6),

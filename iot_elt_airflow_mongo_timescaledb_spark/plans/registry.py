@@ -95,11 +95,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (ADVICE r9 #5).
             if "nanos" not in str(first_err).lower():
                 raise
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            flag = "spark.sql.legacy.parquet.nanosAsLong"
+            prev_flag = spark.conf.get(flag, None)
+            spark.conf.set(flag, "true")
             try:
                 df = spark.read.parquet(path)
             except Exception:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                # RESTORE, never unset: an earlier successful NANOS
+                # read's lazy frame still consults the conf at
+                # execution — clobbering it would fail that frame
+                if prev_flag is None:
+                    spark.conf.unset(flag)
+                else:
+                    spark.conf.set(flag, prev_flag)
                 raise
         if isinstance(df.schema["ts"].dataType, T.LongType):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -179,10 +179,16 @@ class TableFormat(abc.ABC):
         df: DataFrame,
         partition_by: tuple[str, ...] = (),
         suffix: str = "__staging",
+        txn: dict | None = None,
     ) -> None:
         """Full-table replace, atomic per table.  ``suffix`` tags the
         format's transient artifact for observability (parquet: the
-        staging directory name); transactional formats may ignore it."""
+        staging directory name); transactional formats may ignore it.
+        ``txn`` (formats with writer watermarks): carry THESE
+        idempotent-writer watermarks through the replace instead of
+        the default reset — for row-preserving rewrites (e.g. an index
+        retrain) whose callers must not lose their cursors in a crash
+        window between the replace and a separate restore commit."""
 
     def merge(
         self,
@@ -368,7 +374,9 @@ class ParquetFormat(TableFormat):
         df: DataFrame,
         partition_by: tuple[str, ...] = (),
         suffix: str = "__staging",
+        txn: dict | None = None,
     ) -> None:
+        # txn ignored: plain parquet has no writer watermarks
         if suffix not in self.STAGING_SUFFIXES:
             raise ValueError(
                 f"unknown staging suffix {suffix!r}: recovery only scans "
@@ -2018,11 +2026,14 @@ class ManifestFormat(TableFormat):
         df: DataFrame,
         partition_by: tuple[str, ...] = (),
         suffix: str = "__staging",
+        txn: dict | None = None,
     ) -> None:
         # suffix ignored: the commit itself is the transaction.  The
         # base is read BEFORE landing data: a commit racing into the
         # write window collides on base+1 and aborts this replace loudly
-        # instead of being silently discarded.
+        # instead of being silently discarded.  txn=None keeps the
+        # documented reset; a row-preserving caller passes the map to
+        # carry INSIDE the same commit (no crash window).
         prev = self._manifest(name)
         entries, cols = self._new_data_dir(name, df, partition_by)
         if entries:
@@ -2035,6 +2046,7 @@ class ManifestFormat(TableFormat):
             cols,
             prev["version"] if prev else 0,
             schema=df.schema.jsonValue(),
+            txn=txn,
         )
 
     def dynamic_partition_overwrite(
@@ -2567,17 +2579,39 @@ class ManifestFormat(TableFormat):
         base-anchored commit (a concurrent append landing during the
         rewrite collides on base+1 and aborts this rewrite instead of
         being silently dropped — ADVICE r8 #1's worst case)."""
+        from pyspark.sql import functions as F
+
         if n_files is None:
             nbytes = self.table_bytes(name)
             n_files = max(1, -(-nbytes // int(target_file_bytes)))
-        provenance = sorted(
-            {d for e in m["entries"] for d in (e.get("sources") or [e["dir"]])}
-        )
         entries = self._land_clustered_dir(
             name, df, order_expr, stat_for, n_files
         )
-        for e in entries:
-            e["sources"] = provenance
+        cdc = None
+        if m.get("dv"):
+            # the clustered output is the DV-FILTERED view, NOT the
+            # source entries' content — stamping compaction provenance
+            # would make read_changes treat it as old-content-in-a-new-
+            # coat and silently drop the deletions from the feed.  No
+            # sources => the append-only feed REFUSES across this
+            # rewrite (loud); an empty purge cdc lets read_changes_cdf
+            # step across it (the logical content is unchanged: reads
+            # already applied the predicates).
+            cdc = self._land_cdc(
+                name,
+                df.limit(0).withColumn("_change_type", F.lit("purge")),
+                0, "purge", m["version"],
+            )
+        else:
+            provenance = sorted(
+                {
+                    d
+                    for e in m["entries"]
+                    for d in (e.get("sources") or [e["dir"]])
+                }
+            )
+            for e in entries:
+                e["sources"] = provenance
         # the rewrite sees no DataFrame schema to re-derive: carry the
         # base manifest's stored schema through the commit; txn carried
         # too — clustering is row-preserving maintenance, and resetting
@@ -2586,7 +2620,7 @@ class ManifestFormat(TableFormat):
         # class of bug ADVICE r9 #1 closed on delete/update)
         self._commit(
             name, entries, [], m["version"], schema=m.get("schema"),
-            txn=m.get("txn"),
+            txn=m.get("txn"), cdc=cdc,
         )
         return len(entries)
 
@@ -3110,19 +3144,33 @@ class ManifestFormat(TableFormat):
         must use the copy-on-write mode."""
         out = {}
         for c, spec in bounds.items():
-            if isinstance(spec, (list, set, frozenset)):
-                vals = sorted(spec)
-                enc = {"in": vals}
-            else:
-                enc = {"range": [spec[0], spec[1]]}
-            for v in enc.get("in", enc.get("range", [])):
+            is_set = isinstance(spec, (list, set, frozenset))
+            vals = list(spec) if is_set else [spec[0], spec[1]]
+            # validate BEFORE any sort: mixed-type sets must raise the
+            # guidance error, not sorted()'s bare TypeError
+            for v in vals:
+                if v is None and is_set:
+                    # Column.isin([None]) matches NOTHING (SQL IN is
+                    # never true on NULL) — persisting it would silently
+                    # delete zero rows where the caller expected
+                    # NULL-key deletion
+                    raise TypeError(
+                        f"merge-on-read IN-set for {c!r} contains None "
+                        "— SQL IN never matches NULL; delete NULL keys "
+                        "with an explicit predicate via mode='cow'"
+                    )
                 if v is not None and not isinstance(v, (int, float, str, bool)):
                     raise TypeError(
                         f"merge-on-read delete bound for {c!r} is "
                         f"{type(v).__name__} — not JSON-storable; use "
                         "mode='cow'"
                     )
-            out[c] = enc
+            if is_set and len({type(v) for v in vals}) > 1:
+                raise TypeError(
+                    f"merge-on-read IN-set for {c!r} mixes value types "
+                    "— not order-storable; use mode='cow'"
+                )
+            out[c] = {"in": sorted(vals)} if is_set else {"range": vals}
         return out
 
     @staticmethod
@@ -3160,9 +3208,16 @@ class ManifestFormat(TableFormat):
         for key in sorted(groups, key=sorted):
             df = self._read_entries(name, m, groups[key])
             for i in sorted(key):
-                cond = self._bounds_condition(
-                    self._dv_bounds_spec(dvs[i]["bounds"])
-                )
+                spec = self._dv_bounds_spec(dvs[i]["bounds"])
+                # a group whose files PREDATE a bound column (additive
+                # schema evolution) reads without it: those rows are
+                # NULL there, and SQL DELETE semantics never delete on
+                # a NULL predicate — the filter is a provable no-op,
+                # and referencing the absent column would instead fail
+                # analysis for the whole read
+                if any(c not in df.columns for c in spec):
+                    continue
+                cond = self._bounds_condition(spec)
                 df = df.filter(~F.coalesce(cond, F.lit(False)))
             frames.append(df)
         out = frames[0]
@@ -3264,9 +3319,23 @@ class ManifestFormat(TableFormat):
         ]
         cols = tuple(m["partition_columns"])
         new, _ = self._new_data_dir(name, clean, cols)
+        from pyspark.sql import functions as F
+
+        # the purge is row-preserving (reads already applied the
+        # predicates), but the rewritten entries carry no compaction
+        # provenance — an empty cdc marker lets read_changes_cdf step
+        # across it as a zero-row change instead of refusing forever;
+        # the append-only feed still refuses (dv list flips [P] -> []),
+        # which is correct: its consumers were already told to resync
+        # or move to the CDF at the MOR delete itself.
+        cdc = self._land_cdc(
+            name,
+            clean.limit(0).withColumn("_change_type", F.lit("purge")),
+            0, "purge", m["version"],
+        )
         self._commit(
             name, untouched + new, list(cols), m["version"],
-            schema=m.get("schema"), txn=m.get("txn"), dv=[],
+            schema=m.get("schema"), txn=m.get("txn"), dv=[], cdc=cdc,
         )
         return len(affected)
 

@@ -126,11 +126,18 @@ def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
         # way to re-raising (ADVICE r9 #5)
         if "nanos" not in str(first_err).lower():
             raise
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        flag = "spark.sql.legacy.parquet.nanosAsLong"
+        prev_flag = spark.conf.get(flag, None)
+        spark.conf.set(flag, "true")
         try:
             return spark.read.parquet(path).schema
         except Exception:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            # restore, never unset: an earlier NANOS read's lazy frame
+            # still consults the conf at execution
+            if prev_flag is None:
+                spark.conf.unset(flag)
+            else:
+                spark.conf.set(flag, prev_flag)
             raise
 
 

@@ -219,3 +219,84 @@ def test_reader_features_guard(spark, tmp_path):
     cold = _fmt(spark, str(tmp_path))
     with pytest.raises(RuntimeError, match="dv_v99_bitmap"):
         cold.read("s.t")
+
+
+def test_cluster_on_dv_table_refuses_feed_serves_cdf(spark, tmp_path):
+    """Review finding: cluster() after a MOR delete must NOT stamp
+    compaction provenance on its dv-filtered output — the append feed
+    would silently drop the deletions.  It refuses instead, while the
+    CDF steps across via a zero-row purge marker."""
+    fmt = _fmt(spark, str(tmp_path))
+    _seed(spark, fmt)
+    base = fmt._manifest("s.t")["version"]
+    fmt.delete_where_mor("s.t", "k", 21, 24)
+    fmt.cluster("s.t", "k", n_files=2)
+    assert not fmt._manifest("s.t").get("dv")  # materialized by rewrite
+    assert fmt.read("s.t").count() == 46
+    with pytest.raises(ValueError):
+        fmt.read_changes("s.t", base).collect()  # loud, never silent
+    feed = fmt.read_changes_cdf("s.t", base)
+    assert {r["k"] for r in feed.collect()} == {21, 22, 23, 24}
+    assert {r["_change_type"] for r in feed.collect()} == {"delete"}
+    # a consumer strictly PAST the dv commit sees the cluster as a
+    # zero-row step (logical content unchanged)
+    mid = fmt._manifest("s.t")["version"] - 1
+    assert fmt.read_changes_cdf("s.t", mid).count() == 0
+
+
+def test_materialize_deletes_keeps_cdf_consumable(spark, tmp_path):
+    """Review finding: the purge is row-preserving, so the CDF must
+    step across it (zero-row marker) instead of refusing forever —
+    a maintained rollup survives MOR delete -> purge -> append."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalAggSync,
+    )
+
+    fmt = _fmt(spark, str(tmp_path))
+    fmt.write(
+        "s.t", _rows(spark, (1, 10), (2, 20), (3, 30)), "overwrite"
+    )
+    agg = IncrementalAggSync(
+        spark, str(tmp_path), "agg.vsum", group_cols=(),
+        sum_cols=("v",), table_format=fmt,
+    )
+    agg.sync_from_cdf(fmt, "s.t")
+    fmt.delete_where_mor("s.t", "k", 2, 2)
+    agg.sync_from_cdf(fmt, "s.t")
+    assert fmt.materialize_deletes("s.t") > 0
+    agg.sync_from_cdf(fmt, "s.t")  # zero-row purge step: no refusal
+    fmt.write("s.t", _rows(spark, (4, 40)), "append")
+    agg.sync_from_cdf(fmt, "s.t")
+    assert [
+        (r["sum_v"], r["n_rows"]) for r in agg.read().collect()
+    ] == [(80, 3)]
+
+
+def test_mor_in_set_validation(spark, tmp_path):
+    fmt = _fmt(spark, str(tmp_path))
+    fmt.write("s.t", _rows(spark, (1, 10)), "overwrite")
+    with pytest.raises(TypeError, match="NULL"):
+        fmt.delete_where_mor("s.t", {"k": [None, 3]})
+    with pytest.raises(TypeError, match="mixes"):
+        fmt.delete_where_mor("s.t", {"k": [1, "a"]})
+
+
+def test_dv_on_schema_evolved_column_reads(spark, tmp_path):
+    """Review finding: a predicate on a column some entries PREDATE
+    must not fail analysis for their group — those rows are NULL there
+    and SQL DELETE never deletes on NULL."""
+    fmt = _fmt(spark, str(tmp_path))
+    fmt.write("s.t", _rows(spark, (1, 10), (2, 20)), "overwrite")
+    fmt.write(
+        "s.t",
+        spark.createDataFrame(
+            [Row(k=3, v=30, c2=7), Row(k=4, v=40, c2=8)]
+        ),
+        "append",
+    )
+    assert fmt.delete_where_mor("s.t", "c2", 7, 7) == 1
+    # a second predicate narrows one group to {P2} while the old dir
+    # stays {P1}-only — the P1 filter must not reference c2 there
+    assert fmt.delete_where_mor("s.t", "k", 4, 4) == 1
+    got = {r["k"] for r in fmt.read("s.t").collect()}
+    assert got == {1, 2}

@@ -125,3 +125,29 @@ def test_cdf_rollup_refuses_across_replace(spark, setup):
     fmt.replace_atomic("raw.t", _rows(spark, (9, "d9", 90)))
     with pytest.raises(ValueError):
         agg.sync_from_cdf(fmt, "raw.t")
+
+
+def test_retracting_last_nonnull_value_serves_null(spark, setup):
+    """The 0-vs-NULL distinction: updating a group's only measured
+    value to NULL (or deleting the only non-NULL row) must leave the
+    rollup's sum NULL like a recompute — not a netted 0."""
+    fmt, agg = setup
+    fmt.write(
+        "raw.t",
+        spark.createDataFrame(
+            [Row(k=1, day="d1", v=5), Row(k=2, day="d1", v=None)],
+            "k long, day string, v long",
+        ),
+        "overwrite",
+    )
+    agg.sync_from_cdf(fmt, "raw.t")
+    assert _rollup(agg) == {("d1", 5, 2)}
+    fmt.update_where(
+        "raw.t", "k",
+        {"v": "CASE WHEN k = 1 THEN CAST(NULL AS BIGINT) ELSE v END"},
+        1, 1,
+    )
+    agg.sync_from_cdf(fmt, "raw.t")
+    assert _rollup(agg) == _recompute(fmt, "raw.t") == {("d1", None, 2)}
+    # avg derives NULL too, not 0
+    assert agg.read().collect()[0]["avg_v"] is None
