@@ -660,6 +660,7 @@ def anti_join_orderless(spark, sf_dir):
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY 2
     """,
+    gate=False,  # join family: parent_child/daily_summary/range_join carry the gate
 )
 def semi_anti_join_counts(spark, sf_dir):
     """J3 scalable form, both polarities in one gated row: left-semi
@@ -1431,7 +1432,6 @@ def manifest_merge_bounded(spark, sf_dir):
     WHERE NOT deleted
     GROUP BY c_mktsegment
     """,
-    gate=False,  # rollup family: topk/hist rollups carry the gate
 )
 def rollup_cdf_upsert(spark, sf_dir):
     """Retraction-aware rollup maintenance over an UPSERTED source
@@ -1498,7 +1498,6 @@ def rollup_cdf_upsert(spark, sf_dir):
     WHERE NOT deleted
     GROUP BY c_mktsegment
     """,
-    gate=False,  # storage-verb family: manifest_merge_bounded carries the gate
 )
 def manifest_mor_delete(spark, sf_dir):
     """MERGE-ON-READ row-level DELETE (round 10 ``delete_where_mor`` —

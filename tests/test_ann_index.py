@@ -239,7 +239,7 @@ def test_topk_auto_requires_a_cursor(spark, tmp_path, clustered):
     train, b1, _ = _split(clustered)
     idx.train(train)
     fmt.write("raw.vecs", b1, "overwrite")
-    with pytest.raises(ValueError, match="sync_from_changes first"):
+    with pytest.raises(ValueError, match="cursor anchors the realtime"):
         idx.topk_auto(clustered.limit(1), fmt, "raw.vecs")
 
 
@@ -269,3 +269,159 @@ def test_streaming_ann_sync_exactly_once(spark, tmp_path, clustered):
     served = s.topk(queries, k=3, n_probe=2)
     recomputed = s.idx.recompute_topk(clustered, queries, k=3, n_probe=2)
     assert _rows(served) == _rows(recomputed)
+
+
+# ---------------------------------------------------------------------------
+# Retraction-aware maintenance (VERDICT r10 task 1): the index follows a
+# source that UPSERTS — deletes/updates retract stale assignments via the
+# stats-bounded merge, postimages re-assign against the frozen codebook.
+# ---------------------------------------------------------------------------
+
+
+def _range_split(clustered):
+    """Contiguous vec_id ranges (unlike _split's interleave) so each
+    sync lands a dir with a NARROW key range — the shape the
+    stats-bounded assignments merge prunes on."""
+    train = clustered.filter(F.col("vec_id") < 100)
+    b1 = clustered.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+    b2 = clustered.filter(F.col("vec_id") >= 200)
+    return train, b1, b2
+
+
+def _dml_mix(clustered):
+    """One merge batch exercising all three CDF classes: ids in
+    [250, 260) update (embedding reversed — a real vector change that
+    quantizes deterministically), [260, 270) delete, and [290, 300)
+    insert (withheld from the initial corpus)."""
+    updates = clustered.filter(
+        (F.col("vec_id") >= 250) & (F.col("vec_id") < 260)
+    ).withColumn("embedding", F.reverse("embedding"))
+    inserts = clustered.filter(F.col("vec_id") >= 290)
+    batch = updates.unionByName(inserts)
+    keys = clustered.filter(
+        (F.col("vec_id") >= 250) & (F.col("vec_id") < 270)
+    ).select("vec_id").unionByName(inserts.select("vec_id"))
+    return batch, keys
+
+
+def test_sync_from_cdf_absorbs_upserts(spark, tmp_path, clustered):
+    """The r10 weak closed: a source MERGE with updates + deletes +
+    inserts maintains through sync_from_cdf — index-served top-k
+    equals the recompute over the FINAL corpus, exactly-once."""
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",)
+    )
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
+    initial = clustered.filter(F.col("vec_id") < 290)
+    fmt.write("raw.vecs", initial, "overwrite")
+    idx.train_from_table(fmt, "raw.vecs")
+    # cursor anchored at train time: nothing to sync yet
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is False
+    batch, keys = _dml_mix(clustered)
+    fmt.merge("raw.vecs", batch, "vec_id", delete_keys=keys)
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is True
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is False  # replay no-ops
+    final = fmt.read("raw.vecs")
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    served = idx.topk(queries, k=3, n_probe=2)
+    recomputed = idx.recompute_topk(final, queries, k=3, n_probe=2)
+    assert _rows(served) == _rows(recomputed)
+    # membership is exactly the final corpus: deleted ids gone, updated
+    # ids present once (old assignment retracted), inserts present
+    a = idx.wh.read(idx.assign_table)
+    got = {r["vec_id"] for r in a.select("vec_id").collect()}
+    want = {r["vec_id"] for r in final.select("vec_id").collect()}
+    assert got == want
+    assert a.count() == a.select("vec_id").distinct().count()
+
+
+def test_sync_from_cdf_cost_bounded_by_changed_rows(spark, tmp_path, clustered):
+    """O(changed rows), never the corpus: assignment dirs whose vec_id
+    stats exclude every changed key carry BY IDENTITY through the
+    retraction merge — only the dir the changed range lives in
+    rewrites."""
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",)
+    )
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
+    train, b1, b2 = _range_split(clustered)
+    fmt.write("raw.vecs", train, "overwrite")
+    idx.train_from_table(fmt, "raw.vecs")
+    fmt.write("raw.vecs", b1, "append")
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is True
+    fmt.write("raw.vecs", b2, "append")
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is True
+    dirs_before = {
+        (e["dir"], e.get("rel")) for e in fmt._manifest(idx.assign_table)["entries"]
+    }
+    assert len(dirs_before) == 3  # train + two range-disjoint syncs
+    # narrow DML: only ids in [250, 270) change — inside b2's range
+    upd = clustered.filter(
+        (F.col("vec_id") >= 250) & (F.col("vec_id") < 260)
+    ).withColumn("embedding", F.reverse("embedding"))
+    keys = clustered.filter(
+        (F.col("vec_id") >= 250) & (F.col("vec_id") < 270)
+    ).select("vec_id")
+    fmt.merge("raw.vecs", upd, "vec_id", delete_keys=keys)
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is True
+    dirs_after = {
+        (e["dir"], e.get("rel")) for e in fmt._manifest(idx.assign_table)["entries"]
+    }
+    # the train and b1 dirs (vec_id < 200: stats prove no changed key)
+    # carried by identity; only b2's dir rewrote, plus the fresh append
+    assert len(dirs_before & dirs_after) == 2
+    # and correctness still holds on the final corpus
+    final = fmt.read("raw.vecs")
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    assert _rows(idx.topk(queries, k=3, n_probe=2)) == _rows(
+        idx.recompute_topk(final, queries, k=3, n_probe=2)
+    )
+
+
+def test_topk_auto_current_across_dml_tail(spark, tmp_path, clustered):
+    """topk_auto over an UNSYNCED DML tail: the append-only feed
+    refuses, the CDF fallback masks stale assignments and brute-forces
+    the postimages — results equal the recompute over the final corpus
+    (n_probe covers all clusters so the probe gate is vacuous and the
+    equality is exact, not recall-bounded)."""
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",)
+    )
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
+    initial = clustered.filter(F.col("vec_id") < 290)
+    fmt.write("raw.vecs", initial, "overwrite")
+    idx.train_from_table(fmt, "raw.vecs")
+    batch, keys = _dml_mix(clustered)
+    fmt.merge("raw.vecs", batch, "vec_id", delete_keys=keys)
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    out = idx.topk_auto(queries, fmt, "raw.vecs", k=3, n_probe=10)
+    final = fmt.read("raw.vecs")
+    assert _rows(out) == _rows(
+        idx.recompute_topk(final, queries, k=3, n_probe=10)
+    )
+    # syncing then converges the plain index read to the same top-k
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is True
+    assert _rows(out) == _rows(idx.topk(queries, k=3, n_probe=10))
+
+
+def test_realtime_tail_size_gate(spark, tmp_path, clustered):
+    """A tail above broadcast_tail_rows switches from the broadcast
+    cross join to the salted shuffle equi-join (VERDICT r10 task 4) —
+    same results, no tail broadcast in the plan."""
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann")
+    train, b1, b2 = _split(clustered)
+    idx.train(train)
+    idx.sync(b1)
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    out_b = idx.topk_realtime(queries, b2, k=3, n_probe=2)
+    out_s = idx.topk_realtime(
+        queries, b2, k=3, n_probe=2, broadcast_tail_rows=10
+    )
+    assert _rows(out_b) == _rows(out_s)
+    # the broadcast plan carries TWO nested-loop joins (centroid probe
+    # + tail); the salted plan keeps only the centroid probe
+    plan_b = out_b._jdf.queryExecution().executedPlan().toString()
+    plan_s = out_s._jdf.queryExecution().executedPlan().toString()
+    assert plan_s.count("BroadcastNestedLoopJoin") < plan_b.count(
+        "BroadcastNestedLoopJoin"
+    )
