@@ -1284,7 +1284,7 @@ def manifest_cdf_feed(spark, sf_dir):
 
     root = scratch_dir(spark, "cdf_", cleanup_atexit=True)
     fmt = ManifestFormat(
-        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",), cdf=True
     )
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal"
@@ -1360,7 +1360,7 @@ def manifest_merge_bounded(spark, sf_dir):
 
     root = scratch_dir(spark, "mmb_", cleanup_atexit=True)
     fmt = ManifestFormat(
-        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",), cdf=True
     )
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -1450,7 +1450,7 @@ def rollup_cdf_upsert(spark, sf_dir):
 
     root = scratch_dir(spark, "rcdf_", cleanup_atexit=True)
     fmt = ManifestFormat(
-        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",), cdf=True
     )
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -1514,7 +1514,7 @@ def manifest_mor_delete(spark, sf_dir):
 
     root = scratch_dir(spark, "mor_", cleanup_atexit=True)
     fmt = ManifestFormat(
-        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",), cdf=True
     )
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"

@@ -2392,7 +2392,8 @@ def ann_cdf_upsert_topk(spark, sf_dir):
 
     root = scratch_dir(spark, "annc_", cleanup_atexit=True)
     fmt = ManifestFormat(
-        spark, root, auto_compact_dirs=None, stats_cols=("vec_id",)
+        spark, root, auto_compact_dirs=None, stats_cols=("vec_id",),
+        cdf=True,  # the index maintains from the row-level change feed
     )
     idx = IncrementalANNSync(spark, root, "agg.ann", table_format=fmt)
     e = table(spark, sf_dir, "embeddings")

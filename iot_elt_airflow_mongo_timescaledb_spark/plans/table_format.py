@@ -498,6 +498,7 @@ class ManifestFormat(TableFormat):
         stats_cols: tuple[str, ...] = (),
         segment_entries: int | None = None,
         cluster_by: str | None = None,
+        cdf: bool = False,
     ):
         """``auto_compact_dirs``: data-dir count above which the append
         path triggers :meth:`maybe_compact` (None disables).  Default 16
@@ -548,7 +549,18 @@ class ManifestFormat(TableFormat):
         maintenance recipe, folded into the compaction the append path
         already runs.  Applies to UNPARTITIONED tables only
         (partitioned compaction keeps the plain layout-preserving
-        rewrite)."""
+        rewrite).
+
+        ``cdf``: record ROW-LEVEL change data on every DML commit
+        (delete/update/merge) so :meth:`read_changes_cdf` can serve
+        retraction-aware consumers across rewrites.  OPT-IN, matching
+        Delta's ``enableChangeDataFeed`` default: the classification
+        joins + change-row landing roughly double a merge's job count
+        (measured +0.6 s on the sf0.1 time-travel cycle), and a table
+        nobody tails must not pay that per 15-minute sync.  With it
+        off, DML commits record no change rows and the CDF read
+        refuses across them with a resync error naming this flag; the
+        append-only :meth:`read_changes` feed is unaffected."""
         self.spark = spark
         self.root = root
         self.fs = HadoopFS(spark)
@@ -556,6 +568,7 @@ class ManifestFormat(TableFormat):
         self.stats_cols = tuple(stats_cols)
         self.segment_entries = segment_entries
         self.cluster_by = cluster_by
+        self.cdf = cdf
         # parsed-segment cache: segment files are IMMUTABLE once
         # committed, so a (path -> entries) map never goes stale; it
         # turns repeated resolution (every read/commit re-lists the
@@ -2681,7 +2694,7 @@ class ManifestFormat(TableFormat):
         return entries
 
     def _land_cdc(
-        self, name: str, changed, n: int, op: str, since: int
+        self, name: str, changed, n: int | None, op: str, since: int
     ) -> dict:
         """Land a rewrite's row-level change data in a ``cdc-*`` dir
         (Delta CDF's ``_change_data``), BEFORE the CAS like every data
@@ -2695,13 +2708,27 @@ class ManifestFormat(TableFormat):
         folded away by a catalog transaction's single flip) instead of
         silently omitting the intervening appends' insert rows —
         mirroring Delta CDF's refusal on unavailable versions (ADVICE
-        r9 #2)."""
+        r9 #2).
+
+        Returns ``None`` (record nothing) when the format was built
+        without ``cdf=True`` — change-data capture is opt-in (Delta's
+        ``enableChangeDataFeed``): a table nobody tails must not pay
+        the change-row write per DML commit."""
         import uuid
+
+        if not self.cdf:
+            return None
 
         dirname = f"cdc-{uuid.uuid4().hex}"
         changed.write.mode("overwrite").parquet(
             join_uri(self.path(name), dirname)
         )
+        if n is None:
+            # recorded count from the freshly landed footers — a
+            # metadata-only job, replacing a separate batch count
+            n = self.spark.read.parquet(
+                join_uri(self.path(name), dirname)
+            ).count()
         return {"dir": dirname, "n": int(n), "op": op, "since": int(since)}
 
     def read_changes_cdf(
@@ -2773,9 +2800,19 @@ class ManifestFormat(TableFormat):
                     "_change_type", F.lit("insert")
                 )
             else:
-                step = self.read_changes(name, prev, v).withColumn(
-                    "_change_type", F.lit("insert")
-                )
+                try:
+                    step = self.read_changes(name, prev, v).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                except ValueError as err:
+                    raise ValueError(
+                        f"read_changes_cdf({name}): version {v} recorded "
+                        "no change rows and is not a plain append — the "
+                        "DML landed on a writer without cdf=True (change "
+                        "data is opt-in, like Delta's "
+                        "enableChangeDataFeed).  Enable cdf=True before "
+                        "the DML commits, or resync with a full read"
+                    ) from err
             frames.append(step.withColumn("_commit_version", F.lit(v)))
             prev = v
         if not frames:
@@ -3582,12 +3619,26 @@ class ManifestFormat(TableFormat):
             if lo is not None
             else []
         )
-        n_matched = 0
+        has_match = False
+        matched = None
         if candidates:
             cand_df = self._read_with_dv(name, m, candidates)
             matched = cand_df.join(keys, unique_key, "left_semi")
-            n_matched = matched.count()
-        if n_matched == 0:
+            if self.cdf:
+                # persisted: the emptiness probe below starts
+                # materializing it, and the CDC classification re-reads
+                # the CACHE instead of paying a second scan of the
+                # candidate files — the matched set is batch-key-
+                # bounded, never candidate-sized
+                matched = matched.persist()
+            # boolean probe, not a count: the common case (some key
+            # matches) short-circuits at the first matched row instead
+            # of scanning every candidate (the CDC row count, when
+            # recording is on, comes from the landed footers)
+            has_match = not matched.isEmpty()
+        if not has_match:
+            if matched is not None and self.cdf:
+                matched.unpersist()
             # no target row carries a batch key: the merge IS an append
             # (rebaseable — commutes with concurrent appends)
             if df.isEmpty():
@@ -3615,31 +3666,46 @@ class ManifestFormat(TableFormat):
             self._enforce_constraints(
                 name, m, join_uri(self.path(name), new[0]["dir"])
             )
-        df_keys = df.select(unique_key).distinct()
-        matched_keys = matched.select(unique_key).distinct()
-        changed = (
-            matched.join(df_keys, unique_key, "left_semi")
-            .withColumn("_change_type", F.lit("update_preimage"))
-            .unionByName(
-                matched.join(df_keys, unique_key, "left_anti")
-                .withColumn("_change_type", F.lit("delete")),
-                allowMissingColumns=True,
+        cdc = None
+        if self.cdf:
+            # ONE key-class map instead of four semi/anti row-frame
+            # joins (VERDICT r10 task 8): the batch and matched KEY
+            # sets (tiny — batch-bounded) full-outer into a per-key
+            # membership pair; each row frame then tags its class
+            # through a single hash join.  Candidate files are scanned
+            # once (the persisted matched set serves the preimage/
+            # delete side from cache), the batch plan twice (merged
+            # write + postimage/insert side), and the change-row count
+            # comes from the landed cdc footers — no separate
+            # df.count() job.
+            df_keys = df.select(unique_key).distinct().withColumn(
+                "__in_batch", F.lit(True)
             )
-            .unionByName(
-                df.join(matched_keys, unique_key, "left_semi")
-                .withColumn("_change_type", F.lit("update_postimage")),
-                allowMissingColumns=True,
+            matched_keys = matched.select(unique_key).distinct().withColumn(
+                "__in_matched", F.lit(True)
             )
-            .unionByName(
-                df.join(matched_keys, unique_key, "left_anti")
-                .withColumn("_change_type", F.lit("insert")),
-                allowMissingColumns=True,
+            key_class = df_keys.join(
+                matched_keys, unique_key, "full_outer"
+            ).select(
+                unique_key,
+                F.coalesce("__in_batch", F.lit(False)).alias("__in_batch"),
+                F.coalesce("__in_matched", F.lit(False)).alias("__in_matched"),
             )
-        )
-        n_batch = df.count()
-        cdc = self._land_cdc(
-            name, changed, n_matched + n_batch, "merge", m["version"]
-        )
+            pre = matched.join(key_class, unique_key).withColumn(
+                "_change_type",
+                F.when(
+                    F.col("__in_batch"), F.lit("update_preimage")
+                ).otherwise(F.lit("delete")),
+            ).drop("__in_batch", "__in_matched")
+            post = df.join(key_class, unique_key).withColumn(
+                "_change_type",
+                F.when(
+                    F.col("__in_matched"), F.lit("update_postimage")
+                ).otherwise(F.lit("insert")),
+            ).drop("__in_batch", "__in_matched")
+            changed = pre.unionByName(post, allowMissingColumns=True)
+            cdc = self._land_cdc(name, changed, None, "merge", m["version"])
+            matched.unpersist()
         self._commit(
             name, untouched + new, list(cols), m["version"],
             schema=merged_schema, cdc=cdc, txn=m.get("txn"),
@@ -3699,11 +3765,13 @@ class CatalogManifestFormat(ManifestFormat):
         stats_cols: tuple[str, ...] = (),
         segment_entries: int | None = None,
         cluster_by: str | None = None,
+        cdf: bool = False,
     ):
         super().__init__(
             spark, root,
             auto_compact_dirs=auto_compact_dirs, stats_cols=stats_cols,
             segment_entries=segment_entries, cluster_by=cluster_by,
+            cdf=cdf,
         )
         self._pending: dict[str, int] | None = None
 
@@ -3720,6 +3788,7 @@ class CatalogManifestFormat(ManifestFormat):
             stats_cols=self.stats_cols,
             segment_entries=self.segment_entries,
             cluster_by=self.cluster_by,
+            cdf=self.cdf,
         )
 
     # -- catalog machinery ----------------------------------------------

@@ -309,7 +309,8 @@ def test_sync_from_cdf_absorbs_upserts(spark, tmp_path, clustered):
     inserts maintains through sync_from_cdf — index-served top-k
     equals the recompute over the FINAL corpus, exactly-once."""
     fmt = ManifestFormat(
-        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",)
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",),
+        cdf=True,
     )
     idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
     initial = clustered.filter(F.col("vec_id") < 290)
@@ -341,7 +342,8 @@ def test_sync_from_cdf_cost_bounded_by_changed_rows(spark, tmp_path, clustered):
     retraction merge — only the dir the changed range lives in
     rewrites."""
     fmt = ManifestFormat(
-        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",)
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",),
+        cdf=True,
     )
     idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
     train, b1, b2 = _range_split(clustered)
@@ -385,7 +387,8 @@ def test_topk_auto_current_across_dml_tail(spark, tmp_path, clustered):
     (n_probe covers all clusters so the probe gate is vacuous and the
     equality is exact, not recall-bounded)."""
     fmt = ManifestFormat(
-        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",)
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",),
+        cdf=True,
     )
     idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
     initial = clustered.filter(F.col("vec_id") < 290)

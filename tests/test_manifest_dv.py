@@ -21,6 +21,7 @@ from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
 
 def _fmt(spark, root, kind="manifest", **kw):
     cls = {"manifest": ManifestFormat, "catalog": CatalogManifestFormat}[kind]
+    kw.setdefault("cdf", True)  # these tests pin MOR-delete CDC
     return cls(spark, root, auto_compact_dirs=None, stats_cols=("k",), **kw)
 
 

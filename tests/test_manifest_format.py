@@ -2671,6 +2671,7 @@ def test_update_where_on_catalog_format(spark, cat_wh):
 def test_cdf_serves_inserts_deletes_and_updates(spark, tmp_path):
     fmt = _fmt_of(spark, str(tmp_path), "manifest")
     fmt.stats_cols = ("v",)
+    fmt.cdf = True
     fmt.write(
         "cdf.t",
         spark.createDataFrame([Row(v=i, s="a") for i in range(10)]),
@@ -2716,6 +2717,7 @@ def test_cdf_serves_inserts_deletes_and_updates(spark, tmp_path):
 
 def test_cdf_vacuum_keeps_retained_sweeps_dropped(spark, tmp_path):
     fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.cdf = True
     fmt.write(
         "cdf.v",
         spark.createDataFrame([Row(v=i) for i in range(10)]),
@@ -2750,6 +2752,7 @@ def test_cdf_vacuum_keeps_retained_sweeps_dropped(spark, tmp_path):
 
 def test_cdf_on_catalog_format_skips_orphans(spark, cat_wh):
     wh = cat_wh
+    wh.fmt.cdf = True
     wh.materialize_incremental("cdf.c", _days(spark, ("d1", 1)), "day")
     with pytest.raises(RuntimeError, match="boom"):
         with wh.fmt.transaction():
@@ -2768,6 +2771,7 @@ def test_cdf_on_catalog_format_skips_orphans(spark, cat_wh):
 def test_cdf_from_version_zero_is_all_inserts_plus_changes(spark, tmp_path):
     fmt = _fmt_of(spark, str(tmp_path), "manifest")
     fmt.stats_cols = ("v",)
+    fmt.cdf = True
     fmt.write(
         "cdf.z", spark.createDataFrame([Row(v=i) for i in range(5)]), "overwrite"
     )
@@ -2788,6 +2792,7 @@ def test_cdf_postimage_when_set_moves_predicate_column(spark, tmp_path):
     (the regression re-filtered the REWRITTEN frame on the bounds and
     silently dropped every such postimage)."""
     fmt = _fmt_of(spark, str(tmp_path), "manifest")
+    fmt.cdf = True
     fmt.write(
         "cdf.m", spark.createDataFrame([Row(v=i) for i in range(8)]), "overwrite"
     )

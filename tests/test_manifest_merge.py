@@ -27,6 +27,7 @@ from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
 
 def _fmt(spark, root, kind, **kw):
     cls = {"manifest": ManifestFormat, "catalog": CatalogManifestFormat}[kind]
+    kw.setdefault("cdf", True)  # these tests pin the merge CDC classes
     return cls(spark, root, auto_compact_dirs=None, stats_cols=("k",), **kw)
 
 
@@ -585,3 +586,27 @@ def test_set_txn_restores_watermarks_monotonically(spark, tmp_path):
     fmt.write_streaming_batch("s.t", _rows(spark, (3, 30)), 8, app_id="a")
     assert fmt.set_txn("s.t", captured) is False  # 5 < 8: no-op, no commit
     assert fmt._manifest("s.t")["txn"] == {"a": 8}
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_cdf_is_opt_in(spark, tmp_path, kind):
+    """Change-data capture is opt-in (Delta's enableChangeDataFeed
+    default): a cdf=False merge records NO cdc payload and writes no
+    cdc dir — the classification cost is skipped entirely — and the
+    CDF read refuses across the rewrite with an error naming the
+    flag.  The append-only feed refuses too (unchanged)."""
+    fmt = _fmt(spark, str(tmp_path), kind, cdf=False)
+    _seed_chunks(spark, fmt)
+    base = fmt._manifest("s.t")["version"]
+    fmt.merge("s.t", _rows(spark, (21, -1), (99, -2)), "k")
+    m = fmt._manifest("s.t")
+    assert not m.get("cdc")
+    assert not [
+        d for d in fmt.fs.list_subdirs(fmt.path("s.t"))
+        if d.startswith("cdc-")
+    ]
+    with pytest.raises(ValueError, match="cdf=True"):
+        fmt.read_changes_cdf("s.t", base).collect()
+    # merged content is identical to the cdf=True path's
+    got = {r["k"]: r["v"] for r in fmt.read("s.t").collect()}
+    assert got[21] == -1 and got[99] == -2 and len(got) == 51

@@ -47,7 +47,8 @@ def _rollup(agg):
 @pytest.fixture()
 def setup(spark, tmp_path):
     fmt = ManifestFormat(
-        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("k",)
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("k",),
+        cdf=True,  # the sync consumes the row-level change feed
     )
     agg = IncrementalAggSync(
         spark, str(tmp_path), "agg.daily_v", group_cols=("day",),
