@@ -174,6 +174,7 @@ _NESTED_LOOP_OK = {
     "ann_ivf_int_topk",    # broadcast integer-centroid assignment
     "ann_maintained_topk",  # broadcast STORED-centroid probe (n_clusters rows)
     "ann_streaming_topk",   # same probe shape, streaming-maintained index
+    "ann_cdf_upsert_topk",  # same probe shape, CDF-maintained index
     "ann_quantized_topk",  # broadcast query side
     "cosine_topk",         # broadcast query side (exact baseline)
     "series_similarity_topk",  # broadcast probe-profile side
