@@ -167,6 +167,28 @@ class Warehouse:
         formats; see ``ManifestFormat.update_where``)."""
         return self._format_verb("update_where")(name, col, set_exprs, lo, hi)
 
+    def update_where_mor(
+        self, name: str, col: str | dict, set_exprs: dict, lo=None, hi=None
+    ) -> int:
+        """Row-level UPDATE as merge-on-read: postimages append, the
+        predicate masks old rows, no survivor rewrite (commit-log
+        formats; see ``ManifestFormat.update_where_mor``)."""
+        return self._format_verb("update_where_mor")(
+            name, col, set_exprs, lo, hi
+        )
+
+    def merge_mor(
+        self,
+        name: str,
+        df,
+        unique_key: str,
+        delete_keys=None,
+    ) -> None:
+        """MERGE as merge-on-read: the batch appends, matched keys mask
+        via a stored equality-delete key file, zero survivor rewrite
+        (commit-log formats; see ``ManifestFormat.merge_mor``)."""
+        return self._format_verb("merge_mor")(name, df, unique_key, delete_keys)
+
     def cluster_zorder(
         self, name: str, cols: tuple[str, ...], n_files: int | None = None
     ) -> int:

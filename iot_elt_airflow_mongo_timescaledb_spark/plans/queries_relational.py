@@ -1857,3 +1857,89 @@ def manifest_clustered_skipping(spark, sf_dir):
         )
         .withColumn("pruned", F.lit(len(kept) < len(m["entries"])))
     )
+
+
+@query(
+    "manifest_merge_mor",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    b AS (
+        SELECT m * 2 // 5 AS b2,
+               (m * 3 // 5 - m * 2 // 5) // 3 AS w
+        FROM mx
+    ),
+    t AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey > b2 AND c_custkey <= b2 + w
+                    THEN ROUND(c_acctbal + 1000.0, 2) ELSE c_acctbal END AS bal,
+               c_custkey > b2 + w AND c_custkey <= b2 + 2 * w AS deleted
+        FROM customer, b
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(bal), 2) AS bal_sum,
+           5 AS entries_untouched,
+           1 AS new_dirs
+    FROM t
+    WHERE NOT deleted
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # storage-verb family: manifest_merge_bounded carries the gate
+)
+def manifest_merge_mor(spark, sf_dir):
+    """MERGE as MERGE-ON-READ (round 11 ``merge_mor`` — Delta's
+    DV-backed MERGE / Iceberg v2 equality deletes): customers land as
+    five key-range chunks, one range's balances upsert (+1000) and an
+    adjacent range purges via delete keys — the same M2 shape as
+    manifest_merge_bounded — but ALL FIVE seeded entries survive
+    byte-identical (lit-folded) and exactly ONE new dir lands (the
+    batch): the matched-key delete is a stored equality-delete key
+    file applied at read, so write cost is O(batch), independent of
+    touched-file size.  The oracle recomputes the post-merge table
+    from raw (plans/table_format.py:ManifestFormat.merge_mor)."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mmor_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    row = c.agg(
+        F.max("c_custkey").alias("mx"), F.min("c_custkey").alias("mn")
+    ).first()
+    mx, mn = int(row["mx"]), int(row["mn"])
+    bounds = [mn - 1] + [mx * i // 5 for i in range(1, 5)] + [mx]
+    for i in range(5):
+        chunk = c.filter(
+            (F.col("c_custkey") > bounds[i])
+            & (F.col("c_custkey") <= bounds[i + 1])
+        )
+        fmt.write("mm.cust", chunk, "append" if i else "overwrite")
+    before = {
+        (e["dir"], e.get("rel")) for e in fmt._manifest("mm.cust")["entries"]
+    }
+    b2 = mx * 2 // 5
+    w = (mx * 3 // 5 - b2) // 3
+    batch = c.filter(
+        (F.col("c_custkey") > b2) & (F.col("c_custkey") <= b2 + w)
+    ).withColumn("c_acctbal", F.round(F.col("c_acctbal") + F.lit(1000.0), 2))
+    keys = c.filter(
+        (F.col("c_custkey") > b2) & (F.col("c_custkey") <= b2 + 2 * w)
+    ).select("c_custkey")
+    fmt.merge_mor("mm.cust", batch, "c_custkey", delete_keys=keys)
+    after = {
+        (e["dir"], e.get("rel")) for e in fmt._manifest("mm.cust")["entries"]
+    }
+    return (
+        fmt.read("mm.cust")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn("entries_untouched", F.lit(len(before & after)))
+        .withColumn("new_dirs", F.lit(len(after - before)))
+    )

@@ -68,7 +68,7 @@ def main() -> None:
     out["batch_rows"] = batch.count()
     assert out["batch_rows"] > 0
 
-    for mode in ("bounded", "full_rewrite"):
+    for mode in ("bounded", "full_rewrite", "mor"):
         root = tempfile.mkdtemp(prefix=f"mergeprobe_{mode}_")
         fmt = ManifestFormat(
             spark, root, auto_compact_dirs=None, stats_cols=("o_orderkey",)
@@ -83,6 +83,8 @@ def main() -> None:
         t0 = time.perf_counter()
         if mode == "bounded":
             fmt.merge("raw.orders", batch, "o_orderkey")
+        elif mode == "mor":
+            fmt.merge_mor("raw.orders", batch, "o_orderkey")
         else:
             TableFormat.merge(fmt, "raw.orders", batch, "o_orderkey")
         wall = time.perf_counter() - t0
@@ -93,6 +95,37 @@ def main() -> None:
             "entries_total": len(before),
             "carry_ratio": round(len(before & after) / len(before), 3),
         }
+        assert fmt.read("raw.orders").count() == n_rows
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
+    # -- touched-file-SIZE independence (VERDICT r10 task 5): the same
+    # micro-batch against the same table laid out as 4x-larger chunks.
+    # COW merge cost scales with the touched chunk's size; the MOR
+    # merge writes only the batch + key file, so it must stay ~flat.
+    n_big = max(2, n_chunks // 4)
+    big_bounds = [bounds[0]] + [
+        bounds[(i + 1) * n_chunks // n_big] for i in range(n_big)
+    ]
+    for mode in ("bounded_bigfiles", "mor_bigfiles"):
+        root = tempfile.mkdtemp(prefix=f"mergeprobe_{mode}_")
+        fmt = ManifestFormat(
+            spark, root, auto_compact_dirs=None, stats_cols=("o_orderkey",)
+        )
+        for i in range(n_big):
+            chunk = o.filter(
+                (F.col("o_orderkey") > big_bounds[i])
+                & (F.col("o_orderkey") <= big_bounds[i + 1])
+            )
+            fmt.write("raw.orders", chunk, "append" if i else "overwrite")
+        t0 = time.perf_counter()
+        if mode.startswith("bounded"):
+            fmt.merge("raw.orders", batch, "o_orderkey")
+        else:
+            fmt.merge_mor("raw.orders", batch, "o_orderkey")
+        wall = time.perf_counter() - t0
+        out[mode] = {"merge_s": round(wall, 2), "chunks": n_big}
         assert fmt.read("raw.orders").count() == n_rows
         import shutil
 
