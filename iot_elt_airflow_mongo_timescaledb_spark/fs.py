@@ -149,6 +149,22 @@ class HadoopFS:
             if st.isFile()
         )
 
+    def glob_names(self, uri: str, pattern: str) -> list[str]:
+        """Names of files matching ``pattern`` directly under ``uri``,
+        filtered SERVER-SIDE via ``globStatus`` — one roundtrip whose
+        cost scales with the MATCHES, not the directory size.  The
+        per-commit hot path needs this: a segmented table's ``_log``
+        holds thousands of immutable seg files, and statting them all
+        through py4j just to find the handful of ``v*.json`` version
+        files made every commit O(log-dir files) (round-11 1M-entry
+        probe: ~1 s per listing)."""
+        p = self._jpath(uri.rstrip("/") + "/" + pattern)
+        fs = self._fs(p)
+        st = fs.globStatus(p)
+        if st is None:
+            return []
+        return sorted(s.getPath().getName() for s in st)
+
     def mtime(self, uri: str) -> float:
         """Modification time of the path in epoch seconds (0.0 when
         absent) — the basis for vacuum's writer-grace age check, same

@@ -358,6 +358,7 @@ class IncrementalANNSync:
             self.wh.fmt.merge(
                 self.assign_table, assigned.limit(0), "vec_id",
                 delete_keys=changed_keys,
+                record_cdc=False,  # internal state: nobody tails it
             )
             # 2) re-index: surviving/new keys append under the source
             #    version's watermark — a replayed sync no-ops here even

@@ -279,6 +279,7 @@ class Warehouse:
         df: DataFrame,
         unique_key: str,
         delete_keys: DataFrame | None = None,
+        record_cdc: bool = True,
     ) -> DataFrame:
         """Reference: ``unique_key='user_id'`` on stage users — incoming
         rows replace target rows with the same key.  On Delta/Iceberg
@@ -307,7 +308,12 @@ class Warehouse:
         ~the files its keys live in, never the table) and record merge
         CDC rows for the change feed.
         """
-        self.fmt.merge(name, df, unique_key, delete_keys)
+        # record_cdc=False: INTERNAL state tables (rollup/index
+        # assignments) opt their own upserts out of change-data capture
+        # even on a cdf=True warehouse — nobody tails derived state,
+        # and the classification + landing would double every sync's
+        # merge cost (round-11 soak finding)
+        self.fmt.merge(name, df, unique_key, delete_keys, record_cdc=record_cdc)
         # bounded merges append one fresh dir per batch (like appends);
         # the threshold compaction keeps read amplification flat over
         # unbounded 15-minute syncs — cost O(threshold x file), never

@@ -759,7 +759,10 @@ class _RollupSyncBase:
                 "__agg_key string, __last_batch_id long, __watermark string",
             )
             delta = delta.unionByName(meta, allowMissingColumns=True)
-        self.wh.materialize_upsert(self.table_name, delta, unique_key="__agg_key")
+        self.wh.materialize_upsert(
+            self.table_name, delta, unique_key="__agg_key",
+            record_cdc=False,  # internal state: nobody tails it
+        )
         return self.read()
 
     def _stored(self) -> DataFrame:

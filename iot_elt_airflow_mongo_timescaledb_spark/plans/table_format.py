@@ -196,6 +196,7 @@ class TableFormat(abc.ABC):
         df: DataFrame,
         unique_key: str,
         delete_keys: DataFrame | None = None,
+        record_cdc: bool = True,
     ) -> None:
         """Upsert by unique key (M2): incoming rows replace target rows
         sharing the key; ``delete_keys`` overrides the delete set (the
@@ -397,6 +398,7 @@ class ParquetFormat(TableFormat):
         df: DataFrame,
         unique_key: str,
         delete_keys: DataFrame | None = None,
+        record_cdc: bool = True,
     ) -> None:
         # resolve any staging dir from a previous failed run FIRST —
         # whichever verb left it: it may be the sole intact copy of the
@@ -594,10 +596,12 @@ class ManifestFormat(TableFormat):
         return join_uri(self.path(name), self.LOG_DIR)
 
     def _latest_version(self, name: str) -> int:
+        # server-side glob: the log dir of a segmented table holds
+        # thousands of immutable seg-*.json files, and listing them
+        # all per commit made the CAS path O(log-dir files)
         vs = [
             int(f[1:-5])
-            for f in self.fs.list_files(self._log_path(name))
-            if f.startswith("v") and f.endswith(".json")
+            for f in self.fs.glob_names(self._log_path(name), "v*.json")
         ]
         return max(vs, default=0)
 
@@ -704,6 +708,26 @@ class ManifestFormat(TableFormat):
                 "the data (Delta's readerFeatures contract); upgrade "
                 "the reader"
             )
+        raw_segs = m.get("segments") or []
+        if any("list" in s for s in raw_segs):
+            # THIRD metadata tier (Iceberg's manifest list, round 11):
+            # the segment-ref list itself spilled into immutable
+            # ``segl-*.json`` files so the version file stays O(tail)
+            # as the table's ref count grows.  Expand to the flat ref
+            # list every consumer (partition edits, vacuum, entry
+            # resolution) already expects; the raw spooled form stays
+            # under ``segments_spooled`` so the commit path can carry
+            # untouched lists by reference — the expanded ref dicts ARE
+            # the cache's objects, immutable by the same contract as
+            # resolved entries.
+            flat = []
+            for s in raw_segs:
+                if "list" in s:
+                    flat.extend(self._load_seglist(name, s["list"]))
+                else:
+                    flat.append(s)
+            m["segments_spooled"] = raw_segs
+            m["segments"] = flat
         if m.get("segments") and resolve:
             # hierarchical manifest: expand segment refs so every
             # caller sees the full entry list under "entries" exactly
@@ -726,20 +750,29 @@ class ManifestFormat(TableFormat):
     def _load_segment(self, name: str, fname: str) -> list:
         """Parse one immutable segment file (cached; see
         ``_seg_cache``)."""
+        return self._load_log_json(name, fname, "entries")
+
+    def _load_seglist(self, name: str, fname: str) -> list:
+        """Parse one immutable segment-LIST file (``segl-*.json`` —
+        the ref list's spill tier); cached like segment files (both
+        are immutable once committed)."""
+        return self._load_log_json(name, fname, "refs")
+
+    def _load_log_json(self, name: str, fname: str, key: str) -> list:
         import json
 
         path = join_uri(self._log_path(name), fname)
         hit = self._seg_cache.get(path)
         if hit is not None:
             return hit
-        entries = json.loads(self.fs.read_text(path))["entries"]
+        items = json.loads(self.fs.read_text(path))[key]
         if len(self._seg_cache) >= self.SEG_CACHE_FILES:
             try:  # benign race: another writer thread evicted first
                 self._seg_cache.pop(next(iter(self._seg_cache)))
             except (StopIteration, KeyError, RuntimeError):
                 pass
-        self._seg_cache[path] = entries
-        return entries
+        self._seg_cache[path] = items
+        return items
 
     def _resegment(
         self, name: str, prev: dict | None, entries: list
@@ -855,9 +888,11 @@ class ManifestFormat(TableFormat):
                 tail = new_tail
 
         kept = [s for si, s in enumerate(prev_segs) if si in carried]
-        return self._flush_tail(name, kept, tail)
+        return self._flush_tail(name, kept, tail, prev=prev)
 
-    def _flush_tail(self, name: str, kept: list, tail: list) -> tuple[list, list]:
+    def _flush_tail(
+        self, name: str, kept: list, tail: list, prev: dict | None = None
+    ) -> tuple[list, list]:
         """Flush an oversized inline tail into new segment files (the
         shared last step of ``_resegment`` and the raw two-tier edit
         path): chunks of at most ``segment_entries`` each — a bulk
@@ -870,7 +905,7 @@ class ManifestFormat(TableFormat):
         import uuid
 
         if self.segment_entries is None or len(tail) <= self.segment_entries:
-            return kept, tail
+            return self._respool_refs(name, kept, prev), tail
         chunk = max(self.segment_entries, 1)
         for i in range(0, len(tail), chunk):
             part = tail[i : i + chunk]
@@ -888,7 +923,142 @@ class ManifestFormat(TableFormat):
             if seg_parts:
                 ref["partitions"] = seg_parts
             kept = kept + [ref]
-        return kept, []
+        return self._respool_refs(name, kept, prev), []
+
+    def _respool_refs(
+        self, name: str, refs: list, prev: dict | None
+    ) -> list:
+        """THIRD metadata tier (round 11, VERDICT r10 task 7 — the
+        Iceberg manifest-list layer): when the flat segment-ref list
+        outgrows ``segment_entries``, spill runs of refs into
+        immutable ``segl-*.json`` files and return list-refs in their
+        place — the version file then stores O(lists + inline tail)
+        instead of O(all refs), so partition-edit / append commit cost
+        stays flat as the table's entry count grows without bound.
+
+        Carry mirrors ``_resegment`` one level up: a previous list-ref
+        survives iff every one of its member refs is present verbatim
+        (object identity against the cache's expanded dicts, with a
+        canonical-JSON fallback).  A dissolved list's surviving refs
+        fall into the ref tail and may re-spool.  Stats and partition
+        ranges roll up from ref level, so both pruning tiers can skip
+        a whole LIST without opening it."""
+        import json
+        import uuid
+
+        prev_lists = [
+            s
+            for s in ((prev or {}).get("segments_spooled") or [])
+            if "list" in s
+        ]
+        if self.segment_entries is None and not prev_lists:
+            return refs
+        # tier 1: object identity against the cached list members
+        id_to_list: dict[int, int] = {}
+        list_sizes: list[int] = []
+        _pins: list[list] = []
+        for li, s in enumerate(prev_lists):
+            members = self._load_seglist(name, s["list"])
+            _pins.append(members)
+            list_sizes.append(len(members))
+            for r in members:
+                id_to_list[id(r)] = li
+        from collections import Counter
+
+        hits = Counter()
+        seen: set[int] = set()
+        for r in refs:
+            i = id(r)
+            if i in id_to_list and i not in seen:
+                seen.add(i)
+                hits[id_to_list[i]] += 1
+        carried = {
+            li
+            for li in range(len(prev_lists))
+            if list_sizes[li] and hits[li] == list_sizes[li]
+        }
+        taken: set[int] = set()
+        tail = []
+        for r in refs:
+            li = id_to_list.get(id(r))
+            if li in carried and id(r) not in taken:
+                taken.add(id(r))
+            else:
+                tail.append(r)
+
+        # tier 2: canonical-JSON fallback (cache evicted / rebuilt-equal
+        # refs); refs are tiny dicts so this stays cheap
+        def key(r):
+            return json.dumps(r, sort_keys=True)
+
+        residual = [
+            li
+            for li in range(len(prev_lists))
+            if li not in carried and list_sizes[li] <= len(tail)
+        ]
+        if residual and tail:
+            tail_keys = Counter(key(r) for r in tail)
+            consumed = Counter()
+            for li in residual:
+                mk = Counter(
+                    key(r)
+                    for r in self._load_seglist(name, prev_lists[li]["list"])
+                )
+                if all(
+                    tail_keys[k] - consumed[k] >= n for k, n in mk.items()
+                ):
+                    carried.add(li)
+                    consumed += mk
+            if consumed:
+                new_tail = []
+                for r in tail:
+                    k = key(r)
+                    if consumed[k] > 0:
+                        consumed[k] -= 1
+                    else:
+                        new_tail.append(r)
+                tail = new_tail
+
+        kept = [s for li, s in enumerate(prev_lists) if li in carried]
+        # spill at 64 inline refs: refs are ~100 B each, so the version
+        # file stays under ~10 KB regardless of table entry count (and
+        # tiny segment_entries settings — tests, extreme configs —
+        # don't degenerate into a list file per ref); each list file
+        # then holds up to max(64, segment_entries) refs so lists stay
+        # few
+        if self.segment_entries is None or len(tail) <= 64:
+            return kept + tail
+        spill_at = max(64, self.segment_entries)
+        for i in range(0, len(tail), spill_at):
+            part = tail[i : i + spill_at]
+            fname = f"segl-{uuid.uuid4().hex}.json"
+            self.fs.write_text(
+                join_uri(self._log_path(name), fname),
+                json.dumps({"refs": part}),
+                overwrite=False,
+            )
+            lref = {"list": fname, "n": sum(r.get("n", 0) for r in part),
+                    "refs": len(part)}
+            st = self._rollup_seg_stats(
+                [{"stats": r.get("stats"), "rows": r.get("n")} for r in part]
+            )
+            if st:
+                lref["stats"] = st
+            # partition ranges roll up from REF ranges: [min of mins,
+            # max of maxes], only when every member carries the column
+            pcols = None
+            for r in part:
+                ps = set((r.get("partitions") or {}).keys())
+                pcols = ps if pcols is None else (pcols & ps)
+            parts_roll = {}
+            for c in pcols or ():
+                los = [r["partitions"][c][0] for r in part]
+                his = [r["partitions"][c][1] for r in part]
+                parts_roll[c] = [min(los), max(his)]
+            if parts_roll:
+                lref["partitions"] = parts_roll
+            kept.append(lref)
+        return kept
 
     @staticmethod
     def _rollup_seg_partitions(entries: list) -> dict:
@@ -1215,7 +1385,9 @@ class ManifestFormat(TableFormat):
             # the concurrent commit collides on the version file and
             # this edit rebases as documented.
             if len(out) > 5 and out[5] is not None:
-                segs, entries = self._flush_tail(name, list(out[5]), entries)
+                segs, entries = self._flush_tail(
+                    name, list(out[5]), entries, prev=prev
+                )
             else:
                 segs, entries = self._resegment(name, prev, entries)
             nxt = (prev["version"] if prev else 0) + 1
@@ -1594,6 +1766,11 @@ class ManifestFormat(TableFormat):
             m = self._manifest(name, v)
             live |= {e["dir"] for e in (m["entries"] if m else [])}
             live_segs |= {s["file"] for s in (m or {}).get("segments") or []}
+            live_segs |= {
+                s["list"]
+                for s in (m or {}).get("segments_spooled") or []
+                if "list" in s
+            }
             if (m or {}).get("cdc"):
                 live.add(m["cdc"]["dir"])  # retained CDF data
             for d in (m or {}).get("dv") or []:
@@ -1610,7 +1787,9 @@ class ManifestFormat(TableFormat):
                 # concurrent writer's committed rows
                 if v not in keep_set and v <= latest:
                     self.fs.delete(join_uri(self._log_path(name), f))
-            elif f.startswith("seg-") and f.endswith(".json"):
+            elif (
+                f.startswith("seg-") or f.startswith("segl-")
+            ) and f.endswith(".json"):
                 if f not in live_segs:
                     self._sweep_segment(name, f, writer_grace_s)
             elif f.endswith(".torn"):
@@ -3607,6 +3786,7 @@ class ManifestFormat(TableFormat):
         df: DataFrame,
         unique_key: str,
         delete_keys: DataFrame | None = None,
+        record_cdc: bool = True,
     ) -> None:
         """MERGE (upsert by key) with STATS-BOUNDED copy-on-write — the
         Delta ``MERGE INTO`` plan shape, replacing the base class's
@@ -3675,7 +3855,7 @@ class ManifestFormat(TableFormat):
         if candidates:
             cand_df = self._read_with_dv(name, m, candidates)
             matched = cand_df.join(keys, unique_key, "left_semi")
-            if self.cdf:
+            if self.cdf and record_cdc:
                 # persisted: the emptiness probe below starts
                 # materializing it, and the CDC classification re-reads
                 # the CACHE instead of paying a second scan of the
@@ -3688,7 +3868,7 @@ class ManifestFormat(TableFormat):
             # recording is on, comes from the landed footers)
             has_match = not matched.isEmpty()
         if not has_match:
-            if matched is not None and self.cdf:
+            if matched is not None and self.cdf and record_cdc:
                 matched.unpersist()
             # no target row carries a batch key: the merge IS an append
             # (rebaseable — commutes with concurrent appends)
@@ -3718,7 +3898,7 @@ class ManifestFormat(TableFormat):
                 name, m, join_uri(self.path(name), new[0]["dir"])
             )
         cdc = None
-        if self.cdf:
+        if self.cdf and record_cdc:
             cdc = self._merge_cdc(
                 name, df, matched, unique_key, m["version"]
             )
@@ -3794,6 +3974,7 @@ class ManifestFormat(TableFormat):
         df: DataFrame,
         unique_key: str,
         delete_keys: DataFrame | None = None,
+        record_cdc: bool = True,
     ) -> None:
         """MERGE as MERGE-ON-READ (VERDICT r10 task 5 — Delta's
         DV-backed MERGE / Iceberg v2 equality deletes): the batch
@@ -3846,11 +4027,11 @@ class ManifestFormat(TableFormat):
         if candidates:
             cand_df = self._read_with_dv(name, m, candidates)
             matched = cand_df.join(keys, unique_key, "left_semi")
-            if self.cdf:
+            if self.cdf and record_cdc:
                 matched = matched.persist()
             has_match = not matched.isEmpty()
         if not has_match:
-            if matched is not None and self.cdf:
+            if matched is not None and self.cdf and record_cdc:
                 matched.unpersist()
             if df.isEmpty():
                 return  # delete-only merge with nothing to delete
@@ -3874,7 +4055,7 @@ class ManifestFormat(TableFormat):
             }
         ]
         cdc = None
-        if self.cdf:
+        if self.cdf and record_cdc:
             cdc = self._merge_cdc(
                 name, df, matched, unique_key, m["version"]
             )
@@ -4298,7 +4479,9 @@ class CatalogManifestFormat(ManifestFormat):
                 else (prev or {}).get("dv")
             )
             if len(out) > 5 and out[5] is not None:
-                segs, entries = self._flush_tail(name, list(out[5]), entries)
+                segs, entries = self._flush_tail(
+                    name, list(out[5]), entries, prev=prev
+                )
             else:
                 segs, entries = self._resegment(name, prev, entries)
             nxt = self._latest_version(name) + 1
@@ -4439,6 +4622,11 @@ class CatalogManifestFormat(ManifestFormat):
             m = super()._manifest(name, v)
             live |= {e["dir"] for e in (m["entries"] if m else [])}
             live_segs |= {s["file"] for s in (m or {}).get("segments") or []}
+            live_segs |= {
+                s["list"]
+                for s in (m or {}).get("segments_spooled") or []
+                if "list" in s
+            }
             if (m or {}).get("cdc"):
                 live.add(m["cdc"]["dir"])  # retained CDF data
             for d in (m or {}).get("dv") or []:
@@ -4468,7 +4656,9 @@ class CatalogManifestFormat(ManifestFormat):
                     # whose flip is still in flight
                     continue
                 self.fs.delete(p)
-            elif f.startswith("seg-") and f.endswith(".json"):
+            elif (
+                f.startswith("seg-") or f.startswith("segl-")
+            ) and f.endswith(".json"):
                 if f not in live_segs:
                     self._sweep_segment(name, f, writer_grace_s)
             elif f.endswith(".torn"):

@@ -436,3 +436,60 @@ def test_partition_edits_on_rangeless_segments_still_correct(
     assert sorted(r["v"] for r in fmt.read("s.t").collect()) == list(
         range(5, 15)
     )
+
+
+def test_ref_list_spools_into_manifest_list_tier(spark, tmp_path):
+    """Round-11 third tier (Iceberg's manifest list): above 64 refs the
+    version file stores segl-*.json LIST refs instead of the flat ref
+    list — resolution is unchanged, an append carries the list file by
+    reference (same mtime), and vacuum sweeps a dissolved list."""
+    import json
+    import os
+
+    fmt = _mk(spark, tmp_path, 1)  # 1 entry per segment: refs pile up
+    # 70 single-entry commits -> ~70 refs > the 64-ref spill threshold
+    for i in range(70):
+        fmt.write("s.t", _days(spark, f"d{i:03d}", i, i + 1), "append", ("day",))
+    head = _raw_head(fmt, "s.t")
+    lists = [s for s in head["segments"] if "list" in s]
+    assert lists, "expected the ref list to spool above 64 refs"
+    inline = [s for s in head["segments"] if "file" in s]
+    assert len(inline) <= 64
+    # resolution sees every entry exactly once
+    m = fmt._manifest("s.t")
+    assert len(m["entries"]) == 70
+    assert fmt.read("s.t").count() == 70
+    # an append carries the spooled list BY REFERENCE: same file, same
+    # mtime, and the new head still points at it
+    lpath = os.path.join(fmt._log_path("s.t"), lists[0]["list"])
+    mt0 = fmt.fs.mtime(lpath)
+    fmt.write("s.t", _days(spark, "d999", 999, 1000), "append", ("day",))
+    head2 = _raw_head(fmt, "s.t")
+    assert lists[0]["list"] in {
+        s.get("list") for s in head2["segments"] if "list" in s
+    }
+    assert fmt.fs.mtime(lpath) == mt0
+    assert fmt.read("s.t").count() == 71
+    # a cold reader resolves the spooled form identically
+    cold = _mk(spark, tmp_path, 1)
+    assert cold.read("s.t").count() == 71
+    # stats/partition rollups survive the extra tier: the partition
+    # drop still prunes and the dropped rows disappear
+    dropped = fmt.drop_partitions_below("s.t", "day", "d010")
+    assert dropped == 10
+    assert fmt.read("s.t").count() == 61
+    # vacuum on the head sweeps any list file no retained version
+    # references
+    fmt.vacuum("s.t", keep_last=1, writer_grace_s=0)
+    live = {
+        s.get("list")
+        for s in _raw_head(fmt, "s.t")["segments"]
+        if "list" in s
+    }
+    on_disk = {
+        f
+        for f in fmt.fs.list_files(fmt._log_path("s.t"))
+        if f.startswith("segl-")
+    }
+    assert on_disk == {x for x in live if x}
+    assert fmt.read("s.t").count() == 61

@@ -160,7 +160,7 @@ def main() -> None:
     # drop_partitions_below must parse ONLY the segments whose recorded
     # partition range intersects the drop — commit cost flat in table
     # entry count, scaling with the dropped tail
-    for n in (10_000, 100_000):
+    for n in (10_000, 100_000, 1_000_000):
         root = tempfile.mkdtemp(prefix=f"pprobe_{n}_")
         fmt = ManifestFormat(spark, root, segment_entries=1_000)
         per_day = n // 100
@@ -198,9 +198,18 @@ def main() -> None:
                 )
             )
         )
+        spooled = [s for s in raw["segments"] if "list" in s]
         out[f"pedit_entries_{n}"] = {
             "drop_partition_ms": round(statistics.median(drop_ms), 2),
-            "segs_parsed_of": [segs_parsed[0], len(raw["segments"])],
+            "segs_parsed_of": [
+                segs_parsed[0],
+                sum(s.get("refs", 1) for s in raw["segments"]),
+            ],
+            # round-11 third tier: the version file stays
+            # O(lists + inline tail) as the ref count grows
+            "version_file_kb": round(len(json.dumps(raw)) / 1024, 1),
+            "ref_lists": len(spooled),
+            "inline_refs": len(raw["segments"]) - len(spooled),
         }
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({"probe": "manifest_entries", **out}))
