@@ -116,6 +116,9 @@ EXTENDED = [
     "ann_streaming_topk",          # streaming index-maintenance twin
     "manifest_mor_delete",         # merge-on-read DELETE (zero data rewrite)
     "rollup_cdf_upsert",           # retraction-aware rollup over merges
+    # round-11 additions
+    "ann_cdf_upsert_topk",         # retraction-aware ANN index over merges
+    "manifest_merge_mor",          # merge-on-read MERGE (equality deletes)
 ]
 
 

@@ -3806,7 +3806,9 @@ class ManifestFormat(TableFormat):
         candidates for it.  When stats prove no candidate at all, the
         merge degrades to a plain rebaseable APPEND of the batch.
 
-        Change feed: the commit records Delta-style merge CDC classes —
+        Change feed (``cdf=True`` formats only — CDC is opt-in, and
+        ``record_cdc=False`` lets internal-state writers skip it even
+        there): the commit records Delta-style merge CDC classes —
         matched keys present in the batch emit update_preimage/
         update_postimage, matched keys absent from the batch (root-key
         deletes) emit delete, unmatched batch rows emit insert — so
