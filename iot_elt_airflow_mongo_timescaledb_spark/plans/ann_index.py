@@ -294,6 +294,7 @@ class IncrementalANNSync:
         source_table: str,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        mor: bool = False,
     ) -> bool:
         """Maintain the index over a source that UPSERTS — the
         reference's M2 cadence (models/stage/users.sql:2-5), exactly
@@ -354,8 +355,21 @@ class IncrementalANNSync:
             # 1) retract: changed keys' old assignments drop via the
             #    stats-bounded merge (empty batch = delete-only form,
             #    the materialize_delete pattern).  Insert-only keys
-            #    match nothing and cost nothing.
-            self.wh.fmt.merge(
+            #    match nothing and cost nothing.  ``mor=True`` retracts
+            #    through the MERGE-ON-READ form instead — a stored
+            #    equality-delete key file, ZERO assignment-file rewrite
+            #    per sync regardless of layout (the right cadence when
+            #    the source upserts every 15 minutes and the
+            #    assignments are not key-clustered); the read-time
+            #    anti-join debt clears at ``retrain`` (a replace) or an
+            #    explicit ``materialize_deletes`` on the assignments
+            #    table.
+            retract = (
+                self.wh.fmt.merge_mor
+                if mor and hasattr(self.wh.fmt, "merge_mor")
+                else self.wh.fmt.merge
+            )
+            retract(
                 self.assign_table, assigned.limit(0), "vec_id",
                 delete_keys=changed_keys,
                 record_cdc=False,  # internal state: nobody tails it

@@ -4043,12 +4043,15 @@ class ManifestFormat(TableFormat):
         if merged_schema is None:
             merged_schema = df.schema.jsonValue()
         cols = tuple(m["partition_columns"])
-        # the ONLY data write: the batch itself
-        new, _ = self._new_data_dir(name, df, cols)
-        if new:
-            self._enforce_constraints(
-                name, m, join_uri(self.path(name), new[0]["dir"])
-            )
+        # the ONLY data write: the batch itself (a delete-only merge —
+        # empty batch — lands no data dir at all)
+        new = []
+        if not df.isEmpty():
+            new, _ = self._new_data_dir(name, df, cols)
+            if new:
+                self._enforce_constraints(
+                    name, m, join_uri(self.path(name), new[0]["dir"])
+                )
         keys_dir = self._land_dv_keys(name, keys, unique_key)
         dv = (m.get("dv") or []) + [
             {

@@ -428,3 +428,38 @@ def test_realtime_tail_size_gate(spark, tmp_path, clustered):
     assert plan_s.count("BroadcastNestedLoopJoin") < plan_b.count(
         "BroadcastNestedLoopJoin"
     )
+
+
+def test_sync_from_cdf_mor_zero_rewrite_same_results(spark, tmp_path, clustered):
+    """mor=True retracts through the merge-on-read form: NO assignment
+    dir rewrites (all carried + the fresh append), results identical
+    to the COW sync, and materialize_deletes clears the debt without
+    changing served top-k."""
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",),
+        cdf=True,
+    )
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
+    initial = clustered.filter(F.col("vec_id") < 290)
+    fmt.write("raw.vecs", initial, "overwrite")
+    idx.train_from_table(fmt, "raw.vecs")
+    batch, keys = _dml_mix(clustered)
+    fmt.merge("raw.vecs", batch, "vec_id", delete_keys=keys)
+    before = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest(idx.assign_table)["entries"]
+    }
+    assert idx.sync_from_cdf(fmt, "raw.vecs", mor=True) is True
+    m = fmt._manifest(idx.assign_table)
+    after = {(e["dir"], e.get("rel")) for e in m["entries"]}
+    assert before <= after and len(after - before) == 1  # append only
+    assert any("keys" in d for d in (m.get("dv") or []))
+    final = fmt.read("raw.vecs")
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    served = idx.topk(queries, k=3, n_probe=2)
+    want = _rows(idx.recompute_topk(final, queries, k=3, n_probe=2))
+    assert _rows(served) == want
+    # debt clears without changing results
+    assert fmt.materialize_deletes(idx.assign_table) >= 1
+    assert not (fmt._manifest(idx.assign_table).get("dv") or [])
+    assert _rows(idx.topk(queries, k=3, n_probe=2)) == want
