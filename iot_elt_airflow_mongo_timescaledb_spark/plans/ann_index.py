@@ -553,8 +553,11 @@ class IncrementalANNSync:
             ex = exclude.select(
                 F.col(exclude.columns[0]).alias("neighbor_id")
             ).distinct()
-            # tail-bounded key set — same envelope as the tail itself
-            indexed = indexed.join(F.broadcast(ex), "neighbor_id", "left_anti")
+            # tail-bounded KEY set — usually tiny (AQE broadcasts it),
+            # but no forced hint: a badly lagged tail must degrade to a
+            # shuffle anti-join, not die on the broadcast ceiling (the
+            # same contract as the pairs join below)
+            indexed = indexed.join(ex, "neighbor_id", "left_anti")
         tq = quantize_embeddings(tail, id_col, vec_col, self.bits).select(
             F.col(id_col).alias("neighbor_id"), F.col("q").alias("__cq")
         )

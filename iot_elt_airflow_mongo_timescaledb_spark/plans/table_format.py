@@ -562,7 +562,13 @@ class ManifestFormat(TableFormat):
         nobody tails must not pay that per 15-minute sync.  With it
         off, DML commits record no change rows and the CDF read
         refuses across them with a resync error naming this flag; the
-        append-only :meth:`read_changes` feed is unaffected."""
+        append-only :meth:`read_changes` feed is unaffected.  The flag
+        is per-WRITER-HANDLE, and formats are stateless over tables —
+        a warehouse that mixes tailed and untailed tables simply holds
+        two handles over the same root (``cdf=True`` for the governed
+        raw tables, the default for everything else); internal-state
+        writers (rollups, the ANN index) additionally pass
+        ``record_cdc=False`` per call."""
         self.spark = spark
         self.root = root
         self.fs = HadoopFS(spark)

@@ -69,16 +69,30 @@ def main() -> None:
         spark, root, "agg.seg_val", group_cols=("seg",),
         sum_cols=("val",), table_format=fmt,
     )
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.ann_index import (
+        IncrementalANNSync,
+    )
+
+    idx = IncrementalANNSync(spark, root, "agg.ann", table_format=fmt)
 
     def batch_df(cycle: int):
         n_upd = int(batch_rows * update_frac) if cycle else 0
         n_new = batch_rows - n_upd
         start = cycle * n_new  # new-key id space advances per cycle
+        def emb(i):
+            # deterministic 8-dim vector from the id: enough to drive
+            # the ANN maintenance path, cheap enough per cycle
+            return [
+                float((i * q) % 17 - 8)
+                for q in (3, 5, 7, 11, 13, 17, 19, 23)
+            ]
+
         rows = [
             Row(
                 _dlt_id=_key(start + j),
                 seg=f"s{(start + j) % 7}",
                 val=float((start + j) % 100),
+                embedding=emb(start + j),
             )
             for j in range(n_new)
         ]
@@ -91,6 +105,7 @@ def main() -> None:
                     _dlt_id=_key(lo + j * step),
                     seg=f"s{(lo + j * step) % 7}",
                     val=float((lo + j * step) % 100) + 1000.0,
+                    embedding=emb(lo + j * step)[::-1],
                 )
                 for j in range(n_upd)
             ]
@@ -123,6 +138,16 @@ def main() -> None:
         t1 = time.perf_counter()
         agg.sync_from_cdf(fmt, "raw.docs")
         sync_s = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        if cycle == 0:
+            idx.train_from_table(
+                fmt, "raw.docs", id_col="_dlt_id", cluster_col="seg"
+            )
+        else:
+            # the r10-weak path under soak: retraction-aware index
+            # maintenance over the upserting source, MOR retraction
+            idx.sync_from_cdf(fmt, "raw.docs", id_col="_dlt_id", mor=True)
+        ann_s = time.perf_counter() - t2
         m1 = fmt._manifest("raw.docs", resolve=False)
         m1r = fmt._manifest("raw.docs")
         after = {(e["dir"], e.get("rel")) for e in m1r["entries"]}
@@ -135,12 +160,14 @@ def main() -> None:
                 # maintenance cadence: materialize the key masks back
                 # into clean files (Delta PURGE after DV-backed merges)
                 fmt.materialize_deletes("raw.docs")
+            fmt.materialize_deletes(idx.assign_table)
             fmt.vacuum("raw.docs", keep_last=5, writer_grace_s=0)
             fmt.vacuum(agg.table_name, keep_last=5, writer_grace_s=0)
         rec = {
             "cycle": cycle,
             "merge_s": round(merge_s, 2),
             "rollup_sync_s": round(sync_s, 2),
+            "ann_sync_s": round(ann_s, 2),
             "carry_ratio": round(
                 len(before & after) / max(1, len(before)), 3
             ),
@@ -168,6 +195,17 @@ def main() -> None:
         for r in agg.read().select("seg", "sum_val").collect()
     }
     assert got == want, "rollup drifted from recompute"
+    # and the maintained index serves the final corpus exactly: the
+    # assignments' key set equals the table's key set (no stale, no
+    # missing, no duplicates) after 50 cycles of mixed DML
+    a = idx.wh.read(idx.assign_table)
+    got_ids = {r["vec_id"] for r in a.select("vec_id").collect()}
+    want_ids = {
+        r["_dlt_id"]
+        for r in fmt.read("raw.docs").select("_dlt_id").collect()
+    }
+    assert got_ids == want_ids, "ANN membership drifted from the corpus"
+    assert a.count() == len(got_ids), "duplicate assignments"
 
     def avg(ms, k):
         return round(sum(m[k] for m in ms) / len(ms), 3)
@@ -180,13 +218,13 @@ def main() -> None:
         "batch_rows": batch_rows,
         "first10": {
             k: avg(head, k)
-            for k in ("merge_s", "rollup_sync_s", "carry_ratio",
-                      "dirs_on_disk")
+            for k in ("merge_s", "rollup_sync_s", "ann_sync_s",
+                      "carry_ratio", "dirs_on_disk")
         },
         "last10": {
             k: avg(tail, k)
-            for k in ("merge_s", "rollup_sync_s", "carry_ratio",
-                      "dirs_on_disk")
+            for k in ("merge_s", "rollup_sync_s", "ann_sync_s",
+                      "carry_ratio", "dirs_on_disk")
         },
         "final_rows": fmt.read("raw.docs").count(),
         "rollup_matches_recompute": True,
