@@ -501,6 +501,7 @@ class ManifestFormat(TableFormat):
         segment_entries: int | None = None,
         cluster_by: str | None = None,
         cdf: bool = False,
+        auto_purge_dvs: int | None = None,
     ):
         """``auto_compact_dirs``: data-dir count above which the append
         path triggers :meth:`maybe_compact` (None disables).  Default 16
@@ -568,7 +569,18 @@ class ManifestFormat(TableFormat):
         two handles over the same root (``cdf=True`` for the governed
         raw tables, the default for everything else); internal-state
         writers (rollups, the ANN index) additionally pass
-        ``record_cdc=False`` per call."""
+        ``record_cdc=False`` per call.
+
+        ``auto_purge_dvs``: merge-on-read DEBT policy (Delta's
+        OPTIMIZE removing deletion vectors) — when a MOR verb's commit
+        leaves more than this many stored delete predicates/key masks,
+        ``materialize_deletes`` runs immediately after: reads pay at
+        most ``auto_purge_dvs`` extra filters/anti-joins before one
+        bounded rewrite clears them all, so read amplification
+        saw-tooths at the threshold instead of growing with the sync
+        cadence (round-11 soak: the ANN assignment tail drifted +32%
+        over 50 cycles without it).  ``None`` (default) keeps purging
+        explicit."""
         self.spark = spark
         self.root = root
         self.fs = HadoopFS(spark)
@@ -577,6 +589,7 @@ class ManifestFormat(TableFormat):
         self.segment_entries = segment_entries
         self.cluster_by = cluster_by
         self.cdf = cdf
+        self.auto_purge_dvs = auto_purge_dvs
         # parsed-segment cache: segment files are IMMUTABLE once
         # committed, so a (path -> entries) map never goes stale; it
         # turns repeated resolution (every read/commit re-lists the
@@ -3552,7 +3565,15 @@ class ManifestFormat(TableFormat):
             name, m["entries"], list(m["partition_columns"]), m["version"],
             schema=m.get("schema"), cdc=cdc, txn=m.get("txn"), dv=dv,
         )
+        self._maybe_purge_dvs(name, dv)
         return n_deleted
+
+
+    def _maybe_purge_dvs(self, name: str, dv: list) -> None:
+        """The ``auto_purge_dvs`` policy: one bounded rewrite when the
+        stored-delete list passes the threshold (see ``__init__``)."""
+        if self.auto_purge_dvs is not None and len(dv) > self.auto_purge_dvs:
+            self.materialize_deletes(name)
 
     def materialize_deletes(self, name: str) -> int:
         """COW-rewrite every entry a merge-on-read delete predicate
@@ -4075,6 +4096,7 @@ class ManifestFormat(TableFormat):
             name, m["entries"] + new, list(cols), m["version"],
             schema=merged_schema, cdc=cdc, txn=m.get("txn"), dv=dv,
         )
+        self._maybe_purge_dvs(name, dv)
 
     def update_where_mor(
         self,
@@ -4153,6 +4175,7 @@ class ManifestFormat(TableFormat):
             m["version"], schema=m.get("schema"), cdc=cdc,
             txn=m.get("txn"), dv=dv,
         )
+        self._maybe_purge_dvs(name, dv)
         return n_updated
 
 
@@ -4207,12 +4230,13 @@ class CatalogManifestFormat(ManifestFormat):
         segment_entries: int | None = None,
         cluster_by: str | None = None,
         cdf: bool = False,
+        auto_purge_dvs: int | None = None,
     ):
         super().__init__(
             spark, root,
             auto_compact_dirs=auto_compact_dirs, stats_cols=stats_cols,
             segment_entries=segment_entries, cluster_by=cluster_by,
-            cdf=cdf,
+            cdf=cdf, auto_purge_dvs=auto_purge_dvs,
         )
         self._pending: dict[str, int] | None = None
 
@@ -4230,6 +4254,7 @@ class CatalogManifestFormat(ManifestFormat):
             segment_entries=self.segment_entries,
             cluster_by=self.cluster_by,
             cdf=self.cdf,
+            auto_purge_dvs=self.auto_purge_dvs,
         )
 
     # -- catalog machinery ----------------------------------------------

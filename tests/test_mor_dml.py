@@ -223,3 +223,18 @@ def test_mor_merge_then_rollup_cdf_sync(spark, tmp_path):
     want = fmt.read("s.t").agg(F.sum("v")).first()[0]
     got = agg.read().select("sum_v").first()[0]
     assert got == want
+
+
+def test_auto_purge_dvs_bounds_mask_accumulation(spark, tmp_path):
+    """auto_purge_dvs (Delta's OPTIMIZE-removes-DVs): once a MOR
+    commit leaves more than the threshold of stored masks, a purge
+    runs immediately — the dv list saw-tooths at the bound instead of
+    growing with the cadence, and content is preserved throughout."""
+    fmt = _fmt(spark, str(tmp_path), auto_purge_dvs=3)
+    _seed_chunks(spark, fmt)
+    for i in range(6):
+        fmt.merge_mor("s.t", _rows(spark, (21 + i, -(i + 1))), "k")
+        n_dvs = len(fmt._manifest("s.t").get("dv") or [])
+        assert n_dvs <= 3, n_dvs
+    got = _content(fmt)
+    assert got[21] == -1 and got[26] == -6 and len(got) == 50

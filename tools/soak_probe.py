@@ -64,6 +64,7 @@ def main() -> None:
     fmt = CatalogManifestFormat(
         spark, root, auto_compact_dirs=16, stats_cols=("_dlt_id",),
         cluster_by="_dlt_id", cdf=True,
+        auto_purge_dvs=8,  # MOR debt policy: purge past 8 masks
     )
     agg = IncrementalAggSync(
         spark, root, "agg.seg_val", group_cols=("seg",),
@@ -156,11 +157,8 @@ def main() -> None:
         )
         live = {e["dir"] for e in m1r["entries"]}
         if cycle and cycle % 10 == 0:
-            if mode == "mor":
-                # maintenance cadence: materialize the key masks back
-                # into clean files (Delta PURGE after DV-backed merges)
-                fmt.materialize_deletes("raw.docs")
-            fmt.materialize_deletes(idx.assign_table)
+            # MOR mask debt is handled by the format's auto_purge_dvs
+            # policy now — no manual purge cadence
             fmt.vacuum("raw.docs", keep_last=5, writer_grace_s=0)
             fmt.vacuum(agg.table_name, keep_last=5, writer_grace_s=0)
         rec = {
