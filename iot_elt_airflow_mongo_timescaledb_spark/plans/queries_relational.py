@@ -1943,3 +1943,80 @@ def manifest_merge_mor(spark, sf_dir):
         .withColumn("entries_untouched", F.lit(len(before & after)))
         .withColumn("new_dirs", F.lit(len(after - before)))
     )
+
+
+@query(
+    "manifest_update_mor",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer)
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(
+               CASE WHEN c_custkey > m * 2 // 5 + 10
+                     AND c_custkey <= m * 3 // 5 - 10
+                    THEN ROUND(c_acctbal + 100.0, 2)
+                    ELSE c_acctbal END
+           ), 2) AS bal_sum,
+           5 AS entries_untouched,
+           1 AS new_dirs
+    FROM customer, mx
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # storage-verb family: manifest_merge_bounded carries the gate
+)
+def manifest_update_mor(spark, sf_dir):
+    """Row-level UPDATE as MERGE-ON-READ (round 11 ``update_where_mor``):
+    same shape as manifest_update_where, but ALL FIVE seeded entries
+    survive byte-identical (lit-folded) and exactly ONE new dir lands
+    — the postimages; matched old rows mask via the stored predicate
+    at read time, so write cost is O(matched rows), not O(candidate
+    entries' content).  The oracle recomputes the post-update
+    aggregate from the raw table
+    (plans/table_format.py:ManifestFormat.update_where_mor)."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mum_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    row = c.agg(
+        F.max("c_custkey").alias("mx"), F.min("c_custkey").alias("mn")
+    ).first()
+    mx, mn = int(row["mx"]), int(row["mn"])
+    bounds = [mn - 1] + [mx * i // 5 for i in range(1, 5)] + [mx]
+    for i in range(5):
+        chunk = c.filter(
+            (F.col("c_custkey") > bounds[i])
+            & (F.col("c_custkey") <= bounds[i + 1])
+        )
+        fmt.write("um.cust", chunk, "append" if i else "overwrite")
+    before = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest("um.cust")["entries"]
+    }
+    lo, hi = mx * 2 // 5 + 11, mx * 3 // 5 - 10
+    fmt.update_where_mor(
+        "um.cust",
+        "c_custkey",
+        {"c_acctbal": "round(c_acctbal + 100.0, 2)"},
+        lo,
+        hi,
+    )
+    after = {
+        (e["dir"], e.get("rel"))
+        for e in fmt._manifest("um.cust")["entries"]
+    }
+    return (
+        fmt.read("um.cust")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .withColumn("entries_untouched", F.lit(len(before & after)))
+        .withColumn("new_dirs", F.lit(len(after - before)))
+    )
