@@ -119,6 +119,7 @@ EXTENDED = [
     # round-11 additions
     "ann_cdf_upsert_topk",         # retraction-aware ANN index over merges
     "manifest_merge_mor",          # merge-on-read MERGE (equality deletes)
+    "manifest_update_mor",         # merge-on-read UPDATE (postimage append)
 ]
 
 
