@@ -463,3 +463,51 @@ def test_sync_from_cdf_mor_zero_rewrite_same_results(spark, tmp_path, clustered)
     assert fmt.materialize_deletes(idx.assign_table) >= 1
     assert not (fmt._manifest(idx.assign_table).get("dv") or [])
     assert _rows(idx.topk(queries, k=3, n_probe=2)) == want
+
+
+def test_sync_from_cdf_crash_between_steps_converges(spark, tmp_path, clustered):
+    """Crash injected AFTER the retraction merge commits but BEFORE
+    the watermark append: the cursor has not advanced, so the retried
+    sync re-reads the identical delta, the delete-merge no-ops (keys
+    already gone), and the append lands exactly once — membership
+    converges with no duplicates and no lost vectors."""
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",),
+        cdf=True,
+    )
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
+    initial = clustered.filter(F.col("vec_id") < 290)
+    fmt.write("raw.vecs", initial, "overwrite")
+    idx.train_from_table(fmt, "raw.vecs")
+    batch, keys = _dml_mix(clustered)
+    fmt.merge("raw.vecs", batch, "vec_id", delete_keys=keys)
+
+    real_wsb = type(fmt).write_streaming_batch
+    calls = {"n": 0}
+
+    def dying_wsb(self, *a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before the watermark append")
+
+    type(fmt).write_streaming_batch = dying_wsb
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            idx.sync_from_cdf(fmt, "raw.vecs")
+    finally:
+        type(fmt).write_streaming_batch = real_wsb
+    assert calls["n"] == 1
+    # the retraction merge may have committed; the cursor did not move
+    assert idx._applied_batch_id() is not None
+    # retry converges
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is True
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is False
+    final = fmt.read("raw.vecs")
+    a = idx.wh.read(idx.assign_table)
+    got = {r["vec_id"] for r in a.select("vec_id").collect()}
+    want = {r["vec_id"] for r in final.select("vec_id").collect()}
+    assert got == want
+    assert a.count() == len(got)  # no duplicates
+    queries = clustered.filter(F.col("vec_id") % 50 == 0)
+    assert _rows(idx.topk(queries, k=3, n_probe=2)) == _rows(
+        idx.recompute_topk(final, queries, k=3, n_probe=2)
+    )

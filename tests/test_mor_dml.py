@@ -238,3 +238,31 @@ def test_auto_purge_dvs_bounds_mask_accumulation(spark, tmp_path):
         assert n_dvs <= 3, n_dvs
     got = _content(fmt)
     assert got[21] == -1 and got[26] == -6 and len(got) == 50
+
+
+def test_merge_mor_lost_race_aborts_loudly(spark, tmp_path):
+    """merge_mor inherits the non-rebaseable commit: a concurrent
+    commit landing between the snapshot read and the CAS makes the
+    merge abort loudly instead of silently dropping the concurrent
+    rows (its key mask was computed against a stale base)."""
+    fmt = _fmt(spark, str(tmp_path))
+    _seed_chunks(spark, fmt)
+    orig_land = type(fmt)._land_dv_keys
+
+    def racing_land(self, name, keys, col):
+        # a concurrent append sneaks in during the merge's write window
+        type(fmt)._land_dv_keys = orig_land
+        fmt2 = _fmt(spark, str(tmp_path))
+        fmt2.write("s.t", _rows(spark, (500, 500)), "append")
+        return orig_land(self, name, keys, col)
+
+    type(fmt)._land_dv_keys = racing_land
+    try:
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            fmt.merge_mor("s.t", _rows(spark, (21, -1)), "k")
+    finally:
+        type(fmt)._land_dv_keys = orig_land
+    # the concurrent append survived; the merge left no partial state
+    got = _content(fmt)
+    assert got[500] == 500 and got[21] == 21
+    assert not (fmt._manifest("s.t").get("dv") or [])
