@@ -21,6 +21,7 @@ from iot_elt_airflow_mongo_timescaledb_spark.plans.ann_index import (
     IncrementalANNSync,
 )
 from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+    CatalogManifestFormat,
     ManifestFormat,
 )
 
@@ -304,11 +305,15 @@ def _dml_mix(clustered):
     return batch, keys
 
 
-def test_sync_from_cdf_absorbs_upserts(spark, tmp_path, clustered):
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_sync_from_cdf_absorbs_upserts(spark, tmp_path, clustered, kind):
     """The r10 weak closed: a source MERGE with updates + deletes +
     inserts maintains through sync_from_cdf — index-served top-k
-    equals the recompute over the FINAL corpus, exactly-once."""
-    fmt = ManifestFormat(
+    equals the recompute over the FINAL corpus, exactly-once.  On the
+    catalog format the retraction merge and the watermark append land
+    under ONE transaction flip (no reader window)."""
+    cls = {"manifest": ManifestFormat, "catalog": CatalogManifestFormat}[kind]
+    fmt = cls(
         spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",),
         cdf=True,
     )
