@@ -607,8 +607,12 @@ class IncrementalANNSync:
         alongside the index — the ANN twin of the rollups'
         ``read_realtime_auto``: results are always current, index lag
         costs |queries| x |unsynced tail|, and no caller bookkeeping.
-        Requires at least one prior ``sync_from_changes`` against the
-        same source (the cursor anchors the tail)."""
+        Requires a cursor against the same source — anchored by
+        ``train_from_table``, ``sync_from_changes``, or
+        ``sync_from_cdf``.  An unsynced tail containing DML falls back
+        to the row-level CDF: stale assignments mask out of the index
+        tier and live postimages score brute-force, so results stay
+        exact-to-now across rewrites, not just appends."""
         applied = self._applied_batch_id()
         if applied is None:
             raise ValueError(
