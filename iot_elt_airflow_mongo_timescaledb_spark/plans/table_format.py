@@ -4025,7 +4025,13 @@ class ManifestFormat(TableFormat):
         concurrency contract (the key mask was computed against a
         snapshot).  The right verb when matched files are LARGE and
         the batch is small — the reference's 15-minute M2 cadence
-        against year-old clustered history."""
+        against year-old clustered history.
+
+        Unattended cadences should set ``auto_purge_dvs``: every MOR
+        merge adds one key mask, masked dirs are skipped by threshold
+        compaction until purged, so without the policy (or explicit
+        ``materialize_deletes`` on a maintenance cadence) read
+        amplification grows with the sync count."""
         from pyspark.sql import functions as F
 
         prev = self._manifest(name)
