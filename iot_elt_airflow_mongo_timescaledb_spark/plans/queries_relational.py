@@ -1118,16 +1118,20 @@ def manifest_delete_where(spark, sf_dir):
     gate=False,  # storage-verb family: manifest_data_skipping carries the gate
 )
 def manifest_schema_evolution(spark, sf_dir):
-    """Additive schema evolution end-to-end (schema-in-the-log,
-    r9): customers land as two appends with DIFFERENT column sets —
-    the lower half (c_custkey, c_mktsegment), the upper half
-    (c_custkey, c_acctbal) — so each side is missing a column the
-    other carries.  The mergeSchema/unionByName read must fill NULLs
-    both ways and the stored manifest schema must hold the union; the
-    oracle recomputes the NULL pattern from the raw table.  The
-    REFUSAL side (same-name type change) is pinned in
-    tests/test_manifest_format.py (enforcement is metadata-only
-    against the stored schema)."""
+    """Additive schema evolution + SAFE TYPE PROMOTION end-to-end
+    (schema-in-the-log, r9; promotion lattice r12, VERDICT r11 task
+    3): customers land as two appends with DIFFERENT column sets —
+    the lower half (c_custkey AS INT, c_mktsegment), the upper half
+    (c_custkey AS LONG, c_acctbal) — so each side is missing a column
+    the other carries AND the shared key column arrives int-then-long
+    (Iceberg's int→long promotion).  The read must fill NULLs both
+    ways, serve ONE widened schema (bigint key over both the old int
+    file and the new long file, values exact — `_cast_to_stored`),
+    and the stored manifest schema must hold the widened union; the
+    oracle recomputes everything from the raw table.  A NON-promotable
+    change (long→string) must still refuse loudly — pinned here so
+    the gate exercises both sides (plus the hypothesis lattice pins
+    in tests/test_schema_properties.py)."""
     from ..fs import scratch_dir
     from .table_format import ManifestFormat
 
@@ -1138,19 +1142,37 @@ def manifest_schema_evolution(spark, sf_dir):
     fmt.write(
         "ev.cust",
         c.filter(F.col("c_custkey") <= mid).select(
-            "c_custkey", "c_mktsegment"
+            F.col("c_custkey").cast("int").alias("c_custkey"),
+            "c_mktsegment",
         ),
         "overwrite",
     )
     fmt.write(
         "ev.cust",
         c.filter(F.col("c_custkey") > mid).select(
-            "c_custkey", "c_acctbal"
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_acctbal",
         ),
         "append",
     )
-    stored = {f["name"] for f in fmt._manifest("ev.cust")["schema"]["fields"]}
-    assert stored == {"c_custkey", "c_mktsegment", "c_acctbal"}, stored
+    m = fmt._manifest("ev.cust")
+    stored = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+    assert set(stored) == {"c_custkey", "c_mktsegment", "c_acctbal"}, stored
+    assert stored["c_custkey"] == "long", stored  # promoted in the log
+    served = fmt.read("ev.cust")
+    assert served.schema["c_custkey"].dataType.simpleString() == "bigint"
+    # a narrowing / incompatible change refuses loudly
+    try:
+        fmt.write(
+            "ev.cust",
+            c.limit(1).select(
+                F.col("c_custkey").cast("string").alias("c_custkey")
+            ),
+            "append",
+        )
+        raise AssertionError("long->string append must refuse")
+    except TypeError:
+        pass
     return fmt.read("ev.cust").agg(
         F.count("*").alias("n_rows"),
         F.sum(

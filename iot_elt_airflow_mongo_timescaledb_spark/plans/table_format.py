@@ -502,6 +502,7 @@ class ManifestFormat(TableFormat):
         cluster_by: str | None = None,
         cdf: bool = False,
         auto_purge_dvs: int | None = None,
+        dv_form: str = "equality",
     ):
         """``auto_compact_dirs``: data-dir count above which the append
         path triggers :meth:`maybe_compact` (None disables).  Default 16
@@ -590,6 +591,14 @@ class ManifestFormat(TableFormat):
         self.cluster_by = cluster_by
         self.cdf = cdf
         self.auto_purge_dvs = auto_purge_dvs
+        if dv_form not in ("equality", "positional"):
+            raise ValueError(
+                f"dv_form={dv_form!r}: 'equality' (stored predicates / "
+                "equality-delete key files — Iceberg v2 equality "
+                "deletes) or 'positional' ((file, row-index) masks — "
+                "Delta deletion vectors / Iceberg positional deletes)"
+            )
+        self.dv_form = dv_form
         # parsed-segment cache: segment files are IMMUTABLE once
         # committed, so a (path -> entries) map never goes stale; it
         # turns repeated resolution (every read/commit re-lists the
@@ -599,11 +608,16 @@ class ManifestFormat(TableFormat):
 
     #: parsed-segment cache bound (files); oldest evicted first
     SEG_CACHE_FILES = 256
+    # inline segment-ref count above which the ref list spools into
+    # segl-*.json list files (the third metadata tier); class-level so
+    # tests/probes can exercise multi-list layouts without thousands
+    # of commits
+    SEGLIST_SPILL_REFS = 64
 
     #: reader protocol features THIS build implements; a manifest
     #: listing one outside this set refuses to resolve (see
     #: _try_write_manifest's reader_features)
-    READER_FEATURES = frozenset({"dv", "dv-eq"})
+    READER_FEATURES = frozenset({"dv", "dv-eq", "dv-pos"})
 
     # -- manifest machinery ---------------------------------------------
 
@@ -683,12 +697,23 @@ class ManifestFormat(TableFormat):
         name: str,
         version: int | None = None,
         resolve: bool = True,
+        expand_lists: bool = True,
     ) -> dict | None:
         """Parse a manifest.  ``resolve=True`` (default) expands
         segment refs so ``m["entries"]`` is the full list; ``False``
         returns the raw body (inline entries only, refs untouched) —
         the pruning read path uses it to skip whole segments by their
-        stats without parsing them."""
+        stats without parsing them.
+
+        ``expand_lists=False`` (requires ``resolve=False``) keeps the
+        THIRD tier raw too: ``m["segments"]`` holds the spooled form
+        (``segl-*.json`` list-refs mixed with inline segment refs),
+        so a caller that prunes on the list-refs' rolled stats — or
+        only reads top-level fields like ``committed_at``/``cdc`` —
+        never pays the parse of excluded/unneeded list files (VERDICT
+        r11 task 1: a cold selective ``read_where``'s metadata cost
+        scales with MATCHING list files, not with the table's ref
+        count)."""
         if version is None:
             # resolve the newest COMMITTED version: an unreadable head
             # younger than the in-flight grace is a writer between its
@@ -728,6 +753,15 @@ class ManifestFormat(TableFormat):
                 "the reader"
             )
         raw_segs = m.get("segments") or []
+        if not expand_lists:
+            if resolve:
+                raise ValueError(
+                    "expand_lists=False requires resolve=False — entry "
+                    "resolution needs the flat ref list"
+                )
+            if any("list" in s for s in raw_segs):
+                m["segments_spooled"] = raw_segs
+            return m
         if any("list" in s for s in raw_segs):
             # THIRD metadata tier (Iceberg's manifest list, round 11):
             # the segment-ref list itself spilled into immutable
@@ -1039,15 +1073,16 @@ class ManifestFormat(TableFormat):
                 tail = new_tail
 
         kept = [s for li, s in enumerate(prev_lists) if li in carried]
-        # spill at 64 inline refs: refs are ~100 B each, so the version
-        # file stays under ~10 KB regardless of table entry count (and
-        # tiny segment_entries settings — tests, extreme configs —
-        # don't degenerate into a list file per ref); each list file
-        # then holds up to max(64, segment_entries) refs so lists stay
-        # few
-        if self.segment_entries is None or len(tail) <= 64:
+        # spill at SEGLIST_SPILL_REFS (64) inline refs: refs are
+        # ~100 B each, so the version file stays under ~10 KB
+        # regardless of table entry count (and tiny segment_entries
+        # settings — tests, extreme configs — don't degenerate into a
+        # list file per ref); each list file then holds up to
+        # max(threshold, segment_entries) refs so lists stay few
+        spill = self.SEGLIST_SPILL_REFS
+        if self.segment_entries is None or len(tail) <= spill:
             return kept + tail
-        spill_at = max(64, self.segment_entries)
+        spill_at = max(spill, self.segment_entries)
         for i in range(0, len(tail), spill_at):
             part = tail[i : i + spill_at]
             fname = f"segl-{uuid.uuid4().hex}.json"
@@ -1274,6 +1309,11 @@ class ManifestFormat(TableFormat):
                         + (
                             ["dv-eq"]
                             if any("keys" in d for d in dv)
+                            else []
+                        )
+                        + (
+                            ["dv-pos"]
+                            if any("pos" in d for d in dv)
                             else []
                         )
                     }
@@ -1540,13 +1580,25 @@ class ManifestFormat(TableFormat):
             )
         return self._read_with_dv(name, m, m["entries"])
 
-    def _read_entries(self, name: str, m: dict, entries: list) -> DataFrame:
+    def _read_entries(
+        self, name: str, m: dict, entries: list, with_pos: bool = False
+    ) -> DataFrame:
         """DataFrame over a subset of a manifest's entries.  Entries
         group by data dir: each dir is a self-contained dataset whose
         hive layout (if any) infers partition columns relative to its
         own basePath; dirs then union (schema may have evolved between
         commits — allowMissingColumns fills with NULL, matching the
-        parquet format's mergeSchema read)."""
+        parquet format's mergeSchema read).
+
+        ``with_pos=True`` attaches the POSITIONAL row identity Delta's
+        deletion vectors address rows by — ``__dv_file`` (table-root-
+        relative file path, derived per dir so the identity survives a
+        warehouse move) and ``__dv_pos`` (the parquet scan's
+        ``_metadata.row_index``: physical row position within the
+        immutable file, stable across reads and splits)."""
+        from pyspark.sql import functions as F
+        import re as _re
+
         by_dir: dict[str, list] = {}
         for e in entries:
             by_dir.setdefault(e["dir"], []).append(e)
@@ -1557,10 +1609,26 @@ class ManifestFormat(TableFormat):
             reader = self.spark.read.option("mergeSchema", "true")
             if m["partition_columns"]:
                 reader = reader.option("basePath", base)
-            frames.append(reader.parquet(*paths))
+            f = reader.parquet(*paths)
+            if with_pos:
+                f = f.withColumn(
+                    "__dv_file",
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"),
+                        "/(" + _re.escape(dirname) + "/.*)$",
+                        1,
+                    ),
+                ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+            frames.append(f)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
+        if m.get("schema"):
+            # files predating a SAFE type promotion carry the narrow
+            # type: cast up to the schema the log records so the read
+            # serves one schema regardless of which files survive
+            # pruning (no-op Project when nothing was ever promoted)
+            out = self._cast_to_stored(out, m["schema"])
         return out
 
     def recover(self, name: str) -> None:
@@ -1610,7 +1678,8 @@ class ManifestFormat(TableFormat):
         earliest = None
         for v in versions:
             # committed_at is a top-level field: never expand segments
-            m = self._manifest(name, v, resolve=False)
+            # (nor the segl list tier)
+            m = self._manifest(name, v, resolve=False, expand_lists=False)
             if m is None:
                 continue
             at = m.get("committed_at") or 0
@@ -1728,6 +1797,7 @@ class ManifestFormat(TableFormat):
                     d.startswith("d-")
                     or d.startswith("cdc-")
                     or d.startswith("dvk-")
+                    or d.startswith("dvp-")
                 )
                 or d in live
             ):
@@ -1795,6 +1865,8 @@ class ManifestFormat(TableFormat):
             for d in (m or {}).get("dv") or []:
                 if d.get("keys"):
                     live.add(d["keys"]["dir"])  # equality-delete keys
+                if d.get("pos"):
+                    live.add(d["pos"]["dir"])  # positional delete masks
         removed = self._sweep_data_dirs(name, live, writer_grace_s)
         keep_set = set(kept_versions)
         for f in self.fs.list_files(self._log_path(name)):
@@ -2049,6 +2121,80 @@ class ManifestFormat(TableFormat):
             )
         return dt
 
+    @staticmethod
+    def _promoted_type(a, b):
+        """Iceberg's SAFE type-promotion lattice (spec §Schema
+        Evolution), applied to a same-name column whose stored and
+        incoming types differ: returns the WIDER type when one side
+        promotes losslessly to the other, else None (the caller keeps
+        the loud refusal).  Safe promotions: the integer chain
+        byte→short→int→long, float→double (every float32 is exactly
+        representable as float64), and decimal precision widening at
+        the SAME scale.  Everything else — string↔numeric, narrowing,
+        scale changes, nested-type edits — is not provable-lossless
+        and refuses."""
+        from pyspark.sql.types import (
+            ByteType,
+            DecimalType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        if a == b:
+            return a
+        ints = [ByteType(), ShortType(), IntegerType(), LongType()]
+        if a in ints and b in ints:
+            return ints[max(ints.index(a), ints.index(b))]
+        floats = [FloatType(), DoubleType()]
+        if a in floats and b in floats:
+            return DoubleType()
+        if (
+            isinstance(a, DecimalType)
+            and isinstance(b, DecimalType)
+            and a.scale == b.scale
+        ):
+            return a if a.precision >= b.precision else b
+        return None
+
+    def _cast_to_stored(self, df: DataFrame, stored: dict) -> DataFrame:
+        """Read-side half of type promotion: files written BEFORE a
+        promotion carry the narrow type; cast them up to the schema
+        the log records so every read serves ONE schema regardless of
+        which files survive pruning.  No-op (no extra Project) when
+        nothing differs; only provably-safe promotions cast — any
+        other mismatch is left for the write-time guards to have
+        refused."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        want = {
+            f.name: f.dataType for f in StructType.fromJson(stored).fields
+        }
+        have = {f.name: f.dataType for f in df.schema.fields}
+        casts = {
+            c: want[c]
+            for c, t in have.items()
+            if c in want
+            and self._normalize_nullability(t)
+            != self._normalize_nullability(want[c])
+            and self._promoted_type(
+                self._normalize_nullability(t),
+                self._normalize_nullability(want[c]),
+            )
+            == self._normalize_nullability(want[c])
+        }
+        if not casts:
+            return df
+        return df.select(
+            *[
+                F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                for c in df.columns
+            ]
+        )
+
     def _enforce_append_schema(
         self, name: str, prev: dict, df
     ) -> dict | None:
@@ -2083,21 +2229,35 @@ class ManifestFormat(TableFormat):
             except FileNotFoundError:
                 return None  # committed-but-empty head: nothing stored
         old = {f.name: f.dataType for f in existing.fields}
-        clashes = [
-            (f.name, str(old[f.name]), str(f.dataType))
-            for f in df.schema.fields
-            if f.name in old
-            and self._normalize_nullability(f.dataType)
-            != self._normalize_nullability(old[f.name])
-        ]
+        # same-name type differences split by the promotion lattice:
+        # a SAFE widening (int→long, float→double, decimal precision
+        # at same scale — Iceberg's rules) is accepted and the log
+        # records the WIDER type (readers cast old files up on the
+        # fly, _cast_to_stored); anything else keeps the loud refusal
+        promoted: dict[str, object] = {}
+        clashes = []
+        for f in df.schema.fields:
+            if f.name not in old:
+                continue
+            a = self._normalize_nullability(f.dataType)
+            t = self._normalize_nullability(old[f.name])
+            if a == t:
+                continue
+            wide = self._promoted_type(a, t)
+            if wide is None:
+                clashes.append((f.name, str(old[f.name]), str(f.dataType)))
+            else:
+                promoted[f.name] = wide
         if clashes:
             detail = "; ".join(
                 f"{c}: table={t}, append={a}" for c, t, a in clashes
             )
             raise TypeError(
                 f"append to {name} changes column type(s) — {detail}. "
-                "Additive columns evolve freely; a type change needs an "
-                "explicit full rewrite (replace/overwrite)."
+                "Additive columns evolve freely, safe widenings "
+                "(int→long, float→double, decimal precision) promote "
+                "in the log; any other type change needs an explicit "
+                "full rewrite (replace/overwrite)."
             )
         from pyspark.sql.types import StructField
 
@@ -2106,11 +2266,16 @@ class ManifestFormat(TableFormat):
             [
                 # widen to the permissive-nullability variant whenever
                 # the sides differ only there — the stored schema must
-                # never claim non-null over files that may hold NULLs
+                # never claim non-null over files that may hold NULLs —
+                # and to the PROMOTED type on a safe widening
                 f
                 if f.name not in appended or appended[f.name] == f.dataType
                 else StructField(
-                    f.name, self._normalize_nullability(f.dataType), True
+                    f.name,
+                    promoted.get(
+                        f.name, self._normalize_nullability(f.dataType)
+                    ),
+                    True,
                 )
                 for f in existing.fields
             ]
@@ -2144,6 +2309,11 @@ class ManifestFormat(TableFormat):
                 if f.name in old_t
                 and self._normalize_nullability(f.dataType)
                 != self._normalize_nullability(old_t[f.name])
+                and self._promoted_type(
+                    self._normalize_nullability(f.dataType),
+                    self._normalize_nullability(old_t[f.name]),
+                )
+                is None
             ]
             if clashes:
                 raise RuntimeError(
@@ -2167,19 +2337,43 @@ class ManifestFormat(TableFormat):
                 join_uri(self.path(name), new_entries[0]["dir"]),
             )
 
-    @staticmethod
-    def _merge_schema_json(head_schema: dict | None, merged: dict | None):
+    @classmethod
+    def _merge_schema_json(cls, head_schema: dict | None, merged: dict | None):
         """Re-merge a precomputed (base-relative) merged schema with the
-        HEAD a rebase landed on: head fields win their slots, fields
-        only the incoming merge knows append after.  None-safe."""
+        HEAD a rebase landed on: head fields win their slots — except
+        when the incoming merge carries a SAFE promotion of the same
+        field (the head writer was still on the narrow type), where
+        the wider type wins — and fields only the incoming merge knows
+        append after.  None-safe."""
         if head_schema is None:
             return merged
         if merged is None:
             return head_schema
+        from pyspark.sql.types import StructField, StructType
+
+        inc = {
+            f.name: f.dataType
+            for f in StructType.fromJson(merged).fields
+        }
+        out_fields = []
+        for fj in head_schema["fields"]:
+            f = StructField.fromJson(fj)
+            w = (
+                cls._promoted_type(
+                    cls._normalize_nullability(f.dataType),
+                    cls._normalize_nullability(inc[f.name]),
+                )
+                if f.name in inc and inc[f.name] != f.dataType
+                else None
+            )
+            if w is not None and w != cls._normalize_nullability(f.dataType):
+                out_fields.append(StructField(f.name, w, True).jsonValue())
+            else:
+                out_fields.append(fj)
         have = {f["name"] for f in head_schema["fields"]}
         return {
             **head_schema,
-            "fields": head_schema["fields"]
+            "fields": out_fields
             + [f for f in merged["fields"] if f["name"] not in have],
         }
 
@@ -2983,7 +3177,7 @@ class ManifestFormat(TableFormat):
             # the cdc probe needs only a top-level field — never
             # expand segments for it (the insert path's read_changes
             # resolves internally where it must)
-            m = self._manifest(name, v, resolve=False)
+            m = self._manifest(name, v, resolve=False, expand_lists=False)
             if m is None:
                 raise ValueError(
                     f"read_changes_cdf({name}): version {v} is not "
@@ -3315,7 +3509,7 @@ class ManifestFormat(TableFormat):
         from pyspark.sql import functions as F
 
         bounds = col if isinstance(col, dict) else {col: (lo, hi)}
-        m = self._manifest(name, resolve=False)
+        m = self._manifest(name, resolve=False, expand_lists=False)
         if m is None:
             raise FileNotFoundError(f"no committed manifest for table {name}")
 
@@ -3328,35 +3522,62 @@ class ManifestFormat(TableFormat):
         if not kept:
             # nothing can match: an empty frame with the table's schema
             # (footer-only read of one entry, no data pages)
-            probe = m["entries"][:1] or self._load_segment(
-                name, segs[0]["file"]
-            )[:1]
+            probe = m["entries"][:1]
+            if not probe:
+                s0 = segs[0]
+                if "list" in s0:
+                    s0 = self._load_seglist(name, s0["list"])[0]
+                probe = self._load_segment(name, s0["file"])[:1]
             return self._read_entries(name, m, probe).filter(F.lit(False))
         df = self._read_with_dv(name, m, kept)
         return df.filter(self._bounds_condition(bounds))
 
     def _prune_two_tier(self, name: str, m: dict, bounds: dict) -> list:
         """Entries surviving stats pruning on a RAW (unresolved)
-        manifest: segment refs test first on their rolled-up stats (a
-        ref quacks like an entry for the keep-by-default interval
-        test), excluded segments are never parsed, surviving segments
-        prune per entry, inline tail entries prune directly.  The
-        equivalence with flat pruning over the resolved entry list is
-        property-pinned (tests/test_segment_properties.py)."""
+        manifest — up to THREE tiers, outermost first (Iceberg's
+        manifest-list → manifest → data-file skipping):
+
+        0. a ``segl-*.json`` LIST-ref tests on its rolled stats; an
+           excluded list file is NEVER parsed (works only when the
+           caller passed ``expand_lists=False``; an already-expanded
+           manifest simply has no list-refs left and skips this tier);
+        1. a segment ref tests on its rolled stats (a ref quacks like
+           an entry for the keep-by-default interval test); excluded
+           segments are never parsed;
+        2. surviving segments prune per entry; inline tail entries
+           prune directly.
+
+        The equivalence with flat pruning over the resolved entry list
+        is property-pinned (tests/test_segment_properties.py), and
+        tier 0's never-parsed guarantee is test-pinned like tier 1's
+        (tests/test_manifest_segments.py)."""
 
         def may_match(holder, c, spec):
             if isinstance(spec, (list, set, frozenset)):
                 return self._entry_may_match_in(holder, c, spec)
             return self._entry_may_match(holder, c, spec[0], spec[1])
 
+        def keeps(holder):
+            return all(may_match(holder, c, b) for c, b in bounds.items())
+
         kept = []
         for s in m.get("segments") or []:
-            if all(may_match(s, c, b) for c, b in bounds.items()):
-                for e in self._load_segment(name, s["file"]):
-                    if all(may_match(e, c, b) for c, b in bounds.items()):
-                        kept.append(e)
+            if "list" in s:
+                # tier 0: list-refs carry [min of mins, max of maxes]
+                # stats rolled from their member refs — same
+                # keep-by-default contract, one level up
+                if not keeps(s):
+                    continue
+                refs = self._load_seglist(name, s["list"])
+            else:
+                refs = (s,)
+            for ref in refs:
+                if keeps(ref):
+                    for e in self._load_segment(name, ref["file"]):
+                        if keeps(e):
+                            kept.append(e)
         for e in m["entries"]:
-            if all(may_match(e, c, b) for c, b in bounds.items()):
+            if keeps(e):
                 kept.append(e)
         return kept
 
@@ -3437,7 +3658,9 @@ class ManifestFormat(TableFormat):
             for c, enc in jb.items()
         }
 
-    def _read_with_dv(self, name: str, m: dict, entries: list) -> DataFrame:
+    def _read_with_dv(
+        self, name: str, m: dict, entries: list, with_pos: bool = False
+    ) -> DataFrame:
         """``_read_entries`` with the manifest's MERGE-ON-READ delete
         predicates applied: entries group by the SET of predicates
         that apply to them (driver-side, manifest-sized), each group
@@ -3446,12 +3669,21 @@ class ManifestFormat(TableFormat):
         does not delete), groups union.  Entries no predicate applies
         to — notably everything appended AFTER a delete — read
         untouched, which is exactly Delta's per-file deletion-vector
-        scoping."""
+        scoping.
+
+        POSITIONAL masks (``dv_form='positional'``): a group whose dv
+        set includes a ``pos`` mask reads with the ``__dv_file`` /
+        ``__dv_pos`` identity attached and masks via ONE anti-join
+        against the union of its applying masks — the join is on two
+        cheap machine columns, independent of any data column, and
+        only the groups a mask actually names pay it.  ``with_pos``
+        keeps the identity columns on the returned frame (the MOR
+        write paths use it to compute new masks dv-aware)."""
         from pyspark.sql import functions as F
 
         dvs = m.get("dv") or []
         if not dvs or not entries:
-            return self._read_entries(name, m, entries)
+            return self._read_entries(name, m, entries, with_pos=with_pos)
         applies = [set(d.get("applies") or ()) for d in dvs]
         groups: dict = {}
         for e in entries:
@@ -3462,8 +3694,24 @@ class ManifestFormat(TableFormat):
             groups.setdefault(key, []).append(e)
         frames = []
         for key in sorted(groups, key=sorted):
-            df = self._read_entries(name, m, groups[key])
+            need_pos = with_pos or any("pos" in dvs[i] for i in key)
+            df = self._read_entries(
+                name, m, groups[key], with_pos=need_pos
+            )
+            pos_masks = []
             for i in sorted(key):
+                if "pos" in dvs[i]:
+                    pos_masks.append(
+                        self.spark.read.parquet(
+                            join_uri(
+                                self.path(name), dvs[i]["pos"]["dir"]
+                            )
+                        ).select(
+                            F.col("file").alias("__dv_file"),
+                            F.col("pos").alias("__dv_pos"),
+                        )
+                    )
+                    continue
                 if "keys" in dvs[i]:
                     # EQUALITY-DELETE key file (Iceberg v2 equality
                     # deletes): rows whose key appears in the landed
@@ -3496,6 +3744,17 @@ class ManifestFormat(TableFormat):
                     continue
                 cond = self._bounds_condition(spec)
                 df = df.filter(~F.coalesce(cond, F.lit(False)))
+            if pos_masks:
+                mask = pos_masks[0]
+                for pm in pos_masks[1:]:
+                    mask = mask.unionByName(pm)
+                # deletes are idempotent, so the UNION of applying
+                # masks in one anti-join ≡ applying each in turn; no
+                # broadcast hint — masks are delete-bounded (AQE picks
+                # broadcast), a giant backfill mask degrades to shuffle
+                df = df.join(mask, ["__dv_file", "__dv_pos"], "left_anti")
+            if need_pos and not with_pos:
+                df = df.drop("__dv_file", "__dv_pos")
             frames.append(df)
         out = frames[0]
         for f in frames[1:]:
@@ -3536,31 +3795,50 @@ class ManifestFormat(TableFormat):
         applying predicates for every entry they rewrite and shed them
         from the manifest; ``materialize_deletes`` does it on demand;
         threshold compaction skips predicate-bearing dirs until then.
-        Returns the number of rows deleted."""
+        Returns the number of rows deleted.
+
+        ``dv_form='positional'`` (r12, VERDICT r11 task 2) stores a
+        (file, row-index) MASK instead of the predicate — Delta's
+        deletion-vector design: reads mask via one anti-join on two
+        machine columns scoped to the files that actually contain
+        deleted rows (vs the predicate form filtering every may-match
+        dir), and non-JSON-storable predicates work too (nothing
+        persists but positions)."""
         from pyspark.sql import functions as F
 
         bounds = col if isinstance(col, dict) else {col: (lo, hi)}
-        jb = self._dv_bounds_json(bounds)  # validate FIRST: no cdc orphan
+        positional = self.dv_form == "positional"
+        # validate FIRST: no cdc orphan (the positional form persists
+        # no predicate, so nothing to validate)
+        jb = None if positional else self._dv_bounds_json(bounds)
         candidates, m = self.prune_entries(name, bounds)
         if not m["entries"] or not candidates:
             return 0
-        cand_df = self._read_with_dv(name, m, candidates)
+        cand_df = self._read_with_dv(name, m, candidates, with_pos=positional)
         cond = F.coalesce(self._bounds_condition(bounds), F.lit(False))
-        n_deleted = cand_df.filter(cond).count()
-        if n_deleted == 0:
-            return 0
-        cdc = self._land_cdc(
-            name,
-            cand_df.filter(cond).withColumn("_change_type", F.lit("delete")),
-            n_deleted, "delete", m["version"],
-        )
-        dv = (m.get("dv") or []) + [
-            {
+        if positional:
+            entry, n_deleted = self._pos_dv_entry(
+                name, cand_df.filter(cond), candidates
+            )
+            if n_deleted == 0:
+                return 0
+        else:
+            n_deleted = cand_df.filter(cond).count()
+            if n_deleted == 0:
+                return 0
+            entry = {
                 "bounds": jb,
                 "n": int(n_deleted),
                 "applies": [self._dv_ident(e) for e in candidates],
             }
-        ]
+        cdc = self._land_cdc(
+            name,
+            cand_df.filter(cond)
+            .drop("__dv_file", "__dv_pos")
+            .withColumn("_change_type", F.lit("delete")),
+            n_deleted, "delete", m["version"],
+        )
+        dv = (m.get("dv") or []) + [entry]
         self._commit(
             name, m["entries"], list(m["partition_columns"]), m["version"],
             schema=m.get("schema"), cdc=cdc, txn=m.get("txn"), dv=dv,
@@ -3997,6 +4275,67 @@ class ManifestFormat(TableFormat):
         )
         return dirname
 
+    def _land_dv_pos(self, name: str, matched: DataFrame) -> tuple[str, int]:
+        """Land a POSITIONAL delete mask (Delta deletion vectors /
+        Iceberg positional deletes): the (file, row-index) pairs of
+        ``matched`` rows — which must carry the ``__dv_file`` /
+        ``__dv_pos`` identity from a ``with_pos`` read — written once
+        under the table path like key files.  Returns (dirname, row
+        count); the count comes free from the landed parquet's footer
+        metadata, so mask landing + exact delete count is ONE scan of
+        the candidates.  A zero-row mask leaves an orphan dir vacuum's
+        age-guarded sweep reclaims (the caller skips the commit)."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        dirname = f"dvp-{uuid.uuid4().hex}"
+        target = join_uri(self.path(name), dirname)
+        matched.select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        ).write.mode("overwrite").parquet(target)
+        n = self.spark.read.parquet(target).count()  # footer-only
+        return dirname, int(n)
+
+    def _pos_applies(self, name: str, candidates: list, dirname: str) -> list:
+        """Scope a positional dv to the entries whose files the mask
+        ACTUALLY names — finer than the equality form's may-match
+        scoping, so untouched dirs neither pay the read-time anti-join
+        nor get skipped by threshold compaction.  Driver cost is one
+        distinct-collect of masked file paths (bounded by files
+        containing deleted rows, never the table)."""
+        files = [
+            r["file"]
+            for r in self.spark.read.parquet(
+                join_uri(self.path(name), dirname)
+            )
+            .select("file")
+            .distinct()
+            .collect()
+        ]
+        out = []
+        for e in candidates:
+            prefix = e["dir"] + "/" + (
+                e["rel"] + "/" if e.get("rel") else ""
+            )
+            if any(f.startswith(prefix) for f in files):
+                out.append(self._dv_ident(e))
+        return out
+
+    def _pos_dv_entry(
+        self, name: str, matched: DataFrame, candidates: list
+    ) -> tuple[dict | None, int]:
+        """Land a positional mask for ``matched`` (a ``with_pos``
+        frame) and build its dv entry — (None, 0) when nothing
+        matched."""
+        dirname, n = self._land_dv_pos(name, matched)
+        if n == 0:
+            return None, 0
+        return {
+            "pos": {"dir": dirname, "n": n},
+            "applies": self._pos_applies(name, candidates, dirname),
+        }, n
+
     def merge_mor(
         self,
         name: str,
@@ -4057,16 +4396,21 @@ class ManifestFormat(TableFormat):
             if lo is not None
             else []
         )
+        positional = self.dv_form == "positional"
         has_match = False
         matched = None
         if candidates:
-            cand_df = self._read_with_dv(name, m, candidates)
+            cand_df = self._read_with_dv(
+                name, m, candidates, with_pos=positional
+            )
             matched = cand_df.join(keys, unique_key, "left_semi")
-            if self.cdf and record_cdc:
+            if positional or (self.cdf and record_cdc):
                 matched = matched.persist()
             has_match = not matched.isEmpty()
         if not has_match:
-            if matched is not None and self.cdf and record_cdc:
+            if matched is not None and (
+                positional or (self.cdf and record_cdc)
+            ):
                 matched.unpersist()
             if df.isEmpty():
                 return  # delete-only merge with nothing to delete
@@ -4085,18 +4429,26 @@ class ManifestFormat(TableFormat):
                 self._enforce_constraints(
                     name, m, join_uri(self.path(name), new[0]["dir"])
                 )
-        keys_dir = self._land_dv_keys(name, keys, unique_key)
-        dv = (m.get("dv") or []) + [
-            {
+        if positional:
+            # Delta's DV-backed MERGE: the mask names exactly the rows
+            # the matched keys occupy — files without a matched key
+            # read CLEAN (no anti-join), where the equality form makes
+            # every may-match dir pay the key-file anti-join forever
+            entry, _n = self._pos_dv_entry(name, matched, candidates)
+        else:
+            keys_dir = self._land_dv_keys(name, keys, unique_key)
+            entry = {
                 "keys": {"col": unique_key, "dir": keys_dir},
                 "applies": [self._dv_ident(e) for e in candidates],
             }
-        ]
+        dv = (m.get("dv") or []) + [entry]
         cdc = None
         if self.cdf and record_cdc:
             cdc = self._merge_cdc(
-                name, df, matched, unique_key, m["version"]
+                name, df, matched.drop("__dv_file", "__dv_pos"),
+                unique_key, m["version"],
             )
+        if positional or (self.cdf and record_cdc):
             matched.unpersist()
         self._commit(
             name, m["entries"] + new, list(cols), m["version"],
@@ -4128,11 +4480,16 @@ class ManifestFormat(TableFormat):
         from pyspark.sql import functions as F
 
         bounds = col if isinstance(col, dict) else {col: (lo, hi)}
-        jb = self._dv_bounds_json(bounds)  # validate FIRST: no orphan
+        positional = self.dv_form == "positional"
+        # validate FIRST: no orphan (positional persists no predicate)
+        jb = None if positional else self._dv_bounds_json(bounds)
         candidates, m = self.prune_entries(name, bounds)
         if not m["entries"] or not candidates:
             return 0
-        cand_df = self._read_with_dv(name, m, candidates)
+        cand_df = self._read_with_dv(name, m, candidates, with_pos=positional)
+        base_cols = [
+            c for c in cand_df.columns if c not in ("__dv_file", "__dv_pos")
+        ]
         self._validate_set_exprs(name, cand_df, set_exprs, "update_where_mor")
         cond = F.coalesce(self._bounds_condition(bounds), F.lit(False))
         matched = cand_df.filter(cond)
@@ -4148,12 +4505,12 @@ class ManifestFormat(TableFormat):
                     if c in set_exprs
                     else F.col(c)
                 )
-                for c in cand_df.columns
+                for c in base_cols
             ]
         )
         cdc = None
         if self.cdf:
-            changed = matched.withColumn(
+            changed = matched.drop("__dv_file", "__dv_pos").withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(
                 postimage.withColumn(
@@ -4169,13 +4526,15 @@ class ManifestFormat(TableFormat):
             self._enforce_constraints(
                 name, m, join_uri(self.path(name), new[0]["dir"])
             )
-        dv = (m.get("dv") or []) + [
-            {
+        if positional:
+            entry, _n = self._pos_dv_entry(name, matched, candidates)
+        else:
+            entry = {
                 "bounds": jb,
                 "n": int(n_updated),
                 "applies": [self._dv_ident(e) for e in candidates],
             }
-        ]
+        dv = (m.get("dv") or []) + [entry]
         self._commit(
             name, m["entries"] + new, list(m["partition_columns"]),
             m["version"], schema=m.get("schema"), cdc=cdc,
@@ -4237,12 +4596,13 @@ class CatalogManifestFormat(ManifestFormat):
         cluster_by: str | None = None,
         cdf: bool = False,
         auto_purge_dvs: int | None = None,
+        dv_form: str = "equality",
     ):
         super().__init__(
             spark, root,
             auto_compact_dirs=auto_compact_dirs, stats_cols=stats_cols,
             segment_entries=segment_entries, cluster_by=cluster_by,
-            cdf=cdf, auto_purge_dvs=auto_purge_dvs,
+            cdf=cdf, auto_purge_dvs=auto_purge_dvs, dv_form=dv_form,
         )
         self._pending: dict[str, int] | None = None
 
@@ -4261,6 +4621,7 @@ class CatalogManifestFormat(ManifestFormat):
             cluster_by=self.cluster_by,
             cdf=self.cdf,
             auto_purge_dvs=self.auto_purge_dvs,
+            dv_form=self.dv_form,
         )
 
     # -- catalog machinery ----------------------------------------------
@@ -4418,12 +4779,15 @@ class CatalogManifestFormat(ManifestFormat):
         name: str,
         version: int | None = None,
         resolve: bool = True,
+        expand_lists: bool = True,
     ) -> dict | None:
         if version is None:
             version = self._resolved_version(name)
             if version == 0:
                 return None
-        return super()._manifest(name, version, resolve=resolve)
+        return super()._manifest(
+            name, version, resolve=resolve, expand_lists=expand_lists
+        )
 
     def _commit(
         self,
@@ -4674,6 +5038,8 @@ class CatalogManifestFormat(ManifestFormat):
             for d in (m or {}).get("dv") or []:
                 if d.get("keys"):
                     live.add(d["keys"]["dir"])  # equality-delete keys
+                if d.get("pos"):
+                    live.add(d["pos"]["dir"])  # positional delete masks
         latest = self._latest_version(name)
         removed = self._sweep_data_dirs(name, live, writer_grace_s)
         import time as _time

@@ -493,3 +493,74 @@ def test_ref_list_spools_into_manifest_list_tier(spark, tmp_path):
     }
     assert on_disk == {x for x in live if x}
     assert fmt.read("s.t").count() == 61
+
+
+def test_seglist_tier0_pruning_skips_excluded_list_files(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 task 1 (lazy tier-3 resolution): a cold selective
+    ``read_where`` must not even PARSE ``segl-*.json`` list files whose
+    ROLLED stats exclude the range — the same never-parsed guarantee
+    the segment tier pins, one level up.  Metadata cost of a narrow
+    read then scales with MATCHING list files, not the table's ref
+    count."""
+    monkeypatch.setattr(ManifestFormat, "SEGLIST_SPILL_REFS", 4)
+    fmt = _mk(spark, tmp_path, 1, stats_cols=("v",))
+    # 14 single-entry commits with disjoint v-ranges -> 14 refs ->
+    # >=2 spooled list files (4 refs each) + a small inline tail
+    for i in range(14):
+        fmt.write(
+            "s.t", _days(spark, f"d{i:03d}", i * 10, i * 10 + 5),
+            "append", ("day",),
+        )
+    head = _raw_head(fmt, "s.t")
+    lists = [s for s in head["segments"] if "list" in s]
+    assert len(lists) >= 2, "layout must spool into multiple list files"
+    # every spooled list carries rolled stats (tier-0's fuel)
+    assert all("stats" in s and "v" in s["stats"] for s in lists)
+
+    # map each list file -> its members' v-range, to know the one
+    # matching list for a narrow probe range
+    by_list = {
+        s["list"]: [
+            r["stats"]["v"] for r in fmt._load_seglist("s.t", s["list"])
+        ]
+        for s in lists
+    }
+    target = lists[0]["list"]
+    t_lo = min(r[0] for r in by_list[target])
+
+    cold = _mk(spark, tmp_path, 1, stats_cols=("v",))
+    segl_calls, seg_calls = [], []
+    orig_l, orig_s = cold._load_seglist, cold._load_segment
+
+    def count_l(name, fname):
+        segl_calls.append(fname)
+        return orig_l(name, fname)
+
+    def count_s(name, fname):
+        seg_calls.append(fname)
+        return orig_s(name, fname)
+
+    monkeypatch.setattr(cold, "_load_seglist", count_l)
+    monkeypatch.setattr(cold, "_load_segment", count_s)
+    got = sorted(
+        r["v"] for r in cold.read_where("s.t", "v", t_lo, t_lo + 2).collect()
+    )
+    assert got == [t_lo, t_lo + 1, t_lo + 2]  # hi inclusive
+    # ONLY the matching list file was parsed; the excluded lists'
+    # segment files were never touched either
+    assert set(segl_calls) == {target}
+    member_files = {
+        r["file"] for r in fmt._load_seglist("s.t", target)
+    }
+    assert set(seg_calls) <= member_files
+    # equivalence with the fully-resolved flat prune (the tier-0 path
+    # must never change results, only skip work)
+    flat = sorted(
+        r["v"]
+        for r in _mk(spark, tmp_path, 1, stats_cols=("v",))
+        .read_where("s.t", "v", t_lo, t_lo + 2)
+        .collect()
+    )
+    assert flat == got

@@ -212,6 +212,85 @@ def main() -> None:
             "inline_refs": len(raw["segments"]) - len(spooled),
         }
         shutil.rmtree(root, ignore_errors=True)
+
+    # -- tier-3 (segl list) pruning on a COLD selective read (r12,
+    # VERDICT r11 task 1): with lazy list resolution a narrow
+    # read_where must parse only the segl-*.json list files whose
+    # rolled stats intersect the range — the excluded lists' member
+    # segments are never touched either.  1M entries / 250-entry
+    # segments -> 4000 refs -> 16 list files of 250 refs; a
+    # 1%-selective range should open ~1 of the 16.
+    for n in (1_000_000,):
+        root = tempfile.mkdtemp(prefix=f"t3probe_{n}_")
+        fmt = ManifestFormat(spark, root, segment_entries=250)
+        entries = [
+            {
+                "dir": "d-0",
+                "rel": f"part-{i:08d}.parquet",
+                "partitions": None,
+                "stats": {"v": [i * 10, i * 10 + 9]},
+            }
+            for i in range(n)
+        ]
+
+        def seed(head):
+            return entries, []
+
+        fmt._commit_edit("s.t", seed)
+        # steady-state append commit stays flat in ref count
+        commit_ms = []
+        for rep in range(5):
+            extra = {
+                "dir": "d-1",
+                "rel": f"part-extra-{rep}.parquet",
+                "partitions": None,
+                "stats": {"v": [0, 1]},
+            }
+
+            def add(head):
+                return head["entries"] + [extra], []
+
+            t0 = time.perf_counter()
+            assert fmt._commit_edit("s.t", add)
+            commit_ms.append((time.perf_counter() - t0) * 1000)
+        prune_ms, segl_parsed, segs_parsed = [], [], []
+        for rep in range(5):
+            cold = ManifestFormat(spark, root, segment_entries=250)
+            lo = (n * 10) // 2
+            t0 = time.perf_counter()
+            m_raw = cold._manifest("s.t", resolve=False, expand_lists=False)
+            kept = cold._prune_two_tier(
+                "s.t", m_raw, {"v": (lo, lo + n // 100)}
+            )
+            prune_ms.append((time.perf_counter() - t0) * 1000)
+            assert 0 < len(kept) < n
+            opened = [os.path.basename(p) for p in cold._seg_cache]
+            segl_parsed.append(
+                sum(1 for f in opened if f.startswith("segl-"))
+            )
+            segs_parsed.append(
+                sum(1 for f in opened if f.startswith("seg-"))
+            )
+        raw = json.loads(
+            fmt.fs.read_text(
+                os.path.join(
+                    fmt._log_path("s.t"),
+                    sorted(
+                        f
+                        for f in fmt.fs.list_files(fmt._log_path("s.t"))
+                        if f.startswith("v")
+                    )[-1],
+                )
+            )
+        )
+        n_lists = sum(1 for s in raw["segments"] if "list" in s)
+        out[f"tier3_entries_{n}"] = {
+            "append_commit_ms": round(statistics.median(commit_ms), 2),
+            "cold_prune_ms": round(statistics.median(prune_ms), 2),
+            "segl_parsed_of": [segl_parsed[0], n_lists],
+            "segs_parsed": segs_parsed[0],
+        }
+        shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({"probe": "manifest_entries", **out}))
 
 
