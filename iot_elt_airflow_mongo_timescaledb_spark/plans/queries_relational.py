@@ -1097,6 +1097,93 @@ def manifest_delete_where(spark, sf_dir):
     )
 
 
+def _manifest_bloom_lookup_impl(spark, sf_dir):
+    """Shared body for the bloom point-lookup query (r12, VERDICT r11
+    task 4): customers (capped at 1200 rows so the per-entry filter
+    never saturates across SFs) get an md5-scrambled ``uid`` —
+    UNCLUSTERED by construction, every chunk's [min, max] spans the
+    whole hex space — and land as five appends with
+    ``bloom_cols=("uid",)``.  A point lookup on one uid must prune to
+    (almost) one entry where min/max provably keeps all five;
+    ``bloom_pruned`` lit-folds the proof into the value hash.  The
+    oracle recomputes the matched row from the raw table."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mbl_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, bloom_cols=("uid",)
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    mn = int(c.agg(F.min("c_custkey")).first()[0])
+    base = c.filter(F.col("c_custkey") < mn + 1200).withColumn(
+        "uid", F.md5(F.col("c_custkey").cast("string"))
+    )
+    cnt = base.count()
+    # the 600th-smallest key (or the largest when the SF is tiny):
+    # deterministic on both engines, no contiguity assumption
+    target_key = (
+        base.orderBy("c_custkey")
+        .limit(min(600, cnt - 1) + 1)
+        .agg(F.max("c_custkey"))
+        .first()[0]
+    )
+    # quintile edges from the actual key list (scratch-sized: <=1200
+    # keys on the driver, bounded at every SF by the cap above)
+    keys = sorted(r[0] for r in base.select("c_custkey").collect())
+    edges = [keys[0] - 1] + [
+        keys[len(keys) * i // 5 - 1] for i in range(1, 5)
+    ] + [keys[-1]]
+    for i in range(5):
+        chunk = base.filter(
+            (F.col("c_custkey") > edges[i])
+            & (F.col("c_custkey") <= edges[i + 1])
+        )
+        fmt.write("bl.cust", chunk, "append" if i else "overwrite")
+    tuid = base.filter(F.col("c_custkey") == target_key).first()["uid"]
+    kept, _m = fmt.prune_entries("bl.cust", {"uid": (tuid, tuid)})
+    return (
+        fmt.read_where("bl.cust", "uid", tuid, tuid)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.round("c_acctbal", 2).alias("bal"),
+        )
+        .withColumn("bloom_pruned", F.lit(int(len(kept) <= 2)))
+    )
+
+
+@query(
+    "manifest_bloom_lookup",
+    oracle="""
+    WITH mn AS (SELECT MIN(c_custkey) AS m FROM customer),
+    b AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer, mn
+        WHERE c_custkey < mn.m + 1200
+    ),
+    t AS (
+        SELECT c_custkey AS tk FROM b ORDER BY c_custkey
+        LIMIT 1 OFFSET (
+            SELECT LEAST(600, COUNT(*) - 1) FROM b
+        )
+    )
+    SELECT b.c_custkey AS k,
+           b.c_mktsegment AS seg,
+           ROUND(b.c_acctbal, 2) AS bal,
+           1 AS bloom_pruned
+    FROM b, t WHERE b.c_custkey = t.tk
+    """,
+    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+)
+def manifest_bloom_lookup(spark, sf_dir):
+    return _manifest_bloom_lookup_impl(spark, sf_dir)
+
+
+
 @query(
     "manifest_schema_evolution",
     oracle="""

@@ -90,6 +90,45 @@ def _stat_triplet(mn, mx) -> list:
     return [emn, emx] if tag == "native" else [emn, emx, tag]
 
 
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """The ``k`` bit positions a value occupies in an ``m``-bit entry
+    bloom filter.  crc32 over ``"{seed}:{str(value)}"`` — chosen
+    because BOTH sides can compute it exactly: the write side as a
+    JVM expression (``F.crc32`` over the same concatenated string) and
+    the read side here in pure Python, so point-lookup pruning never
+    launches a job.  Soundness needs only determinism + write/read
+    agreement, not cryptographic quality: a bit that is UNSET proves
+    the value was never inserted; hash weakness only costs false
+    positives (kept entries), never false exclusions."""
+    import zlib
+
+    s = str(value)
+    return [
+        zlib.crc32(f"{i}:{s}".encode("utf-8")) % m for i in range(k)
+    ]
+
+
+def _bloom_encode(positions, m: int) -> str | None:
+    """base64 bitmap from the set of occupied bit positions; None when
+    the filter is saturated past half full (its false-positive rate no
+    longer prunes anything — storing it would be manifest bloat)."""
+    import base64
+
+    if positions is None or len(positions) > m // 2:
+        return None
+    buf = bytearray(m // 8)
+    for p in positions:
+        buf[p // 8] |= 1 << (p % 8)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _bloom_value_ok(v) -> bool:
+    """Types whose str() is IDENTICAL under Python and Spark's
+    cast-to-string — the only domain the filter may prove absence
+    over.  bool is excluded (Python 'True' vs Spark 'true')."""
+    return isinstance(v, (int, str)) and not isinstance(v, bool)
+
+
 class TableFormat(abc.ABC):
     """Storage verbs a warehouse table format must provide.
 
@@ -503,6 +542,7 @@ class ManifestFormat(TableFormat):
         cdf: bool = False,
         auto_purge_dvs: int | None = None,
         dv_form: str = "equality",
+        bloom_cols: tuple[str, ...] = (),
     ):
         """``auto_compact_dirs``: data-dir count above which the append
         path triggers :meth:`maybe_compact` (None disables).  Default 16
@@ -599,6 +639,17 @@ class ManifestFormat(TableFormat):
                 "Delta deletion vectors / Iceberg positional deletes)"
             )
         self.dv_form = dv_form
+        # per-entry bloom filters for point-lookup skipping (r12,
+        # VERDICT r11 task 4): min/max stats prune nothing for an
+        # equality lookup on an UNCLUSTERED high-cardinality key
+        # (every entry's [min, max] spans the key space), so listed
+        # columns additionally record an m-bit filter per entry and
+        # read_where's IN/equality specs consult it — prune only when
+        # PROVABLE, like every other tier.  Opt-in: the filter costs
+        # ~BLOOM_BITS/8 bytes per entry per column and only pays off
+        # on integral/string lookup keys with bounded per-entry
+        # cardinality (saturated filters are dropped at write time).
+        self.bloom_cols = tuple(bloom_cols)
         # parsed-segment cache: segment files are IMMUTABLE once
         # committed, so a (path -> entries) map never goes stale; it
         # turns repeated resolution (every read/commit re-lists the
@@ -613,6 +664,11 @@ class ManifestFormat(TableFormat):
     # tests/probes can exercise multi-list layouts without thousands
     # of commits
     SEGLIST_SPILL_REFS = 64
+    #: entry bloom-filter geometry (bloom_cols): 8192 bits = 1 KB per
+    #: entry per column, ~2% FPR at ~1000 distinct values; saturated
+    #: filters (> m/2 bits set) are dropped at write time
+    BLOOM_BITS = 8192
+    BLOOM_K = 4
 
     #: reader protocol features THIS build implements; a manifest
     #: listing one outside this set refuses to resolve (see
@@ -1510,10 +1566,19 @@ class ManifestFormat(TableFormat):
         footers answer min/max without scanning data pages).  Values
         store through ``_stat_triplet``: native types as-is,
         datetime/date as order-safe ISO strings, anything else tagged
-        ``opaque`` so pruning never compares it (ADVICE r8 #5)."""
-        if not self.stats_cols or not entries:
+        ``opaque`` so pruning never compares it (ADVICE r8 #5).
+
+        ``bloom_cols`` additionally record an m-bit bloom filter per
+        entry (r12): k crc32 positions per distinct value, aggregated
+        as k map-side-combined ``collect_set``s in the SAME bounded
+        aggregate, encoded driver-side (positions per entry are capped
+        by m, manifest-sized).  Only integral/string columns qualify —
+        the write-side JVM string cast and the read-side Python
+        ``str()`` must agree exactly (``_bloom_value_ok``)."""
+        if (not self.stats_cols and not self.bloom_cols) or not entries:
             return
         from pyspark.sql import functions as F
+        from pyspark.sql.types import IntegralType, StringType
 
         base = join_uri(self.path(name), dirname)
         reader = self.spark.read
@@ -1521,13 +1586,53 @@ class ManifestFormat(TableFormat):
             reader = reader.option("basePath", base)
         df = reader.parquet(base)
         present = [c for c in self.stats_cols if c in df.columns]
-        if not present:
+        types = {f.name: f.dataType for f in df.schema.fields}
+        bloomable = [
+            c
+            for c in self.bloom_cols
+            if c in df.columns
+            and isinstance(types[c], (IntegralType, StringType))
+        ]
+        if not present and not bloomable:
             return
 
+        m_bits, k = self.BLOOM_BITS, self.BLOOM_K
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in present:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
+        for c in bloomable:
+            for i in range(k):
+                pos = F.crc32(
+                    F.concat(
+                        F.lit(f"{i}:"), F.col(c).cast("string")
+                    ).cast("binary")
+                ) % m_bits
+                # NULL values set no bits (collect_set drops nulls)
+                aggs.append(
+                    F.collect_set(
+                        F.when(F.col(c).isNotNull(), pos)
+                    ).alias(f"__bl_{c}_{i}")
+                )
+
+        def attach(e, r):
+            e["rows"] = int(r["__n"])
+            if present:
+                e["stats"] = {
+                    c: _stat_triplet(r[f"__mn_{c}"], r[f"__mx_{c}"])
+                    for c in present
+                }
+            blooms = {}
+            for c in bloomable:
+                positions = set()
+                for i in range(k):
+                    positions.update(r[f"__bl_{c}_{i}"] or ())
+                b = _bloom_encode(positions, m_bits)
+                if b is not None:
+                    blooms[c] = {"b": b, "m": m_bits, "k": k}
+            if blooms:
+                e["bloom"] = blooms
+
         if partition_by:
             rows = df.groupBy(*partition_by).agg(*aggs).collect()
             by_part = {
@@ -1538,22 +1643,14 @@ class ManifestFormat(TableFormat):
                     tuple(e["partitions"][c] for c in partition_by)
                 )
                 if r is not None:
-                    e["rows"] = int(r["__n"])
-                    e["stats"] = {
-                        c: _stat_triplet(r[f"__mn_{c}"], r[f"__mx_{c}"])
-                        for c in present
-                    }
+                    attach(e, r)
         else:
             r = df.agg(*aggs).first()
             # a ZERO-row entry (routine: empty 15-minute micro-batches)
             # has [None, None] stats, which keep-by-default pruning
             # would treat as unknowable forever — the recorded count
             # lets every pruning tier exclude it outright
-            entries[0]["rows"] = int(r["__n"])
-            entries[0]["stats"] = {
-                c: _stat_triplet(r[f"__mn_{c}"], r[f"__mx_{c}"])
-                for c in present
-            }
+            attach(entries[0], r)
 
     def _entry_path(self, name: str, e: dict) -> str:
         base = join_uri(self.path(name), e["dir"])
@@ -3387,6 +3484,30 @@ class ManifestFormat(TableFormat):
             return "n"
         return "s"
 
+    def _bloom_excludes(self, e: dict, col: str, values) -> bool:
+        """True iff the entry's bloom filter PROVES no listed value is
+        present: every value is in the provable domain (int/str — the
+        write/read hash agreement holds) and at least one of its k bit
+        positions is unset.  Missing filter, out-of-domain values, or
+        any may-contain value → False (keep-by-default, like every
+        pruning tier)."""
+        bl = (e.get("bloom") or {}).get(col)
+        if not bl or not values:
+            return False
+        import base64
+
+        buf = base64.b64decode(bl["b"])
+        m, k = bl["m"], bl["k"]
+        for v in values:
+            if not _bloom_value_ok(v):
+                return False  # unprovable domain: keep
+            if all(
+                buf[p // 8] >> (p % 8) & 1
+                for p in _bloom_positions(v, m, k)
+            ):
+                return False  # may contain this value: keep
+        return True
+
     def _entry_may_match(self, e: dict, col: str, lo, hi) -> bool:
         """One column's interval test against one entry's stats —
         keep-by-default: missing/NULL stats, ``opaque``-tagged
@@ -3395,8 +3516,16 @@ class ManifestFormat(TableFormat):
         and cross-domain bound/stat comparisons all answer True
         (pruning must never change results).  The one PROVABLE
         exclusion without stats: a recorded ZERO-row entry (an empty
-        micro-batch's dir) matches nothing, ever."""
+        micro-batch's dir) matches nothing, ever.  A DEGENERATE range
+        (lo == hi — an equality lookup) additionally consults the
+        entry's bloom filter: the tier that prunes point lookups on an
+        unclustered high-cardinality key where min/max keeps every
+        entry."""
         if e.get("rows") == 0:
+            return False
+        if lo is not None and lo == hi and self._bloom_excludes(
+            e, col, [lo]
+        ):
             return False
         st = (e.get("stats") or {}).get(col)
         if not st or st[0] is None or st[1] is None:
@@ -3462,8 +3591,13 @@ class ManifestFormat(TableFormat):
         stats PROVE no listed value can fall in the entry's [min, max]
         — same keep-by-default rules for missing/opaque stats and
         cross-domain values, and an empty set keeps everything (the
-        row filter, not the prune, decides emptiness)."""
+        row filter, not the prune, decides emptiness).  Consults the
+        entry's bloom filter first (r12): it can prove absence where
+        min/max cannot (unclustered high-cardinality keys), and the
+        two proofs compose — either may exclude."""
         if e.get("rows") == 0:
+            return False
+        if self._bloom_excludes(e, col, values):
             return False
         st = (e.get("stats") or {}).get(col)
         if not st or st[0] is None or st[1] is None:
@@ -4597,12 +4731,14 @@ class CatalogManifestFormat(ManifestFormat):
         cdf: bool = False,
         auto_purge_dvs: int | None = None,
         dv_form: str = "equality",
+        bloom_cols: tuple[str, ...] = (),
     ):
         super().__init__(
             spark, root,
             auto_compact_dirs=auto_compact_dirs, stats_cols=stats_cols,
             segment_entries=segment_entries, cluster_by=cluster_by,
             cdf=cdf, auto_purge_dvs=auto_purge_dvs, dv_form=dv_form,
+            bloom_cols=bloom_cols,
         )
         self._pending: dict[str, int] | None = None
 
@@ -4622,6 +4758,7 @@ class CatalogManifestFormat(ManifestFormat):
             cdf=self.cdf,
             auto_purge_dvs=self.auto_purge_dvs,
             dv_form=self.dv_form,
+            bloom_cols=self.bloom_cols,
         )
 
     # -- catalog machinery ----------------------------------------------
