@@ -446,14 +446,19 @@ def tokenize_docs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    vocab: DataFrame,
+    vocab: DataFrame | None = None,
     oov_id: int = 0,
+    merges: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a ``(term, token_id)`` vocabulary to a corpus — the
     tokenization step between ``vocab_table`` and sequence packing:
     each document becomes its positional token-id array, with
     out-of-vocabulary words mapped to ``oov_id`` (the UNK id; vocab ids
     are 1-based so 0 is free).
+
+    ``merges=`` (r12) switches to SUBWORD tokenization with a trained
+    BPE merge table (``bpe_train``) instead of a word vocabulary —
+    same output surface, delegated to :func:`bpe_encode`.
 
     Scale shape: posexplode -> equi-join on the term key -> one hash
     agg per document.  The vocabulary is capped (max_vocab rows) so AQE
@@ -463,6 +468,10 @@ def tokenize_docs(
     global window.  Returns (id, token_ids, n_tokens, n_oov); documents
     with no words yield no row, same as the word-split census queries.
     """
+    if merges is not None:
+        return bpe_encode(df, id_col, text_col, merges, oov_id=oov_id)
+    if vocab is None:
+        raise ValueError("tokenize_docs needs a vocab table or merges=")
     words = (
         ensure_min_parallelism(df.select(id_col, text_col), id_col)
         .select(
@@ -483,6 +492,246 @@ def tokenize_docs(
         F.transform(
             F.sort_array(
                 F.collect_list(F.struct(F.col("pos"), tid.alias("tid")))
+            ),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("token_id").isNull().cast("long")).alias("n_oov"),
+    )
+
+
+# -- BPE merge training (r12, VERDICT r11 task 5) ----------------------------
+
+BPE_EOW = "</w>"
+
+
+def _bpe_chars(term_col) -> F.Column:
+    """A word's initial symbol sequence: its characters plus the
+    end-of-word marker (Sennrich et al. 2016's formulation — the
+    marker keeps word-final subwords distinct from word-internal
+    ones)."""
+    return F.concat(
+        F.expr(
+            "transform(sequence(1, length(term)), i -> substring(term, i, 1))"
+        ),
+        F.array(F.lit(BPE_EOW)),
+    )
+
+
+def _bpe_pair_flags(syms) -> F.Column:
+    """Adjacent symbol pairs of one symbol array as structs."""
+    return F.zip_with(
+        F.slice(syms, 1, F.size(syms) - 1),
+        F.slice(syms, 2, F.size(syms) - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def _bpe_apply_merge(syms, a: str, b: str) -> F.Column:
+    """Leftmost non-overlapping replacement of the adjacent pair
+    (a, b) with the merged symbol — one array fold, pure expressions
+    (the per-word inner loop of BPE, vectorized under whole-stage
+    codegen instead of Python)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 50,
+    min_count: int = 1,
+) -> DataFrame:
+    """Distributed BPE merge TRAINING (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules from a corpus.  Returns the merge table
+    ``(rank, a, b, merged, n)`` — rank is application order, n the
+    pair's weighted count when it won.
+
+    Scale shape — the classic dictionary trick makes this tractable at
+    100 TB: training runs over the DISTINCT-WORD dictionary weighted
+    by occurrence count (one corpus-sized explode + hash-agg, once),
+    never the corpus itself; by Zipf the dictionary is orders of
+    magnitude smaller and BOUNDED (``min_count`` trims the hapax
+    tail).  Each round is then one map-side-combinable pair-count
+    hash-agg over the dictionary + an argmax read as per-partition
+    top-1 (ORDER BY ... LIMIT 1, no global sort), and the merge
+    applies INCREMENTALLY — only words containing the winning pair
+    re-fold, the rest carry by reference.  The driver holds one
+    (a, b, n) row per round; lineage truncates EVERY round
+    (localCheckpoint) because the incremental union references the
+    previous state twice — without truncation the logical plan
+    doubles per round (2^k by round k), the same lineage hazard the
+    connected-components loop documents.  Ties break (count DESC,
+    a ASC, b ASC) — deterministic across partitionings because the
+    ordering is total.
+    """
+    spark = df.sparkSession
+    words = (
+        ensure_min_parallelism(df.select(id_col, text_col), id_col)
+        .select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    dictionary = words.groupBy("term").agg(F.count("*").alias("cnt"))
+    if min_count > 1:
+        dictionary = dictionary.filter(F.col("cnt") >= min_count)
+    cur = dictionary.select(
+        "cnt", _bpe_chars(F.col("term")).alias("syms")
+    ).localCheckpoint(eager=True)
+    # the per-round union doubles partition count (filter + filter);
+    # coalesce back to the dictionary's own width each round or the
+    # checkpointed state grows 2^k empty-ish partitions by round k
+    n_parts = cur.rdd.getNumPartitions()
+    merges: list[tuple] = []
+    try:
+        for r in range(n_merges):
+            pairs = (
+                cur.select(
+                    "cnt",
+                    F.explode(_bpe_pair_flags(F.col("syms"))).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+            )
+            top = (
+                pairs.orderBy(
+                    F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # every word is a single symbol: nothing left
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            merges.append((r + 1, a, b, a + b, n))
+            hit = F.exists(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
+                ),
+                lambda t: t,
+            )
+            touched = cur.filter(hit).select(
+                "cnt", _bpe_apply_merge(F.col("syms"), a, b).alias("syms")
+            )
+            nxt = cur.filter(~hit).unionByName(touched).coalesce(n_parts)
+            prev = cur
+            cur = nxt.localCheckpoint(eager=True)
+            prev.unpersist()
+    finally:
+        cur.unpersist()
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField("a", StringType()),
+            StructField("b", StringType()),
+            StructField("merged", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: DataFrame,
+    oov_id: int = 0,
+    merges_per_select: int = 16,
+    checkpoint_every: int = 64,
+) -> DataFrame:
+    """Apply a trained merge table to a corpus — subword tokenization:
+    ``(id, token_ids, n_tokens, n_oov)``, same surface as
+    ``tokenize_docs`` (which accepts ``merges=`` and delegates here).
+
+    Scale shape: merges apply to the DISTINCT-WORD dictionary (the
+    same trick as training — each unique word encodes once, however
+    often it occurs), chained ``merges_per_select`` folds per select
+    with lineage truncation every ``checkpoint_every`` merges.  Token
+    ids come from a frequency-ranked subword vocabulary over the
+    encoded dictionary (count DESC, symbol ASC — deterministic), and
+    documents rebuild positionally exactly like ``tokenize_docs``:
+    posexplode -> broadcast-sized equi-join on the word -> per-doc
+    sorted-struct flatten.  n_oov is always 0 here (BPE falls back to
+    characters, which are all in-vocabulary) but kept for surface
+    parity."""
+    rules = [
+        (r["a"], r["b"])
+        for r in merges.orderBy("rank").collect()  # model metadata
+    ]
+    words = (
+        ensure_min_parallelism(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dictionary = words.select("term").distinct()
+    enc = dictionary.select(
+        "term", _bpe_chars(F.col("term")).alias("syms")
+    )
+    col = F.col("syms")
+    applied = 0
+    for i, (a, b) in enumerate(rules):
+        col = _bpe_apply_merge(col, a, b)
+        applied += 1
+        if applied == merges_per_select or i == len(rules) - 1:
+            enc = enc.select("term", col.alias("syms"))
+            col = F.col("syms")
+            applied = 0
+            if (i + 1) % checkpoint_every == 0:
+                enc = enc.localCheckpoint(eager=True)
+    # frequency-ranked subword ids over THIS corpus's usage
+    usage = (
+        words.join(enc, "term")
+        .select(F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("sym").asc())
+    vocab = usage.withColumn("token_id", F.row_number().over(w))
+    sym_pos = words.join(enc, "term").select(
+        id_col,
+        "pos",
+        F.posexplode("syms").alias("sub", "sym"),
+    )
+    ids = sym_pos.join(vocab.select("sym", "token_id"), "sym", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(int(oov_id))).cast("int")
+    return ids.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("pos"), F.col("sub"), tid.alias("tid"))
+                )
             ),
             lambda s: s["tid"],
         ).alias("token_ids"),

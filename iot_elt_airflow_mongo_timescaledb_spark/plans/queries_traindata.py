@@ -1811,6 +1811,54 @@ def tokenize_docs(spark, sf_dir):
     )
 
 
+@query(
+    "bpe_merges",
+    # no SQL oracle: k rounds of argmax-then-rewrite are not
+    # expressible as one DuckDB query — the deterministic verdict is
+    # the pure-Python reference BPE in tests/test_bpe.py (exact match
+    # of every (rank, a, b, merged, n) row at sf0.001), plus the
+    # driver's rows-only check here
+    gate=False,  # text-agg family: tokenize_docs carries the gate
+)
+def bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training over the documents corpus
+    (operators/text.py:bpe_train — r12, VERDICT r11 task 5): 12 merge
+    rules learned from the distinct-word dictionary (weighted by
+    occurrence count, min_count=2 trims the hapax tail), each round
+    one map-side-combinable pair-count hash-agg + a per-partition
+    top-1 argmax, merges applied incrementally to only the words that
+    contain the winning pair.  Deterministic: the argmax ordering
+    (count DESC, a ASC, b ASC) is total, so the merge sequence is a
+    pure function of the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    return X.bpe_train(
+        docs, "doc_id", "text", n_merges=12, min_count=2
+    ).orderBy("rank")
+
+
+@query(
+    "bpe_tokenize",
+    gate=False,  # companion of bpe_merges: same deterministic-verdict
+    # pytest oracle (reference encode), rows-only at the driver
+)
+def bpe_tokenize(spark, sf_dir):
+    """Subword tokenization with the trained merge table
+    (tokenize_docs(merges=...) -> bpe_encode): merges apply to the
+    distinct-word dictionary (each unique word encodes once), token
+    ids come from a frequency-ranked subword vocabulary, documents
+    rebuild positionally.  token_ids flattens to a string for the
+    driver canonicalizer, like tokenize_docs."""
+    docs = table(spark, sf_dir, "documents")
+    merges = X.bpe_train(docs, "doc_id", "text", n_merges=12, min_count=2)
+    toks = X.tokenize_docs(docs, "doc_id", "text", merges=merges)
+    return toks.select(
+        "doc_id",
+        F.array_join("token_ids", " ").alias("token_ids"),
+        "n_tokens",
+        "n_oov",
+    )
+
+
 _WIN_W, _WIN_S = 40, 30
 
 
