@@ -118,8 +118,20 @@ class IncrementalANNSync:
             codes = quantize_embeddings(
                 corpus, id_col, vec_col, self.bits
             ).select(F.col(id_col).alias("vec_id"), "q")
-            assigned = self._assign(codes)
-            self.wh.fmt.replace_atomic(self.assign_table, assigned, (), txn=txn)
+            scored = self._assign(codes, with_score=True).persist()
+            # baseline per-cluster quality (mean member cosine at
+            # build time) rides in the codebook as __q0 — the drift
+            # policy's reference point (r12, VERDICT r11 task 6)
+            q0 = self._cluster_quality(scored).select(
+                "__cluster", F.col("__q").alias("__q0")
+            )
+            self.wh.fmt.replace_atomic(
+                self.centroids_table, cent.join(q0, "__cluster", "left"), ()
+            )
+            self.wh.fmt.replace_atomic(
+                self.assign_table, scored.drop("__cos"), (), txn=txn
+            )
+            scored.unpersist()
         return self.wh.read(self.centroids_table).count()
 
     def train_from_table(
@@ -163,11 +175,16 @@ class IncrementalANNSync:
     def _centroids(self) -> DataFrame:
         return self.wh.read(self.centroids_table)
 
-    def _assign(self, codes: DataFrame) -> DataFrame:
+    def _assign(self, codes: DataFrame, with_score: bool = False) -> DataFrame:
         """Nearest stored centroid per code vector — broadcast over the
         (tiny) centroid table, exact integer dots, ONE bit-stable
-        float division, deterministic ties (cluster asc)."""
-        cent = F.broadcast(self._centroids())
+        float division, deterministic ties (cluster asc).
+        ``with_score=True`` keeps the winning cosine as ``__cos`` —
+        the drift policy's quality signal; the stored assignments
+        schema never carries it."""
+        cent = F.broadcast(
+            self._centroids().select("__cluster", "__cvec")
+        )
         num = int_dot(F.col("__cvec"), F.col("q")).cast("double")
         den = F.sqrt(
             (
@@ -175,14 +192,26 @@ class IncrementalANNSync:
                 * int_dot(F.col("q"), F.col("q"))
             ).cast("double")
         )
+        cos = F.try_divide(num, den)
         w = Window.partitionBy("vec_id").orderBy(
-            F.try_divide(num, den).desc(), F.col("__cluster").asc()
+            cos.desc(), F.col("__cluster").asc()
         )
-        return (
+        out = (
             codes.crossJoin(cent)
+            .withColumn("__cos", cos)
             .withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
-            .select("vec_id", "q", "__cluster")
+        )
+        cols = ["vec_id", "q", "__cluster"] + (
+            ["__cos"] if with_score else []
+        )
+        return out.select(*cols)
+
+    def _cluster_quality(self, assigned_scored: DataFrame) -> DataFrame:
+        """Per-cluster mean winning cosine of a scored assignment —
+        the quality signal baselines and drift checks share."""
+        return assigned_scored.groupBy("__cluster").agg(
+            F.avg("__cos").alias("__q"), F.count(F.lit(1)).alias("__n")
         )
 
     # -- maintain ----------------------------------------------------------
@@ -295,6 +324,8 @@ class IncrementalANNSync:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         mor: bool = False,
+        drift_band: float | None = None,
+        drift_min_n: int = 20,
     ) -> bool:
         """Maintain the index over a source that UPSERTS — the
         reference's M2 cadence (models/stage/users.sql:2-5), exactly
@@ -315,7 +346,18 @@ class IncrementalANNSync:
         keys briefly unindexed; the retried sync converges.  Requires
         a manifest-format index warehouse (the watermark IS the
         cursor).  A feed refusal (replace / vacuumed range) propagates
-        loudly — rebuild via ``train_from_table``/``retrain``."""
+        loudly — rebuild via ``train_from_table``/``retrain``.
+
+        ``drift_band`` (r12, VERDICT r11 task 6) arms the CODEBOOK
+        DRIFT policy: under distribution shift a frozen codebook
+        degrades silently (the recall floor is only pinned at train
+        time).  Each sync's batch assignment quality is recorded per
+        cluster in ``{name}__drift`` (mean best-centroid cosine vs the
+        codebook's __q0 baseline); a cluster whose batch quality falls
+        below ``drift_band × __q0`` over at least ``drift_min_n``
+        batch members triggers :meth:`partial_retrain` of JUST the
+        drifted clusters — bounded by their member count, never an
+        O(corpus) rebuild."""
         import contextlib
 
         m = fmt._manifest(source_table)
@@ -341,7 +383,12 @@ class IncrementalANNSync:
         codes = quantize_embeddings(adds, id_col, vec_col, self.bits).select(
             F.col(id_col).alias("vec_id"), "q"
         )
-        assigned = self._assign(codes)
+        scored = None
+        if drift_band is not None:
+            scored = self._assign(codes, with_score=True).persist()
+            assigned = scored.drop("__cos")
+        else:
+            assigned = self._assign(codes)
         wsb = getattr(self.wh.fmt, "write_streaming_batch", None)
         if wsb is None:
             raise ValueError(
@@ -383,7 +430,37 @@ class IncrementalANNSync:
         maybe_compact = getattr(self.wh.fmt, "maybe_compact", None)
         if committed and maybe_compact is not None:
             maybe_compact(self.assign_table)
+        if scored is not None:
+            try:
+                if committed:
+                    self._drift_step(scored, cur, drift_band, drift_min_n)
+            finally:
+                scored.unpersist()
         return committed
+
+    def _drift_step(
+        self, scored: DataFrame, version: int, band: float, min_n: int
+    ) -> None:
+        """Record this sync's per-cluster batch quality in the drift
+        log and repair (partial_retrain) any cluster below the band —
+        runs AFTER the sync's own transaction committed, so the repair
+        is its own atomic step and a crash between them re-detects on
+        the next sync instead of corrupting the cursor."""
+        drifted = set(self.check_drift(scored, band=band, min_n=min_n))
+        log = self._cluster_quality(scored).select(
+            F.lit(int(version)).alias("source_version"),
+            "__cluster",
+            F.col("__n").alias("n"),
+            F.col("__q").alias("mean_cos"),
+            (
+                F.col("__cluster").isin(sorted(drifted))
+                if drifted
+                else F.lit(False)
+            ).alias("repaired"),
+        )
+        self.wh.fmt.write(f"{self.name}__drift", log, "append")
+        if drifted:
+            self.partial_retrain(sorted(drifted))
 
     def retrain(self) -> int:
         """One Lloyd step over the STORED codes — the explicit
@@ -425,11 +502,129 @@ class IncrementalANNSync:
         tx = getattr(self.wh.fmt, "transaction", None)
         with tx() if tx is not None else contextlib.nullcontext():
             self.wh.fmt.replace_atomic(self.centroids_table, cent, ())
-            reassigned = self._assign(a.select("vec_id", "q"))
-            self.wh.fmt.replace_atomic(
-                self.assign_table, reassigned, (), txn=txn_before or None
+            scored = self._assign(
+                a.select("vec_id", "q"), with_score=True
+            ).persist()
+            q0 = self._cluster_quality(scored).select(
+                "__cluster", F.col("__q").alias("__q0")
             )
+            self.wh.fmt.replace_atomic(
+                self.centroids_table, cent.join(q0, "__cluster", "left"), ()
+            )
+            self.wh.fmt.replace_atomic(
+                self.assign_table, scored.drop("__cos"), (),
+                txn=txn_before or None,
+            )
+            scored.unpersist()
         return self.wh.read(self.centroids_table).count()
+
+    def partial_retrain(self, clusters: list[str]) -> int:
+        """Re-center ONLY the given clusters and re-assign ONLY their
+        members — the bounded repair the drift policy triggers, where
+        ``retrain`` is O(indexed corpus) by design (r12, VERDICT r11
+        task 6).  Cost: one column-pruned scan of the assignments
+        (the ``__cluster`` filter pushes to parquet), a members-sized
+        re-center + re-assign, and ONE stats-bounded merge keyed on
+        vec_id — members that moved to an untouched cluster upsert
+        there, nobody else's row is rewritten.
+
+        Approximation, stated: members of NON-drifted clusters keep
+        their assignments even if a moved centroid is now nearer —
+        re-checking them would be the O(corpus) rebuild this verb
+        exists to avoid; multi-probe serving (n_probe > 1) absorbs the
+        boundary error, and the soak pins the recall floor under it
+        (tests/test_ann_drift.py).  Baseline quality (__q0) refreshes
+        for the re-centered clusters from their post-repair members.
+        Returns the number of members re-assigned."""
+        import contextlib
+
+        if not clusters:
+            return 0
+        clusters = [str(c) for c in clusters]
+        a = self.wh.read(self.assign_table)
+        members = a.filter(F.col("__cluster").isin(clusters)).select(
+            "vec_id", "q"
+        )
+        # re-center the drifted clusters from their CURRENT members
+        cent_new = (
+            a.filter(F.col("__cluster").isin(clusters))
+            .select("__cluster", F.posexplode("q").alias("i", "x"))
+            .groupBy("__cluster", "i")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("__cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("im"))
+            .select(
+                "__cluster",
+                F.transform("im", lambda t: t.getField("s")).alias("__cvec"),
+            )
+        )
+        old = self._centroids()
+        has_q0 = "__q0" in old.columns
+        keep = old.filter(~F.col("__cluster").isin(clusters))
+        tx = getattr(self.wh.fmt, "transaction", None)
+        n = 0
+        with tx() if tx is not None else contextlib.nullcontext():
+            merged_cent = keep.select("__cluster", "__cvec").unionByName(
+                cent_new
+            )
+            self.wh.fmt.replace_atomic(
+                self.centroids_table, merged_cent, ()
+            )
+            scored = self._assign(members, with_score=True).persist()
+            n = scored.count()
+            # refresh __q0 for the re-centered clusters; untouched
+            # clusters keep their baseline
+            q_new = self._cluster_quality(
+                scored.filter(F.col("__cluster").isin(clusters))
+            ).select("__cluster", F.col("__q").alias("__q0"))
+            q_keep = (
+                keep.select("__cluster", "__q0")
+                if has_q0
+                else keep.select(
+                    "__cluster", F.lit(None).cast("double").alias("__q0")
+                )
+            )
+            self.wh.fmt.replace_atomic(
+                self.centroids_table,
+                merged_cent.join(
+                    q_keep.unionByName(q_new), "__cluster", "left"
+                ),
+                (),
+            )
+            # ONE atomic upsert: old rows for these members drop, new
+            # assignments land — no delete/append crash window
+            self.wh.fmt.merge(
+                self.assign_table, scored.drop("__cos"), "vec_id",
+                record_cdc=False,
+            )
+            scored.unpersist()
+        return int(n)
+
+    def check_drift(
+        self,
+        assigned_scored: DataFrame,
+        band: float = 0.9,
+        min_n: int = 20,
+    ) -> list[str]:
+        """Clusters whose BATCH assignment quality fell below ``band``
+        × their baseline ``__q0`` (with at least ``min_n`` batch
+        members — tiny samples don't trigger repairs).  Driver cost:
+        one n_clusters-row collect."""
+        cent = self._centroids()
+        if "__q0" not in cent.columns:
+            return []  # pre-drift-policy codebook: no baseline
+        q = self._cluster_quality(assigned_scored)
+        rows = (
+            q.join(cent.select("__cluster", "__q0"), "__cluster")
+            .filter(
+                F.col("__q0").isNotNull()
+                & (F.col("__n") >= int(min_n))
+                & (F.col("__q") < F.col("__q0") * float(band))
+            )
+            .select("__cluster")
+            .collect()
+        )
+        return sorted(r["__cluster"] for r in rows)
 
     # -- serve ---------------------------------------------------------------
 
@@ -492,7 +687,7 @@ class IncrementalANNSync:
         qq = quantize_embeddings(queries, id_col, vec_col, self.bits).select(
             F.col(id_col).alias("query_id"), F.col("q").alias("__qq")
         )
-        cent = F.broadcast(self._centroids())
+        cent = F.broadcast(self._centroids().select("__cluster", "__cvec"))
         pnum = int_dot(F.col("__cvec"), F.col("__qq")).cast("double")
         pden = F.sqrt(
             (
