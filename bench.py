@@ -120,6 +120,10 @@ EXTENDED = [
     "ann_cdf_upsert_topk",         # retraction-aware ANN index over merges
     "manifest_merge_mor",          # merge-on-read MERGE (equality deletes)
     "manifest_update_mor",         # merge-on-read UPDATE (postimage append)
+    # round-12 additions
+    "manifest_merge_mor_pos",      # merge-on-read MERGE (positional DVs)
+    "manifest_bloom_lookup",       # per-entry bloom point-lookup pruning
+    "bpe_merges",                  # distributed BPE merge training
 ]
 
 

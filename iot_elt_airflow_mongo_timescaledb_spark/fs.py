@@ -96,13 +96,54 @@ class HadoopFS:
     def _fs(self, jpath):
         return jpath.getFileSystem(self._conf)
 
+    @staticmethod
+    def _local_path(uri: str) -> str | None:
+        """The plain OS path when ``uri`` is local, else None.
+
+        LOCAL FAST PATH (r12): every py4j Hadoop-FS call is a socket
+        roundtrip costing tens of milliseconds — the round-12 1M-entry
+        probe measured segmented-append commits at 12 MINUTES, ~85% of
+        it ``fs.open``/``IOUtils.toString`` roundtrips re-parsing
+        evicted segment files.  Local paths (bare, or ``file:`` URIs)
+        answer metadata and small-file IO through the OS directly —
+        same semantics, ~1000x cheaper — while every remote scheme
+        (``hdfs:``/``s3a:``/...) keeps the Hadoop client, which is the
+        whole point of this layer."""
+        if uri.startswith("file:"):
+            from urllib.parse import urlparse
+
+            return urlparse(uri).path or None
+        if "://" in uri:
+            return None
+        return uri
+
+    @staticmethod
+    def _drop_stale_crc(lp: str) -> None:
+        """Hadoop's local FS keeps ``.name.crc`` sidecars and REFUSES
+        reads whose checksum mismatches — a Python-side rewrite must
+        drop the stale sidecar or a later JVM read of the same file
+        fails loudly on valid content."""
+        crc = os.path.join(
+            os.path.dirname(lp), f".{os.path.basename(lp)}.crc"
+        )
+        try:
+            os.remove(crc)
+        except OSError:
+            pass
+
     # -- predicates -----------------------------------------------------
 
     def exists(self, uri: str) -> bool:
+        lp = self._local_path(uri)
+        if lp is not None:
+            return os.path.exists(lp)
         p = self._jpath(uri)
         return bool(self._fs(p).exists(p))
 
     def is_dir(self, uri: str) -> bool:
+        lp = self._local_path(uri)
+        if lp is not None:
+            return os.path.isdir(lp)
         p = self._jpath(uri)
         fs = self._fs(p)
         return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
@@ -113,6 +154,12 @@ class HadoopFS:
         exit — on a large table this answers after the FIRST data file,
         not a full driver-side listing of the tree (the ``os.walk``
         failure mode this replaces)."""
+        lp = self._local_path(uri)
+        if lp is not None:
+            for _root, _dirs, files in os.walk(lp):
+                if any(f.endswith(suffix) for f in files):
+                    return True
+            return False
         p = self._jpath(uri)
         fs = self._fs(p)
         if not fs.exists(p):
@@ -127,6 +174,13 @@ class HadoopFS:
 
     def list_subdirs(self, uri: str) -> list[str]:
         """Names (not full paths) of immediate subdirectories."""
+        lp = self._local_path(uri)
+        if lp is not None:
+            try:
+                with os.scandir(lp) as it:
+                    return sorted(e.name for e in it if e.is_dir())
+            except OSError:
+                return []
         p = self._jpath(uri)
         fs = self._fs(p)
         if not fs.exists(p):
@@ -139,6 +193,13 @@ class HadoopFS:
 
     def list_files(self, uri: str) -> list[str]:
         """Names (not full paths) of immediate plain files."""
+        lp = self._local_path(uri)
+        if lp is not None:
+            try:
+                with os.scandir(lp) as it:
+                    return sorted(e.name for e in it if e.is_file())
+            except OSError:
+                return []
         p = self._jpath(uri)
         fs = self._fs(p)
         if not fs.exists(p):
@@ -158,6 +219,19 @@ class HadoopFS:
         through py4j just to find the handful of ``v*.json`` version
         files made every commit O(log-dir files) (round-11 1M-entry
         probe: ~1 s per listing)."""
+        lp = self._local_path(uri)
+        if lp is not None:
+            import fnmatch
+
+            try:
+                with os.scandir(lp) as it:
+                    return sorted(
+                        e.name
+                        for e in it
+                        if fnmatch.fnmatchcase(e.name, pattern)
+                    )
+            except OSError:
+                return []
         p = self._jpath(uri.rstrip("/") + "/" + pattern)
         fs = self._fs(p)
         st = fs.globStatus(p)
@@ -169,6 +243,12 @@ class HadoopFS:
         """Modification time of the path in epoch seconds (0.0 when
         absent) — the basis for vacuum's writer-grace age check, same
         mechanism as Delta's vacuum file-age retention."""
+        lp = self._local_path(uri)
+        if lp is not None:
+            try:
+                return os.stat(lp).st_mtime
+            except OSError:
+                return 0.0
         p = self._jpath(uri)
         fs = self._fs(p)
         if not fs.exists(p):
@@ -180,6 +260,16 @@ class HadoopFS:
         filesystem call for the whole tree (HDFS answers from the
         namenode; object stores list server-side), never a driver loop
         over files.  0 for an absent path."""
+        lp = self._local_path(uri)
+        if lp is not None:
+            total = 0
+            for root, _dirs, files in os.walk(lp):
+                for f in files:
+                    try:
+                        total += os.stat(os.path.join(root, f)).st_size
+                    except OSError:
+                        pass
+            return total
         p = self._jpath(uri)
         fs = self._fs(p)
         if not fs.exists(p):
@@ -191,7 +281,20 @@ class HadoopFS:
     def write_text(self, uri: str, text: str, overwrite: bool = False) -> None:
         """Write a small UTF-8 file through the Hadoop FileSystem (works
         on any scheme).  For manifests and commit markers only — data
-        goes through Spark writers."""
+        goes through Spark writers.  The local fast path keeps the CAS
+        semantics: ``open(mode='x')`` is POSIX O_EXCL create-exclusive,
+        the same atomic refusal ``fs.create(p, false)`` gives."""
+        lp = self._local_path(uri)
+        if lp is not None:
+            d = os.path.dirname(lp)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            with open(
+                lp, "w" if overwrite else "x", encoding="utf-8"
+            ) as f:
+                f.write(text)
+            self._drop_stale_crc(lp)
+            return
         p = self._jpath(uri)
         fs = self._fs(p)
         out = fs.create(p, overwrite)
@@ -202,6 +305,10 @@ class HadoopFS:
 
     def read_text(self, uri: str) -> str:
         """Read a small UTF-8 file through the Hadoop FileSystem."""
+        lp = self._local_path(uri)
+        if lp is not None:
+            with open(lp, encoding="utf-8") as f:
+                return f.read()
         p = self._jpath(uri)
         fs = self._fs(p)
         stream = fs.open(p)
@@ -216,6 +323,19 @@ class HadoopFS:
 
     def delete(self, uri: str) -> None:
         """Recursive delete; absent path is a no-op (idempotent)."""
+        lp = self._local_path(uri)
+        if lp is not None:
+            import shutil
+
+            if os.path.isdir(lp):
+                shutil.rmtree(lp, ignore_errors=True)
+            else:
+                try:
+                    os.remove(lp)
+                except OSError:
+                    pass
+                self._drop_stale_crc(lp)
+            return
         p = self._jpath(uri)
         self._fs(p).delete(p, True)
 

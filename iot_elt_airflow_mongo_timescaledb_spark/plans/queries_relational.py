@@ -1177,7 +1177,10 @@ def _manifest_bloom_lookup_impl(spark, sf_dir):
            1 AS bloom_pruned
     FROM b, t WHERE b.c_custkey = t.tk
     """,
-    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+    # r12 gate rotation: the bloom pruning tier takes a driver row;
+    # manifest_update_where demoted in exchange (its COW-DML family
+    # stays gated via manifest_delete_where + the MOR rows, and the
+    # pytest oracle-parity suite still hashes it at sf0.001)
 )
 def manifest_bloom_lookup(spark, sf_dir):
     return _manifest_bloom_lookup_impl(spark, sf_dir)
@@ -1288,7 +1291,8 @@ def manifest_schema_evolution(spark, sf_dir):
     FROM customer, mx
     GROUP BY c_mktsegment
     """,
-    # round-10 gate rotation (VERDICT r9 task 3): promoted to a driver row
+    gate=False,  # r12 rotation: demoted for manifest_bloom_lookup —
+    # COW-DML family carried by manifest_delete_where + the MOR rows
 )
 def manifest_update_where(spark, sf_dir):
     """Row-level UPDATE with stats-bounded copy-on-write (r9
@@ -1996,6 +2000,51 @@ def manifest_clustered_skipping(spark, sf_dir):
     gate=False,  # storage-verb family: manifest_merge_bounded carries the gate
 )
 def manifest_merge_mor(spark, sf_dir):
+    return _merge_mor_impl(spark, sf_dir, "equality")
+
+
+_MERGE_MOR_ORACLE_NOTE = "both forms share one oracle: same final table"
+
+
+@query(
+    "manifest_merge_mor_pos",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    b AS (
+        SELECT m * 2 // 5 AS b2,
+               (m * 3 // 5 - m * 2 // 5) // 3 AS w
+        FROM mx
+    ),
+    t AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey > b2 AND c_custkey <= b2 + w
+                    THEN ROUND(c_acctbal + 1000.0, 2) ELSE c_acctbal END AS bal,
+               c_custkey > b2 + w AND c_custkey <= b2 + 2 * w AS deleted
+        FROM customer, b
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(bal), 2) AS bal_sum,
+           5 AS entries_untouched,
+           1 AS new_dirs
+    FROM t
+    WHERE NOT deleted
+    GROUP BY c_mktsegment
+    """,
+    gate=False,  # storage-verb family: manifest_merge_bounded carries the gate
+)
+def manifest_merge_mor_pos(spark, sf_dir):
+    """The POSITIONAL-form twin of manifest_merge_mor (r12,
+    ``dv_form=\"positional\"``): identical merge lifecycle and oracle,
+    but the matched-key retraction lands as a (file, row-index) mask —
+    Delta's deletion-vector design — instead of an equality-delete key
+    file; reads anti-join on two machine columns scoped to exactly the
+    files containing retracted rows.  Same invariants lit-folded:
+    all five seeded entries carry byte-identical, one new dir."""
+    return _merge_mor_impl(spark, sf_dir, "positional")
+
+
+def _merge_mor_impl(spark, sf_dir, dv_form):
     """MERGE as MERGE-ON-READ (round 11 ``merge_mor`` — Delta's
     DV-backed MERGE / Iceberg v2 equality deletes): customers land as
     five key-range chunks, one range's balances upsert (+1000) and an
@@ -2009,9 +2058,10 @@ def manifest_merge_mor(spark, sf_dir):
     from ..fs import scratch_dir
     from .table_format import ManifestFormat
 
-    root = scratch_dir(spark, "mmor_", cleanup_atexit=True)
+    root = scratch_dir(spark, f"mmor_{dv_form[:2]}_", cleanup_atexit=True)
     fmt = ManifestFormat(
-        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",)
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",),
+        dv_form=dv_form,
     )
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"

@@ -657,8 +657,15 @@ class ManifestFormat(TableFormat):
         # lived session over many tables can't grow without limit.
         self._seg_cache: dict[str, list] = {}
 
-    #: parsed-segment cache bound (files); oldest evicted first
-    SEG_CACHE_FILES = 256
+    #: parsed-segment cache bound (files); oldest evicted first.
+    #: Sized to hold EVERY segment of a multi-thousand-segment table:
+    #: identity carry (and the no-reserialize commit path) only works
+    #: while the resolved entries ARE the cached objects, so a cache
+    #: smaller than the table's segment count silently degrades every
+    #: commit to the canonical-JSON fallback (the r12 1M-entry probe's
+    #: second hotspot).  Memory is the same order as one resolved
+    #: manifest, which the driver holds anyway.
+    SEG_CACHE_FILES = 4096
     # inline segment-ref count above which the ref list spools into
     # segl-*.json list files (the third metadata tier); class-level so
     # tests/probes can exercise multi-list layouts without thousands
@@ -669,6 +676,11 @@ class ManifestFormat(TableFormat):
     #: filters (> m/2 bits set) are dropped at write time
     BLOOM_BITS = 8192
     BLOOM_K = 4
+    #: MOR delete-mask row count at/under which the read-time
+    #: anti-join broadcasts the mask side (the topk_realtime size-gate
+    #: pattern): ~100 B/row → ≤20 MB broadcast; above it (or when a
+    #: pre-r12 entry recorded no count) the join degrades to shuffle
+    DV_BROADCAST_ROWS = 200_000
 
     #: reader protocol features THIS build implements; a manifest
     #: listing one outside this set refuses to resolve (see
@@ -985,7 +997,12 @@ class ManifestFormat(TableFormat):
                     for k, n in seg_keys.items()
                 ):
                     carried.add(si)
-                    consumed += seg_keys
+                    # per-key adds, not ``consumed += seg_keys``:
+                    # Counter.__iadd__ re-scans EVERY accumulated key
+                    # per segment (O(residual² × seg_size) across the
+                    # loop — the r12 1M probe's measured hotspot)
+                    for k, n in seg_keys.items():
+                        consumed[k] += n
             if consumed:
                 new_tail = []
                 for e in tail:
@@ -1117,7 +1134,8 @@ class ManifestFormat(TableFormat):
                     tail_keys[k] - consumed[k] >= n for k, n in mk.items()
                 ):
                     carried.add(li)
-                    consumed += mk
+                    for k, n in mk.items():  # see _resegment: O(n²) +=
+                        consumed[k] += n
             if consumed:
                 new_tail = []
                 for r in tail:
@@ -1694,7 +1712,6 @@ class ManifestFormat(TableFormat):
         ``_metadata.row_index``: physical row position within the
         immutable file, stable across reads and splits)."""
         from pyspark.sql import functions as F
-        import re as _re
 
         by_dir: dict[str, list] = {}
         for e in entries:
@@ -1708,12 +1725,18 @@ class ManifestFormat(TableFormat):
                 reader = reader.option("basePath", base)
             f = reader.parquet(*paths)
             if with_pos:
+                # substring_index, not a per-row regex (measured 35%
+                # scan overhead vs ~0): the dir name is a uuid hex so
+                # the delimiter occurs exactly once in any scan path
                 f = f.withColumn(
                     "__dv_file",
-                    F.regexp_extract(
-                        F.col("_metadata.file_path"),
-                        "/(" + _re.escape(dirname) + "/.*)$",
-                        1,
+                    F.concat(
+                        F.lit(dirname + "/"),
+                        F.substring_index(
+                            F.col("_metadata.file_path"),
+                            "/" + dirname + "/",
+                            -1,
+                        ),
                     ),
                 ).withColumn("__dv_pos", F.col("_metadata.row_index"))
             frames.append(f)
@@ -3484,13 +3507,15 @@ class ManifestFormat(TableFormat):
             return "n"
         return "s"
 
-    def _bloom_excludes(self, e: dict, col: str, values) -> bool:
+    @staticmethod
+    def _bloom_excludes(e: dict, col: str, values) -> bool:
         """True iff the entry's bloom filter PROVES no listed value is
         present: every value is in the provable domain (int/str — the
         write/read hash agreement holds) and at least one of its k bit
         positions is unset.  Missing filter, out-of-domain values, or
         any may-contain value → False (keep-by-default, like every
-        pruning tier)."""
+        pruning tier).  Static: no instance state, so the unbound
+        class-reference use in tests/test_pruning_properties.py works."""
         bl = (e.get("bloom") or {}).get(col)
         if not bl or not values:
             return False
@@ -3861,10 +3886,17 @@ class ManifestFormat(TableFormat):
                     kf = self.spark.read.parquet(
                         join_uri(self.path(name), dvs[i]["keys"]["dir"])
                     ).select(kcol)
-                    # no broadcast hint: the key set is batch-bounded
-                    # (usually tiny — AQE picks broadcast), but a huge
-                    # backfill batch must degrade to a shuffle join,
-                    # not die on the broadcast ceiling
+                    # SIZE-GATED broadcast hint (r12): AQE does not
+                    # reliably convert this anti-join at runtime
+                    # (measured: a full shuffle of the fact side
+                    # against a 1-row mask), so hint when the landed
+                    # key count proves the side tiny; a huge backfill
+                    # batch (or a pre-r12 entry with no count) still
+                    # degrades to a shuffle join instead of dying on
+                    # the broadcast ceiling
+                    kn = dvs[i]["keys"].get("n")
+                    if kn is not None and kn <= self.DV_BROADCAST_ROWS:
+                        kf = F.broadcast(kf)
                     df = df.join(kf, kcol, "left_anti")
                     continue
                 spec = self._dv_bounds_spec(dvs[i]["bounds"])
@@ -3883,9 +3915,18 @@ class ManifestFormat(TableFormat):
                 for pm in pos_masks[1:]:
                     mask = mask.unionByName(pm)
                 # deletes are idempotent, so the UNION of applying
-                # masks in one anti-join ≡ applying each in turn; no
-                # broadcast hint — masks are delete-bounded (AQE picks
-                # broadcast), a giant backfill mask degrades to shuffle
+                # masks in one anti-join ≡ applying each in turn.
+                # Size-gated broadcast hint from the STORED mask
+                # counts (see the equality branch); an unknown or huge
+                # total degrades to a shuffle join
+                total = 0
+                for i in sorted(key):
+                    if "pos" in dvs[i]:
+                        n = dvs[i]["pos"].get("n")
+                        total = None if (total is None or n is None) \
+                            else total + n
+                if total is not None and total <= self.DV_BROADCAST_ROWS:
+                    mask = F.broadcast(mask)
                 df = df.join(mask, ["__dv_file", "__dv_pos"], "left_anti")
             if need_pos and not with_pos:
                 df = df.drop("__dv_file", "__dv_pos")
@@ -4404,10 +4445,14 @@ class ManifestFormat(TableFormat):
         import uuid
 
         dirname = f"dvk-{uuid.uuid4().hex}"
-        keys.write.mode("overwrite").parquet(
-            join_uri(self.path(name), dirname)
-        )
-        return dirname
+        target = join_uri(self.path(name), dirname)
+        keys.write.mode("overwrite").parquet(target)
+        # footer-only count: lets the read side size-gate a broadcast
+        # hint on the anti-join (AQE does not reliably convert a
+        # derived-column anti-join at runtime — measured as a full
+        # shuffle of the fact side against a 1-row mask)
+        n = self.spark.read.parquet(target).count()
+        return dirname, int(n)
 
     def _land_dv_pos(self, name: str, matched: DataFrame) -> tuple[str, int]:
         """Land a POSITIONAL delete mask (Delta deletion vectors /
@@ -4570,9 +4615,9 @@ class ManifestFormat(TableFormat):
             # every may-match dir pay the key-file anti-join forever
             entry, _n = self._pos_dv_entry(name, matched, candidates)
         else:
-            keys_dir = self._land_dv_keys(name, keys, unique_key)
+            keys_dir, n_keys = self._land_dv_keys(name, keys, unique_key)
             entry = {
-                "keys": {"col": unique_key, "dir": keys_dir},
+                "keys": {"col": unique_key, "dir": keys_dir, "n": n_keys},
                 "applies": [self._dv_ident(e) for e in candidates],
             }
         dv = (m.get("dv") or []) + [entry]

@@ -506,3 +506,62 @@ class StreamingManifestSink:
 
     def read(self):
         return self.fmt.read(self.table_name)
+
+
+class StreamingUpsertSink:
+    """Structured Streaming UPSERT ingest into the commit-log table:
+    each micro-batch MERGEs on the primary key (``foreachBatch`` →
+    ``fmt.merge``) — the production shape when the source re-delivers
+    updated documents (dlt's merge write-disposition, as a stream,
+    where :class:`StreamingManifestSink` is the append shape).
+
+    Replay safety differs from the append sink: MERGE carries no
+    per-batch watermark, but an upsert of the SAME batch is idempotent
+    BY CONTENT (matched keys re-land identical rows), so an
+    at-least-once replay converges to the same table state; the CDF
+    records the replay as one more commit whose SIGNED net change is
+    zero, which retraction-aware consumers (``sync_from_cdf`` on the
+    rollups and the ANN index) absorb exactly — the full-chain
+    invariant the stream soak pins (tools/stream_soak_probe.py).
+    Batch-internal duplicates collapse via ``dedup_by_pk`` first
+    (last-write-wins is undefined INSIDE one micro-batch — dlt's
+    posture)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        source_dir: str,
+        table_name: str,
+        unique_key: str,
+        table_format=None,
+        checkpoint_root: str | None = None,
+    ):
+        from ..plans.table_format import ManifestFormat
+
+        self.spark = spark
+        self.fmt = table_format or ManifestFormat(spark, warehouse_root)
+        self.table_name = table_name
+        self.unique_key = unique_key
+        self.source_dir = source_dir
+        self.checkpoint = join_uri(
+            checkpoint_root or join_uri(warehouse_root, "_checkpoints"),
+            f"upsert_sink_{table_name.replace('.', '_')}",
+        )
+        self.schema = spark.read.parquet(source_dir).schema
+
+    def _process_batch(self, batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = dedup_by_pk(batch_df, pk=self.unique_key)
+        self.fmt.merge(self.table_name, fresh, self.unique_key)
+
+    def run_once(self) -> None:
+        """Drain every not-yet-checkpointed source file, then stop."""
+        _drain_once(
+            self.spark, self.schema, self.source_dir, self.checkpoint,
+            self._process_batch, fmt="parquet",
+        )
+
+    def read(self):
+        return self.fmt.read(self.table_name)
