@@ -110,28 +110,30 @@ class IncrementalANNSync:
         )
         import contextlib
 
+        codes = quantize_embeddings(
+            corpus, id_col, vec_col, self.bits
+        ).select(F.col(id_col).alias("vec_id"), "q")
+        cent = cent.persist()
+        # assign against the IN-FLIGHT codebook (one centroid write,
+        # not write-assign-rewrite); baseline per-cluster quality
+        # (mean member cosine at build time) rides in the codebook as
+        # __q0 — the drift policy's reference point (r12, task 6)
+        scored = self._assign(codes, with_score=True, cent_df=cent).persist()
+        q0 = self._cluster_quality(scored).select(
+            "__cluster", F.col("__q").alias("__q0")
+        )
         tx = getattr(self.wh.fmt, "transaction", None)
         with tx() if tx is not None else contextlib.nullcontext():
             # one flip commits codebook + memberships together on the
             # catalog format — no reader sees one without the other
-            self.wh.fmt.replace_atomic(self.centroids_table, cent, ())
-            codes = quantize_embeddings(
-                corpus, id_col, vec_col, self.bits
-            ).select(F.col(id_col).alias("vec_id"), "q")
-            scored = self._assign(codes, with_score=True).persist()
-            # baseline per-cluster quality (mean member cosine at
-            # build time) rides in the codebook as __q0 — the drift
-            # policy's reference point (r12, VERDICT r11 task 6)
-            q0 = self._cluster_quality(scored).select(
-                "__cluster", F.col("__q").alias("__q0")
-            )
             self.wh.fmt.replace_atomic(
                 self.centroids_table, cent.join(q0, "__cluster", "left"), ()
             )
             self.wh.fmt.replace_atomic(
                 self.assign_table, scored.drop("__cos"), (), txn=txn
             )
-            scored.unpersist()
+        scored.unpersist()
+        cent.unpersist()
         return self.wh.read(self.centroids_table).count()
 
     def train_from_table(
@@ -175,15 +177,25 @@ class IncrementalANNSync:
     def _centroids(self) -> DataFrame:
         return self.wh.read(self.centroids_table)
 
-    def _assign(self, codes: DataFrame, with_score: bool = False) -> DataFrame:
+    def _assign(
+        self,
+        codes: DataFrame,
+        with_score: bool = False,
+        cent_df: DataFrame | None = None,
+    ) -> DataFrame:
         """Nearest stored centroid per code vector — broadcast over the
         (tiny) centroid table, exact integer dots, ONE bit-stable
         float division, deterministic ties (cluster asc).
         ``with_score=True`` keeps the winning cosine as ``__cos`` —
         the drift policy's quality signal; the stored assignments
-        schema never carries it."""
+        schema never carries it.  ``cent_df`` assigns against an
+        IN-FLIGHT codebook instead of the stored table (the train path
+        computes baselines before the single centroid write — r12
+        bench showed the write-assign-rewrite shape costing the whole
+        ANN family ~50%)."""
         cent = F.broadcast(
-            self._centroids().select("__cluster", "__cvec")
+            (cent_df if cent_df is not None else self._centroids())
+            .select("__cluster", "__cvec")
         )
         num = int_dot(F.col("__cvec"), F.col("q")).cast("double")
         den = F.sqrt(
@@ -499,15 +511,15 @@ class IncrementalANNSync:
                 F.transform("im", lambda t: t.getField("s")).alias("__cvec"),
             )
         )
+        cent = cent.persist()
+        scored = self._assign(
+            a.select("vec_id", "q"), with_score=True, cent_df=cent
+        ).persist()
+        q0 = self._cluster_quality(scored).select(
+            "__cluster", F.col("__q").alias("__q0")
+        )
         tx = getattr(self.wh.fmt, "transaction", None)
         with tx() if tx is not None else contextlib.nullcontext():
-            self.wh.fmt.replace_atomic(self.centroids_table, cent, ())
-            scored = self._assign(
-                a.select("vec_id", "q"), with_score=True
-            ).persist()
-            q0 = self._cluster_quality(scored).select(
-                "__cluster", F.col("__q").alias("__q0")
-            )
             self.wh.fmt.replace_atomic(
                 self.centroids_table, cent.join(q0, "__cluster", "left"), ()
             )
@@ -515,7 +527,8 @@ class IncrementalANNSync:
                 self.assign_table, scored.drop("__cos"), (),
                 txn=txn_before or None,
             )
-            scored.unpersist()
+        scored.unpersist()
+        cent.unpersist()
         return self.wh.read(self.centroids_table).count()
 
     def partial_retrain(self, clusters: list[str]) -> int:
@@ -561,29 +574,29 @@ class IncrementalANNSync:
         old = self._centroids()
         has_q0 = "__q0" in old.columns
         keep = old.filter(~F.col("__cluster").isin(clusters))
+        merged_cent = keep.select("__cluster", "__cvec").unionByName(
+            cent_new
+        ).persist()
+        # assign against the in-flight repaired codebook (one centroid
+        # write, like train/retrain)
+        scored = self._assign(
+            members, with_score=True, cent_df=merged_cent
+        ).persist()
+        n = scored.count()
+        # refresh __q0 for the re-centered clusters; untouched
+        # clusters keep their baseline
+        q_new = self._cluster_quality(
+            scored.filter(F.col("__cluster").isin(clusters))
+        ).select("__cluster", F.col("__q").alias("__q0"))
+        q_keep = (
+            keep.select("__cluster", "__q0")
+            if has_q0
+            else keep.select(
+                "__cluster", F.lit(None).cast("double").alias("__q0")
+            )
+        )
         tx = getattr(self.wh.fmt, "transaction", None)
-        n = 0
         with tx() if tx is not None else contextlib.nullcontext():
-            merged_cent = keep.select("__cluster", "__cvec").unionByName(
-                cent_new
-            )
-            self.wh.fmt.replace_atomic(
-                self.centroids_table, merged_cent, ()
-            )
-            scored = self._assign(members, with_score=True).persist()
-            n = scored.count()
-            # refresh __q0 for the re-centered clusters; untouched
-            # clusters keep their baseline
-            q_new = self._cluster_quality(
-                scored.filter(F.col("__cluster").isin(clusters))
-            ).select("__cluster", F.col("__q").alias("__q0"))
-            q_keep = (
-                keep.select("__cluster", "__q0")
-                if has_q0
-                else keep.select(
-                    "__cluster", F.lit(None).cast("double").alias("__q0")
-                )
-            )
             self.wh.fmt.replace_atomic(
                 self.centroids_table,
                 merged_cent.join(
@@ -597,7 +610,8 @@ class IncrementalANNSync:
                 self.assign_table, scored.drop("__cos"), "vec_id",
                 record_cdc=False,
             )
-            scored.unpersist()
+        scored.unpersist()
+        merged_cent.unpersist()
         return int(n)
 
     def check_drift(
