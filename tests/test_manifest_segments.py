@@ -564,3 +564,25 @@ def test_seglist_tier0_pruning_skips_excluded_list_files(
         .collect()
     )
     assert flat == got
+
+
+def test_append_never_parses_segments(spark, tmp_path, monkeypatch):
+    """r12 resolve-free append: on a segmented table, ``write(mode=
+    'append')`` must not parse a single SEGMENT file — refs carry
+    verbatim through the two-tier edit (6-tuple), so commit cost is
+    O(inline tail + batch) at any entry count (probe: 7 ms at 1M
+    entries).  Only the O(lists) segl tier may load (spool carry);
+    resolution still sees every entry exactly once."""
+    fmt = _mk(spark, tmp_path, 2)
+    for i in range(8):
+        fmt.write("s.t", _days(spark, f"d{i}", i * 5, i * 5 + 5), "append" if i else "overwrite")
+    n_before = fmt._manifest("s.t", resolve=False)
+    assert n_before["segments"], "layout must be segmented"
+    cold = _mk(spark, tmp_path, 2)
+    calls = _counting(cold, monkeypatch)
+    cold.write("s.t", _days(spark, "d8", 40, 45), "append")
+    assert calls == [], f"append parsed segment files: {calls}"
+    # resolution unchanged: every entry exactly once, all rows served
+    assert fmt.read("s.t").count() == 45
+    m = fmt._manifest("s.t")
+    assert len(m["entries"]) == 9
