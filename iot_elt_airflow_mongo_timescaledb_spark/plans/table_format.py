@@ -4457,15 +4457,21 @@ class ManifestFormat(TableFormat):
         it alive while any retained version's dv references it."""
         import uuid
 
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         dirname = f"dvk-{uuid.uuid4().hex}"
         target = join_uri(self.path(name), dirname)
-        keys.write.mode("overwrite").parquet(target)
-        # footer-only count: lets the read side size-gate a broadcast
+        # the row count rides the WRITE itself (Observation — no
+        # second job): it lets the read side size-gate a broadcast
         # hint on the anti-join (AQE does not reliably convert a
         # derived-column anti-join at runtime — measured as a full
         # shuffle of the fact side against a 1-row mask)
-        n = self.spark.read.parquet(target).count()
-        return dirname, int(n)
+        obs = Observation()
+        keys.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(target)
+        return dirname, int(obs.get["n"])
 
     def _land_dv_pos(self, name: str, matched: DataFrame) -> tuple[str, int]:
         """Land a POSITIONAL delete mask (Delta deletion vectors /
@@ -4473,21 +4479,25 @@ class ManifestFormat(TableFormat):
         ``matched`` rows — which must carry the ``__dv_file`` /
         ``__dv_pos`` identity from a ``with_pos`` read — written once
         under the table path like key files.  Returns (dirname, row
-        count); the count comes free from the landed parquet's footer
-        metadata, so mask landing + exact delete count is ONE scan of
-        the candidates.  A zero-row mask leaves an orphan dir vacuum's
-        age-guarded sweep reclaims (the caller skips the commit)."""
+        count); the count rides the write itself (Observation — no
+        second job), so mask landing + exact delete count is ONE scan
+        of the candidates.  A zero-row mask leaves an orphan dir
+        vacuum's age-guarded sweep reclaims (the caller skips the
+        commit)."""
         import uuid
 
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         dirname = f"dvp-{uuid.uuid4().hex}"
         target = join_uri(self.path(name), dirname)
+        obs = Observation()
         matched.select(
             F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
-        ).write.mode("overwrite").parquet(target)
-        n = self.spark.read.parquet(target).count()  # footer-only
-        return dirname, int(n)
+        ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(target)
+        return dirname, int(obs.get["n"])
 
     def _pos_applies(self, name: str, candidates: list, dirname: str) -> list:
         """Scope a positional dv to the entries whose files the mask
