@@ -217,6 +217,25 @@ def main() -> None:
             }
         )
     )
+    # compact record LAST (r13, VERDICT task 3): the driver keeps a
+    # 2,000-char stdout TAIL, and the full line above outgrew it (the
+    # r12 record lost its headline totals and began mid-extended).
+    # This line is what survives truncation — keep it small and
+    # self-sufficient.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_compact",
+                "value": round(sum(best.values()), 3),
+                "value_median": round(sum(median.values()), 3),
+                "unit": "sec",
+                "sf": sf,
+                "runs_per_query": n_runs,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": round(os.getloadavg()[0], 2),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -117,22 +117,43 @@ class IncrementalANNSync:
         # assign against the IN-FLIGHT codebook (one centroid write,
         # not write-assign-rewrite); baseline per-cluster quality
         # (mean member cosine at build time) rides in the codebook as
-        # __q0 — the drift policy's reference point (r12, task 6)
-        scored = self._assign(codes, with_score=True, cent_df=cent).persist()
-        q0 = self._cluster_quality(scored).select(
-            "__cluster", F.col("__q").alias("__q0")
-        )
+        # __q0 — the drift policy's reference point (r12, task 6).
+        # The quality aggregation RIDES the assignments write as an
+        # Observation (r13, VERDICT task 2): one scan, no persist of
+        # the corpus-sized scored frame — the codebook's cluster list
+        # is a k-row driver collect (it is broadcast everywhere
+        # anyway), so the assignments land first and the centroids
+        # write joins the observed baselines after.
+        clusters = [
+            r["__cluster"] for r in cent.select("__cluster").collect()
+        ]
+        scored = self._assign(codes, with_score=True, cent_df=cent)
+        use_obs = 0 < len(clusters) <= self._OBS_MAX_CLUSTERS
         tx = getattr(self.wh.fmt, "transaction", None)
         with tx() if tx is not None else contextlib.nullcontext():
             # one flip commits codebook + memberships together on the
             # catalog format — no reader sees one without the other
+            if use_obs:
+                observed, obs = self._quality_observation(scored, clusters)
+                self.wh.fmt.replace_atomic(
+                    self.assign_table, observed.drop("__cos"), (), txn=txn
+                )
+                q0 = self._quality_df(obs, clusters).select(
+                    "__cluster", F.col("__q").alias("__q0")
+                )
+            else:
+                scored = scored.persist()
+                q0 = self._cluster_quality(scored).select(
+                    "__cluster", F.col("__q").alias("__q0")
+                )
+                self.wh.fmt.replace_atomic(
+                    self.assign_table, scored.drop("__cos"), (), txn=txn
+                )
             self.wh.fmt.replace_atomic(
                 self.centroids_table, cent.join(q0, "__cluster", "left"), ()
             )
-            self.wh.fmt.replace_atomic(
-                self.assign_table, scored.drop("__cos"), (), txn=txn
-            )
-        scored.unpersist()
+        if not use_obs:
+            scored.unpersist()
         cent.unpersist()
         return self.wh.read(self.centroids_table).count()
 
@@ -224,6 +245,52 @@ class IncrementalANNSync:
         the quality signal baselines and drift checks share."""
         return assigned_scored.groupBy("__cluster").agg(
             F.avg("__cos").alias("__q"), F.count(F.lit(1)).alias("__n")
+        )
+
+    #: per-cluster quality rides the assignments write as an
+    #: Observation (2 conditional aggregates per cluster in ONE
+    #: codegen stage) up to this many clusters; above it the
+    #: expression count would bloat codegen and the persist+agg
+    #: fallback wins (a codebook that large is past IVF's sweet spot
+    #: on this design anyway — the centroid table is broadcast)
+    _OBS_MAX_CLUSTERS = 256
+
+    def _quality_observation(self, scored: DataFrame, clusters: list):
+        """Attach the per-cluster quality aggregation to the SCORED
+        assignment plan as an ``Observation`` riding whatever single
+        full-scan action materializes it — the assignments write — so
+        train/retrain/armed-sync pay ONE pass instead of persist +
+        separate aggregation job (VERDICT r12 wart 1; the same
+        pattern as `_land_dv_keys`'s mask counts).  Observation
+        metrics are grouping-free, so the per-cluster means become
+        one conditional SUM + COUNT pair per cluster of the (tiny)
+        codebook.  Returns ``(observed_plan, obs)``; read results via
+        :meth:`_quality_rows` ONLY after the action that scanned all
+        rows completed — and never hand the observed plan to a verb
+        that probes it partially (isEmpty/limit), which would lock
+        the metrics at the probe's partial values."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        exprs = []
+        for i, c in enumerate(clusters):
+            hit = F.col("__cluster") == F.lit(str(c))
+            exprs.append(F.sum(F.when(hit, F.col("__cos"))).alias(f"s{i}"))
+            exprs.append(F.count(F.when(hit, F.lit(1))).alias(f"n{i}"))
+        return scored.observe(obs, *exprs), obs
+
+    def _quality_df(self, obs, clusters: list) -> DataFrame:
+        """The observed metrics as the same (tiny) per-cluster quality
+        frame ``_cluster_quality`` produces — clusters that won no
+        batch member are absent, exactly like the groupBy form."""
+        got = obs.get
+        rows = []
+        for i, c in enumerate(clusters):
+            n = int(got[f"n{i}"] or 0)
+            if n:
+                rows.append((str(c), float(got[f"s{i}"]) / n, n))
+        return self.spark.createDataFrame(
+            rows, "__cluster string, __q double, __n long"
         )
 
     # -- maintain ----------------------------------------------------------
@@ -395,12 +462,30 @@ class IncrementalANNSync:
         codes = quantize_embeddings(adds, id_col, vec_col, self.bits).select(
             F.col(id_col).alias("vec_id"), "q"
         )
-        scored = None
+        scored = obs = clusters = None
+        assigned_w = None
         if drift_band is not None:
-            scored = self._assign(codes, with_score=True).persist()
-            assigned = scored.drop("__cos")
+            clusters = [
+                r["__cluster"]
+                for r in self._centroids().select("__cluster").collect()
+            ]
+            plan = self._assign(codes, with_score=True)
+            if 0 < len(clusters) <= self._OBS_MAX_CLUSTERS:
+                # batch quality rides the index append itself (r13):
+                # the OBSERVED plan goes only to the write — the
+                # retract merge below gets the UNOBSERVED twin, whose
+                # limit(0)/isEmpty probes would otherwise lock the
+                # metrics at partial values
+                observed, obs = self._quality_observation(plan, clusters)
+                assigned_w = observed.drop("__cos")
+                assigned = plan.drop("__cos")
+            else:
+                scored = plan.persist()
+                assigned = scored.drop("__cos")
         else:
             assigned = self._assign(codes)
+        if assigned_w is None:
+            assigned_w = assigned
         wsb = getattr(self.wh.fmt, "write_streaming_batch", None)
         if wsb is None:
             raise ValueError(
@@ -437,12 +522,21 @@ class IncrementalANNSync:
             #    version's watermark — a replayed sync no-ops here even
             #    when step 1 already landed (its re-run is a no-op too)
             committed = wsb(
-                self.assign_table, assigned, cur, app_id=self._APP_ID
+                self.assign_table, assigned_w, cur, app_id=self._APP_ID
             )
         maybe_compact = getattr(self.wh.fmt, "maybe_compact", None)
         if committed and maybe_compact is not None:
             maybe_compact(self.assign_table)
-        if scored is not None:
+        if obs is not None:
+            # read the observed metrics ONLY when the write ran —
+            # Observation.get blocks until its action completes, and a
+            # recognized replay returns before any scan
+            if committed:
+                self._drift_step_q(
+                    self._quality_df(obs, clusters), cur,
+                    drift_band, drift_min_n,
+                )
+        elif scored is not None:
             try:
                 if committed:
                     self._drift_step(scored, cur, drift_band, drift_min_n)
@@ -453,13 +547,25 @@ class IncrementalANNSync:
     def _drift_step(
         self, scored: DataFrame, version: int, band: float, min_n: int
     ) -> None:
+        """Fallback form (large codebooks): aggregate the persisted
+        scored frame, then delegate to :meth:`_drift_step_q`."""
+        self._drift_step_q(
+            self._cluster_quality(scored), version, band, min_n
+        )
+
+    def _drift_step_q(
+        self, quality: DataFrame, version: int, band: float, min_n: int
+    ) -> None:
         """Record this sync's per-cluster batch quality in the drift
         log and repair (partial_retrain) any cluster below the band —
         runs AFTER the sync's own transaction committed, so the repair
         is its own atomic step and a crash between them re-detects on
-        the next sync instead of corrupting the cursor."""
-        drifted = set(self.check_drift(scored, band=band, min_n=min_n))
-        log = self._cluster_quality(scored).select(
+        the next sync instead of corrupting the cursor.  ``quality``
+        is the per-cluster (__cluster, __q, __n) frame — Observation-
+        derived (k driver rows) on the hot path, aggregated from the
+        scored frame on the fallback."""
+        drifted = set(self._check_drift_q(quality, band=band, min_n=min_n))
+        log = quality.select(
             F.lit(int(version)).alias("source_version"),
             "__cluster",
             F.col("__n").alias("n"),
@@ -512,22 +618,40 @@ class IncrementalANNSync:
             )
         )
         cent = cent.persist()
+        clusters = [
+            r["__cluster"] for r in cent.select("__cluster").collect()
+        ]
         scored = self._assign(
             a.select("vec_id", "q"), with_score=True, cent_df=cent
-        ).persist()
-        q0 = self._cluster_quality(scored).select(
-            "__cluster", F.col("__q").alias("__q0")
         )
+        use_obs = 0 < len(clusters) <= self._OBS_MAX_CLUSTERS
         tx = getattr(self.wh.fmt, "transaction", None)
         with tx() if tx is not None else contextlib.nullcontext():
+            # quality baselines ride the assignments write (same
+            # Observation shape as train — r13, VERDICT task 2)
+            if use_obs:
+                observed, obs = self._quality_observation(scored, clusters)
+                self.wh.fmt.replace_atomic(
+                    self.assign_table, observed.drop("__cos"), (),
+                    txn=txn_before or None,
+                )
+                q0 = self._quality_df(obs, clusters).select(
+                    "__cluster", F.col("__q").alias("__q0")
+                )
+            else:
+                scored = scored.persist()
+                q0 = self._cluster_quality(scored).select(
+                    "__cluster", F.col("__q").alias("__q0")
+                )
+                self.wh.fmt.replace_atomic(
+                    self.assign_table, scored.drop("__cos"), (),
+                    txn=txn_before or None,
+                )
             self.wh.fmt.replace_atomic(
                 self.centroids_table, cent.join(q0, "__cluster", "left"), ()
             )
-            self.wh.fmt.replace_atomic(
-                self.assign_table, scored.drop("__cos"), (),
-                txn=txn_before or None,
-            )
-        scored.unpersist()
+        if not use_obs:
+            scored.unpersist()
         cent.unpersist()
         return self.wh.read(self.centroids_table).count()
 
@@ -624,10 +748,18 @@ class IncrementalANNSync:
         × their baseline ``__q0`` (with at least ``min_n`` batch
         members — tiny samples don't trigger repairs).  Driver cost:
         one n_clusters-row collect."""
+        return self._check_drift_q(
+            self._cluster_quality(assigned_scored), band=band, min_n=min_n
+        )
+
+    def _check_drift_q(
+        self, q: DataFrame, band: float = 0.9, min_n: int = 20
+    ) -> list[str]:
+        """Core of :meth:`check_drift` over an already-aggregated
+        per-cluster quality frame."""
         cent = self._centroids()
         if "__q0" not in cent.columns:
             return []  # pre-drift-policy codebook: no baseline
-        q = self._cluster_quality(assigned_scored)
         rows = (
             q.join(cent.select("__cluster", "__q0"), "__cluster")
             .filter(

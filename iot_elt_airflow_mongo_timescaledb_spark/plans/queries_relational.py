@@ -1208,20 +1208,26 @@ def manifest_bloom_lookup(spark, sf_dir):
     gate=False,  # storage-verb family: manifest_data_skipping carries the gate
 )
 def manifest_schema_evolution(spark, sf_dir):
-    """Additive schema evolution + SAFE TYPE PROMOTION end-to-end
-    (schema-in-the-log, r9; promotion lattice r12, VERDICT r11 task
-    3): customers land as two appends with DIFFERENT column sets —
-    the lower half (c_custkey AS INT, c_mktsegment), the upper half
-    (c_custkey AS LONG, c_acctbal) — so each side is missing a column
-    the other carries AND the shared key column arrives int-then-long
-    (Iceberg's int→long promotion).  The read must fill NULLs both
-    ways, serve ONE widened schema (bigint key over both the old int
-    file and the new long file, values exact — `_cast_to_stored`),
-    and the stored manifest schema must hold the widened union; the
-    oracle recomputes everything from the raw table.  A NON-promotable
-    change (long→string) must still refuse loudly — pinned here so
-    the gate exercises both sides (plus the hypothesis lattice pins
-    in tests/test_schema_properties.py)."""
+    """Additive schema evolution + SAFE TYPE PROMOTION + COLUMN
+    RENAME WITHOUT REWRITE end-to-end (schema-in-the-log, r9;
+    promotion lattice r12; column mapping r13, VERDICT r12 task 4):
+    customers land as two appends with DIFFERENT column sets — the
+    lower half (c_custkey AS INT, c_mktsegment), then the key column
+    RENAMES to ``cust_id`` (metadata-only, no data rewrite — Delta's
+    column mapping as an alias registry in the stored schema), then
+    the upper half appends UNDER THE NEW NAME (cust_id AS LONG,
+    c_acctbal).  So the read must resolve ONE logical ``cust_id``
+    (bigint) over an old file physically named ``c_custkey`` (int)
+    and a new file named ``cust_id`` (long) — alias coalesce + type
+    promotion composed, values exact, NULL-fill both ways for the
+    half-present columns; the stored manifest schema holds the
+    widened union under the new name with the old name in its alias
+    metadata.  The REFUSED COLLISION is pinned too: renaming another
+    column onto the retired ``c_custkey`` refuses (old files still
+    carry that physical column), as does appending a frame that
+    writes it.  A non-promotable change (long→string) still refuses
+    loudly (plus the hypothesis lattice pins in
+    tests/test_schema_properties.py)."""
     from ..fs import scratch_dir
     from .table_format import ManifestFormat
 
@@ -1237,26 +1243,51 @@ def manifest_schema_evolution(spark, sf_dir):
         ),
         "overwrite",
     )
+    # rename WITHOUT rewriting the landed file (metadata-only commit)
+    fmt.rename_column("ev.cust", "c_custkey", "cust_id")
     fmt.write(
         "ev.cust",
         c.filter(F.col("c_custkey") > mid).select(
-            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("c_custkey").cast("long").alias("cust_id"),
             "c_acctbal",
         ),
         "append",
     )
     m = fmt._manifest("ev.cust")
     stored = {f["name"]: f["type"] for f in m["schema"]["fields"]}
-    assert set(stored) == {"c_custkey", "c_mktsegment", "c_acctbal"}, stored
-    assert stored["c_custkey"] == "long", stored  # promoted in the log
+    assert set(stored) == {"cust_id", "c_mktsegment", "c_acctbal"}, stored
+    assert stored["cust_id"] == "long", stored  # promoted in the log
+    aliases = {
+        f["name"]: (f.get("metadata") or {}).get("aliases")
+        for f in m["schema"]["fields"]
+    }
+    assert aliases["cust_id"] == ["c_custkey"], aliases
     served = fmt.read("ev.cust")
-    assert served.schema["c_custkey"].dataType.simpleString() == "bigint"
+    assert served.schema["cust_id"].dataType.simpleString() == "bigint"
+    assert "c_custkey" not in served.columns
+    # refused collision: the old physical name is retired — neither a
+    # rename onto it nor an append writing it may reuse it
+    for attempt in (
+        lambda: fmt.rename_column("ev.cust", "c_acctbal", "c_custkey"),
+        lambda: fmt.write(
+            "ev.cust",
+            c.limit(1).select(
+                F.col("c_custkey").cast("long").alias("c_custkey")
+            ),
+            "append",
+        ),
+    ):
+        try:
+            attempt()
+            raise AssertionError("reuse of a retired name must refuse")
+        except (ValueError, TypeError):
+            pass
     # a narrowing / incompatible change refuses loudly
     try:
         fmt.write(
             "ev.cust",
             c.limit(1).select(
-                F.col("c_custkey").cast("string").alias("c_custkey")
+                F.col("c_custkey").cast("string").alias("cust_id")
             ),
             "append",
         )

@@ -129,6 +129,18 @@ def _bloom_value_ok(v) -> bool:
     return isinstance(v, (int, str)) and not isinstance(v, bool)
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent commit intersected this transaction's READ or WRITE
+    set, so the manifest rebase that resolves blind-append races cannot
+    apply — the operation's data/CDC/mask computation is stale and the
+    whole verb must recompute against the new head (Delta's
+    ConcurrentAppend/ConcurrentDeleteRead exceptions; the row-level
+    verbs catch this in ``_retry_conflicts`` and re-run bounded times).
+    Distinct from the bare RuntimeError the non-rebaseable replace path
+    raises: that one means "does not commute, ever"; this one means
+    "recompute and it commutes"."""
+
+
 class TableFormat(abc.ABC):
     """Storage verbs a warehouse table format must provide.
 
@@ -685,7 +697,7 @@ class ManifestFormat(TableFormat):
     #: reader protocol features THIS build implements; a manifest
     #: listing one outside this set refuses to resolve (see
     #: _try_write_manifest's reader_features)
-    READER_FEATURES = frozenset({"dv", "dv-eq", "dv-pos"})
+    READER_FEATURES = frozenset({"dv", "dv-eq", "dv-pos", "column-mapping"})
 
     # -- manifest machinery ---------------------------------------------
 
@@ -1373,25 +1385,43 @@ class ManifestFormat(TableFormat):
                 # READER protocol features (Delta's readerFeatures): a
                 # reader that does not understand a listed feature must
                 # refuse the table rather than silently misread it —
-                # e.g. ignoring "dv" would serve deleted rows.  Only
-                # features whose MISREAD is silent corruption list here
-                # (segments self-describe: an unknown key would fail
-                # loudly in entry resolution).
+                # e.g. ignoring "dv" would serve deleted rows, and
+                # ignoring "column-mapping" would serve a renamed
+                # column's old files as a separate NULL-padded column.
+                # Only features whose MISREAD is silent corruption list
+                # here (segments self-describe: an unknown key would
+                # fail loudly in entry resolution).
                 **(
-                    {
-                        "reader_features": ["dv"]
-                        + (
-                            ["dv-eq"]
-                            if any("keys" in d for d in dv)
+                    {"reader_features": feats}
+                    if (
+                        feats := (
+                            (
+                                ["dv"]
+                                + (
+                                    ["dv-eq"]
+                                    if any("keys" in d for d in dv)
+                                    else []
+                                )
+                                + (
+                                    ["dv-pos"]
+                                    if any("pos" in d for d in dv)
+                                    else []
+                                )
+                            )
+                            if dv
                             else []
                         )
                         + (
-                            ["dv-pos"]
-                            if any("pos" in d for d in dv)
+                            ["column-mapping"]
+                            if schema
+                            and any(
+                                (f.get("metadata") or {}).get("aliases")
+                                or (f.get("metadata") or {}).get("dropped")
+                                for f in schema.get("fields", [])
+                            )
                             else []
                         )
-                    }
-                    if dv
+                    )
                     else {}
                 ),
                 # wall-clock commit time: the basis for time-based
@@ -1410,6 +1440,137 @@ class ManifestFormat(TableFormat):
             return False
         return True
 
+    @staticmethod
+    def _entry_key(e: dict) -> tuple:
+        """Stable identity of one manifest entry for read/write-set
+        math — the same (dir, rel, partitions) triple the row-level
+        verbs already use to split candidates from untouched."""
+        return (e["dir"], e.get("rel"), str(e["partitions"]))
+
+    def _bounds_reads(self, bounds: dict):
+        """READ-SET predicate for the conflict classifier, from the
+        same bounds dict the verb pruned with: True iff a concurrently
+        ADDED entry's stats may contain a matching row (exactly
+        :meth:`prune_entries`'s keep test — keep-by-default, so a
+        stats-less concurrent append conservatively conflicts rather
+        than silently escaping a delete that serializes after it)."""
+
+        def reads(e: dict) -> bool:
+            for c, spec in bounds.items():
+                if isinstance(spec, (list, set, frozenset)):
+                    if not self._entry_may_match_in(e, c, spec):
+                        return False
+                elif not self._entry_may_match(e, c, spec[0], spec[1]):
+                    return False
+            return True
+
+        return reads
+
+    def _classify_conflict(
+        self, name: str, base: dict, head: dict, conflict: dict
+    ) -> list:
+        """Delta-style commit-conflict detection (OCC): given the BASE
+        manifest a row-level verb computed against and the HEAD that
+        won the version race, decide whether every concurrent commit in
+        between is DISJOINT from the verb's read and write sets.
+        Disjoint → return the rebased entry list (head's entries with
+        the verb's removals/additions re-applied); any intersection →
+        raise :class:`CommitConflict` so the verb recomputes.
+
+        ``conflict`` carries the verb's sets:
+          - ``touched``: entry keys the verb READ row content from
+            (COW candidates; MOR ``applies`` targets) — a concurrent
+            commit that removed/rewrote one of them conflicts (our
+            survivors/masks/CDC were computed from its rows);
+          - ``removed``: entry keys this commit drops vs base
+            (⊆ touched for COW, empty for MOR);
+          - ``produced``: the new entries this commit adds;
+          - ``reads``: callable(entry) → True when a concurrently
+            ADDED entry intersects the verb's logical predicate —
+            those rows would have matched in the serial schedule, so
+            committing anyway would lose their update/delete (Delta's
+            ConcurrentAppendException).  None = reads nothing new
+            (pure compaction): blind concurrent appends always rebase.
+
+        Schema / constraints / dv / layout changes between base and
+        head conflict unconditionally: the verb's landed data was
+        validated (and its masks scoped) against the base's versions of
+        all four."""
+        import json as _json
+
+        def norm(x):
+            return _json.dumps(x, sort_keys=True)
+
+        def refuse(why: str):
+            raise CommitConflict(
+                f"concurrent commit on {name} (v{base['version']} -> "
+                f"v{head['version']}) {why}; recompute against the new "
+                "head"
+            )
+
+        if list(head.get("partition_columns") or []) != list(
+            base.get("partition_columns") or []
+        ):
+            refuse("changed the partition layout")
+        if norm(head.get("schema")) != norm(base.get("schema")):
+            refuse("changed the table schema this batch was validated "
+                   "against")
+        if norm(head.get("constraints")) != norm(base.get("constraints")):
+            refuse("changed the CHECK constraints this batch was "
+                   "validated against")
+        if norm(head.get("dv") or []) != norm(base.get("dv") or []):
+            refuse("changed the merge-on-read delete set this operation "
+                   "read through")
+        base_keys = {self._entry_key(e) for e in base["entries"]}
+        head_keys = {self._entry_key(e) for e in head["entries"]}
+        touched = set(conflict.get("touched") or ())
+        gone = (base_keys - head_keys) & touched
+        if gone:
+            refuse(
+                f"removed/rewrote {len(gone)} entr"
+                f"{'y' if len(gone) == 1 else 'ies'} this operation read"
+            )
+        reads = conflict.get("reads")
+        if reads is not None:
+            hits = sum(
+                1
+                for e in head["entries"]
+                if self._entry_key(e) not in base_keys and reads(e)
+            )
+            if hits:
+                refuse(
+                    f"appended {hits} entr"
+                    f"{'y' if hits == 1 else 'ies'} that may match this "
+                    "operation's predicate"
+                )
+        removed = set(conflict.get("removed") or ())
+        return [
+            e for e in head["entries"] if self._entry_key(e) not in removed
+        ] + list(conflict.get("produced") or ())
+
+    def _retry_conflicts(self, name: str, fn):
+        """Serializable retry loop for the row-level verbs: a
+        :class:`CommitConflict` means a concurrent commit intersected
+        the verb's read/write set, so the WHOLE verb re-runs against
+        the new head (data dirs landed by the lost attempt orphan and
+        are vacuum-swept like any crashed writer's).  Bounded —
+        persistent contention surfaces the last conflict instead of
+        livelocking."""
+        import random
+        import time
+
+        last = None
+        for attempt in range(self.COMMIT_ATTEMPTS):
+            try:
+                return fn()
+            except CommitConflict as exc:
+                last = exc
+                time.sleep(random.uniform(0.02, 0.08) * (attempt + 1))
+        raise RuntimeError(
+            f"row-level operation on {name} lost {self.COMMIT_ATTEMPTS} "
+            f"conflict races — persistent contention; last: {last}"
+        )
+
     def _commit(
         self,
         name: str,
@@ -1420,6 +1581,7 @@ class ManifestFormat(TableFormat):
         cdc: dict | None = None,
         txn: dict | None = None,
         dv: list | None = None,
+        conflict: dict | None = None,
     ) -> None:
         """Non-rebaseable (full-replace) commit: one CAS attempt, loud
         abort on a lost race — a replace computed against a stale base
@@ -1440,21 +1602,76 @@ class ManifestFormat(TableFormat):
         manifest's map so a DML commit does not silently reset them
         (Delta carries txnAppId/txnVersion through DELETE for the same
         reason; ADVICE r9 #1).  ``None`` (the replace paths) keeps the
-        documented reset-on-replace semantics."""
+        documented reset-on-replace semantics.
+
+        ``conflict`` (round 13) upgrades the loud abort to OPTIMISTIC
+        CONCURRENCY for the row-level verbs (Delta's commit protocol):
+        on a lost CAS the current head is re-read and classified by
+        :meth:`_classify_conflict` — concurrent commits DISJOINT from
+        the verb's read/write sets (blind appends elsewhere in the
+        table, compactions of other files) are rebased over in place
+        (head's entries minus this verb's removals plus its new
+        entries, head's writer watermarks carried, the CDC payload
+        re-based to the head version it now covers); intersecting
+        commits raise :class:`CommitConflict` so the verb recomputes.
+        The CAS primitive itself is the create-exclusive version file —
+        atomic on HDFS; on a raw object store the same caveat as
+        ``_try_write_manifest`` applies (a LogStore/lock service slots
+        in under the create, the protocol above is unchanged)."""
+        import random
+        import time
+
         prev = self._manifest(name, base_version) if base_version else None
-        segs, entries = self._resegment(name, prev, entries)
+        segs, entries2 = self._resegment(name, prev, entries)
         nxt = base_version + 1
-        if not self._try_write_manifest(
-            name, nxt, entries, partition_columns, txn, segments=segs,
+        if self._try_write_manifest(
+            name, nxt, entries2, partition_columns, txn, segments=segs,
             schema=schema,
             constraints=(prev or {}).get("constraints"),
             cdc=cdc, dv=dv,
         ):
+            return
+        if conflict is None or prev is None:
             raise RuntimeError(
                 f"concurrent commit detected on {name} (v{nxt} exists): a "
                 "full-table replace does not commute with a concurrent "
                 "write — re-run the operation against the new table state"
             )
+        base = conflict.get("base") or prev
+        for attempt in range(self.COMMIT_ATTEMPTS):
+            head = self._manifest(name)
+            if head is None:
+                raise RuntimeError(
+                    f"commit on {name}: table vanished under a row-level "
+                    "operation (concurrent drop?)"
+                )
+            if head["version"] <= base["version"]:
+                # version file exists but body not yet readable — the
+                # racing writer is between create-exclusive and write;
+                # wait it out like _manifest's resolution does
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+                continue
+            rebased = self._classify_conflict(name, base, head, conflict)
+            segs2, ents2 = self._resegment(name, head, rebased)
+            # CDC rows were computed against `base`; the classifier
+            # proved the concurrent commits never touched those rows,
+            # so the payload is identical AT HEAD — re-stamp `since` so
+            # the CDF feed stays contiguous (the intervening appends
+            # serve as plain inserts)
+            cdc2 = {**cdc, "since": head["version"]} if cdc else cdc
+            if self._try_write_manifest(
+                name, head["version"] + 1, ents2, partition_columns,
+                dict(head.get("txn") or {}), segments=segs2,
+                schema=schema, constraints=head.get("constraints"),
+                cdc=cdc2, dv=dv,
+            ):
+                return
+            time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        raise RuntimeError(
+            f"commit on {name} lost the version race "
+            f"{self.COMMIT_ATTEMPTS} times after rebasing — persistent "
+            "contention or a stuck IO error"
+        )
 
     def _commit_edit(self, name: str, edit_fn, resolve: bool = True) -> bool:
         """Rebaseable commit: ``edit_fn(prev_manifest | None) ->
@@ -1749,6 +1966,11 @@ class ManifestFormat(TableFormat):
             # serves one schema regardless of which files survive
             # pruning (no-op Project when nothing was ever promoted)
             out = self._cast_to_stored(out, m["schema"])
+            # files predating a RENAME carry the old physical name,
+            # dropped columns' data still sits in old files: resolve
+            # both through the schema's column mapping (no-op for
+            # tables that never renamed/dropped)
+            out = self._apply_column_mapping(out, m["schema"])
         return out
 
     def recover(self, name: str) -> None:
@@ -2315,6 +2537,269 @@ class ManifestFormat(TableFormat):
             ]
         )
 
+    # -- column mapping (rename / drop without rewrite) --------------------
+
+    @staticmethod
+    def _schema_mapping(schema_json: dict | None):
+        """Parse the COLUMN-MAPPING state out of the stored schema's
+        field metadata (round 13, VERDICT task 4 — Delta's column
+        mapping / Iceberg's field-id rename, spelled as an alias
+        registry riding the schema the log already stores):
+
+        - ``aliases``: live logical column -> its historical names
+          (files written before each rename carry them physically);
+        - ``dropped``: tombstoned fields (``drop_column``) — their
+          physical data stays in old files, reads exclude it;
+        - ``retired``: every name NO new column may take — aliases of
+          live fields and dropped fields' names+aliases.  Reusing one
+          would make old files' physical column resolve to the new
+          field, resurrecting unrelated stored values (the reason
+          Delta/Iceberg use field ids); the append guard refuses
+          loudly instead."""
+        aliases: dict[str, list] = {}
+        dropped: set = set()
+        retired: set = set()
+        for fj in (schema_json or {}).get("fields", []):
+            md = fj.get("metadata") or {}
+            al = [str(a) for a in (md.get("aliases") or [])]
+            if md.get("dropped"):
+                dropped.add(fj["name"])
+                retired.add(fj["name"])
+                retired.update(al)
+            else:
+                if al:
+                    aliases[fj["name"]] = al
+                retired.update(al)
+        return aliases, dropped, retired
+
+    def _match_names(self, m: dict | None, col: str) -> list[str]:
+        """All physical names whose stats/bloom may describe logical
+        ``col`` under the manifest's column mapping — an entry wrote
+        exactly one of them, and AND-ing the keep tests over the set is
+        exact (the names the entry did not write answer keep-by-default
+        True)."""
+        aliases, _, _ = self._schema_mapping((m or {}).get("schema"))
+        return [col] + aliases.get(col, [])
+
+    def _apply_column_mapping(self, df: DataFrame, schema_json: dict | None):
+        """Read-side half of column mapping: resolve each live logical
+        column from whichever physical name each pruned file carries
+        (``coalesce`` over current name + aliases, cast to the logical
+        type) and EXCLUDE tombstoned columns' physical data.  Fast
+        path: tables that never renamed/dropped return the frame
+        untouched (no extra Project).  Non-schema columns (``__dv_*``
+        row identity, never-recorded extras) pass through after the
+        schema's fields."""
+        if not schema_json:
+            return df
+        aliases, dropped, _ = self._schema_mapping(schema_json)
+        if not aliases and not dropped:
+            return df
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        have = set(df.columns)
+        cols = []
+        consumed: set = set()
+        for f in StructType.fromJson(schema_json).fields:
+            md = f.metadata or {}
+            names = [f.name] + [str(a) for a in (md.get("aliases") or [])]
+            consumed.update(names)
+            if md.get("dropped"):
+                continue
+            srcs = [n for n in names if n in have]
+            if not srcs:
+                continue  # every pruned file predates this column
+            if len(srcs) == 1 and srcs[0] == f.name:
+                cols.append(F.col(f.name))
+            elif len(srcs) == 1:
+                cols.append(F.col(srcs[0]).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(
+                    F.coalesce(
+                        *[F.col(n).cast(f.dataType) for n in srcs]
+                    ).alias(f.name)
+                )
+        extras = [c for c in df.columns if c not in consumed]
+        return df.select(*cols, *[F.col(c) for c in extras])
+
+    def rename_column(self, name: str, old: str, new: str) -> int:
+        """``ALTER TABLE RENAME COLUMN`` with NO data rewrite (Delta's
+        column-mapping rename): a metadata-only commit renames the
+        field in the stored schema and records ``old`` (plus its own
+        prior aliases) in the field's alias metadata — old files keep
+        serving through the read-side ``coalesce``, new files land
+        under the new name, stats/bloom pruning consults both names.
+        Refusals (all loud): unknown/dropped column; ``new`` collides
+        with a live column or ANY retired name (alias reuse would
+        resurrect old physical data under the wrong field); ``old`` is
+        a partition column (physical layout), referenced by a CHECK
+        constraint (stored SQL text), or referenced by a live
+        merge-on-read delete (``materialize_deletes`` first — a stored
+        predicate on a renamed column would silently stop masking).
+        Returns the new head version."""
+        import re as _re
+
+        if old == new:
+            raise ValueError(f"rename_column on {name}: old == new ({old})")
+
+        def edit(head):
+            if head is None:
+                raise FileNotFoundError(
+                    f"no committed manifest for table {name}"
+                )
+            schema = head.get("schema")
+            if schema is None:
+                # pre-schema table: derive once (self-heals at commit)
+                schema = self.read(name, head["version"]).schema.jsonValue()
+            live = {
+                f["name"]
+                for f in schema["fields"]
+                if not (f.get("metadata") or {}).get("dropped")
+            }
+            _, dropped, retired = self._schema_mapping(schema)
+            if old not in live:
+                raise ValueError(
+                    f"rename_column on {name}: no column {old!r} "
+                    f"(live columns: {sorted(live)})"
+                )
+            if new in live or new in retired or new in dropped:
+                raise ValueError(
+                    f"rename_column on {name}: {new!r} collides with a "
+                    "live column or a name retired by an earlier "
+                    "rename/drop — old files still carry that physical "
+                    "column, and reusing the name would resurrect their "
+                    "values under the new field"
+                )
+            if old in (head.get("partition_columns") or []):
+                raise ValueError(
+                    f"rename_column on {name}: {old!r} is a partition "
+                    "column (physical layout); change layout via "
+                    "replace_atomic"
+                )
+            pat = _re.compile(rf"\b{_re.escape(old)}\b")
+            for cname, expr in (head.get("constraints") or {}).items():
+                if cname != "__none__" and pat.search(str(expr)):
+                    raise ValueError(
+                        f"rename_column on {name}: CHECK constraint "
+                        f"{cname!r} references {old!r}; drop and re-add "
+                        "the constraint around the rename"
+                    )
+            for d in head.get("dv") or []:
+                refs = set((d.get("bounds") or {}).keys())
+                if "col" in (d.get("keys") or {}):
+                    refs.add(d["keys"]["col"])
+                if old in refs:
+                    raise ValueError(
+                        f"rename_column on {name}: a live merge-on-read "
+                        f"delete references {old!r}; run "
+                        "materialize_deletes first"
+                    )
+            fields = []
+            for fj in schema["fields"]:
+                if fj["name"] == old:
+                    md = dict(fj.get("metadata") or {})
+                    md["aliases"] = [old] + [
+                        a for a in (md.get("aliases") or []) if a != old
+                    ]
+                    fields.append({**fj, "name": new, "metadata": md})
+                else:
+                    fields.append(fj)
+            return (
+                head["entries"],
+                head["partition_columns"],
+                None,
+                {**schema, "fields": fields},
+            )
+
+        self._commit_edit(name, edit)
+        return self._manifest(name, resolve=False, expand_lists=False)[
+            "version"
+        ]
+
+    def drop_column(self, name: str, col: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` with NO data rewrite: the field
+        tombstones in the stored schema (``dropped`` metadata), reads
+        exclude its physical data, and its name + aliases retire —
+        re-adding any of them refuses (see :meth:`_schema_mapping`).
+        Same refusals as :meth:`rename_column` for partition/
+        constraint/MOR references, plus dropping the last live column.
+        Returns the new head version."""
+        import re as _re
+
+        def edit(head):
+            if head is None:
+                raise FileNotFoundError(
+                    f"no committed manifest for table {name}"
+                )
+            schema = head.get("schema")
+            if schema is None:
+                schema = self.read(name, head["version"]).schema.jsonValue()
+            live = {
+                f["name"]
+                for f in schema["fields"]
+                if not (f.get("metadata") or {}).get("dropped")
+            }
+            if col not in live:
+                raise ValueError(
+                    f"drop_column on {name}: no column {col!r} "
+                    f"(live columns: {sorted(live)})"
+                )
+            if len(live) == 1:
+                raise ValueError(
+                    f"drop_column on {name}: {col!r} is the last live "
+                    "column"
+                )
+            if col in (head.get("partition_columns") or []):
+                raise ValueError(
+                    f"drop_column on {name}: {col!r} is a partition "
+                    "column (physical layout); change layout via "
+                    "replace_atomic"
+                )
+            pat = _re.compile(rf"\b{_re.escape(col)}\b")
+            for cname, expr in (head.get("constraints") or {}).items():
+                if cname != "__none__" and pat.search(str(expr)):
+                    raise ValueError(
+                        f"drop_column on {name}: CHECK constraint "
+                        f"{cname!r} references {col!r}; drop the "
+                        "constraint first"
+                    )
+            for d in head.get("dv") or []:
+                refs = set((d.get("bounds") or {}).keys())
+                if "col" in (d.get("keys") or {}):
+                    refs.add(d["keys"]["col"])
+                if col in refs:
+                    raise ValueError(
+                        f"drop_column on {name}: a live merge-on-read "
+                        f"delete references {col!r}; run "
+                        "materialize_deletes first"
+                    )
+            fields = [
+                (
+                    {
+                        **fj,
+                        "metadata": {
+                            **(fj.get("metadata") or {}),
+                            "dropped": True,
+                        },
+                    }
+                    if fj["name"] == col
+                    else fj
+                )
+                for fj in schema["fields"]
+            ]
+            return (
+                head["entries"],
+                head["partition_columns"],
+                None,
+                {**schema, "fields": fields},
+            )
+
+        self._commit_edit(name, edit)
+        return self._manifest(name, resolve=False, expand_lists=False)[
+            "version"
+        ]
+
     def _enforce_append_schema(
         self, name: str, prev: dict, df
     ) -> dict | None:
@@ -2348,6 +2833,26 @@ class ManifestFormat(TableFormat):
                 existing = self.read(name, prev["version"]).schema
             except FileNotFoundError:
                 return None  # committed-but-empty head: nothing stored
+        # names retired by rename/drop refuse BEFORE any type check: a
+        # new column under a retired name would resolve old files'
+        # physical data into it (silent value resurrection), and a
+        # write under a live column's OLD name belongs under its new
+        # one (column mapping, r13)
+        if stored is not None:
+            _, dropped_names, retired = self._schema_mapping(stored)
+            bad = sorted(
+                f.name
+                for f in df.schema.fields
+                if f.name in retired or f.name in dropped_names
+            )
+            if bad:
+                raise TypeError(
+                    f"append to {name} writes column(s) {bad} whose "
+                    "name(s) were retired by an earlier rename/drop — "
+                    "old files still carry that physical column; write "
+                    "under the current name (renames) or pick a fresh "
+                    "one (drops)"
+                )
         old = {f.name: f.dataType for f in existing.fields}
         # same-name type differences split by the promotion lattice:
         # a SAFE widening (int→long, float→double, decimal precision
@@ -2396,6 +2901,7 @@ class ManifestFormat(TableFormat):
                         f.name, self._normalize_nullability(f.dataType)
                     ),
                     True,
+                    f.metadata,
                 )
                 for f in existing.fields
             ]
@@ -2487,7 +2993,11 @@ class ManifestFormat(TableFormat):
                 else None
             )
             if w is not None and w != cls._normalize_nullability(f.dataType):
-                out_fields.append(StructField(f.name, w, True).jsonValue())
+                # metadata (column-mapping aliases, tombstones) must
+                # survive the promotion rewrite of the field slot
+                out_fields.append(
+                    StructField(f.name, w, True, f.metadata).jsonValue()
+                )
             else:
                 out_fields.append(fj)
         have = {f["name"] for f in head_schema["fields"]}
@@ -3611,11 +4121,21 @@ class ManifestFormat(TableFormat):
         m = self._manifest(name)
         if m is None:
             raise FileNotFoundError(f"no committed manifest for table {name}")
+        # column mapping: an entry written before a rename recorded its
+        # stats/bloom under the OLD physical name — AND the keep test
+        # over current name + aliases (exact: an entry wrote exactly
+        # one of them, the others answer keep-by-default True)
+        names = {c: self._match_names(m, c) for c in bounds}
 
         def may_match(e, c, spec):
             if isinstance(spec, (list, set, frozenset)):
-                return self._entry_may_match_in(e, c, spec)
-            return self._entry_may_match(e, c, spec[0], spec[1])
+                return all(
+                    self._entry_may_match_in(e, n, spec) for n in names[c]
+                )
+            return all(
+                self._entry_may_match(e, n, spec[0], spec[1])
+                for n in names[c]
+            )
 
         kept = [
             e
@@ -3966,6 +4486,21 @@ class ManifestFormat(TableFormat):
     def delete_where_mor(
         self, name: str, col: str | dict, lo=None, hi=None
     ) -> int:
+        """Public entry: :meth:`_delete_where_mor_once` under the
+        serializable conflict-retry loop.  The MOR form's WRITE is
+        metadata-only, but its ``applies`` scope and row count were
+        computed against a snapshot: a concurrent commit that rewrote
+        an applies target (the mask would point at a gone entry and
+        the rewritten rows would resurrect) or appended may-match data
+        (point-in-time semantics must not silently exclude rows that
+        serialized first) recomputes; disjoint commits rebase."""
+        return self._retry_conflicts(
+            name, lambda: self._delete_where_mor_once(name, col, lo, hi)
+        )
+
+    def _delete_where_mor_once(
+        self, name: str, col: str | dict, lo=None, hi=None
+    ) -> int:
         """Row-level DELETE as MERGE-ON-READ (Delta deletion vectors /
         Iceberg v2 equality deletes, expressed as a stored predicate):
         NO data file is rewritten — the commit records the predicate,
@@ -4030,6 +4565,12 @@ class ManifestFormat(TableFormat):
         self._commit(
             name, m["entries"], list(m["partition_columns"]), m["version"],
             schema=m.get("schema"), cdc=cdc, txn=m.get("txn"), dv=dv,
+            conflict={
+                "base": m,
+                "touched": {self._entry_key(e) for e in candidates},
+                "removed": set(), "produced": [],
+                "reads": self._bounds_reads(bounds),
+            },
         )
         self._maybe_purge_dvs(name, dv)
         return n_deleted
@@ -4042,6 +4583,16 @@ class ManifestFormat(TableFormat):
             self.materialize_deletes(name)
 
     def materialize_deletes(self, name: str) -> int:
+        """Public entry: :meth:`_materialize_deletes_once` under the
+        serializable conflict-retry loop — a purge reads only the
+        entries its masks apply to, so blind concurrent appends rebase
+        straight through; a concurrent rewrite of an applies target or
+        any concurrent dv change recomputes."""
+        return self._retry_conflicts(
+            name, lambda: self._materialize_deletes_once(name)
+        )
+
+    def _materialize_deletes_once(self, name: str) -> int:
         """COW-rewrite every entry a merge-on-read delete predicate
         still applies to, and clear the predicates — the explicit
         maintenance verb that converts read-time filter debt back into
@@ -4062,6 +4613,10 @@ class ManifestFormat(TableFormat):
                 name, m["entries"], list(m["partition_columns"]),
                 m["version"], schema=m.get("schema"), txn=m.get("txn"),
                 dv=[],
+                conflict={
+                    "base": m, "touched": set(), "removed": set(),
+                    "produced": [], "reads": None,
+                },
             )
             return 0
         clean = self._read_with_dv(name, m, affected)
@@ -4084,13 +4639,31 @@ class ManifestFormat(TableFormat):
             clean.limit(0).withColumn("_change_type", F.lit("purge")),
             0, "purge", m["version"],
         )
+        affected_keys = {self._entry_key(e) for e in affected}
         self._commit(
             name, untouched + new, list(cols), m["version"],
             schema=m.get("schema"), txn=m.get("txn"), dv=[], cdc=cdc,
+            conflict={
+                "base": m, "touched": affected_keys,
+                "removed": affected_keys, "produced": new, "reads": None,
+            },
         )
         return len(affected)
 
     def delete_where(self, name: str, col: str | dict, lo=None, hi=None) -> int:
+        """Public entry: :meth:`_delete_where_once` under the
+        serializable conflict-retry loop — concurrent DISJOINT commits
+        (appends elsewhere, other files' compaction) rebase inside the
+        commit; intersecting ones recompute the whole delete against
+        the new head (so a row appended concurrently that matches the
+        predicate IS deleted, exactly as in the serial schedule)."""
+        return self._retry_conflicts(
+            name, lambda: self._delete_where_once(name, col, lo, hi)
+        )
+
+    def _delete_where_once(
+        self, name: str, col: str | dict, lo=None, hi=None
+    ) -> int:
         """Row-level DELETE with STATS-BOUNDED copy-on-write (Iceberg's
         copy-on-write ``DELETE WHERE``, scoped by the same manifest
         pruning as ``read_where``): entries whose stats PROVE no row
@@ -4148,6 +4721,10 @@ class ManifestFormat(TableFormat):
             dv=self._dv_without(
                 m.get("dv"), {self._dv_ident(e) for e in candidates}
             ),
+            conflict={
+                "base": m, "touched": cand_ids, "removed": cand_ids,
+                "produced": new, "reads": self._bounds_reads(bounds),
+            },
         )
         return n_deleted
 
@@ -4182,6 +4759,22 @@ class ManifestFormat(TableFormat):
                 )
 
     def update_where(
+        self,
+        name: str,
+        col: str | dict,
+        set_exprs: dict[str, str],
+        lo=None,
+        hi=None,
+    ) -> int:
+        """Public entry: :meth:`_update_where_once` under the
+        serializable conflict-retry loop (same contract as
+        :meth:`delete_where`)."""
+        return self._retry_conflicts(
+            name,
+            lambda: self._update_where_once(name, col, set_exprs, lo, hi),
+        )
+
+    def _update_where_once(
         self,
         name: str,
         col: str | dict,
@@ -4270,10 +4863,37 @@ class ManifestFormat(TableFormat):
             dv=self._dv_without(
                 m.get("dv"), {self._dv_ident(e) for e in candidates}
             ),
+            conflict={
+                "base": m, "touched": cand_ids, "removed": cand_ids,
+                "produced": new, "reads": self._bounds_reads(bounds),
+            },
         )
         return n_updated
 
     def merge(
+        self,
+        name: str,
+        df: DataFrame,
+        unique_key: str,
+        delete_keys: DataFrame | None = None,
+        record_cdc: bool = True,
+    ) -> None:
+        """Public entry: :meth:`_merge_once` under the serializable
+        conflict-retry loop.  A merge's READ SET is every entry that
+        may contain a batch key, so a concurrent append whose stats
+        overlap the key range conflicts (its rows would have matched in
+        the serial schedule — committing anyway would leave the old row
+        of an upserted key alive, Delta's ConcurrentAppendException)
+        and the merge recomputes against the new head; stats-disjoint
+        concurrent commits rebase inside the commit."""
+        return self._retry_conflicts(
+            name,
+            lambda: self._merge_once(
+                name, df, unique_key, delete_keys, record_cdc
+            ),
+        )
+
+    def _merge_once(
         self,
         name: str,
         df: DataFrame,
@@ -4334,13 +4954,17 @@ class ManifestFormat(TableFormat):
         lo, hi = row["mn"], row["mx"]
         # prune against the ALREADY-READ head (one manifest resolve per
         # merge — this is the 15-minute hot path — and no TOCTOU window
-        # between the emptiness check and the pruned snapshot)
+        # between the emptiness check and the pruned snapshot); stats
+        # consult the key's aliases too (column mapping)
         m = prev
+        key_names = self._match_names(m, unique_key)
         candidates = (
             [
                 e
                 for e in m["entries"]
-                if self._entry_may_match(e, unique_key, lo, hi)
+                if all(
+                    self._entry_may_match(e, n, lo, hi) for n in key_names
+                )
             ]
             if lo is not None
             else []
@@ -4362,14 +4986,42 @@ class ManifestFormat(TableFormat):
             # of scanning every candidate (the CDC row count, when
             # recording is on, comes from the landed footers)
             has_match = not matched.isEmpty()
+        key_reads = (
+            (lambda e: self._entry_may_match(e, unique_key, lo, hi))
+            if lo is not None
+            else None
+        )
         if not has_match:
             if matched is not None and self.cdf and record_cdc:
                 matched.unpersist()
-            # no target row carries a batch key: the merge IS an append
-            # (rebaseable — commutes with concurrent appends)
             if df.isEmpty():
                 return  # delete-only merge with nothing to delete
-            self.write(name, df, "append")
+            # no target row carries a batch key: the merge degrades to
+            # an append of the batch — but NOT a blind one: the no-match
+            # conclusion was computed against this snapshot, so a
+            # concurrent append whose stats overlap the key range must
+            # conflict (its matching rows would be upsert targets in
+            # the serial schedule; plain self.write would rebase past
+            # them and leave duplicate keys).  Stats-disjoint
+            # concurrent commits rebase inside the commit as usual.
+            app_schema = self._enforce_append_schema(name, m, df)
+            if app_schema is None:
+                app_schema = df.schema.jsonValue()
+            app_cols = tuple(m["partition_columns"])
+            app_new, _ = self._new_data_dir(name, df, app_cols)
+            if app_new:
+                self._enforce_constraints(
+                    name, m, join_uri(self.path(name), app_new[0]["dir"])
+                )
+            self._commit(
+                name, m["entries"] + app_new, list(app_cols),
+                m["version"], schema=app_schema, txn=m.get("txn"),
+                dv=m.get("dv"),
+                conflict={
+                    "base": m, "touched": set(), "removed": set(),
+                    "produced": app_new, "reads": key_reads,
+                },
+            )
             return
         # write-time schema guard BEFORE landing (same contract as
         # append: additive evolution ok, type change refuses loudly)
@@ -4404,6 +5056,10 @@ class ManifestFormat(TableFormat):
             dv=self._dv_without(
                 m.get("dv"), {self._dv_ident(e) for e in candidates}
             ),
+            conflict={
+                "base": m, "touched": cand_ids, "removed": cand_ids,
+                "produced": new, "reads": key_reads,
+            },
         )
 
     def _merge_cdc(
@@ -4546,6 +5202,25 @@ class ManifestFormat(TableFormat):
         delete_keys: DataFrame | None = None,
         record_cdc: bool = True,
     ) -> None:
+        """Public entry: :meth:`_merge_mor_once` under the serializable
+        conflict-retry loop (read set = entries that may contain a
+        batch key, same as :meth:`merge`; plus the MOR applies-scope
+        guard of :meth:`delete_where_mor`)."""
+        return self._retry_conflicts(
+            name,
+            lambda: self._merge_mor_once(
+                name, df, unique_key, delete_keys, record_cdc
+            ),
+        )
+
+    def _merge_mor_once(
+        self,
+        name: str,
+        df: DataFrame,
+        unique_key: str,
+        delete_keys: DataFrame | None = None,
+        record_cdc: bool = True,
+    ) -> None:
         """MERGE as MERGE-ON-READ (VERDICT r10 task 5 — Delta's
         DV-backed MERGE / Iceberg v2 equality deletes): the batch
         APPENDS as one fresh dir, the matched-key delete becomes a
@@ -4589,11 +5264,14 @@ class ManifestFormat(TableFormat):
         ).first()
         lo, hi = row["mn"], row["mx"]
         m = prev
+        key_names = self._match_names(m, unique_key)
         candidates = (
             [
                 e
                 for e in m["entries"]
-                if self._entry_may_match(e, unique_key, lo, hi)
+                if all(
+                    self._entry_may_match(e, n, lo, hi) for n in key_names
+                )
             ]
             if lo is not None
             else []
@@ -4609,6 +5287,11 @@ class ManifestFormat(TableFormat):
             if positional or (self.cdf and record_cdc):
                 matched = matched.persist()
             has_match = not matched.isEmpty()
+        key_reads = (
+            (lambda e: self._entry_may_match(e, unique_key, lo, hi))
+            if lo is not None
+            else None
+        )
         if not has_match:
             if matched is not None and (
                 positional or (self.cdf and record_cdc)
@@ -4616,7 +5299,26 @@ class ManifestFormat(TableFormat):
                 matched.unpersist()
             if df.isEmpty():
                 return  # delete-only merge with nothing to delete
-            self.write(name, df, "append")
+            # degraded append — conflict-checked against the key range,
+            # same reasoning as the COW form's degraded path
+            app_schema = self._enforce_append_schema(name, m, df)
+            if app_schema is None:
+                app_schema = df.schema.jsonValue()
+            app_cols = tuple(m["partition_columns"])
+            app_new, _ = self._new_data_dir(name, df, app_cols)
+            if app_new:
+                self._enforce_constraints(
+                    name, m, join_uri(self.path(name), app_new[0]["dir"])
+                )
+            self._commit(
+                name, m["entries"] + app_new, list(app_cols),
+                m["version"], schema=app_schema, txn=m.get("txn"),
+                dv=m.get("dv"),
+                conflict={
+                    "base": m, "touched": set(), "removed": set(),
+                    "produced": app_new, "reads": key_reads,
+                },
+            )
             return
         merged_schema = self._enforce_append_schema(name, m, df)
         if merged_schema is None:
@@ -4655,10 +5357,34 @@ class ManifestFormat(TableFormat):
         self._commit(
             name, m["entries"] + new, list(cols), m["version"],
             schema=merged_schema, cdc=cdc, txn=m.get("txn"), dv=dv,
+            conflict={
+                "base": m,
+                "touched": {self._entry_key(e) for e in candidates},
+                "removed": set(), "produced": new, "reads": key_reads,
+            },
         )
         self._maybe_purge_dvs(name, dv)
 
     def update_where_mor(
+        self,
+        name: str,
+        col: str | dict,
+        set_exprs: dict[str, str],
+        lo=None,
+        hi=None,
+    ) -> int:
+        """Public entry: :meth:`_update_where_mor_once` under the
+        serializable conflict-retry loop (same read/write sets as
+        :meth:`delete_where_mor`, plus the postimage dir as produced
+        entries)."""
+        return self._retry_conflicts(
+            name,
+            lambda: self._update_where_mor_once(
+                name, col, set_exprs, lo, hi
+            ),
+        )
+
+    def _update_where_mor_once(
         self,
         name: str,
         col: str | dict,
@@ -4741,6 +5467,12 @@ class ManifestFormat(TableFormat):
             name, m["entries"] + new, list(m["partition_columns"]),
             m["version"], schema=m.get("schema"), cdc=cdc,
             txn=m.get("txn"), dv=dv,
+            conflict={
+                "base": m,
+                "touched": {self._entry_key(e) for e in candidates},
+                "removed": set(), "produced": new,
+                "reads": self._bounds_reads(bounds),
+            },
         )
         self._maybe_purge_dvs(name, dv)
         return n_updated
@@ -5004,6 +5736,7 @@ class CatalogManifestFormat(ManifestFormat):
         cdc: dict | None = None,
         txn: dict | None = None,
         dv: list | None = None,
+        conflict: dict | None = None,
     ) -> None:
         """Non-rebaseable (replace) commit + catalog flip.  On this
         format the COMMIT POINT is the catalog flip, so the replace's
@@ -5017,37 +5750,77 @@ class CatalogManifestFormat(ManifestFormat):
         append would silently overwrite the append's pointer (the
         catalog-format twin of ADVICE r8 #1).  ``txn`` as on the base
         class: DML verbs carry the base's writer watermarks, replaces
-        reset them."""
+        reset them.
+
+        ``conflict`` (round 13): same optimistic-concurrency upgrade as
+        the base class, moved to the flip — a lost ``_flip_if_base``
+        re-reads the catalog-resolved head, classifies via
+        :meth:`_classify_conflict`, and on a disjoint delta allocates a
+        REBASED manifest and retries the flip against the new head; an
+        intersecting delta raises :class:`CommitConflict` for the
+        verb's recompute loop.  The lost attempt's manifest stays an
+        orphan (never catalog-committed, so never travelable) and is
+        swept by ``vacuum_catalog``'s orphan pass like any aborted
+        transaction's."""
         import random
         import time
 
         prev = self._manifest(name, base_version) if base_version else None
-        segs, entries = self._resegment(name, prev, entries)
+        base = (conflict or {}).get("base") or prev
+        cur_entries, cur_cdc, cur_txn = entries, cdc, txn
+        cur_base_v, rebase_on = base_version, prev
         for attempt in range(self.COMMIT_ATTEMPTS):
-            nxt = self._latest_version(name) + 1
-            if self._try_write_manifest(
-                name, nxt, entries, partition_columns, txn, segments=segs,
-                schema=schema,
-                constraints=(prev or {}).get("constraints"),
-                cdc=cdc, dv=dv,
-            ):
-                break
-            time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
-        else:
-            raise RuntimeError(
-                f"manifest allocation for {name} lost the create race "
-                f"{self.COMMIT_ATTEMPTS} times — persistent contention "
-                "or a stuck IO error"
+            segs, ents = self._resegment(name, rebase_on, cur_entries)
+            for a2 in range(self.COMMIT_ATTEMPTS):
+                nxt = self._latest_version(name) + 1
+                if self._try_write_manifest(
+                    name, nxt, ents, partition_columns, cur_txn,
+                    segments=segs, schema=schema,
+                    constraints=(rebase_on or {}).get("constraints"),
+                    cdc=cur_cdc, dv=dv,
+                ):
+                    break
+                time.sleep(random.uniform(0.01, 0.05) * (a2 + 1))
+            else:
+                raise RuntimeError(
+                    f"manifest allocation for {name} lost the create race "
+                    f"{self.COMMIT_ATTEMPTS} times — persistent contention "
+                    "or a stuck IO error"
+                )
+            if self._pending is not None:
+                self._pending[name] = nxt  # deferred: one flip commits all
+                return
+            if self._flip_if_base(name, nxt, cur_base_v):
+                return
+            if conflict is None or base is None:
+                raise RuntimeError(
+                    f"concurrent commit detected on {name} (catalog moved "
+                    f"past v{base_version}): a full-table replace does not "
+                    "commute with a concurrent write — re-run the "
+                    "operation against the new table state"
+                )
+            head = self._manifest(name)
+            if head is None:
+                raise RuntimeError(
+                    f"commit on {name}: table vanished under a row-level "
+                    "operation (concurrent drop?)"
+                )
+            if head["version"] == cur_base_v:
+                # flip raced but the table still resolves here — retry
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+                continue
+            rebased = self._classify_conflict(name, base, head, conflict)
+            cur_entries = rebased
+            cur_cdc = (
+                {**cdc, "since": head["version"]} if cdc else cdc
             )
-        if self._pending is not None:
-            self._pending[name] = nxt  # deferred: one flip commits all
-        elif not self._flip_if_base(name, nxt, base_version):
-            raise RuntimeError(
-                f"concurrent commit detected on {name} (catalog moved "
-                f"past v{base_version}): a full-table replace does not "
-                "commute with a concurrent write — re-run the operation "
-                "against the new table state"
-            )
+            cur_txn = dict(head.get("txn") or {})
+            cur_base_v, rebase_on = head["version"], head
+        raise RuntimeError(
+            f"commit on {name} lost the catalog race "
+            f"{self.COMMIT_ATTEMPTS} times after rebasing — persistent "
+            "contention or a stuck IO error"
+        )
 
     def _commit_edit(self, name: str, edit_fn, resolve: bool = True) -> bool:
         """Rebaseable commit through the CATALOG: the edit recomputes

@@ -2105,9 +2105,14 @@ def test_delete_where_rewrites_only_intersecting_entries(spark, tmp_path):
         fmt.read_changes("s.t", since_version=3)  # v3 included chunk 2
 
 
-def test_delete_where_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
-    """A delete racing a concurrent append must abort loudly, never
-    commit a survivor set computed against the stale base."""
+def test_delete_where_retries_conflicting_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13 (optimistic concurrency): a delete racing a concurrent
+    append whose rows MATCH the predicate must not commit the stale
+    survivor set — and must not merely abort either: it recomputes
+    against the new head and produces exactly the serial schedule
+    (append, then delete removes the appended match too)."""
     fmt = _fmt_of(spark, str(tmp_path), "manifest")
     other = _fmt_of(spark, str(tmp_path), "manifest")
     fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
@@ -2123,10 +2128,8 @@ def test_delete_where_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
         return out
 
     monkeypatch.setattr(fmt, "_new_data_dir", racing)
-    with pytest.raises(RuntimeError, match="does not commute"):
-        fmt.delete_where("s.t", "v", 1, 1)
-    got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
-    assert got == {("a", 1), ("late", 1)}
+    assert fmt.delete_where("s.t", "v", 1, 1) == 2
+    assert fmt.read("s.t").count() == 0
 
 
 def test_delete_where_on_partitioned_table(spark, tmp_path):
@@ -2627,10 +2630,11 @@ def test_update_where_guards_types_nulls_and_constraints(spark, wh):
 def test_update_where_racing_append_aborts_not_discards(
     spark, tmp_path, monkeypatch
 ):
-    """update_where shares delete_where's serialization contract: an
-    append landing between the base read and the rewrite commit must
-    abort the UPDATE loudly (a stale-base rewrite would silently drop
-    the concurrent rows) and the append must survive."""
+    """update_where shares delete_where's serialization contract
+    (round 13, optimistic concurrency): an append landing between the
+    base read and the rewrite commit, whose rows match the predicate,
+    forces a RECOMPUTE against the new head — the result equals the
+    serial schedule (append, then update hits the late row too)."""
     fmt = _fmt_of(spark, str(tmp_path), "manifest")
     other = _fmt_of(spark, str(tmp_path), "manifest")
     fmt.write("s.t", _days(spark, ("a", 1)), "overwrite")
@@ -2646,10 +2650,9 @@ def test_update_where_racing_append_aborts_not_discards(
         return orig(name, df, partition_by)
 
     monkeypatch.setattr(fmt, "_new_data_dir", racing)
-    with pytest.raises(RuntimeError, match="does not commute"):
-        fmt.update_where("s.t", "v", {"day": "'hit'"}, 0, 100)
+    assert fmt.update_where("s.t", "v", {"day": "'hit'"}, 0, 100) == 3
     got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
-    assert got == {("a", 1), ("b", 2), ("late", 9)}
+    assert got == {("hit", 1), ("hit", 2), ("hit", 9)}
 
 
 def test_update_where_on_catalog_format(spark, cat_wh):

@@ -170,9 +170,12 @@ def test_cdf_mirror_replay_converges_across_merge(spark, tmp_path, kind):
 
 
 @pytest.mark.parametrize("kind", ["manifest", "catalog"])
-def test_merge_aborts_on_concurrent_commit(spark, tmp_path, kind, monkeypatch):
-    """merge (rewrite path) vs a concurrent append does NOT commute:
-    the merge that lost the race aborts loudly, the append survives."""
+def test_merge_racing_disjoint_append_rebases(
+    spark, tmp_path, kind, monkeypatch
+):
+    """Round 13 (optimistic concurrency): merge vs a concurrent append
+    whose entry stats are PROVABLY outside the merge's key range
+    COMMUTES — the commit rebases in place, both effects land."""
     fmt = _fmt(spark, str(tmp_path), kind)
     other = _fmt(spark, str(tmp_path), kind)
     fmt.write("s.t", _rows(spark, (1, 10), (2, 20)), "overwrite")
@@ -187,13 +190,16 @@ def test_merge_aborts_on_concurrent_commit(spark, tmp_path, kind, monkeypatch):
         return orig(name, version, entries, cols, txn, segments=segments, **kw)
 
     monkeypatch.setattr(fmt, "_try_write_manifest", racing)
-    with pytest.raises(RuntimeError, match="commute|concurrent"):
-        fmt.merge("s.t", _rows(spark, (2, 22)), "k")
+    fmt.merge("s.t", _rows(spark, (2, 22)), "k")
     got = {(r["k"], r["v"]) for r in fmt.read("s.t").collect()}
-    assert got == {(1, 10), (2, 20), (9, 90)}  # the winner survives
+    assert got == {(1, 10), (2, 22), (9, 90)}  # both effects land
 
 
-def test_merge_vs_merge_race_aborts_loser(spark, tmp_path, monkeypatch):
+def test_merge_vs_merge_race_recomputes_loser(spark, tmp_path, monkeypatch):
+    """Two merges rewriting the SAME entry conflict (the loser's
+    survivor set was computed from rows the winner rewrote) — the
+    loser recomputes against the new head and the outcome equals the
+    serial schedule: both upserts apply."""
     fmt = _fmt(spark, str(tmp_path), "manifest")
     other = _fmt(spark, str(tmp_path), "manifest")
     fmt.write("s.t", _rows(spark, (1, 10), (2, 20)), "overwrite")
@@ -208,10 +214,9 @@ def test_merge_vs_merge_race_aborts_loser(spark, tmp_path, monkeypatch):
         return orig(name, version, entries, cols, txn, segments=segments, **kw)
 
     monkeypatch.setattr(fmt, "_try_write_manifest", racing)
-    with pytest.raises(RuntimeError, match="commute|concurrent"):
-        fmt.merge("s.t", _rows(spark, (2, 22)), "k")
+    fmt.merge("s.t", _rows(spark, (2, 22)), "k")
     got = {(r["k"], r["v"]) for r in fmt.read("s.t").collect()}
-    assert got == {(1, 11), (2, 20)}
+    assert got == {(1, 11), (2, 22)}
 
 
 @pytest.mark.parametrize("verb", ["delete", "update", "merge"])
