@@ -133,6 +133,15 @@ class Warehouse:
         TABLE look like at wall-clock T" from the commit log."""
         return self._format_verb("read_asof")(name, ts)
 
+    def snapshot(self):
+        """PINNED-SNAPSHOT read handle (commit-log formats; see
+        ``TableSnapshot``): every read through the handle serves one
+        fixed version set, so a long job reading a table twice never
+        straddles a concurrent commit.  Catalog format pins the catalog
+        version at creation (cross-table-consistent); plain manifest
+        pins per table at first read."""
+        return self._format_verb("snapshot")()
+
     def add_constraint(self, name: str, cname: str, expr: str) -> None:
         """Named CHECK constraint, enforced on every landed batch
         before commit (commit-log formats; see

@@ -141,6 +141,71 @@ class CommitConflict(RuntimeError):
     "recompute and it commutes"."""
 
 
+class TableSnapshot:
+    """PINNED-SNAPSHOT read handle (round 13, VERDICT task 5): every
+    read through one handle serves the version set fixed when the
+    handle was created, so a long job reading a table twice can never
+    straddle a concurrent commit (the per-call ``read``/``read_asof``
+    verbs each re-resolve the head).
+
+    Pinning semantics by format:
+    - ``CatalogManifestFormat``: the CATALOG version pins at creation —
+      one version SET, cross-table-consistent (two tables read through
+      the handle come from the same committed transaction frontier).
+    - ``ManifestFormat``: versions pin lazily per table at its FIRST
+      read through the handle (each table's versions advance
+      independently; cross-table consistency is exactly what the
+      catalog format exists for) — two reads of the same table still
+      always agree.
+
+    Reads of pinned versions stay valid until ``vacuum`` reclaims them
+    (same retention contract as time travel); a vacuumed pin errors
+    loudly, never serves the wrong version."""
+
+    def __init__(self, fmt: "ManifestFormat"):
+        self._fmt = fmt
+        self._versions: dict[str, int] = {}
+        cv = getattr(fmt, "_catalog_version", None)
+        #: catalog version pinned at creation (None on plain manifest)
+        self.catalog_version = cv() if cv is not None else None
+
+    def version(self, name: str) -> int:
+        """The manifest version this handle serves ``name`` at."""
+        if name not in self._versions:
+            if self.catalog_version is not None:
+                v = self._fmt._resolved_version_at(
+                    name, self.catalog_version
+                )
+            else:
+                m = self._fmt._manifest(
+                    name, resolve=False, expand_lists=False
+                )
+                if m is None:
+                    raise FileNotFoundError(
+                        f"no committed manifest for table {name}"
+                    )
+                v = m["version"]
+            self._versions[name] = int(v)
+        return self._versions[name]
+
+    def read(self, name: str):
+        return self._fmt.read_version(name, self.version(name))
+
+    def read_where(self, name: str, col, lo=None, hi=None):
+        """The skip-read at the pinned version — same pruning as the
+        head read, against the pinned manifest's stats."""
+        return self._fmt.read_where(
+            name, col, lo, hi, version=self.version(name)
+        )
+
+    def exists(self, name: str) -> bool:
+        try:
+            self.version(name)
+            return True
+        except (FileNotFoundError, ValueError):
+            return False
+
+
 class TableFormat(abc.ABC):
     """Storage verbs a warehouse table format must provide.
 
@@ -2038,6 +2103,12 @@ class ManifestFormat(TableFormat):
         """Time travel by timestamp: the table as of wall-clock ``ts``
         (``read_version`` at ``version_at``)."""
         return self.read_version(name, self.version_at(name, ts))
+
+    def snapshot(self) -> TableSnapshot:
+        """A PINNED-SNAPSHOT read handle: reads through it serve one
+        fixed version set regardless of concurrent commits (see
+        :class:`TableSnapshot` for per-format pinning semantics)."""
+        return TableSnapshot(self)
 
     def restore(self, name: str, version: int) -> int:
         """Delta's ``RESTORE TABLE ... VERSION AS OF``: commit the old
@@ -4174,7 +4245,12 @@ class ManifestFormat(TableFormat):
         return False
 
     def read_where(
-        self, name: str, col: str | dict, lo=None, hi=None
+        self,
+        name: str,
+        col: str | dict,
+        lo=None,
+        hi=None,
+        version: int | None = None,
     ) -> DataFrame:
         """Range read with manifest-level skipping (the Delta/Iceberg
         file-skipping read path): entries whose stats cannot intersect
@@ -4197,13 +4273,22 @@ class ManifestFormat(TableFormat):
         rolled-up stats, and a segment whose stats exclude the range
         is skipped WITHOUT parsing its file — the metadata cost of a
         narrow read scales with matching segments, not table size —
-        then surviving segments prune per entry as usual."""
+        then surviving segments prune per entry as usual.
+
+        ``version`` pins the read to one committed manifest version
+        (the snapshot handle's skip-read path, r13) — default None
+        reads the head."""
         from pyspark.sql import functions as F
 
         bounds = col if isinstance(col, dict) else {col: (lo, hi)}
-        m = self._manifest(name, resolve=False, expand_lists=False)
+        m = self._manifest(
+            name, version, resolve=False, expand_lists=False
+        )
         if m is None:
-            raise FileNotFoundError(f"no committed manifest for table {name}")
+            raise FileNotFoundError(
+                f"no committed manifest for table {name}"
+                + (f" at version {version}" if version else "")
+            )
 
         segs = m.get("segments") or []
         if not m["entries"] and not segs:
@@ -6111,14 +6196,10 @@ class CatalogManifestFormat(ManifestFormat):
             prev = tables
         return out
 
-    def read_at(self, name: str, catalog_version: int) -> DataFrame:
-        """CROSS-TABLE-CONSISTENT time travel: the table as the given
-        catalog version resolved it.  Reading a parent and its children
-        at the SAME catalog version yields exactly the state one
-        transaction committed — the per-table ``read_version`` cannot
-        promise that (its versions advance independently)."""
-        import json
-
+    def _resolved_version_at(self, name: str, catalog_version: int) -> int:
+        """The manifest version ``name`` resolved to at the given
+        catalog version — shared by ``read_at`` and the pinned-snapshot
+        handle."""
         p = join_uri(self._catalog_path(), f"c{catalog_version:012d}.json")
         if not self.fs.exists(p):
             raise ValueError(
@@ -6131,4 +6212,14 @@ class CatalogManifestFormat(ManifestFormat):
                 f"table {name} did not exist at catalog version "
                 f"{catalog_version}"
             )
-        return self.read_version(name, int(v))
+        return int(v)
+
+    def read_at(self, name: str, catalog_version: int) -> DataFrame:
+        """CROSS-TABLE-CONSISTENT time travel: the table as the given
+        catalog version resolved it.  Reading a parent and its children
+        at the SAME catalog version yields exactly the state one
+        transaction committed — the per-table ``read_version`` cannot
+        promise that (its versions advance independently)."""
+        return self.read_version(
+            name, self._resolved_version_at(name, catalog_version)
+        )
