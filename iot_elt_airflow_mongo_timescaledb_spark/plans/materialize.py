@@ -133,6 +133,16 @@ class Warehouse:
         TABLE look like at wall-clock T" from the commit log."""
         return self._format_verb("read_asof")(name, ts)
 
+    def rename_column(self, name: str, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN without data rewrite (commit-log
+        formats; see ``ManifestFormat.rename_column``)."""
+        return self._format_verb("rename_column")(name, old, new)
+
+    def drop_column(self, name: str, col: str) -> int:
+        """ALTER TABLE DROP COLUMN without data rewrite (commit-log
+        formats; see ``ManifestFormat.drop_column``)."""
+        return self._format_verb("drop_column")(name, col)
+
     def snapshot(self):
         """PINNED-SNAPSHOT read handle (commit-log formats; see
         ``TableSnapshot``): every read through the handle serves one

@@ -2210,3 +2210,156 @@ def manifest_update_mor(spark, sf_dir):
         .withColumn("entries_untouched", F.lit(len(before & after)))
         .withColumn("new_dirs", F.lit(len(after - before)))
     )
+
+
+@query(
+    "manifest_concurrent_upserts",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    seed AS (
+        SELECT c_custkey AS k, ROUND(c_acctbal * 2, 2) AS bal
+        FROM customer, mx WHERE c_custkey <= m // 4
+    ),
+    appended AS (
+        SELECT c_custkey + m AS k, ROUND(c_acctbal, 2) AS bal
+        FROM customer, mx
+        WHERE c_custkey > m // 4 AND c_custkey <= m // 2
+    )
+    SELECT k, bal FROM seed UNION ALL SELECT k, bal FROM appended
+    """,
+    gate=False,  # storage-verb family: manifest_merge_bounded carries the gate
+)
+def manifest_concurrent_upserts(spark, sf_dir):
+    """MULTI-WRITER commits end-to-end (optimistic concurrency, r13,
+    VERDICT r12 task 1): two appender threads land disjoint key
+    ranges while two merger threads upsert every seed key — all four
+    racing on ONE ManifestFormat table.  The mergers write IDENTICAL
+    batches (bal doubled), so every serialization of the schedule
+    yields the same final state and the oracle can hash it exactly:
+    blind appends rebase through concurrent commits, conflicting
+    merges recompute (`_classify_conflict` / `_retry_conflicts`,
+    plans/table_format.py) — no lost update, no duplicate key, which
+    is precisely what this hash pins.  The thread-shape stress (lost
+    batches, serialized history) lives in tests/test_concurrency.py;
+    this row keeps the verb under the driver's oracle gate."""
+    import threading
+
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "mcu_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("k",)
+    )
+    c = table(spark, sf_dir, "customer")
+    m = int(c.agg(F.max("c_custkey")).first()[0])
+    seed = c.filter(F.col("c_custkey") <= m // 4).select(
+        F.col("c_custkey").alias("k"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    fmt.write("cc.t", seed, "overwrite")
+    upsert = seed.select("k", F.round(F.col("bal") * 2, 2).alias("bal"))
+    app = (
+        c.filter(
+            (F.col("c_custkey") > m // 4) & (F.col("c_custkey") <= m // 2)
+        )
+        .select(
+            (F.col("c_custkey") + F.lit(m)).alias("k"),
+            F.round("c_acctbal", 2).alias("bal"),
+        )
+        .persist()
+    )
+    half = app.filter(F.col("k") % 2 == 0)
+    other_half = app.filter(F.col("k") % 2 == 1)
+    errors: list = []
+    barrier = threading.Barrier(4)
+
+    def run(fn):
+        def go():
+            try:
+                barrier.wait(timeout=120)
+                fn()
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        return threading.Thread(target=go)
+
+    threads = [
+        run(lambda: fmt.writer_copy().write("cc.t", half, "append")),
+        run(lambda: fmt.writer_copy().write("cc.t", other_half, "append")),
+        run(lambda: fmt.writer_copy().merge("cc.t", upsert, "k")),
+        run(lambda: fmt.writer_copy().merge("cc.t", upsert, "k")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    app.unpersist()
+    if errors:
+        raise errors[0]
+    return fmt.read("cc.t").select("k", "bal")
+
+
+@query(
+    "manifest_snapshot_pinned",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    lower AS (
+        SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal
+        FROM customer, mx WHERE c_custkey <= m // 2
+    ),
+    head AS (
+        SELECT k, bal FROM lower, mx WHERE k > m // 8
+        UNION ALL
+        SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal
+        FROM customer, mx WHERE c_custkey > m // 2
+    )
+    SELECT 'snapshot' AS src, k, bal FROM lower
+    UNION ALL
+    SELECT 'head' AS src, k, bal FROM head
+    """,
+    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+)
+def manifest_snapshot_pinned(spark, sf_dir):
+    """PINNED-SNAPSHOT reads end-to-end (r13, VERDICT r12 task 5): a
+    handle taken before an append + a stats-bounded delete must keep
+    serving the creation-time state on BOTH its reads — the full read
+    and the skip-read — while the per-call head read serves the new
+    state.  The returned frame unions the handle's post-commit read
+    with the head read, flagged, so the hash pins both sides
+    (plans/table_format.py:TableSnapshot)."""
+    from ..fs import scratch_dir
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "msp_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("k",)
+    )
+    c = table(spark, sf_dir, "customer")
+    m = int(c.agg(F.max("c_custkey")).first()[0])
+    lower = c.filter(F.col("c_custkey") <= m // 2).select(
+        F.col("c_custkey").alias("k"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    fmt.write("sp.t", lower, "overwrite")
+    snap = fmt.snapshot()
+    snap.version("sp.t")  # pin before the concurrent commits
+    fmt.write(
+        "sp.t",
+        c.filter(F.col("c_custkey") > m // 2).select(
+            F.col("c_custkey").alias("k"),
+            F.round("c_acctbal", 2).alias("bal"),
+        ),
+        "append",
+    )
+    fmt.delete_where("sp.t", "k", 0, m // 8)
+    pinned = snap.read_where("sp.t", "k", 0, m).select("k", "bal")
+    # the handle's plain read agrees with its skip-read (two reads of
+    # one handle can never straddle a commit — that is the contract)
+    assert snap.read("sp.t").count() == pinned.count()
+    return (
+        pinned.select(F.lit("snapshot").alias("src"), "k", "bal")
+        .unionByName(
+            fmt.read("sp.t").select(F.lit("head").alias("src"), "k", "bal")
+        )
+    )
