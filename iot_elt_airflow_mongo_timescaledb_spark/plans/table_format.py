@@ -1586,8 +1586,18 @@ class ManifestFormat(TableFormat):
         if norm(head.get("dv") or []) != norm(base.get("dv") or []):
             refuse("changed the merge-on-read delete set this operation "
                    "read through")
-        base_keys = {self._entry_key(e) for e in base["entries"]}
-        head_keys = {self._entry_key(e) for e in head["entries"]}
+        # delta via OBJECT IDENTITY first: resolved entries of untouched
+        # segments are the segment cache's objects, shared between the
+        # base and head manifests by construction — so the key-set math
+        # below runs over the inline tails + actually-changed segments
+        # only, O(tail + delta) instead of O(table) at commit time (the
+        # same identity contract _resegment relies on)
+        base_ids = {id(e) for e in base["entries"]}
+        head_ids = {id(e) for e in head["entries"]}
+        base_tail = [e for e in base["entries"] if id(e) not in head_ids]
+        head_tail = [e for e in head["entries"] if id(e) not in base_ids]
+        base_keys = {self._entry_key(e) for e in base_tail}
+        head_keys = {self._entry_key(e) for e in head_tail}
         touched = set(conflict.get("touched") or ())
         gone = (base_keys - head_keys) & touched
         if gone:
@@ -1599,7 +1609,7 @@ class ManifestFormat(TableFormat):
         if reads is not None:
             hits = sum(
                 1
-                for e in head["entries"]
+                for e in head_tail
                 if self._entry_key(e) not in base_keys and reads(e)
             )
             if hits:

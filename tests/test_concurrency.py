@@ -367,6 +367,37 @@ def test_cdf_feed_contiguous_across_rebased_commit(
     assert by_type.get("delete") == {2}
 
 
+def test_conflict_rebase_on_segmented_manifest(spark, tmp_path, monkeypatch):
+    """The classifier's delta runs over inline tails + changed segments
+    via resolved-entry object identity (untouched segments' entries are
+    the cache's shared objects) — a delete racing a disjoint append on
+    a SEGMENTED table must rebase exactly like on a flat one."""
+    fmt = _fmt(spark, str(tmp_path), "manifest", segment_entries=4)
+    other = _fmt(spark, str(tmp_path), "manifest", segment_entries=4)
+    for i in range(12):  # forces segment spill at tail > 4
+        fmt.write(
+            "s.t", _rows(spark, [(i * 10 + j, f"b{i}") for j in range(3)]),
+            "append" if i else "overwrite",
+        )
+    assert fmt._manifest("s.t", resolve=False).get("segments")
+
+    orig = fmt._new_data_dir
+    state = {"injected": False}
+
+    def racing(name, df, partition_by):
+        out = orig(name, df, partition_by)
+        if not state["injected"]:
+            state["injected"] = True
+            other.write("s.t", _rows(spark, [(900, "far")]), "append")
+        return out
+
+    monkeypatch.setattr(fmt, "_new_data_dir", racing)
+    assert fmt.delete_where("s.t", "k", 50, 52) == 3
+    got = {r["k"] for r in fmt.read("s.t").collect()}
+    assert 900 in got and not ({50, 51, 52} & got)
+    assert len(got) == 12 * 3 - 3 + 1
+
+
 @pytest.mark.parametrize("kind", ["manifest", "catalog"])
 def test_update_where_racing_disjoint_append_both_land(
     spark, tmp_path, kind, monkeypatch
