@@ -155,7 +155,9 @@ class IncrementalANNSync:
         if not use_obs:
             scored.unpersist()
         cent.unpersist()
-        return self.wh.read(self.centroids_table).count()
+        # the codebook's cluster list is already on the driver — a
+        # read+count of the just-written table would be one more job
+        return len(clusters)
 
     def train_from_table(
         self,
@@ -653,7 +655,10 @@ class IncrementalANNSync:
         if not use_obs:
             scored.unpersist()
         cent.unpersist()
-        return self.wh.read(self.centroids_table).count()
+        # empty clusters already dissolved in the re-centering groupBy,
+        # so the driver-side list IS the new codebook size — no
+        # read+count job
+        return len(clusters)
 
     def partial_retrain(self, clusters: list[str]) -> int:
         """Re-center ONLY the given clusters and re-assign ONLY their

@@ -1834,18 +1834,38 @@ class ManifestFormat(TableFormat):
     ) -> tuple[list, list]:
         """Land ``df`` in a fresh immutable directory; return the
         manifest entries for it (one per partition leaf when
-        partitioned, one for the dir otherwise)."""
+        partitioned, one for the dir otherwise).
+
+        UNPARTITIONED dirs ride their stats/bloom/row-count aggregates
+        on the write itself via ``Observation`` (r13 — the afbf106
+        pattern generalized): the post-write footer-scan job that every
+        append / merge / sync / DML rewrite previously paid disappears.
+        The observed node is created HERE, on a fresh plan the caller
+        never probes, so no partial action can lock the metrics.
+        Partitioned dirs keep the grouped footer read (per-leaf stats
+        are a GROUP BY, which Observation cannot express)."""
         import uuid
 
         dirname = f"d-{uuid.uuid4().hex}"
         target = join_uri(self.path(name), dirname)
+        obs = aggs = None
+        if not partition_by and (self.stats_cols or self.bloom_cols):
+            aggs, present, bloomable = self._stats_aggs(df.schema)
+            if present or bloomable:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                df = df.observe(obs, *aggs)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(target)
         if not partition_by:
             entries = [{"dir": dirname, "partitions": None}]
-            self._attach_stats(name, dirname, entries, ())
+            if obs is not None:
+                self._stats_attach(entries[0], obs.get, present, bloomable)
+            else:
+                self._attach_stats(name, dirname, entries, ())
             return entries, []
         entries = []
 
@@ -1887,25 +1907,50 @@ class ManifestFormat(TableFormat):
         ``str()`` must agree exactly (``_bloom_value_ok``)."""
         if (not self.stats_cols and not self.bloom_cols) or not entries:
             return
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import IntegralType, StringType
 
         base = join_uri(self.path(name), dirname)
         reader = self.spark.read
         if partition_by:
             reader = reader.option("basePath", base)
         df = reader.parquet(base)
-        present = [c for c in self.stats_cols if c in df.columns]
-        types = {f.name: f.dataType for f in df.schema.fields}
-        bloomable = [
-            c
-            for c in self.bloom_cols
-            if c in df.columns
-            and isinstance(types[c], (IntegralType, StringType))
-        ]
+        aggs, present, bloomable = self._stats_aggs(df.schema)
         if not present and not bloomable:
             return
 
+        if partition_by:
+            rows = df.groupBy(*partition_by).agg(*aggs).collect()
+            by_part = {
+                tuple(str(r[c]) for c in partition_by): r for r in rows
+            }
+            for e in entries:
+                r = by_part.get(
+                    tuple(e["partitions"][c] for c in partition_by)
+                )
+                if r is not None:
+                    self._stats_attach(e, r, present, bloomable)
+        else:
+            r = df.agg(*aggs).first()
+            # a ZERO-row entry (routine: empty 15-minute micro-batches)
+            # has [None, None] stats, which keep-by-default pruning
+            # would treat as unknowable forever — the recorded count
+            # lets every pruning tier exclude it outright
+            self._stats_attach(entries[0], r, present, bloomable)
+
+    def _stats_aggs(self, schema):
+        """The bounded stats/bloom aggregate set over a frame with this
+        schema — shared by the footer-read path (`_attach_stats`) and
+        the write-riding Observation path (`_new_data_dir`)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import IntegralType, StringType
+
+        cols = {f.name for f in schema.fields}
+        types = {f.name: f.dataType for f in schema.fields}
+        present = [c for c in self.stats_cols if c in cols]
+        bloomable = [
+            c
+            for c in self.bloom_cols
+            if c in cols and isinstance(types[c], (IntegralType, StringType))
+        ]
         m_bits, k = self.BLOOM_BITS, self.BLOOM_K
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in present:
@@ -1924,43 +1969,29 @@ class ManifestFormat(TableFormat):
                         F.when(F.col(c).isNotNull(), pos)
                     ).alias(f"__bl_{c}_{i}")
                 )
+        return aggs, present, bloomable
 
-        def attach(e, r):
-            e["rows"] = int(r["__n"])
-            if present:
-                e["stats"] = {
-                    c: _stat_triplet(r[f"__mn_{c}"], r[f"__mx_{c}"])
-                    for c in present
-                }
-            blooms = {}
-            for c in bloomable:
-                positions = set()
-                for i in range(k):
-                    positions.update(r[f"__bl_{c}_{i}"] or ())
-                b = _bloom_encode(positions, m_bits)
-                if b is not None:
-                    blooms[c] = {"b": b, "m": m_bits, "k": k}
-            if blooms:
-                e["bloom"] = blooms
-
-        if partition_by:
-            rows = df.groupBy(*partition_by).agg(*aggs).collect()
-            by_part = {
-                tuple(str(r[c]) for c in partition_by): r for r in rows
+    def _stats_attach(self, e: dict, r, present: list, bloomable: list):
+        """Record one aggregate row's stats/bloom/row-count on one
+        manifest entry (``r`` is a Row or an Observation metrics
+        mapping — both index by alias)."""
+        m_bits, k = self.BLOOM_BITS, self.BLOOM_K
+        e["rows"] = int(r["__n"])
+        if present:
+            e["stats"] = {
+                c: _stat_triplet(r[f"__mn_{c}"], r[f"__mx_{c}"])
+                for c in present
             }
-            for e in entries:
-                r = by_part.get(
-                    tuple(e["partitions"][c] for c in partition_by)
-                )
-                if r is not None:
-                    attach(e, r)
-        else:
-            r = df.agg(*aggs).first()
-            # a ZERO-row entry (routine: empty 15-minute micro-batches)
-            # has [None, None] stats, which keep-by-default pruning
-            # would treat as unknowable forever — the recorded count
-            # lets every pruning tier exclude it outright
-            attach(entries[0], r)
+        blooms = {}
+        for c in bloomable:
+            positions = set()
+            for i in range(k):
+                positions.update(r[f"__bl_{c}_{i}"] or ())
+            b = _bloom_encode(positions, m_bits)
+            if b is not None:
+                blooms[c] = {"b": b, "m": m_bits, "k": k}
+        if blooms:
+            e["bloom"] = blooms
 
     def _entry_path(self, name: str, e: dict) -> str:
         base = join_uri(self.path(name), e["dir"])
