@@ -86,14 +86,8 @@ def main() -> None:
                     {"v": (victim["stats"]["v"][0], victim["stats"]["v"][1])}
                 ),
             }
-            t0 = time.perf_counter()
-            fmt._commit(
-                "s.t", kept + produced, [], base["version"],
-                conflict=conflict,
-            )
-            lost_ms.append((time.perf_counter() - t0) * 1000)
-
-            # classification alone, fast path vs forced-slow
+            # classification alone (against the head the concurrent
+            # append created), fast path vs forced-slow
             head = fmt._manifest("s.t")
             t0 = time.perf_counter()
             fmt._classify_conflict("s.t", base, head, conflict)
@@ -104,6 +98,13 @@ def main() -> None:
             t0 = time.perf_counter()
             fmt._classify_conflict("s.t", base_slow, head, conflict)
             classify_slow_ms.append((time.perf_counter() - t0) * 1000)
+
+            t0 = time.perf_counter()
+            fmt._commit(
+                "s.t", kept + produced, [], base["version"],
+                conflict=conflict,
+            )
+            lost_ms.append((time.perf_counter() - t0) * 1000)
 
         out[f"entries_{n}"] = {
             "lost_race_commit_ms": round(statistics.median(lost_ms), 2),
