@@ -124,6 +124,9 @@ EXTENDED = [
     "manifest_merge_mor_pos",      # merge-on-read MERGE (positional DVs)
     "manifest_bloom_lookup",       # per-entry bloom point-lookup pruning
     "bpe_merges",                  # distributed BPE merge training
+    # round-13 additions
+    "manifest_concurrent_upserts",  # multi-writer optimistic concurrency
+    "manifest_snapshot_pinned",     # pinned-snapshot read handle
 ]
 
 

@@ -3888,15 +3888,21 @@ class ManifestFormat(TableFormat):
             return None
 
         dirname = f"cdc-{uuid.uuid4().hex}"
-        changed.write.mode("overwrite").parquet(
-            join_uri(self.path(name), dirname)
-        )
         if n is None:
-            # recorded count from the freshly landed footers — a
-            # metadata-only job, replacing a separate batch count
-            n = self.spark.read.parquet(
+            # the recorded count rides the landing itself (Observation,
+            # r13 — previously a separate footer-count job per merge)
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            changed.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(join_uri(self.path(name), dirname))
+            n = obs.get["n"]
+        else:
+            changed.write.mode("overwrite").parquet(
                 join_uri(self.path(name), dirname)
-            ).count()
+            )
         return {"dir": dirname, "n": int(n), "op": op, "since": int(since)}
 
     def read_changes_cdf(
