@@ -170,6 +170,30 @@ def test_rename_then_drop_retires_whole_lineage(spark, tmp_path):
             )
 
 
+def test_restore_across_rename_rolls_schema_back(spark, tmp_path):
+    """RESTORE to a pre-rename version re-commits that version's
+    schema — the old name serves again, the alias registry rolls back
+    with it (schema-in-the-log carries the mapping, so restore needs
+    no special casing)."""
+    fmt = _fmt(spark, str(tmp_path))
+    fmt.write("s.t", _rows(spark, (1, 10, "a")), "overwrite")
+    v1 = fmt._manifest("s.t")["version"]
+    fmt.rename_column("s.t", "v", "value")
+    fmt.write(
+        "s.t",
+        _rows(spark, (2, 20, "b")).withColumnRenamed("v", "value"),
+        "append",
+    )
+    fmt.restore("s.t", v1)
+    got = fmt.read("s.t")
+    assert "v" in got.columns and "value" not in got.columns
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(1, 10)]
+    # and the retired name is free again after the restore: the head
+    # schema carries no aliases, so a fresh rename may reuse it
+    fmt.rename_column("s.t", "v", "value")
+    assert sorted(r["value"] for r in fmt.read("s.t").collect()) == [10]
+
+
 def test_time_travel_serves_each_versions_names(spark, tmp_path):
     fmt = _fmt(spark, str(tmp_path))
     fmt.write("s.t", _rows(spark, (1, 10, "a")), "overwrite")
