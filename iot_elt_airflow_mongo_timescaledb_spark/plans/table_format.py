@@ -1512,21 +1512,26 @@ class ManifestFormat(TableFormat):
         verbs already use to split candidates from untouched."""
         return (e["dir"], e.get("rel"), str(e["partitions"]))
 
-    def _bounds_reads(self, bounds: dict):
+    def _bounds_reads(self, bounds: dict, m: dict | None = None):
         """READ-SET predicate for the conflict classifier, from the
         same bounds dict the verb pruned with: True iff a concurrently
         ADDED entry's stats may contain a matching row (exactly
         :meth:`prune_entries`'s keep test — keep-by-default, so a
         stats-less concurrent append conservatively conflicts rather
-        than silently escaping a delete that serializes after it)."""
+        than silently escaping a delete that serializes after it).
+        ``m`` threads the column mapping so an appended entry written
+        under an alias prunes by its real stats instead of
+        conservatively conflicting."""
+        names = {c: self._match_names(m, c) for c in bounds}
 
         def reads(e: dict) -> bool:
             for c, spec in bounds.items():
-                if isinstance(spec, (list, set, frozenset)):
-                    if not self._entry_may_match_in(e, c, spec):
+                for n in names[c]:
+                    if isinstance(spec, (list, set, frozenset)):
+                        if not self._entry_may_match_in(e, n, spec):
+                            return False
+                    elif not self._entry_may_match(e, n, spec[0], spec[1]):
                         return False
-                elif not self._entry_may_match(e, c, spec[0], spec[1]):
-                    return False
             return True
 
         return reads
@@ -1850,7 +1855,9 @@ class ManifestFormat(TableFormat):
         target = join_uri(self.path(name), dirname)
         obs = aggs = None
         if not partition_by and (self.stats_cols or self.bloom_cols):
-            aggs, present, bloomable = self._stats_aggs(df.schema)
+            aggs, present, bloomable = self._stats_aggs(
+                df.schema, self._alias_to_live(name, df.columns)
+            )
             if present or bloomable:
                 from pyspark.sql import Observation
 
@@ -1913,7 +1920,9 @@ class ManifestFormat(TableFormat):
         if partition_by:
             reader = reader.option("basePath", base)
         df = reader.parquet(base)
-        aggs, present, bloomable = self._stats_aggs(df.schema)
+        aggs, present, bloomable = self._stats_aggs(
+            df.schema, self._alias_to_live(name, df.columns)
+        )
         if not present and not bloomable:
             return
 
@@ -1936,21 +1945,55 @@ class ManifestFormat(TableFormat):
             # lets every pruning tier exclude it outright
             self._stats_attach(entries[0], r, present, bloomable)
 
-    def _stats_aggs(self, schema):
+    def _alias_to_live(self, name: str, columns) -> dict | None:
+        """alias -> live-column translation for stats/bloom collection
+        after a RENAME: the configured ``stats_cols``/``bloom_cols``
+        name columns as they were at configuration time, but
+        post-rename frames carry the live names — without translation
+        every new entry would silently record NO stats and pruning
+        would degrade forever.  Zero-cost fast path: when every
+        configured column is present under its own name (no rename
+        ever happened — the overwhelmingly common case), returns None
+        without touching the manifest."""
+        have = set(columns)
+        if all(c in have for c in (*self.stats_cols, *self.bloom_cols)):
+            return None
+        m = self._manifest(name, resolve=False, expand_lists=False)
+        aliases, _, _ = self._schema_mapping((m or {}).get("schema"))
+        return {a: live for live, als in aliases.items() for a in als}
+
+    def _stats_aggs(self, schema, alias_to_live: dict | None = None):
         """The bounded stats/bloom aggregate set over a frame with this
         schema — shared by the footer-read path (`_attach_stats`) and
-        the write-riding Observation path (`_new_data_dir`)."""
+        the write-riding Observation path (`_new_data_dir`).
+        ``alias_to_live`` redirects configured column names retired by
+        a rename to the live column the frame actually carries, so
+        stats land under the name the FILE stores (what alias-AND
+        pruning expects)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import IntegralType, StringType
 
         cols = {f.name for f in schema.fields}
         types = {f.name: f.dataType for f in schema.fields}
-        present = [c for c in self.stats_cols if c in cols]
-        bloomable = [
-            c
-            for c in self.bloom_cols
-            if c in cols and isinstance(types[c], (IntegralType, StringType))
-        ]
+
+        def live(c):
+            if c in cols:
+                return c
+            t = (alias_to_live or {}).get(c)
+            return t if t in cols else None
+
+        present = list(
+            dict.fromkeys(
+                t for t in (live(c) for c in self.stats_cols) if t
+            )
+        )
+        bloomable = list(
+            dict.fromkeys(
+                t
+                for t in (live(c) for c in self.bloom_cols)
+                if t and isinstance(types[t], (IntegralType, StringType))
+            )
+        )
         m_bits, k = self.BLOOM_BITS, self.BLOOM_K
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in present:
@@ -3833,7 +3876,11 @@ class ManifestFormat(TableFormat):
             .write.mode("overwrite")
             .parquet(target)
         )
-        scols = sorted({*stat_for, *self.stats_cols} & set(df.columns))
+        a2l = self._alias_to_live(name, df.columns) or {}
+        scols = sorted(
+            {a2l.get(c, c) for c in (*stat_for, *self.stats_cols)}
+            & set(df.columns)
+        )
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in scols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
@@ -4374,12 +4421,22 @@ class ManifestFormat(TableFormat):
         The equivalence with flat pruning over the resolved entry list
         is property-pinned (tests/test_segment_properties.py), and
         tier 0's never-parsed guarantee is test-pinned like tier 1's
-        (tests/test_manifest_segments.py)."""
+        (tests/test_manifest_segments.py).  Column mapping: every tier
+        ANDs the keep test over the logical name + its aliases, same
+        as flat pruning (entries/segments/list-refs rolled before a
+        rename carry stats under the OLD name)."""
+        names = {c: self._match_names(m, c) for c in bounds}
 
         def may_match(holder, c, spec):
             if isinstance(spec, (list, set, frozenset)):
-                return self._entry_may_match_in(holder, c, spec)
-            return self._entry_may_match(holder, c, spec[0], spec[1])
+                return all(
+                    self._entry_may_match_in(holder, n, spec)
+                    for n in names[c]
+                )
+            return all(
+                self._entry_may_match(holder, n, spec[0], spec[1])
+                for n in names[c]
+            )
 
         def keeps(holder):
             return all(may_match(holder, c, b) for c, b in bounds.items())
@@ -4701,7 +4758,7 @@ class ManifestFormat(TableFormat):
                 "base": m,
                 "touched": {self._entry_key(e) for e in candidates},
                 "removed": set(), "produced": [],
-                "reads": self._bounds_reads(bounds),
+                "reads": self._bounds_reads(bounds, m),
             },
         )
         self._maybe_purge_dvs(name, dv)
@@ -4855,7 +4912,7 @@ class ManifestFormat(TableFormat):
             ),
             conflict={
                 "base": m, "touched": cand_ids, "removed": cand_ids,
-                "produced": new, "reads": self._bounds_reads(bounds),
+                "produced": new, "reads": self._bounds_reads(bounds, m),
             },
         )
         return n_deleted
@@ -4997,7 +5054,7 @@ class ManifestFormat(TableFormat):
             ),
             conflict={
                 "base": m, "touched": cand_ids, "removed": cand_ids,
-                "produced": new, "reads": self._bounds_reads(bounds),
+                "produced": new, "reads": self._bounds_reads(bounds, m),
             },
         )
         return n_updated
@@ -5119,7 +5176,11 @@ class ManifestFormat(TableFormat):
             # recording is on, comes from the landed footers)
             has_match = not matched.isEmpty()
         key_reads = (
-            (lambda e: self._entry_may_match(e, unique_key, lo, hi))
+            (
+                lambda e: all(
+                    self._entry_may_match(e, n, lo, hi) for n in key_names
+                )
+            )
             if lo is not None
             else None
         )
@@ -5420,7 +5481,11 @@ class ManifestFormat(TableFormat):
                 matched = matched.persist()
             has_match = not matched.isEmpty()
         key_reads = (
-            (lambda e: self._entry_may_match(e, unique_key, lo, hi))
+            (
+                lambda e: all(
+                    self._entry_may_match(e, n, lo, hi) for n in key_names
+                )
+            )
             if lo is not None
             else None
         )
@@ -5603,7 +5668,7 @@ class ManifestFormat(TableFormat):
                 "base": m,
                 "touched": {self._entry_key(e) for e in candidates},
                 "removed": set(), "produced": new,
-                "reads": self._bounds_reads(bounds),
+                "reads": self._bounds_reads(bounds, m),
             },
         )
         self._maybe_purge_dvs(name, dv)

@@ -367,6 +367,40 @@ def test_cdf_feed_contiguous_across_rebased_commit(
     assert by_type.get("delete") == {2}
 
 
+def test_conflict_reads_consult_aliases_after_rename(
+    spark, tmp_path, monkeypatch
+):
+    """Post-rename, the conflict read-set check must prune a
+    concurrently appended entry by its REAL stats even though old
+    entries recorded them under the alias — a stats-disjoint append
+    rebases (one verb pass), it does not conservatively conflict."""
+    fmt = _fmt(spark, str(tmp_path), "manifest", stats_cols=("k",))
+    other = _fmt(spark, str(tmp_path), "manifest", stats_cols=("k",))
+    fmt.write("s.t", _rows(spark, [(1, "a"), (2, "b")]), "overwrite")
+    fmt.rename_column("s.t", "k", "key")
+
+    orig = fmt._new_data_dir
+    calls = {"n": 0, "injected": False}
+
+    def racing(name, df, partition_by):
+        calls["n"] += 1
+        out = orig(name, df, partition_by)
+        if not calls["injected"]:
+            calls["injected"] = True
+            other.write(
+                "s.t",
+                spark.createDataFrame([(500, "far")], "key long, val string"),
+                "append",
+            )
+        return out
+
+    monkeypatch.setattr(fmt, "_new_data_dir", racing)
+    assert fmt.delete_where("s.t", "key", 2, 2) == 1
+    assert calls["n"] == 1  # rebase, not recompute
+    got = sorted((r["key"], r["val"]) for r in fmt.read("s.t").collect())
+    assert got == [(1, "a"), (500, "far")]
+
+
 def test_conflict_rebase_on_segmented_manifest(spark, tmp_path, monkeypatch):
     """The classifier's delta runs over inline tails + changed segments
     via resolved-entry object identity (untouched segments' entries are
