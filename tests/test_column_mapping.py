@@ -125,6 +125,29 @@ def test_pruning_stays_bounded_across_rename(spark, tmp_path):
     assert len(before & after) == 3  # 3 of 4 dirs untouched by identity
 
 
+def test_stats_still_collected_after_renaming_stats_col(spark, tmp_path):
+    """stats_cols names the column as configured; after renaming THAT
+    column, new writes must record stats under the live name (the one
+    the file carries) — without the alias->live translation every new
+    entry would silently record none and pruning would degrade."""
+    fmt = _fmt(spark, str(tmp_path))  # stats_cols=("k",)
+    fmt.write("s.t", _rows(spark, (1, 10, "a")), "overwrite")
+    fmt.rename_column("s.t", "k", "key")
+    fmt.write(
+        "s.t",
+        spark.createDataFrame([Row(key=500, v=50, tag="z")]),
+        "append",
+    )
+    entries = fmt._manifest("s.t")["entries"]
+    new = [e for e in entries if (e.get("stats") or {}).get("key")]
+    old = [e for e in entries if (e.get("stats") or {}).get("k")]
+    assert len(new) == 1 and len(old) == 1
+    assert new[0]["stats"]["key"][:2] == [500, 500]
+    # and the alias-AND prune uses both: a narrow range hits one entry
+    kept, _ = fmt.prune_entries("s.t", "key", 400, 600)
+    assert len(kept) == 1
+
+
 def test_merge_on_renamed_key(spark, tmp_path):
     fmt = _fmt(spark, str(tmp_path))
     fmt.write("s.t", _rows(spark, (1, 10, "a"), (2, 20, "b")), "overwrite")
