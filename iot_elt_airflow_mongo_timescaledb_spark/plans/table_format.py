@@ -3655,6 +3655,23 @@ class ManifestFormat(TableFormat):
         n_files: int | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
     ) -> int:
+        """Public entry: :meth:`_cluster_once` under the serializable
+        conflict-retry loop — blind concurrent appends rebase over the
+        rewrite (the late entry stays unclustered, like an append
+        right after); a concurrent DML that rewrote a source entry
+        re-clusters against the new head."""
+        return self._retry_conflicts(
+            name,
+            lambda: self._cluster_once(name, col, n_files, target_file_bytes),
+        )
+
+    def _cluster_once(
+        self,
+        name: str,
+        col: str,
+        n_files: int | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
         """Range-clustered rewrite with PER-FILE stats — the 1-D version
         of Delta's ``OPTIMIZE ... ZORDER BY`` / Iceberg's sort-order
         rewrite, completing the data-skipping story: appends give
@@ -3693,6 +3710,24 @@ class ManifestFormat(TableFormat):
         )
 
     def cluster_zorder(
+        self,
+        name: str,
+        cols: tuple[str, ...],
+        n_files: int | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        bits: int = 4,
+    ) -> int:
+        """Public entry: :meth:`_cluster_zorder_once` under the
+        serializable conflict-retry loop (same contract as
+        :meth:`cluster`)."""
+        return self._retry_conflicts(
+            name,
+            lambda: self._cluster_zorder_once(
+                name, cols, n_files, target_file_bytes, bits
+            ),
+        )
+
+    def _cluster_zorder_once(
         self,
         name: str,
         cols: tuple[str, ...],
@@ -3800,9 +3835,15 @@ class ManifestFormat(TableFormat):
         range-shuffle on ``order_expr`` into a fresh dir, ONE
         ``input_file_name``-grouped aggregate for per-file min/max
         stats (never a per-file job loop), flattened provenance, and a
-        base-anchored commit (a concurrent append landing during the
-        rewrite collides on base+1 and aborts this rewrite instead of
-        being silently dropped — ADVICE r8 #1's worst case)."""
+        base-anchored commit.  Concurrency (r13): a BLIND concurrent
+        append rebases over the rewrite — the appended entry stays
+        unclustered beside the clustered files, exactly the "cluster
+        then append" serialization (clustering is row-preserving
+        layout maintenance, so reads=None is sound); a concurrent
+        commit that REWROTE a base entry (DML) or changed the
+        dv/schema/constraints conflicts, and the verb re-clusters
+        against the new head (Delta OPTIMIZE retries the same way —
+        previously ANY concurrent commit aborted the whole rewrite)."""
         from pyspark.sql import functions as F
 
         if n_files is None:
@@ -3842,9 +3883,14 @@ class ManifestFormat(TableFormat):
         # the idempotent streaming-writer watermarks here would make a
         # foreachBatch replay after a cluster() land twice (the same
         # class of bug ADVICE r9 #1 closed on delete/update)
+        base_keys = {self._entry_key(e) for e in m["entries"]}
         self._commit(
             name, entries, [], m["version"], schema=m.get("schema"),
             txn=m.get("txn"), cdc=cdc,
+            conflict={
+                "base": m, "touched": base_keys, "removed": base_keys,
+                "produced": entries, "reads": None,
+            },
         )
         return len(entries)
 

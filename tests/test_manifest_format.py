@@ -1425,12 +1425,15 @@ def test_replace_racing_append_during_data_write_aborts(
 
 
 @pytest.mark.parametrize("kind", ["manifest", "catalog"])
-def test_cluster_racing_append_aborts_not_discards(
+def test_cluster_racing_append_rebases_not_discards(
     spark, tmp_path, kind, monkeypatch
 ):
     """cluster()'s stale window spans the whole range-shuffle rewrite —
-    the worst case in ADVICE r8 #1.  An append landing mid-rewrite must
-    abort the cluster commit and survive."""
+    the worst case in ADVICE r8 #1.  Round 13 (optimistic concurrency):
+    a BLIND append landing mid-rewrite rebases over the commit — the
+    clustered files land AND the late entry survives unclustered
+    beside them (the "cluster then append" serialization; Delta
+    OPTIMIZE commutes with appends the same way)."""
     root = str(tmp_path)
     fmt = _fmt_of(spark, root, kind)
     other = _fmt_of(spark, root, kind)
@@ -1450,10 +1453,14 @@ def test_cluster_racing_append_aborts_not_discards(
         return out
 
     monkeypatch.setattr(fmt, "read", racing)
-    with pytest.raises(RuntimeError, match="does not commute"):
-        fmt.cluster("s.t", "v", n_files=2)
+    assert fmt.cluster("s.t", "v", n_files=2) == 2
     got = {(r["day"], r["v"]) for r in fmt.read("s.t").collect()}
     assert got == {("a", 1), ("b", 2), ("late", 9)}
+    # the clustered files carry per-file stats; the late entry rode
+    # the rebase and sits beside them
+    entries = fmt._manifest("s.t")["entries"]
+    clustered = [e for e in entries if e.get("sources")]
+    assert len(clustered) == 2 and len(entries) == 3
 
 
 def test_vacuum_writer_grace_protects_inflight_dirs(spark, tmp_path, monkeypatch):
