@@ -2459,3 +2459,89 @@ def ann_cdf_upsert_topk(spark, sf_dir):
     idx.sync_from_cdf(fmt, "raw.vecs")
     out = idx.topk(e.filter(F.col("vec_id") < 5), k=3, n_probe=4)
     return out.select("query_id", "neighbor_id", "score", "rk")
+
+
+@query(
+    "rag_context_assembly",
+    oracle=f"""
+    WITH v AS ({_VECS}), q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS score
+      FROM q JOIN v c ON c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rk
+      FROM scored),
+    cand AS (
+      SELECT r.query_id, r.rk, d.text,
+             len(regexp_split_to_array(trim(d.text), '\\s+')) AS toks
+      FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+      WHERE r.rk <= 8),
+    fitted AS (
+      SELECT *, SUM(toks) OVER (PARTITION BY query_id ORDER BY rk
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cand)
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ctx,
+           CAST(SUM(toks) AS BIGINT) AS ctx_tokens,
+           CAST(LENGTH(STRING_AGG(text, ' | ' ORDER BY rk)) AS BIGINT)
+               AS ctx_len
+    FROM fitted WHERE cum <= 256
+    GROUP BY query_id
+    """,
+    gate=False,  # ANN family: the gated rows are cosine_topk + LSH/IVF
+)
+def rag_context_assembly(spark, sf_dir):
+    """RAG-shaped retrieval pipeline end-to-end (r13): exact cosine
+    top-8 recall per query -> document join -> token-budget-bounded
+    context assembly in rank order — the two-stage shape every
+    retrieval-augmented training/eval pipeline needs, composed from
+    the engine's own pieces (`operators/similarity.py` top-k,
+    whitespace token counts, running-sum budget cut, ordered
+    ``collect_list(struct)`` assembly — no global sort, no UDF).
+
+    100-TB shape: the candidate set is bounded by queries x k, so the
+    document join broadcasts the CANDIDATES against the corpus (never
+    the reverse), the budget cut is a per-query window over <= k rows,
+    and the recall stage swaps to the IVF/LSH variants unchanged
+    (same output contract).  Budget = 256 whitespace tokens; neighbors
+    that do not fit are dropped whole (no mid-document truncation)."""
+    from pyspark.sql.window import Window
+
+    cand_k, budget = 8, 256
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents")
+    topk = S.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=cand_k)
+    cand = (
+        d.join(
+            F.broadcast(topk.select("query_id", "neighbor_id", "rk")),
+            F.col("doc_id") == F.col("neighbor_id"),
+        )
+        .select(
+            "query_id", "rk", "text",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("toks"),
+        )
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fitted = cand.withColumn("cum", F.sum("toks").over(w)).filter(
+        F.col("cum") <= budget
+    )
+    return fitted.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_ctx"),
+        F.sum("toks").alias("ctx_tokens"),
+        F.length(
+            F.concat_ws(
+                " | ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "text"))),
+                    lambda t: t.getField("text"),
+                ),
+            )
+        ).cast("long").alias("ctx_len"),
+    )

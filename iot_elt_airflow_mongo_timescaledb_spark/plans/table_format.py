@@ -4080,6 +4080,14 @@ class ManifestFormat(TableFormat):
                         "enableChangeDataFeed).  Enable cdf=True before "
                         "the DML commits, or resync with a full read"
                     ) from err
+            # COLUMN MAPPING (r13): each step reads under ITS version's
+            # names — a feed spanning a rename would otherwise union an
+            # old-name column with its new-name twin, NULL-padded, and
+            # a mirror replay would silently split one logical column
+            # in two.  Resolve every step through the HEAD's mapping
+            # (no-op when the table never renamed/dropped), so the feed
+            # serves one consistent logical schema: the head's.
+            step = self._apply_column_mapping(step, head.get("schema"))
             frames.append(step.withColumn("_commit_version", F.lit(v)))
             prev = v
         if not frames:

@@ -240,6 +240,35 @@ def test_reader_feature_guard(spark, tmp_path):
         legacy.read("s.t")
 
 
+def test_cdf_feed_consistent_across_rename(spark, tmp_path):
+    """A change feed spanning a rename must serve ONE logical schema
+    (the head's) — without the per-step mapping the pre-rename insert
+    steps would union the old-name column NULL-padded beside its
+    new-name twin and a mirror replay would silently split the
+    column."""
+    fmt = _fmt(spark, str(tmp_path), cdf=True)
+    fmt.write("s.t", _rows(spark, (1, 10, "a"), (2, 20, "b")), "overwrite")
+    fmt.rename_column("s.t", "v", "value")
+    fmt.write(
+        "s.t",
+        _rows(spark, (3, 30, "c")).withColumnRenamed("v", "value"),
+        "append",
+    )
+    fmt.delete_where("s.t", "k", 2, 2)
+    feed = fmt.read_changes_cdf("s.t", since_version=0)
+    assert "value" in feed.columns and "v" not in feed.columns
+    rows = feed.collect()
+    # mirror replay: apply inserts then deletes -> equals the table
+    state = {}
+    for r in sorted(rows, key=lambda r: r["_commit_version"]):
+        if r["_change_type"] == "insert":
+            state[r["k"]] = r["value"]
+        elif r["_change_type"] == "delete":
+            state.pop(r["k"], None)
+    got = sorted((r["k"], r["value"]) for r in fmt.read("s.t").collect())
+    assert sorted(state.items()) == got == [(1, 10), (3, 30)]
+
+
 def test_cow_rewrite_migrates_files_to_current_name(spark, tmp_path):
     """COW verbs re-land the LOGICAL frame: a post-rename update
     rewrites its candidates under the current name (the physical

@@ -177,6 +177,7 @@ _NESTED_LOOP_OK = {
     "ann_cdf_upsert_topk",  # same probe shape, CDF-maintained index
     "ann_quantized_topk",  # broadcast query side
     "cosine_topk",         # broadcast query side (exact baseline)
+    "rag_context_assembly",  # broadcast query side (cosine recall stage)
     "series_similarity_topk",  # broadcast probe-profile side
     "embedding_near_dup",  # documented exact all-pairs baseline
     "array_membership_region",  # 5-row dim broadcast (scale path = explode rewrite)
