@@ -127,6 +127,7 @@ EXTENDED = [
     # round-13 additions
     "manifest_concurrent_upserts",  # multi-writer optimistic concurrency
     "manifest_snapshot_pinned",     # pinned-snapshot read handle
+    "rag_context_assembly",         # two-stage retrieval + budgeted context
 ]
 
 
