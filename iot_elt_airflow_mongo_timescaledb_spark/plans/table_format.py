@@ -3586,7 +3586,16 @@ class ManifestFormat(TableFormat):
             return 0  # nothing merges without rewriting full-size history
         src = [e for e in m["entries"] if e["dir"] in small]
         df = self._read_entries(name, m, src)
-        if self.cluster_by in df.columns and not m["partition_columns"]:
+        # the configured merge key may have been RENAMED since this
+        # format was constructed — translate through the column mapping
+        # so cluster-on-compact keeps converging the layout instead of
+        # silently degrading to unclustered landings (r13)
+        ckey = self.cluster_by
+        if ckey is not None and ckey not in df.columns:
+            aliases, _, _ = self._schema_mapping(m.get("schema"))
+            rev = {a: live for live, als in aliases.items() for a in als}
+            ckey = rev.get(ckey)
+        if ckey in df.columns and not m["partition_columns"]:
             # cluster-on-compact: land the absorbed tail range-shuffled
             # on the merge key with PER-FILE stats — each compaction
             # cycle converges the table toward near-disjoint key ranges,
@@ -3597,8 +3606,7 @@ class ManifestFormat(TableFormat):
             tail_bytes = sum(sizes[d] for d in small)
             n_files = max(1, -(-tail_bytes // int(target_file_bytes)))
             new = self._land_clustered_dir(
-                name, df, F.col(self.cluster_by), (self.cluster_by,),
-                n_files,
+                name, df, F.col(ckey), (ckey,), n_files,
             )
         else:
             new, _ = self._new_data_dir(

@@ -240,6 +240,35 @@ def test_reader_feature_guard(spark, tmp_path):
         legacy.read("s.t")
 
 
+def test_cluster_on_compact_follows_renamed_key(spark, tmp_path):
+    """cluster_by names the merge key at configuration time; after
+    renaming it, threshold compaction must keep landing the absorbed
+    tail range-clustered on the LIVE name (per-file stats), not
+    silently degrade to one opaque dir."""
+    fmt = _fmt(
+        spark, str(tmp_path),
+        auto_compact_dirs=3, cluster_by="k",
+    )
+    fmt.write("s.t", _rows(spark, (0, 0, "x"), (1, 1, "x")), "overwrite")
+    fmt.rename_column("s.t", "k", "key")
+    for i in range(2, 8):
+        fmt.write(
+            "s.t",
+            spark.createDataFrame([Row(key=i * 10, v=i, tag="x")]),
+            "append",
+        )
+    assert fmt.maybe_compact("s.t") > 0
+    entries = fmt._manifest("s.t")["entries"]
+    clustered = [
+        e
+        for e in entries
+        if e.get("sources") and (e.get("stats") or {}).get("key")
+    ]
+    assert clustered, [
+        (e.get("dir"), e.get("rel"), e.get("stats")) for e in entries
+    ]
+
+
 def test_cdf_feed_consistent_across_rename(spark, tmp_path):
     """A change feed spanning a rename must serve ONE logical schema
     (the head's) — without the per-step mapping the pre-rename insert
