@@ -290,7 +290,14 @@ class IncrementalANNSync:
         for i, c in enumerate(clusters):
             n = int(got[f"n{i}"] or 0)
             if n:
-                rows.append((str(c), float(got[f"s{i}"]) / n, n))
+                # a cluster whose batch members all carry NULL __cos
+                # sums to None; F.avg in the groupBy fallback yields a
+                # NULL __q row for the same input, so mirror it exactly
+                # (float(None) would raise) rather than diverge
+                s = got[f"s{i}"]
+                rows.append(
+                    (str(c), float(s) / n if s is not None else None, n)
+                )
         return self.spark.createDataFrame(
             rows, "__cluster string, __q double, __n long"
         )

@@ -2294,6 +2294,16 @@ def manifest_concurrent_upserts(spark, sf_dir):
         t.start()
     for t in threads:
         t.join(timeout=600)
+    # a writer still alive after the timeout means the final read
+    # would race in-flight commits — fail loudly naming the hung
+    # thread instead of surfacing as a confusing oracle hash mismatch
+    hung = [i for i, t in enumerate(threads) if t.is_alive()]
+    if hung:
+        raise TimeoutError(
+            f"concurrent-upsert writer thread(s) {hung} still running "
+            "after 600s join timeout; refusing to read a table with "
+            "in-flight commits"
+        )
     app.unpersist()
     if errors:
         raise errors[0]

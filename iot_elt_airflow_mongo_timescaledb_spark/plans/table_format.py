@@ -129,6 +129,119 @@ def _bloom_value_ok(v) -> bool:
     return isinstance(v, (int, str)) and not isinstance(v, bool)
 
 
+class LogStore(abc.ABC):
+    """Pluggable COMMIT PRIMITIVE (round 14, VERDICT task 1 — Delta's
+    LogStore API): the single storage operation the whole optimistic-
+    concurrency protocol rests on is a linearizable *put-if-absent* of
+    one small log file (a manifest version file or a catalog pointer).
+    Everything above it — rebase, conflict classification, retries —
+    is backend-agnostic; everything below it is THIS seam.
+
+    Backends:
+    - :class:`CreateExclusiveLogStore` (default): the store's own
+      atomic create-exclusive.  Correct on HDFS (namenode-arbitrated
+      ``create(overwrite=false)``), local POSIX (``O_EXCL``), and any
+      object store with conditional PUT (S3 ``If-None-Match: *``, GCS
+      ``ifGenerationMatch=0``, Azure ``If-None-Match``).
+    - :class:`ArbitratedLogStore`: ownership decided by an EXTERNAL
+      linearizable arbiter (a lock service, a DynamoDB conditional
+      put, a database unique-key insert — the Delta-on-S3
+      ``S3DynamoDBLogStore`` design) and the file then written as a
+      plain PUT by the single granted owner, so the protocol stays
+      serializable even when the store's create-exclusive is NOT
+      atomic (a legacy object store with no conditional write).
+
+    Only the CAS-bearing files route through here.  Segment/seglist
+    spills and data dirs use fresh uuid names — no two writers ever
+    target the same name, so plain writes are race-free on any store.
+    """
+
+    @abc.abstractmethod
+    def put_if_absent(self, fs, uri: str, body: str) -> bool:
+        """Atomically publish ``body`` at ``uri`` iff nothing exists
+        there.  True = this writer owns the name; False = another
+        writer (or a genuine IO refusal — the bounded retry loops
+        above surface persistent ones) got there first.  MUST be
+        linearizable across every writer of the warehouse."""
+
+
+class CreateExclusiveLogStore(LogStore):
+    """Default backend: the filesystem's own create-exclusive is the
+    arbiter.  ONE call — no exists() pre-probe; the create itself is
+    the test (r9: the probe doubled py4j/namenode roundtrips per
+    attempt for nothing)."""
+
+    def put_if_absent(self, fs, uri: str, body: str) -> bool:
+        try:
+            fs.write_text(uri, body, overwrite=False)
+        except Exception:
+            # create-exclusive refused: the racing writer's create won.
+            # A genuine IO failure also lands here — the bounded retry
+            # loop surfaces it as the final commit error instead of
+            # looping forever.
+            return False
+        return True
+
+
+class ArbitratedLogStore(LogStore):
+    """External-arbiter backend for stores whose create-exclusive is
+    not atomic: ``claim(uri)`` must be a linearizable test-and-set
+    over commit names (exactly one True per name, ever).  The file
+    write happens ONLY after the claim is granted, as a plain
+    overwrite PUT by the single owner — the storage layer's own
+    concurrency semantics no longer matter.
+
+    In-process deployments (one driver, many writer threads — the
+    local[] twin of Delta's ``S3SingleDriverLogStore``) use
+    :class:`InProcessArbiter`.  A multi-driver production deployment
+    supplies a distributed claim (DynamoDB ``attribute_not_exists``
+    conditional put, a Postgres ``INSERT .. ON CONFLICT DO NOTHING``
+    keyed by uri); to close the crash-after-claim window such an
+    arbiter should record ``body`` (or a completed-write marker) with
+    the claim so any later reader/writer can finish the publish —
+    Delta's recovery scheme.  ``unclaim`` releases a name after a
+    FAILED write so the commit is retryable rather than wedged."""
+
+    def __init__(self, claim, unclaim=None):
+        self._claim = claim
+        self._unclaim = unclaim
+
+    def put_if_absent(self, fs, uri: str, body: str) -> bool:
+        if not self._claim(uri):
+            return False
+        try:
+            fs.write_text(uri, body, overwrite=True)
+        except Exception:
+            if self._unclaim is not None:
+                self._unclaim(uri)
+            raise
+        return True
+
+
+class InProcessArbiter:
+    """Linearizable claim set for every writer THREAD of one driver
+    process: a lock-guarded set is trivially a test-and-set.  Share
+    ONE instance across all handles of a warehouse (``writer_copy``
+    propagates the containing LogStore)."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._claimed: set[str] = set()
+
+    def claim(self, uri: str) -> bool:
+        with self._lock:
+            if uri in self._claimed:
+                return False
+            self._claimed.add(uri)
+            return True
+
+    def unclaim(self, uri: str) -> None:
+        with self._lock:
+            self._claimed.discard(uri)
+
+
 class CommitConflict(RuntimeError):
     """A concurrent commit intersected this transaction's READ or WRITE
     set, so the manifest rebase that resolves blind-append races cannot
@@ -620,6 +733,7 @@ class ManifestFormat(TableFormat):
         auto_purge_dvs: int | None = None,
         dv_form: str = "equality",
         bloom_cols: tuple[str, ...] = (),
+        log_store: LogStore | None = None,
     ):
         """``auto_compact_dirs``: data-dir count above which the append
         path triggers :meth:`maybe_compact` (None disables).  Default 16
@@ -702,6 +816,11 @@ class ManifestFormat(TableFormat):
         self.spark = spark
         self.root = root
         self.fs = HadoopFS(spark)
+        # the commit primitive (round 14): every CAS-bearing log write
+        # (version files, catalog pointers) routes through this seam —
+        # see :class:`LogStore` for when the default is sound and when
+        # a deployment must supply an arbitrated backend
+        self.log_store: LogStore = log_store or CreateExclusiveLogStore()
         self.auto_compact_dirs = auto_compact_dirs
         self.stats_cols = tuple(stats_cols)
         self.segment_entries = segment_entries
@@ -733,6 +852,17 @@ class ManifestFormat(TableFormat):
         # head) into O(inline tail) parses.  Bounded FIFO so a long-
         # lived session over many tables can't grow without limit.
         self._seg_cache: dict[str, list] = {}
+        # per-table alias-translation cache for _alias_to_live's slow
+        # path: a table that simply never carries one configured
+        # stats/bloom column (shared format config across tables)
+        # would otherwise pay a manifest read on EVERY hot-path append
+        # even though no rename ever happened.  {} means "schema holds
+        # no aliases".  Invalidated by this handle's own
+        # rename_column/drop_column and by non-append writes; a
+        # CONCURRENT process's rename only delays alias pickup until
+        # invalidation — stats land unrecorded for the window, which
+        # keep-by-default pruning tolerates soundly (ADVICE r13 low).
+        self._a2l_cache: dict[str, dict] = {}
 
     #: parsed-segment cache bound (files); oldest evicted first.
     #: Sized to hold EVERY segment of a multi-thousand-segment table:
@@ -1388,16 +1518,15 @@ class ManifestFormat(TableFormat):
         cdc: dict | None = None,
         dv: list | None = None,
     ) -> bool:
-        """The commit CAS primitive: create-exclusive of the version
-        file.  True = this writer owns ``version``; False = another
-        writer got there first (the exclusive create refused).  ONE
-        filesystem call — no exists() pre-probe; the create itself is
-        the test (r9: the probe doubled py4j/namenode roundtrips per
-        attempt for nothing).  Atomic on HDFS (namenode-arbitrated
-        ``create(overwrite=false)``); on raw local/object stores the
-        internal exists+create window is best-effort and a
-        coordination service (Delta-on-S3's LogStore, a lock table)
-        slots in HERE."""
+        """The commit CAS primitive: put-if-absent of the version file
+        through the pluggable :class:`LogStore` seam (round 14).  True
+        = this writer owns ``version``; False = another writer got
+        there first.  The default backend is the store's own
+        create-exclusive (atomic on HDFS/POSIX/conditional-PUT object
+        stores); a deployment on a store WITHOUT atomic conditional
+        writes injects :class:`ArbitratedLogStore` so a lock service /
+        conditional-put table arbitrates instead — the protocol above
+        this call is unchanged either way."""
         import json
         import time
 
@@ -1495,15 +1624,7 @@ class ManifestFormat(TableFormat):
                 "committed_at": int(time.time()),
             }
         )
-        try:
-            self.fs.write_text(final, body, overwrite=False)
-        except Exception:
-            # create-exclusive refused: the racing writer's create won.
-            # A genuine IO failure also lands here — the bounded retry
-            # loop surfaces it as the final commit error instead of
-            # looping forever.
-            return False
-        return True
+        return self.log_store.put_if_absent(self.fs, final, body)
 
     @staticmethod
     def _entry_key(e: dict) -> tuple:
@@ -1958,9 +2079,14 @@ class ManifestFormat(TableFormat):
         have = set(columns)
         if all(c in have for c in (*self.stats_cols, *self.bloom_cols)):
             return None
+        cached = self._a2l_cache.get(name)
+        if cached is not None:
+            return cached or None
         m = self._manifest(name, resolve=False, expand_lists=False)
         aliases, _, _ = self._schema_mapping((m or {}).get("schema"))
-        return {a: live for live, als in aliases.items() for a in als}
+        out = {a: live for live, als in aliases.items() for a in als}
+        self._a2l_cache[name] = out
+        return out or None
 
     def _stats_aggs(self, schema, alias_to_live: dict | None = None):
         """The bounded stats/bloom aggregate set over a frame with this
@@ -2868,6 +2994,7 @@ class ManifestFormat(TableFormat):
             )
 
         self._commit_edit(name, edit)
+        self._a2l_cache.pop(name, None)
         return self._manifest(name, resolve=False, expand_lists=False)[
             "version"
         ]
@@ -2951,6 +3078,7 @@ class ManifestFormat(TableFormat):
             )
 
         self._commit_edit(name, edit)
+        self._a2l_cache.pop(name, None)
         return self._manifest(name, resolve=False, expand_lists=False)[
             "version"
         ]
@@ -3080,6 +3208,30 @@ class ManifestFormat(TableFormat):
 
         stored = head.get("schema")
         if stored is not None:
+            # the retired-name guard must re-run against the REBASED
+            # head: a rename/drop that landed after this writer's
+            # pre-land _enforce_append_schema check retires names the
+            # base schema still held live — merging the appended column
+            # back in as a new live field would let old files' physical
+            # data resurrect through _apply_column_mapping's coalesce
+            # (the exact corruption _enforce_append_schema refuses on
+            # the non-racing path).  On the no-contention path head's
+            # retired set equals the one already checked, so this is a
+            # pure metadata set intersection.
+            _, dropped_names, retired = self._schema_mapping(stored)
+            bad = sorted(
+                f.name
+                for f in df.schema.fields
+                if f.name in retired or f.name in dropped_names
+            )
+            if bad:
+                raise RuntimeError(
+                    f"append to {name} lost to a concurrent rename/"
+                    f"drop: column(s) {bad} were retired by the commit "
+                    "this writer rebased onto — old files still carry "
+                    "that physical column; re-run the append under the "
+                    "current name (renames) or a fresh one (drops)"
+                )
             old_t = {
                 f.name: f.dataType
                 for f in StructType.fromJson(stored).fields
@@ -3243,6 +3395,8 @@ class ManifestFormat(TableFormat):
                 prev["version"] if prev else 0,
                 schema=df.schema.jsonValue(),
             )
+            # overwrite resets the stored schema (and any alias state)
+            self._a2l_cache.pop(name, None)
 
     def replace_atomic(
         self,
@@ -3272,6 +3426,7 @@ class ManifestFormat(TableFormat):
             schema=df.schema.jsonValue(),
             txn=txn,
         )
+        self._a2l_cache.pop(name, None)
 
     def dynamic_partition_overwrite(
         self, name: str, df: DataFrame, partition_col: str
@@ -5791,13 +5946,14 @@ class CatalogManifestFormat(ManifestFormat):
         auto_purge_dvs: int | None = None,
         dv_form: str = "equality",
         bloom_cols: tuple[str, ...] = (),
+        log_store: LogStore | None = None,
     ):
         super().__init__(
             spark, root,
             auto_compact_dirs=auto_compact_dirs, stats_cols=stats_cols,
             segment_entries=segment_entries, cluster_by=cluster_by,
             cdf=cdf, auto_purge_dvs=auto_purge_dvs, dv_form=dv_form,
-            bloom_cols=bloom_cols,
+            bloom_cols=bloom_cols, log_store=log_store,
         )
         self._pending: dict[str, int] | None = None
 
@@ -5818,6 +5974,9 @@ class CatalogManifestFormat(ManifestFormat):
             auto_purge_dvs=self.auto_purge_dvs,
             dv_form=self.dv_form,
             bloom_cols=self.bloom_cols,
+            # the SAME LogStore instance: an arbitrated backend's claim
+            # state must be shared by every writer of the warehouse
+            log_store=self.log_store,
         )
 
     # -- catalog machinery ----------------------------------------------
@@ -5920,11 +6079,9 @@ class CatalogManifestFormat(ManifestFormat):
             body = json.dumps(
                 {"version": nxt, "tables": {**cat["tables"], **updates}}
             )
-            try:
-                self.fs.write_text(final, body, overwrite=False)
+            if self.log_store.put_if_absent(self.fs, final, body):
                 return
-            except Exception:
-                pass  # lost the create race: re-read and merge
+            # lost the put-if-absent race: re-read and merge
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
         raise RuntimeError(
             f"catalog flip lost the version race {self.COMMIT_ATTEMPTS} "
@@ -5951,11 +6108,9 @@ class CatalogManifestFormat(ManifestFormat):
             body = json.dumps(
                 {"version": nxt, "tables": {**cat["tables"], name: version}}
             )
-            try:
-                self.fs.write_text(final, body, overwrite=False)
+            if self.log_store.put_if_absent(self.fs, final, body):
                 return True
-            except Exception:
-                pass  # lost the create race on the catalog file: retry
+            # lost the put-if-absent race on the catalog file: retry
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
         raise RuntimeError(
             f"catalog flip for {name} lost the version race "

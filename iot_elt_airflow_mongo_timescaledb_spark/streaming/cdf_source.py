@@ -1,0 +1,556 @@
+"""Streaming CHANGE DATA FEED source (round 14, VERDICT task 2).
+
+Delta's CDF streaming shape for the warehouse commit log: a PySpark
+Python DataSource (SPARK-44076, the Spark-native extension point for
+exactly this) whose stream reader treats MANIFEST VERSIONS as offsets,
+so the rollup/ANN maintenance families ride a continuous
+``readStream`` feed — checkpointed offsets, triggers, ``foreachBatch``
+exactly-once — instead of batch-polling ``read_changes_cdf``.
+
+    spark.dataSource.register(CdfDataSource)
+    feed = (spark.readStream.format("warehouse_cdf")
+            .option("root", wh_root).option("table", "s.t")
+            .option("catalog", "true")          # CatalogManifestFormat
+            .option("starting_version", "0")    # 0 = snapshot-then-tail
+            .option("max_versions_per_batch", "20")   # backpressure
+            .load())
+
+Semantics contract: a micro-batch over offsets (a, b] serves EXACTLY
+the rows ``ManifestFormat.read_changes_cdf(table, a, b)`` serves —
+``_change_type`` tagged rows per committed version, insert steps
+derived through compaction provenance, cdc payloads served as
+recorded, refusals (vacuumed mid-range, non-append without cdf=True,
+mixed-provenance compaction) raised loudly (tests/test_cdf_stream.py
+pins the hash parity).  Offset planning and file reads run in the
+streaming engine's Python workers where NO SparkSession exists, so
+the log is resolved by a pure-Python reader (:class:`_PlainLog`) and
+data files by Arrow (``read`` yields RecordBatches — vectorized, no
+row-at-a-time Python).  Scale shape: one InputPartition per data dir
+per version step (executor-parallel), metadata cost O(steps), data
+cost O(changes) — never O(table).
+
+Local-filesystem warehouses (the sandbox shape).  An object-store
+deployment swaps the ``os`` calls in ``_PlainLog``/``read`` for a
+``pyarrow.fs.FileSystem`` — the offset/step contract is unchanged.
+
+Reference role: the continuous twin of the reference's 15-minute
+Airflow poll (reference dags/iot_master_dag.py:42-71) over the
+warehouse TimescaleDB plays (docker-compose.yaml:307).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+__all__ = ["CdfDataSource", "CdfStreamReader", "register_cdf_source"]
+
+
+def _local(uri: str) -> str:
+    """file:-scheme URI → local path (pure-Python workers have no
+    Hadoop FS; the sandbox warehouse is always local)."""
+    if uri.startswith("file://"):
+        return uri[len("file://") :] or "/"
+    if uri.startswith("file:"):
+        return uri[len("file:") :]
+    return uri
+
+
+def _schema_mapping(schema_json: dict | None):
+    """Pure-Python twin of ``ManifestFormat._schema_mapping`` (same
+    field-metadata contract): live-column aliases + tombstoned names."""
+    aliases: dict[str, list] = {}
+    dropped: set = set()
+    for fj in (schema_json or {}).get("fields", []):
+        md = fj.get("metadata") or {}
+        al = [str(a) for a in (md.get("aliases") or [])]
+        if md.get("dropped"):
+            dropped.add(fj["name"])
+        elif al:
+            aliases[fj["name"]] = al
+    return aliases, dropped
+
+
+#: reader features this build of the STREAM reader implements; the
+#: same refuse-on-unknown contract as ManifestFormat.READER_FEATURES
+_READER_FEATURES = frozenset({"dv", "dv-eq", "dv-pos", "column-mapping"})
+
+
+class _PlainLog:
+    """JVM-free commit-log resolver — offsets and partition planning
+    run inside the streaming engine's driver-side Python worker where
+    no SparkSession exists.  Mirrors ``ManifestFormat._manifest``
+    (segment + seglist expansion), ``_travelable_versions`` (catalog
+    subclass excludes aborted-transaction orphans), and the
+    ``read_changes``/``read_changes_cdf`` step math, refusing in
+    exactly the same places so stream and batch hash-match."""
+
+    def __init__(self, root: str, table: str, catalog: bool):
+        self.root = _local(root)
+        self.table = table
+        self.catalog = catalog
+        schema, _, tbl = table.rpartition(".")
+        self.table_path = os.path.join(self.root, schema or "default", tbl)
+        self.log_path = os.path.join(self.table_path, "_log")
+
+    # -- raw file helpers --------------------------------------------
+
+    def _load_json(self, path: str) -> dict | None:
+        try:
+            with open(path, encoding="utf-8") as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None  # torn/in-flight file: same contract as JVM side
+
+    def _version_files(self) -> list[int]:
+        try:
+            names = os.listdir(self.log_path)
+        except OSError:
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in names
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+        )
+
+    # -- catalog resolution --------------------------------------------
+
+    def _catalog_versions(self) -> set[int]:
+        """Every manifest version some catalog file resolved this table
+        to — the travelable set of the catalog format."""
+        cdir = os.path.join(self.root, "_catalog")
+        out: set[int] = set()
+        try:
+            names = os.listdir(cdir)
+        except OSError:
+            return out
+        for n in names:
+            if n.startswith("c") and n.endswith(".json"):
+                cat = self._load_json(os.path.join(cdir, n))
+                v = (cat or {}).get("tables", {}).get(self.table)
+                if v:
+                    out.add(int(v))
+        return out
+
+    # -- manifest resolution ---------------------------------------------
+
+    def travelable(self) -> list[int]:
+        if self.catalog:
+            return sorted(self._catalog_versions())
+        return self._version_files()
+
+    def head_version(self) -> int:
+        vs = self.travelable()
+        if not vs:
+            return 0
+        if self.catalog:
+            return max(vs)
+        # plain manifest: newest READABLE (a writer between its
+        # create-exclusive and body write is skipped, like _manifest)
+        for v in reversed(vs):
+            if self.manifest(v, resolve=False) is not None:
+                return v
+        return 0
+
+    def manifest(self, version: int, resolve: bool = True) -> dict | None:
+        if version <= 0:
+            return None
+        m = self._load_json(
+            os.path.join(self.log_path, f"v{version:012d}.json")
+        )
+        if m is None:
+            return None
+        unknown = set(m.get("reader_features") or ()) - _READER_FEATURES
+        if unknown:
+            raise RuntimeError(
+                f"table {self.table} (v{version}) requires reader "
+                f"feature(s) {sorted(unknown)} the CDF stream reader "
+                "does not implement"
+            )
+        if not resolve:
+            return m
+        refs = []
+        for s in m.get("segments") or []:
+            if "list" in s:  # third tier: seglist file of refs
+                lst = self._load_json(
+                    os.path.join(self.log_path, s["list"])
+                )
+                if lst is None:
+                    raise ValueError(
+                        f"cdf stream({self.table}): seglist {s['list']} "
+                        f"of v{version} unreadable (vacuumed?); resync"
+                    )
+                refs.extend(lst["refs"])
+            else:
+                refs.append(s)
+        entries = []
+        for r in refs:
+            seg = self._load_json(os.path.join(self.log_path, r["file"]))
+            if seg is None:
+                raise ValueError(
+                    f"cdf stream({self.table}): segment {r['file']} of "
+                    f"v{version} unreadable (vacuumed?); resync"
+                )
+            entries.extend(seg["entries"])
+        m = dict(m)
+        m["entries"] = entries + list(m.get("entries") or [])
+        return m
+
+    # -- the CDF step math (mirrors read_changes / read_changes_cdf) ----
+
+    @staticmethod
+    def _ident(e: dict) -> tuple:
+        return (e["dir"], e.get("rel"))
+
+    def _insert_entries(self, since_m: dict, to_m: dict) -> list[dict]:
+        """``read_changes`` twin: the pure-append delta between two
+        resolved manifests, through compaction provenance; refuses
+        (ValueError) where the batch reader refuses."""
+        if (since_m.get("dv") or []) != (to_m.get("dv") or []):
+            raise ValueError(
+                f"cdf stream({self.table}): merge-on-read deletes "
+                f"changed between v{since_m['version']} and "
+                f"v{to_m['version']} with no recorded change rows — "
+                "enable cdf=True on the writer, or resync"
+            )
+        since_ids = {self._ident(e) for e in since_m["entries"]}
+        since_originals = {
+            d
+            for e in since_m["entries"]
+            for d in (e.get("sources") or [e["dir"]])
+        }
+        new_entries = []
+        absorbed: set = set()
+        for e in to_m["entries"]:
+            if self._ident(e) in since_ids:
+                continue
+            srcs = set(e.get("sources") or ())
+            if srcs:
+                absorbed |= srcs
+            if not srcs or srcs.isdisjoint(since_originals):
+                new_entries.append(e)
+            elif srcs <= since_originals:
+                continue
+            else:
+                raise ValueError(
+                    f"cdf stream({self.table}): a compaction between "
+                    f"v{since_m['version']} and v{to_m['version']} mixed "
+                    "pre- and post-feed content; resync"
+                )
+        # every since-entry must survive by identity or have its
+        # content absorbed into a to-side compaction (judged in
+        # flattened original-append-dir space, exactly read_changes)
+        to_ids = {self._ident(e) for e in to_m["entries"]}
+        for e in since_m["entries"]:
+            if self._ident(e) in to_ids:
+                continue
+            own = set(e.get("sources") or ()) or {e["dir"]}
+            if not own <= absorbed:
+                raise ValueError(
+                    f"cdf stream({self.table}): entries visible at "
+                    f"v{since_m['version']} vanished by "
+                    f"v{to_m['version']} without compaction provenance "
+                    "(replace/retention/backfill rewrote history) and "
+                    "no change rows were recorded — enable cdf=True, "
+                    "or resync"
+                )
+        return new_entries
+
+    def steps(self, since: int, to: int) -> list[dict]:
+        """One dict per version step in (since, to]:
+        ``{"version", "kind": "cdc"|"insert", "dirs":
+        [(abs_path, partition_values)], "change_type": str|None}`` —
+        exactly the frames ``read_changes_cdf`` unions."""
+        versions = [v for v in self.travelable() if since < v <= to]
+        out = []
+        prev = since
+        prev_m = None  # resolved manifest at `prev` (lazy)
+        for v in sorted(versions):
+            raw = self.manifest(v, resolve=False)
+            if raw is None:
+                raise ValueError(
+                    f"cdf stream({self.table}): version {v} is not "
+                    "readable (vacuumed mid-range); resync"
+                )
+            if raw.get("cdc"):
+                base = raw["cdc"].get("since", prev)
+                if base != prev:
+                    raise ValueError(
+                        f"cdf stream({self.table}): v{v}'s change rows "
+                        f"were computed against v{base}, but the feed's "
+                        f"previous step is v{prev}; resync"
+                    )
+                out.append(
+                    {
+                        "version": v,
+                        "dirs": [
+                            (
+                                os.path.join(
+                                    self.table_path, raw["cdc"]["dir"]
+                                ),
+                                None,
+                            )
+                        ],
+                        "change_type": None,  # recorded in the files
+                    }
+                )
+                prev, prev_m = v, None
+                continue
+            m = self.manifest(v)
+            if prev == 0:
+                # feed from the beginning: full snapshot = all inserts.
+                # The batch reader serves this through read_version,
+                # which would also apply merge-on-read delete masks —
+                # a pure-Python reader cannot, so refuse loudly rather
+                # than serve deleted rows.
+                if m.get("dv"):
+                    raise ValueError(
+                        f"cdf stream({self.table}): the snapshot at "
+                        f"v{v} carries merge-on-read deletes; run "
+                        "materialize_deletes (or start the stream from "
+                        "an explicit starting_version) first"
+                    )
+                entries = m["entries"]
+            else:
+                if prev_m is None:
+                    prev_m = self.manifest(prev)
+                    if prev_m is None:
+                        raise ValueError(
+                            f"cdf stream({self.table}): version {prev} "
+                            "is not readable (vacuumed mid-range); resync"
+                        )
+                entries = self._insert_entries(prev_m, m)
+            dirs = []
+            for e in entries:
+                p = os.path.join(self.table_path, e["dir"])
+                if e.get("rel"):
+                    p = os.path.join(p, e["rel"])
+                dirs.append((p, e.get("partitions") or None))
+            out.append(
+                {"version": v, "dirs": dirs, "change_type": "insert"}
+            )
+            prev, prev_m = v, m
+        return out
+
+    def head_schema_json(self) -> dict | None:
+        head = self.head_version()
+        if head == 0:
+            return None
+        m = self.manifest(head, resolve=False)
+        return (m or {}).get("schema")
+
+
+class CdfPartition(InputPartition):
+    """One data dir of one version step — the executor-parallel unit.
+    Carries everything ``read`` needs (paths, constants, the declared
+    schema as Spark JSON, the physical→live rename map) so the read is
+    static and stateless as the API requires."""
+
+    def __init__(
+        self,
+        path: str,
+        part_values: dict | None,
+        version: int,
+        change_type: str | None,
+        rename: dict,
+        schema_json: dict,
+    ):
+        self.path = path
+        self.part_values = part_values
+        self.version = version
+        self.change_type = change_type
+        self.rename = rename
+        self.schema_json = schema_json
+
+
+def _arrow_schema(schema_json: dict):
+    """Declared Spark schema → the Arrow schema Spark's Python data
+    source channel expects (pyspark's own converter, so timestamp/
+    decimal conventions can never drift)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import StructType
+
+    import pyarrow as pa
+
+    st = StructType.fromJson(schema_json)
+    return pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType), True) for f in st.fields]
+    )
+
+
+class CdfStreamReader(DataSourceStreamReader):
+    """Offsets are manifest versions: ``{"version": N}`` means
+    "everything up to and including commit N has been served".
+    ``latestOffset`` advances to the committed head, bounded by
+    ``max_versions_per_batch`` (Delta's maxFilesPerTrigger analog —
+    backpressure for a stream catching up over a long history);
+    ``partitions`` plans one partition per data dir per step;
+    ``commit`` is a no-op (the engine's checkpoint owns progress —
+    the log itself is never mutated by readers)."""
+
+    def __init__(self, schema_json: dict, options: dict):
+        self._schema_json = schema_json
+        self._root = options["root"]
+        self._table = options["table"]
+        self._catalog = str(options.get("catalog", "false")).lower() == "true"
+        self._start = int(options.get("starting_version", 0) or 0)
+        self._maxv = int(options.get("max_versions_per_batch", 0) or 0)
+        self._pos: int | None = None  # last planned/committed end
+
+    def _log(self) -> _PlainLog:
+        return _PlainLog(self._root, self._table, self._catalog)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        head = self._log().head_version()
+        if self._pos is not None and self._maxv:
+            head = min(head, self._pos + self._maxv)
+        if self._pos is not None:
+            head = max(head, self._pos)
+        self._pos = head
+        return {"version": head}
+
+    def partitions(self, start: dict, end: dict):
+        a, b = int(start["version"]), int(end["version"])
+        self._pos = max(self._pos or 0, b)
+        if a == b:
+            return []
+        log = self._log()
+        # column mapping against the END version's schema — replay-
+        # deterministic (the head may rename later; this plan must
+        # re-produce byte-identical batches on restart)
+        end_m = log.manifest(b, resolve=False)
+        aliases, dropped = _schema_mapping((end_m or {}).get("schema"))
+        declared = {f["name"] for f in self._schema_json["fields"]}
+        # a live column the declared schema does not know (rename or
+        # add AFTER stream start) is a mid-stream schema change:
+        # refuse loudly like Delta rather than silently NULL-pad
+        live = {
+            f["name"]
+            for f in ((end_m or {}).get("schema") or {}).get("fields", [])
+            if not ((f.get("metadata") or {}).get("dropped"))
+        }
+        unknown = live - declared
+        if unknown:
+            raise RuntimeError(
+                f"cdf stream({self._table}): column(s) {sorted(unknown)} "
+                "appeared after the stream started (rename/add) — "
+                "restart the stream to pick up the new schema"
+            )
+        rename = {a: lv for lv, als in aliases.items() for a in als}
+        parts = []
+        for step in log.steps(a, b):
+            for path, pvals in step["dirs"]:
+                parts.append(
+                    CdfPartition(
+                        path,
+                        pvals,
+                        step["version"],
+                        step["change_type"],
+                        rename,
+                        self._schema_json,
+                    )
+                )
+        return parts
+
+    def commit(self, end: dict) -> None:
+        self._pos = max(self._pos or 0, int(end["version"]))
+
+    def read(self, partition: CdfPartition):
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        target = _arrow_schema(partition.schema_json)
+        dataset = ds.dataset(_local(partition.path), format="parquet")
+        n_out = 0
+        for batch in dataset.to_batches():
+            tbl = pa.Table.from_batches([batch])
+            have = {
+                partition.rename.get(n, n): tbl.column(n)
+                for n in tbl.column_names
+            }
+            n = len(tbl)
+            cols = []
+            for field in target:
+                if field.name == "_commit_version":
+                    col = pa.array([partition.version] * n, pa.int64())
+                elif (
+                    field.name == "_change_type"
+                    and field.name not in have
+                ):
+                    col = pa.array([partition.change_type] * n, pa.string())
+                elif field.name in have:
+                    col = have[field.name].cast(field.type)
+                elif partition.part_values and field.name in partition.part_values:
+                    col = pa.array(
+                        [partition.part_values[field.name]] * n
+                    ).cast(field.type)
+                else:
+                    col = pa.nulls(n, field.type)
+                cols.append(col)
+            out = pa.table(cols, schema=target)
+            n_out += n
+            yield from out.to_batches()
+        if n_out == 0:
+            # an empty dir still contributes schema-stable emptiness
+            yield from pa.table(
+                [pa.nulls(0, f.type) for f in target], schema=target
+            ).to_batches()
+
+
+class CdfDataSource(DataSource):
+    """``spark.readStream.format("warehouse_cdf")`` — register once per
+    session via :func:`register_cdf_source`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warehouse_cdf"
+
+    def schema(self):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        log = _PlainLog(
+            self.options["root"],
+            self.options["table"],
+            str(self.options.get("catalog", "false")).lower() == "true",
+        )
+        sj = log.head_schema_json()
+        if sj is None:
+            raise ValueError(
+                f"warehouse_cdf: table {self.options['table']} has no "
+                "committed schema to stream (write it once first, or "
+                "supply .schema(...) explicitly)"
+            )
+        live = [
+            f
+            for f in StructType.fromJson(sj).fields
+            if not (f.metadata or {}).get("dropped")
+        ]
+        return StructType(
+            live
+            + [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+            ]
+        )
+
+    def streamReader(self, schema) -> CdfStreamReader:
+        return CdfStreamReader(schema.jsonValue(), dict(self.options))
+
+
+def register_cdf_source(spark) -> None:
+    """Idempotent per-session registration."""
+    spark.dataSource.register(CdfDataSource)

@@ -244,3 +244,34 @@ def test_partial_retrain_explicit_counts(spark, tmp_path, corpus):
             assert after[c] == before[c]
     # empty list no-ops
     assert idx.partial_retrain([]) == 0
+
+
+def test_quality_df_all_null_cos_matches_groupby_fallback(spark):
+    """ADVICE r13 (low): a cluster whose batch members all carry NULL
+    __cos must yield a NULL __q row from the Observation fast path —
+    exactly what F.avg produces in the persist+groupBy fallback — not a
+    float(None) TypeError."""
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.ann_index import (
+        IncrementalANNSync,
+    )
+
+    idx = IncrementalANNSync.__new__(IncrementalANNSync)
+    idx.spark = spark
+    scored = spark.createDataFrame(
+        [("0", None), ("0", None), ("1", 0.5), ("1", 0.7)],
+        "__cluster string, __cos double",
+    )
+    observed, obs = idx._quality_observation(scored, ["0", "1"])
+    observed.write.mode("overwrite").format("noop").save()
+    fast = {
+        r["__cluster"]: (r["__q"], r["__n"])
+        for r in idx._quality_df(obs, ["0", "1"]).collect()
+    }
+    slow = {
+        r["__cluster"]: (r["__q"], r["__n"])
+        for r in idx._cluster_quality(scored).collect()
+    }
+    assert fast.keys() == slow.keys() == {"0", "1"}
+    assert fast["0"] == slow["0"] == (None, 2)
+    assert fast["1"][1] == slow["1"][1] == 2
+    assert abs(fast["1"][0] - slow["1"][0]) < 1e-12

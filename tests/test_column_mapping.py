@@ -313,3 +313,38 @@ def test_cow_rewrite_migrates_files_to_current_name(spark, tmp_path):
     assert "value" in raw.columns and "v" not in raw.columns
     got = sorted((r["k"], r["value"]) for r in fmt.read("s.t").collect())
     assert got == [(1, 11), (2, 21)]
+
+
+def test_alias_translation_cached_per_table(spark, tmp_path, monkeypatch):
+    """ADVICE r13 (low): a table that simply never carries one
+    configured stats column must not pay a manifest read on every
+    append — the alias map caches per table; rename invalidates and the
+    post-rename translation still lands stats under the live name."""
+    fmt = _fmt(spark, str(tmp_path), stats_cols=("k", "never_here"))
+    df = spark.createDataFrame([(1, 1, "a")], "k long, v long, tag string")
+    fmt.write("s.t", df, "overwrite")
+
+    calls = {"n": 0}
+    orig = fmt._manifest
+
+    def counting(name, *a, **kw):
+        calls["n"] += 1
+        return orig(name, *a, **kw)
+
+    monkeypatch.setattr(fmt, "_manifest", counting)
+    assert fmt._alias_to_live("s.t", df.columns) is None
+    after_first = calls["n"]
+    assert after_first == 1
+    # second call: served from cache, no manifest read
+    assert fmt._alias_to_live("s.t", df.columns) is None
+    assert calls["n"] == after_first
+
+    # rename invalidates; the refreshed map translates old -> live
+    fmt.rename_column("s.t", "k", "key")
+    renamed = ["key", "v", "tag"]
+    m = fmt._alias_to_live("s.t", renamed)
+    assert m == {"k": "key"}
+    # and the refreshed map is itself cached
+    n_now = calls["n"]
+    assert fmt._alias_to_live("s.t", renamed) == {"k": "key"}
+    assert calls["n"] == n_now

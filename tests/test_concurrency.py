@@ -458,3 +458,69 @@ def test_update_where_racing_disjoint_append_both_land(
     assert fmt.update_where("s.t", "k", {"val": "'hit'"}, 1, 1) == 1
     got = sorted((r["k"], r["val"]) for r in fmt.read("s.t").collect())
     assert got == [(1, "hit"), (900, "far")]
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_append_racing_rename_refuses_retired_name(
+    spark, tmp_path, kind, monkeypatch
+):
+    """ADVICE r13 (high): an append whose column name is retired by a
+    CONCURRENT rename between its pre-land check and its CAS must abort
+    on rebase — merging it back in as a new live field would let old
+    files' physical data resurrect through the read-side coalesce (the
+    exact corruption `_enforce_append_schema` refuses when the rename
+    is already visible)."""
+    fmt = _fmt(spark, str(tmp_path), kind, auto_compact_dirs=None)
+    other = fmt.writer_copy()
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    fmt.write("s.t", base, "overwrite")
+
+    orig = fmt._new_data_dir
+    state = {"injected": False}
+
+    def racing(name, df, partition_by):
+        out = orig(name, df, partition_by)
+        if not state["injected"]:
+            state["injected"] = True
+            other.rename_column("s.t", "v", "value")
+        return out
+
+    monkeypatch.setattr(fmt, "_new_data_dir", racing)
+    late = spark.createDataFrame([(2, "ghost")], "k long, v string")
+    with pytest.raises(RuntimeError, match="retired|rename"):
+        fmt.write("s.t", late, "append")
+    # the refused batch must not be readable, under either name
+    got = fmt.writer_copy().read("s.t")
+    rows = sorted((r["k"], r["value"]) for r in got.collect())
+    assert rows == [(1, "a")]
+    assert "v" not in got.columns
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_append_racing_drop_refuses_retired_name(
+    spark, tmp_path, kind, monkeypatch
+):
+    """Same rebase guard for drop_column: re-adding the dropped name via
+    a racing append would resurrect the tombstoned physical column."""
+    fmt = _fmt(spark, str(tmp_path), kind, auto_compact_dirs=None)
+    other = fmt.writer_copy()
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    fmt.write("s.t", base, "overwrite")
+
+    orig = fmt._new_data_dir
+    state = {"injected": False}
+
+    def racing(name, df, partition_by):
+        out = orig(name, df, partition_by)
+        if not state["injected"]:
+            state["injected"] = True
+            other.drop_column("s.t", "v")
+        return out
+
+    monkeypatch.setattr(fmt, "_new_data_dir", racing)
+    late = spark.createDataFrame([(2, "ghost")], "k long, v string")
+    with pytest.raises(RuntimeError, match="retired|drop"):
+        fmt.write("s.t", late, "append")
+    got = fmt.writer_copy().read("s.t")
+    assert "v" not in got.columns
+    assert sorted(r["k"] for r in got.collect()) == [1]
