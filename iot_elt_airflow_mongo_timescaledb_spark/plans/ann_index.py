@@ -465,7 +465,36 @@ class IncrementalANNSync:
                 delta, batch_id=cur, id_col=id_col, vec_col=vec_col
             )
         feed = fmt.read_changes_cdf(source_table, int(applied), cur)
-        final = self._net_cdf(feed, id_col)
+        return self._apply_net_cdf(
+            self._net_cdf(feed, id_col), cur, id_col, vec_col, mor,
+            drift_band, drift_min_n,
+        )
+
+    def _apply_net_cdf(
+        self,
+        final: DataFrame,
+        cur: int,
+        id_col: str,
+        vec_col: str,
+        mor: bool,
+        drift_band: float | None,
+        drift_min_n: int,
+    ) -> bool:
+        """Apply one NETTED row-level change set (``_net_cdf`` output)
+        whose high-water mark is source version ``cur`` — the shared
+        core of the polling :meth:`sync_from_cdf` and the streaming
+        :meth:`maintain_stream` paths: retract changed keys (bounded
+        merge), re-assign alive keys against the frozen codebook,
+        append under the ``cur`` watermark (exactly-once on replay),
+        then the drift step."""
+        import contextlib
+
+        applied = self._applied_batch_id()
+        if applied is not None and cur <= int(applied):
+            # replay (engine checkpoint loss, retried poll): the
+            # watermark already covers this change set — skip BEFORE
+            # the retract merge, which is not otherwise replay-guarded
+            return False
         changed_keys = final.select(F.col(id_col).alias("vec_id")).distinct()
         adds = final.filter(F.col("__alive")).drop("__alive")
         codes = quantize_embeddings(adds, id_col, vec_col, self.bits).select(
@@ -552,6 +581,89 @@ class IncrementalANNSync:
             finally:
                 scored.unpersist()
         return committed
+
+    def maintain_stream(
+        self,
+        fmt,
+        source_table: str,
+        checkpoint: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        mor: bool = False,
+        drift_band: float | None = None,
+        drift_min_n: int = 20,
+        max_versions_per_batch: int = 0,
+        available_now: bool = True,
+        catalog: bool | None = None,
+    ):
+        """CONTINUOUS index maintenance (round 14, VERDICT task 2):
+        the streaming twin of the polling :meth:`sync_from_cdf`, riding
+        the ``warehouse_cdf`` readStream source instead of batch-
+        polling ``read_changes_cdf`` — checkpointed offsets, engine
+        triggers, backpressure via ``max_versions_per_batch``.
+
+        Each micro-batch nets its change rows and applies through the
+        shared :meth:`_apply_net_cdf` core under the SOURCE-VERSION
+        watermark (the batch's max ``_commit_version``), so exactly-
+        once holds even when the ENGINE checkpoint is lost: a replayed
+        batch's watermark is at or below the applied cursor and skips
+        before the retract merge.  The polling and streaming cadences
+        therefore share one cursor — switching between them never
+        double-applies or skips a change set.
+
+        Requires a bootstrapped index (``train_from_table`` /
+        ``sync_from_cdf`` once): the stream starts at the applied
+        cursor, serving only post-bootstrap changes.  Returns the
+        ``StreamingQuery``; with ``available_now`` (default) the
+        caller awaits termination for a drain-to-head run, otherwise
+        the query runs on the engine trigger until stopped."""
+        from ..streaming.cdf_source import register_cdf_source
+
+        applied = self._applied_batch_id()
+        if applied is None:
+            raise ValueError(
+                "maintain_stream requires a bootstrapped index — run "
+                "train_from_table / sync_from_cdf once so the stream "
+                "has a starting version (the applied cursor)"
+            )
+        register_cdf_source(self.spark)
+        if catalog is None:
+            catalog = hasattr(fmt, "_catalog_path")
+        reader = (
+            self.spark.readStream.format("warehouse_cdf")
+            .option("root", fmt.root)
+            .option("table", source_table)
+            .option("catalog", str(bool(catalog)).lower())
+            .option("starting_version", str(int(applied)))
+        )
+        if max_versions_per_batch:
+            reader = reader.option(
+                "max_versions_per_batch", str(int(max_versions_per_batch))
+            )
+
+        def apply_batch(batch_df, _engine_batch_id):
+            agg = batch_df.agg(F.max("_commit_version")).first()
+            vmax = agg[0]
+            if vmax is None:
+                return  # empty micro-batch
+            self._apply_net_cdf(
+                self._net_cdf(batch_df, id_col),
+                int(vmax),
+                id_col,
+                vec_col,
+                mor,
+                drift_band,
+                drift_min_n,
+            )
+
+        writer = (
+            reader.load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     def _drift_step(
         self, scored: DataFrame, version: int, band: float, min_n: int

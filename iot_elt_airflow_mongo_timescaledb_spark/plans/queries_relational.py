@@ -1181,6 +1181,7 @@ def _manifest_bloom_lookup_impl(spark, sf_dir):
     # manifest_update_where demoted in exchange (its COW-DML family
     # stays gated via manifest_delete_where + the MOR rows, and the
     # pytest oracle-parity suite still hashes it at sf0.001)
+    gate=False,  # skipping family: manifest_data_skipping carries the gate (r14 rotation)
 )
 def manifest_bloom_lookup(spark, sf_dir):
     return _manifest_bloom_lookup_impl(spark, sf_dir)
@@ -1205,7 +1206,7 @@ def manifest_bloom_lookup(spark, sf_dir):
            ROUND(SUM(bal), 2) AS bal_sum
     FROM t
     """,
-    gate=False,  # storage-verb family: manifest_data_skipping carries the gate
+    gate=True,  # r14 rotation: column-mapping/schema evolution drives a gate row
 )
 def manifest_schema_evolution(spark, sf_dir):
     """Additive schema evolution + SAFE TYPE PROMOTION + COLUMN
@@ -1412,7 +1413,10 @@ def manifest_update_where(spark, sf_dir):
     FROM feed
     GROUP BY _change_type
     """,
-    # round-10 gate rotation (VERDICT r9 task 3): promoted to a driver row
+    # r10: promoted to a driver row; r14: rotated out for its streaming
+    # twin streaming_cdf_source, which consumes the SAME feed through
+    # the warehouse_cdf readStream source (strictly more coverage)
+    gate=False,
 )
 def manifest_cdf_feed(spark, sf_dir):
     """Row-level change data feed end-to-end (r9 ``read_changes_cdf``):
@@ -1642,6 +1646,7 @@ def rollup_cdf_upsert(spark, sf_dir):
     WHERE NOT deleted
     GROUP BY c_mktsegment
     """,
+    gate=False,  # MOR family pytest-verified; COW manifest_delete_where carries the gate (r14 rotation)
 )
 def manifest_mor_delete(spark, sf_dir):
     """MERGE-ON-READ row-level DELETE (round 10 ``delete_where_mor`` —
@@ -2227,7 +2232,7 @@ def manifest_update_mor(spark, sf_dir):
     )
     SELECT k, bal FROM seed UNION ALL SELECT k, bal FROM appended
     """,
-    gate=False,  # storage-verb family: manifest_merge_bounded carries the gate
+    gate=True,  # r14 rotation: OCC (concurrent writers) drives a gate row
 )
 def manifest_concurrent_upserts(spark, sf_dir):
     """MULTI-WRITER commits end-to-end (optimistic concurrency, r13,

@@ -206,3 +206,109 @@ def streaming_stream_left_join(spark, sf_dir):
     from ..streaming.micro_batch import view_purchase_left_join_stream
 
     return view_purchase_left_join_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_cdf_source",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    cls AS (
+        SELECT c.c_custkey, c.c_acctbal, mx.m,
+               c_custkey > m // 2 AS upper_half,
+               c_custkey > m // 10 AND c_custkey <= m // 5 AS deleted,
+               c_custkey > m * 3 // 10 AND c_custkey <= m * 2 // 5
+                   AS updated
+        FROM customer c, mx
+    ),
+    feed AS (
+        SELECT 'insert' AS _change_type, c_custkey, c_acctbal
+        FROM cls WHERE upper_half
+        UNION ALL
+        SELECT 'delete', c_custkey, c_acctbal FROM cls WHERE deleted
+        UNION ALL
+        SELECT 'update_preimage', c_custkey, c_acctbal
+        FROM cls WHERE updated
+        UNION ALL
+        SELECT 'update_postimage', c_custkey,
+               ROUND(c_acctbal + 100.0, 2)
+        FROM cls WHERE updated
+    )
+    SELECT _change_type,
+           COUNT(*) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           ROUND(SUM(c_acctbal), 2) AS bal_sum
+    FROM feed
+    GROUP BY _change_type
+    """,
+    # r14 rotation (VERDICT task 2): the STREAMING twin of
+    # manifest_cdf_feed carries the gate — same committed history
+    # (append / delete / update), consumed through the warehouse_cdf
+    # readStream source and mirrored into a second warehouse table via
+    # the idempotent-writer sink, so the gate row covers commit-log
+    # CDF recording, the Python DataSource stream reader, AND the
+    # exactly-once sink in one oracle-checked pass.
+)
+def streaming_cdf_source(spark, sf_dir):
+    """Row-level change feed as a STREAM (round 14): build the same
+    versioned history as ``manifest_cdf_feed`` (v1/v2 halves, v3
+    range delete, v4 range update), then consume it with
+    ``readStream.format("warehouse_cdf")`` from starting_version=1,
+    landing each micro-batch in a mirror table through
+    ``write_streaming_batch``; the aggregate over the mirror must
+    equal the batch feed's oracle exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..fs import scratch_dir
+    from ..streaming.cdf_source import register_cdf_source
+    from .registry import table
+    from .table_format import ManifestFormat
+
+    root = scratch_dir(spark, "cdfstream_", cleanup_atexit=True)
+    fmt = ManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("c_custkey",),
+        cdf=True,
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    m = int(c.agg(F.max("c_custkey")).first()[0])
+    fmt.write("cdf.cust", c.filter(F.col("c_custkey") <= m // 2), "overwrite")
+    fmt.write("cdf.cust", c.filter(F.col("c_custkey") > m // 2), "append")
+    fmt.delete_where("cdf.cust", "c_custkey", m // 10 + 1, m // 5)
+    fmt.update_where(
+        "cdf.cust",
+        "c_custkey",
+        {"c_acctbal": "round(c_acctbal + 100.0, 2)"},
+        m * 3 // 10 + 1,
+        m * 2 // 5,
+    )
+
+    register_cdf_source(spark)
+    sink = ManifestFormat(spark, root, auto_compact_dirs=None)
+
+    def mirror(batch_df, batch_id):
+        sink.write_streaming_batch(
+            "cdf.mirror", batch_df, int(batch_id), app_id="cdf-gate"
+        )
+
+    q = (
+        spark.readStream.format("warehouse_cdf")
+        .option("root", root)
+        .option("table", "cdf.cust")
+        .option("starting_version", "1")
+        .load()
+        .writeStream.trigger(availableNow=True)
+        .foreachBatch(mirror)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        sink.read("cdf.mirror")
+        .groupBy("_change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c_custkey").alias("key_sum"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+    )

@@ -2287,6 +2287,7 @@ _ANN_MAINTAINED_ORACLE = """
 @query(
     "ann_maintained_topk",
     oracle=_ANN_MAINTAINED_ORACLE,
+    gate=False,  # ANN lifecycle: ann_cdf_upsert_topk subsumes this sync path (r14 rotation)
 )
 def ann_maintained_topk(spark, sf_dir):
     """MAINTAINED IVF index (round 10, VERDICT r9 task 5): centroids
@@ -2491,7 +2492,7 @@ def ann_cdf_upsert_topk(spark, sf_dir):
     FROM fitted WHERE cum <= 256
     GROUP BY query_id
     """,
-    gate=False,  # ANN family: the gated rows are cosine_topk + LSH/IVF
+    gate=True,  # r14 rotation: the r13 RAG flagship drives a gate row
 )
 def rag_context_assembly(spark, sf_dir):
     """RAG-shaped retrieval pipeline end-to-end (r13): exact cosine

@@ -407,10 +407,19 @@ class CdfStreamReader(DataSourceStreamReader):
         return _PlainLog(self._root, self._table, self._catalog)
 
     def initialOffset(self) -> dict:
+        self._pos = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         head = self._log().head_version()
+        # rate limit against the last planned/committed end.  The
+        # engine calls latestOffset BEFORE initialOffset on a fresh
+        # start and never reveals the checkpointed offset on a
+        # restart, so the FIRST micro-batch of each query run plans to
+        # the true head (bounded by history, never wrong); the cap
+        # engages from the second batch on, once partitions()/commit()
+        # has taught the reader its position — measured engine
+        # behavior, pinned in tests/test_cdf_stream.py.
         if self._pos is not None and self._maxv:
             head = min(head, self._pos + self._maxv)
         if self._pos is not None:

@@ -18,10 +18,11 @@ from optimistic commit protocols.  These tests pin ours:
   CommitConflict at the commit layer (the classifier), and to
   produce the serial result at the verb layer (the retry loop).
 
-Object-store caveat (documented in `_try_write_manifest`): the CAS
-primitive is a create-exclusive version file — atomic on HDFS/local
-POSIX; on S3-like stores a LogStore/lock service must slot in under the
-create.  The protocol above is unchanged either way.
+Object-store posture (r14): the CAS primitive is the pluggable
+LogStore seam — create-exclusive by default (atomic on HDFS/local
+POSIX/conditional-PUT stores), an arbitrated backend for stores
+without atomic conditional writes (tests/test_log_store.py).  The
+protocol above is unchanged under either backend.
 """
 
 from __future__ import annotations
