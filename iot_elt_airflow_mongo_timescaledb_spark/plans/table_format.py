@@ -903,10 +903,60 @@ class ManifestFormat(TableFormat):
     def _log_path(self, name: str) -> str:
         return join_uri(self.path(name), self.LOG_DIR)
 
+    #: advisory head-pointer file (Delta's ``_last_checkpoint``
+    #: analog, round 14): every commit overwrites it with its version
+    #: so resolution finds the head with ONE read + O(commits since
+    #: the hint) exists-probes instead of listing a log dir that
+    #: grows one file per commit forever — at a 15-minute cadence a
+    #: year-old table holds ~35k version files, and an object-store
+    #: LIST pages 1000/call.  ADVISORY only: it is written outside
+    #: the CAS (last-writer-wins, may briefly trail a concurrent
+    #: commit, may be missing/torn/stale-after-quarantine) and every
+    #: consumer falls back to the full listing whenever the hinted
+    #: file does not exist — correctness never depends on it.
+    HEAD_HINT = "_head.json"
+
+    def _write_head_hint(self, name: str, version: int) -> None:
+        import json
+
+        try:
+            self.fs.write_text(
+                join_uri(self._log_path(name), self.HEAD_HINT),
+                json.dumps({"version": int(version)}),
+                overwrite=True,
+            )
+        except Exception:
+            pass  # advisory: the commit already succeeded
+
+    def _read_head_hint(self, name: str) -> int | None:
+        import json
+
+        try:
+            return int(
+                json.loads(
+                    self.fs.read_text(
+                        join_uri(self._log_path(name), self.HEAD_HINT)
+                    )
+                )["version"]
+            )
+        except Exception:
+            return None
+
     def _latest_version(self, name: str) -> int:
-        # server-side glob: the log dir of a segmented table holds
-        # thousands of immutable seg-*.json files, and listing them
-        # all per commit made the CAS path O(log-dir files)
+        # hint fast path: one read + forward exists-probes from the
+        # hinted version (commits are contiguous by the version CAS),
+        # O(1) at steady state regardless of retained version count
+        log = self._log_path(name)
+        hint = self._read_head_hint(name)
+        if hint and self.fs.exists(join_uri(log, f"v{hint:012d}.json")):
+            v = hint
+            while self.fs.exists(join_uri(log, f"v{v + 1:012d}.json")):
+                v += 1
+            return v
+        # no/stale/quarantined hint: server-side glob (the log dir of
+        # a segmented table holds thousands of immutable seg-*.json
+        # files, and listing them all per commit made the CAS path
+        # O(log-dir files))
         vs = [
             int(f[1:-5])
             for f in self.fs.glob_names(self._log_path(name), "v*.json")
@@ -1624,7 +1674,10 @@ class ManifestFormat(TableFormat):
                 "committed_at": int(time.time()),
             }
         )
-        return self.log_store.put_if_absent(self.fs, final, body)
+        won = self.log_store.put_if_absent(self.fs, final, body)
+        if won:
+            self._write_head_hint(name, version)
+        return won
 
     @staticmethod
     def _entry_key(e: dict) -> tuple:
@@ -5985,12 +6038,44 @@ class CatalogManifestFormat(ManifestFormat):
         return join_uri(self.root, self.CATALOG_DIR)
 
     def _catalog_version(self) -> int:
+        # same advisory head-hint scheme as the manifest log (r14):
+        # the catalog dir grows one c*.json per flip; the hint makes
+        # resolution O(1) in flip count, with the listing fallback
+        # whenever the hinted file is missing/quarantined
+        import json
+
+        cdir = self._catalog_path()
+        try:
+            hint = int(
+                json.loads(
+                    self.fs.read_text(join_uri(cdir, self.HEAD_HINT))
+                )["version"]
+            )
+        except Exception:
+            hint = None
+        if hint and self.fs.exists(join_uri(cdir, f"c{hint:012d}.json")):
+            v = hint
+            while self.fs.exists(join_uri(cdir, f"c{v + 1:012d}.json")):
+                v += 1
+            return v
         vs = [
             int(f[1:-5])
-            for f in self.fs.list_files(self._catalog_path())
+            for f in self.fs.list_files(cdir)
             if f.startswith("c") and f.endswith(".json")
         ]
         return max(vs, default=0)
+
+    def _write_cat_hint(self, version: int) -> None:
+        import json
+
+        try:
+            self.fs.write_text(
+                join_uri(self._catalog_path(), self.HEAD_HINT),
+                json.dumps({"version": int(version)}),
+                overwrite=True,
+            )
+        except Exception:
+            pass  # advisory only
 
     def _load_catalog_file(
         self, path: str, inflight_ok: bool = False
@@ -6080,6 +6165,7 @@ class CatalogManifestFormat(ManifestFormat):
                 {"version": nxt, "tables": {**cat["tables"], **updates}}
             )
             if self.log_store.put_if_absent(self.fs, final, body):
+                self._write_cat_hint(nxt)
                 return
             # lost the put-if-absent race: re-read and merge
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
@@ -6109,6 +6195,7 @@ class CatalogManifestFormat(ManifestFormat):
                 {"version": nxt, "tables": {**cat["tables"], name: version}}
             )
             if self.log_store.put_if_absent(self.fs, final, body):
+                self._write_cat_hint(nxt)
                 return True
             # lost the put-if-absent race on the catalog file: retry
             time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))

@@ -145,14 +145,63 @@ class _PlainLog:
             return sorted(self._catalog_versions())
         return self._version_files()
 
+    def _hinted_head(self, dirpath: str, prefix: str) -> int | None:
+        """The advisory ``_head.json`` hint (r14) + forward
+        exists-probes — the stream polls ``latestOffset`` every
+        trigger, so O(1) head resolution matters doubly here.  None =
+        no/stale hint (fall back to the listing)."""
+        h = self._load_json(os.path.join(dirpath, "_head.json"))
+        try:
+            v = int((h or {})["version"])
+        except (KeyError, TypeError, ValueError):
+            return None
+        if not os.path.exists(
+            os.path.join(dirpath, f"{prefix}{v:012d}.json")
+        ):
+            return None
+        while os.path.exists(
+            os.path.join(dirpath, f"{prefix}{v + 1:012d}.json")
+        ):
+            v += 1
+        return v
+
     def head_version(self) -> int:
-        vs = self.travelable()
-        if not vs:
-            return 0
         if self.catalog:
-            return max(vs)
-        # plain manifest: newest READABLE (a writer between its
-        # create-exclusive and body write is skipped, like _manifest)
+            # mirror _resolved_version: the NEWEST READABLE catalog
+            # pointer wins (never max-over-history — a restore flips
+            # the table BACK to an older manifest version)
+            cdir = os.path.join(self.root, "_catalog")
+            cv = self._hinted_head(cdir, "c")
+            if cv is None:
+                try:
+                    names = os.listdir(cdir)
+                except OSError:
+                    return 0
+                cands = sorted(
+                    (
+                        int(n[1:-5])
+                        for n in names
+                        if n.startswith("c")
+                        and n.endswith(".json")
+                        and n[1:-5].isdigit()
+                    ),
+                    reverse=True,
+                )
+            else:
+                cands = range(cv, 0, -1)
+            for v in cands:
+                cat = self._load_json(
+                    os.path.join(cdir, f"c{v:012d}.json")
+                )
+                if cat is not None:
+                    return int(cat.get("tables", {}).get(self.table) or 0)
+            return 0
+        hv = self._hinted_head(self.log_path, "v")
+        if hv is not None and self.manifest(hv, resolve=False) is not None:
+            return hv
+        vs = self.travelable()
+        # newest READABLE (a writer between its put-if-absent and body
+        # write is skipped, like _manifest)
         for v in reversed(vs):
             if self.manifest(v, resolve=False) is not None:
                 return v

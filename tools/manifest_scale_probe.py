@@ -291,6 +291,40 @@ def main() -> None:
             "segs_parsed": segs_parsed[0],
         }
         shutil.rmtree(root, ignore_errors=True)
+    # -- VERSION-count axis (r14, VERDICT r13 task 4): the log dir
+    # grows one v*.json per commit forever; the advisory _head.json
+    # hint (Delta's _last_checkpoint analog) makes head resolution
+    # O(1) in retained version count, vs the listing fallback that
+    # pages the whole dir.  Measures cold _latest_version + full
+    # head resolve with the hint present vs deleted.
+    for n in (1_000, 10_000, 50_000):
+        root = tempfile.mkdtemp(prefix=f"vprobe_{n}_")
+        fmt = ManifestFormat(spark, root)
+        entry = [{"dir": "d-0", "rel": "p.parquet", "partitions": None}]
+        for v in range(1, n + 1):
+            assert fmt._try_write_manifest("s.t", v, entry, [])
+        hint_ms, glob_ms = [], []
+        for rep in range(5):
+            cold = ManifestFormat(spark, root)
+            t0 = time.perf_counter()
+            assert cold._latest_version("s.t") == n
+            assert cold._manifest("s.t")["version"] == n
+            hint_ms.append((time.perf_counter() - t0) * 1000)
+        hint_path = os.path.join(fmt._log_path("s.t"), fmt.HEAD_HINT)
+        fmt.fs.delete(hint_path)
+        for rep in range(5):
+            cold = ManifestFormat(spark, root)
+            t0 = time.perf_counter()
+            assert cold._latest_version("s.t") == n
+            glob_ms.append((time.perf_counter() - t0) * 1000)
+        out[f"versions_{n}"] = {
+            "cold_resolve_hint_ms": round(statistics.median(hint_ms), 2),
+            "latest_version_fallback_ms": round(
+                statistics.median(glob_ms), 2
+            ),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+
     print(json.dumps({"probe": "manifest_entries", **out}))
 
 
