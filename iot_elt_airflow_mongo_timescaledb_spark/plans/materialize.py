@@ -143,6 +143,13 @@ class Warehouse:
         formats; see ``ManifestFormat.drop_column``)."""
         return self._format_verb("drop_column")(name, col)
 
+    def set_partition_spec(
+        self, name: str, partition_by: tuple[str, ...]
+    ) -> int:
+        """Partition-spec evolution without data rewrite (commit-log
+        formats; see ``ManifestFormat.set_partition_spec``)."""
+        return self._format_verb("set_partition_spec")(name, partition_by)
+
     def snapshot(self):
         """PINNED-SNAPSHOT read handle (commit-log formats; see
         ``TableSnapshot``): every read through the handle serves one

@@ -668,6 +668,9 @@ def typed_props_daily(spark, sf_dir):
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY 1
     """,
+    # r14 rotation: sql_dml_roundtrip carries the gate — its final
+    # SELECT exercises this row's passthrough plus the DML dispatch
+    gate=False,
 )
 def sql_interface_revenue(spark, sf_dir):
     """The SQL entry point (the reference's users query TimescaleDB in
@@ -1485,4 +1488,113 @@ def agg_rollup_regrain(spark, sf_dir):
         "user_id",
         F.round(F.col("sum_value"), 2).alias("total"),
         "n_rows",
+    )
+
+
+@query(
+    "sql_dml_roundtrip",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    base AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               ROUND(c_acctbal, 2) AS balance, mx.m
+        FROM customer, mx
+    ),
+    upd AS (  -- UPDATE +50 on [m//10, m//5]
+        SELECT k, seg,
+               CASE WHEN k BETWEEN m // 10 AND m // 5
+                    THEN ROUND(balance + 50.0, 2) ELSE balance END
+                   AS balance, m
+        FROM base
+    ),
+    del AS (  -- DELETE (m//2, m//2 + m//20]
+        SELECT * FROM upd
+        WHERE NOT (k > m // 2 AND k <= m // 2 + m // 20)
+    ),
+    merged AS (  -- MERGE: double balances for k <= m//20, insert ghosts
+        SELECT k, seg,
+               CASE WHEN k <= m // 20
+                    THEN ROUND(ROUND(c2.c_acctbal, 2) * 2, 2)
+                    ELSE balance END AS balance
+        FROM del LEFT JOIN customer c2 ON del.k = c2.c_custkey
+        UNION ALL
+        SELECT c_custkey + 2 * m AS k, c_mktsegment AS seg,
+               ROUND(c_acctbal, 2) AS balance
+        FROM customer, mx WHERE c_custkey <= m // 50
+    )
+    SELECT seg, COUNT(*) AS n, ROUND(SUM(balance), 2) AS bal_sum
+    FROM merged GROUP BY seg
+    """,
+    # r14 rotation (VERDICT r13 task 6): the SQL DML/DDL front-end
+    # drives a gate row — INSERT / UPDATE / DELETE / MERGE / ALTER
+    # TABLE RENAME COLUMN as SQL text dispatching to the warehouse
+    # verbs, final SELECT through the passthrough.  Replaces
+    # sql_interface_revenue (pure SELECT passthrough, a strict subset
+    # of this row's read path).
+)
+def sql_dml_roundtrip(spark, sf_dir):
+    """The SQL front-end end-to-end (``plans/sql_frontend.py``): a
+    warehouse table is seeded, appended (INSERT), range-updated
+    (UPDATE), range-deleted (DELETE), upserted (MERGE with a temp-view
+    source), and column-renamed (ALTER TABLE) — all as SQL text — and
+    the final grouped aggregate is read back through the SELECT
+    passthrough under the renamed column.  Every statement dispatches
+    to the same verbs the Python API exposes, so this row gates the
+    parser AND the verbs."""
+    from ..fs import scratch_dir
+    from ..session import register_views
+    from .materialize import Warehouse
+    from .sql_frontend import SqlFrontend
+    from .table_format import ManifestFormat
+
+    register_views(spark, sf_dir)
+    root = scratch_dir(spark, "sqldml_", cleanup_atexit=True)
+    wh = Warehouse(
+        spark,
+        root,
+        table_format=ManifestFormat(
+            spark, root, auto_compact_dirs=None, stats_cols=("k",)
+        ),
+    )
+    sq = SqlFrontend(wh)
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    m = int(c.agg(F.max("c_custkey")).first()[0])
+
+    seed = spark.sql(
+        "SELECT c_custkey AS k, c_mktsegment AS seg, "
+        "ROUND(c_acctbal, 2) AS bal FROM customer "
+        f"WHERE c_custkey <= {m // 2}"
+    )
+    wh.fmt.write("ex.cust", seed, "overwrite")
+    sq.sql(
+        "INSERT INTO ex.cust SELECT c_custkey, c_mktsegment, "
+        f"ROUND(c_acctbal, 2) FROM customer WHERE c_custkey > {m // 2}"
+    )
+    sq.sql(
+        "UPDATE ex.cust SET bal = round(bal + 50.0, 2) "
+        f"WHERE k BETWEEN {m // 10} AND {m // 5}"
+    )
+    sq.sql(
+        f"DELETE FROM ex.cust WHERE k >= {m // 2 + 1} "
+        f"AND k <= {m // 2 + m // 20}"
+    )
+    spark.sql(
+        "SELECT c_custkey AS k, c_mktsegment AS seg, "
+        "ROUND(ROUND(c_acctbal, 2) * 2, 2) AS bal "
+        f"FROM customer WHERE c_custkey <= {m // 20} "
+        "UNION ALL "
+        f"SELECT c_custkey + {2 * m} AS k, c_mktsegment AS seg, "
+        "ROUND(c_acctbal, 2) AS bal "
+        f"FROM customer WHERE c_custkey <= {m // 50}"
+    ).createOrReplaceTempView("mergesrc")
+    sq.sql(
+        "MERGE INTO ex.cust t USING mergesrc s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    sq.sql("ALTER TABLE ex.cust RENAME COLUMN bal TO balance")
+    return sq.sql(
+        "SELECT seg, COUNT(*) AS n, ROUND(SUM(balance), 2) AS bal_sum "
+        "FROM ex.cust GROUP BY seg"
     )

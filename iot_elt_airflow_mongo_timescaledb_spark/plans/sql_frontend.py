@@ -1,0 +1,352 @@
+"""SQL DML/DDL front-end over the warehouse verbs (round 14, VERDICT
+r13 task 6).
+
+A real user's first contact with a transactional table is SQL text —
+``MERGE INTO`` / ``UPDATE`` / ``DELETE`` / ``INSERT`` / ``ALTER TABLE
+… RENAME COLUMN`` (the reference's users speak raw SQL to
+TimescaleDB, reference README.md:46).  Spark's own SQL layer cannot
+target our commit-log tables (they are not catalog tables), so this
+front-end is a THIN dispatcher: statements that read (SELECT/VALUES,
+and every MERGE source / INSERT body) pass through ``spark.sql``
+unchanged except that warehouse table names resolve to temp views of
+the committed snapshots; statements that write parse into the exact
+Python verb a user would call — so every refusal (type change on
+append, retired-name reuse, constraint violations, commit conflicts)
+is THE SAME refusal, not a parallel implementation
+(tests/test_sql_frontend.py pins refusal parity).
+
+Deliberately NOT a SQL parser: the accepted grammar is the canonical
+form of each statement (regexes below, case-insensitive, one
+statement per call) and anything else refuses loudly naming the
+supported shape.  Same posture as early Delta SQL support — the
+DataFrame/Python API remains the full surface.
+
+Scale shape: identical to the underlying verbs — SELECT passthrough
+is Catalyst end-to-end (the temp views are lazy committed-snapshot
+reads, so pushdown/pruning work as in any read), UPDATE/DELETE map to
+the stats-bounded ``update_where``/``delete_where`` range forms, and
+MERGE to the stats-bounded merge.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = ["SqlFrontend", "SqlParseError"]
+
+
+class SqlParseError(ValueError):
+    """Statement shape not supported by the thin dispatcher — the
+    message names the canonical accepted form."""
+
+
+_TBL = r"[A-Za-z_][\w]*\.[A-Za-z_][\w]*"
+_ID = r"[A-Za-z_][\w]*"
+
+
+def _lit(tok: str):
+    """One SQL literal → Python value (numbers, single-quoted strings,
+    NULL/booleans) — the bound domain the range verbs accept."""
+    t = tok.strip()
+    if re.fullmatch(r"'(?:[^']|'')*'", t):
+        return t[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)
+    if re.fullmatch(r"-?\d*\.\d+(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", t):
+        return float(t)
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    raise SqlParseError(
+        f"unsupported literal {tok!r}: numbers, 'strings', true/false"
+    )
+
+
+class SqlFrontend:
+    """``SqlFrontend(warehouse).sql(text)`` — returns a DataFrame for
+    reads, the verb's return value (rows touched / new version / None)
+    for writes."""
+
+    def __init__(self, wh):
+        self.wh = wh
+        self.spark = wh.spark
+        self._views: dict[str, str] = {}
+
+    # -- table-name resolution for the read path ----------------------
+
+    def _view_for(self, table: str) -> str:
+        """Committed snapshot of ``schema.table`` as a temp view (temp
+        view names cannot be qualified, hence the mangling); re-created
+        per statement so each statement reads the CURRENT commit."""
+        vname = "__wh_" + table.replace(".", "__")
+        self.wh.read(table).createOrReplaceTempView(vname)
+        self._views[table] = vname
+        return vname
+
+    def _substitute(self, text: str) -> str:
+        """Rewrite warehouse ``schema.table`` references in a read-only
+        statement to their temp views.  Textual (word-boundary) — a
+        table name inside a string literal would also rewrite; the
+        full-parser surface is the Python API."""
+        tables = {t for t in re.findall(rf"\b({_TBL})\b", text)}
+        out = text
+        for t in sorted(tables, key=len, reverse=True):
+            if self.wh.exists(t):
+                out = re.sub(
+                    rf"\b{re.escape(t)}\b", self._view_for(t), out
+                )
+        return out
+
+    # -- WHERE → bounded-range spec ------------------------------------
+
+    def _where_spec(self, where: str) -> dict:
+        """The WHERE shapes the stats-bounded verbs accept, as the
+        conjunction dict ``{col: (lo, hi)}`` (or an IN list):
+        ``col = v`` / ``col BETWEEN a AND b`` / ``col >= a AND col <=
+        b`` / ``col IN (v, …)``, AND-combined over distinct columns."""
+        spec: dict = {}
+
+        def put(col, lo, hi):
+            if col in spec:
+                old = spec[col]
+                if isinstance(old, list):
+                    raise SqlParseError(
+                        f"column {col} constrained twice in WHERE"
+                    )
+                lo = old[0] if lo is None else lo
+                hi = old[1] if hi is None else hi
+            spec[col] = (lo, hi)
+
+        # shield BETWEEN's own AND from the conjunction split
+        shielded = re.sub(
+            r"(?i)\b(BETWEEN\s+\S+)\s+AND\s+",
+            lambda m: m.group(1) + " \x00 ",
+            where.strip(),
+        )
+        for clause in re.split(r"(?i)\s+AND\s+", shielded):
+            c = clause.replace("\x00", "AND").strip().rstrip(";")
+            m = re.fullmatch(
+                rf"({_ID})\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)", c, re.I
+            )
+            if m:
+                put(m.group(1), _lit(m.group(2)), _lit(m.group(3)))
+                continue
+            m = re.fullmatch(rf"({_ID})\s*=\s*(.+)", c)
+            if m:
+                v = _lit(m.group(2))
+                put(m.group(1), v, v)
+                continue
+            m = re.fullmatch(rf"({_ID})\s*(>=|<=)\s*(.+)", c)
+            if m:
+                col, op, v = m.group(1), m.group(2), _lit(m.group(3))
+                put(col, v if op == ">=" else None,
+                    v if op == "<=" else None)
+                continue
+            m = re.fullmatch(
+                rf"({_ID})\s+IN\s*\(([^)]*)\)", c, re.I
+            )
+            if m:
+                if m.group(1) in spec:
+                    raise SqlParseError(
+                        f"column {m.group(1)} constrained twice in WHERE"
+                    )
+                spec[m.group(1)] = [
+                    _lit(x) for x in m.group(2).split(",")
+                ]
+                continue
+            raise SqlParseError(
+                f"unsupported WHERE clause {c!r}: the bounded verbs "
+                "accept col = v, col BETWEEN a AND b, col >= a / "
+                "col <= b, col IN (…), AND-combined"
+            )
+        return spec
+
+    # -- statement handlers ---------------------------------------------
+
+    def _do_update(self, m: re.Match):
+        table, set_clause, where = m.group(1), m.group(2), m.group(3)
+        sets: dict[str, str] = {}
+        # split on commas not inside parens/quotes (expressions may
+        # carry function calls)
+        depth, q, start, parts = 0, False, 0, []
+        for i, ch in enumerate(set_clause):
+            if ch == "'":
+                q = not q
+            elif not q and ch in "(":
+                depth += 1
+            elif not q and ch == ")":
+                depth -= 1
+            elif not q and ch == "," and depth == 0:
+                parts.append(set_clause[start:i])
+                start = i + 1
+        parts.append(set_clause[start:])
+        for p in parts:
+            mm = re.fullmatch(rf"\s*({_ID})\s*=\s*(.+?)\s*", p, re.S)
+            if not mm:
+                raise SqlParseError(f"unsupported SET item {p!r}")
+            sets[mm.group(1)] = mm.group(2)
+        return self.wh.update_where(table, self._where_spec(where), sets)
+
+    def _do_delete(self, m: re.Match):
+        return self.wh.delete_where(m.group(1), self._where_spec(m.group(2)))
+
+    def _do_insert(self, m: re.Match):
+        table, overwrite, cols, body = (
+            m.group("table"),
+            m.group("ow") is not None,
+            m.group("cols"),
+            m.group("body").strip(),
+        )
+        df = self.spark.sql(self._substitute(body))
+        if cols:
+            names = [c.strip() for c in cols.split(",")]
+        elif self.wh.exists(table):
+            # SQL INSERT binds POSITIONALLY to the target's columns; a
+            # VALUES body's col1/col2 names must not be taken literally
+            # (additive schema evolution would silently absorb them as
+            # new columns and NULL the real ones)
+            names = self.wh.read(table).columns
+        else:
+            names = list(df.columns)
+        if len(names) != len(df.columns):
+            raise SqlParseError(
+                f"INSERT provides {len(df.columns)} column(s) but the "
+                f"target takes {len(names)}: {names}"
+            )
+        df = df.toDF(*names)
+        mode = "overwrite" if overwrite else "append"
+        self.wh.fmt.write(table, df, mode)
+        return None
+
+    def _do_merge(self, m: re.Match):
+        table, t_alias = m.group("table"), m.group("talias")
+        src, s_alias = m.group("src").strip(), m.group("salias")
+        on = m.group("on").strip()
+        clauses = m.group("clauses").strip()
+        if src.startswith("("):
+            df = self.spark.sql(self._substitute(src[1:-1]))
+        elif re.fullmatch(_TBL, src) and self.wh.exists(src):
+            df = self.wh.read(src)
+        else:
+            df = self.spark.sql(f"SELECT * FROM {src}")
+        # ON t.k = s.k (aliases optional, either order) — the verb's
+        # contract is a same-named unique key on both sides
+        om = re.fullmatch(
+            rf"(?:({_ID})\.)?({_ID})\s*=\s*(?:({_ID})\.)?({_ID})", on
+        )
+        if not om or om.group(2) != om.group(4):
+            raise SqlParseError(
+                "unsupported ON clause: the merge verb upserts by one "
+                "same-named unique key — ON t.key = s.key"
+            )
+        key = om.group(2)
+        canon = re.sub(r"\s+", " ", clauses).lower()
+        if canon != (
+            "when matched then update set * "
+            "when not matched then insert *"
+        ):
+            raise SqlParseError(
+                "unsupported MERGE clauses: the verb implements the "
+                "canonical upsert — WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        self.wh.fmt.merge(table, df, key)
+        return None
+
+    def _do_alter(self, m: re.Match):
+        table, action = m.group(1), m.group(2).strip()
+        am = re.fullmatch(
+            rf"RENAME\s+COLUMN\s+({_ID})\s+TO\s+({_ID})", action, re.I
+        )
+        if am:
+            return self.wh.rename_column(table, am.group(1), am.group(2))
+        am = re.fullmatch(rf"DROP\s+COLUMN\s+({_ID})", action, re.I)
+        if am:
+            return self.wh.drop_column(table, am.group(1))
+        am = re.fullmatch(
+            rf"ADD\s+CONSTRAINT\s+({_ID})\s+CHECK\s*\((.+)\)", action,
+            re.I | re.S,
+        )
+        if am:
+            return self.wh.add_constraint(table, am.group(1), am.group(2))
+        am = re.fullmatch(rf"DROP\s+CONSTRAINT\s+({_ID})", action, re.I)
+        if am:
+            return self.wh.drop_constraint(table, am.group(1))
+        am = re.fullmatch(
+            r"PARTITION\s+BY\s*\(([^)]*)\)", action, re.I
+        )
+        if am:
+            cols = tuple(
+                c.strip() for c in am.group(1).split(",") if c.strip()
+            )
+            return self.wh.set_partition_spec(table, cols)
+        raise SqlParseError(
+            f"unsupported ALTER TABLE action {action!r}: RENAME COLUMN "
+            "a TO b | DROP COLUMN c | ADD CONSTRAINT n CHECK (expr) | "
+            "DROP CONSTRAINT n | PARTITION BY (cols…)"
+        )
+
+    # -- entry ------------------------------------------------------------
+
+    _WRITES = (
+        (
+            re.compile(
+                rf"^UPDATE\s+({_TBL})\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+                re.I | re.S,
+            ),
+            _do_update,
+        ),
+        (
+            re.compile(
+                rf"^DELETE\s+FROM\s+({_TBL})\s+WHERE\s+(.+)$", re.I | re.S
+            ),
+            _do_delete,
+        ),
+        (
+            re.compile(
+                rf"^INSERT\s+(?:(?P<ow>OVERWRITE)\s+|INTO\s+)"
+                rf"(?P<table>{_TBL})\s*(?:\((?P<cols>[^)]+)\)\s*)?"
+                rf"(?P<body>(?:SELECT|VALUES|\().+)$",
+                re.I | re.S,
+            ),
+            _do_insert,
+        ),
+        (
+            re.compile(
+                rf"^MERGE\s+INTO\s+(?P<table>{_TBL})"
+                rf"(?:\s+(?:AS\s+)?(?P<talias>{_ID}))?"
+                rf"\s+USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|{_TBL}|{_ID})"
+                rf"(?:\s+(?:AS\s+)?(?P<salias>{_ID}))?"
+                rf"\s+ON\s+(?P<on>.+?)"
+                rf"\s+(?P<clauses>WHEN\s+.+)$",
+                re.I | re.S,
+            ),
+            _do_merge,
+        ),
+        (
+            re.compile(
+                rf"^ALTER\s+TABLE\s+({_TBL})\s+(.+)$", re.I | re.S
+            ),
+            _do_alter,
+        ),
+    )
+
+    def sql(self, text: str):
+        """Execute one statement.  Reads return a DataFrame; writes
+        dispatch to the warehouse verb and return its result."""
+        stmt = text.strip().rstrip(";").strip()
+        head = stmt.split(None, 1)[0].upper() if stmt else ""
+        if head in ("SELECT", "WITH", "VALUES"):
+            return self.spark.sql(self._substitute(stmt))
+        for pat, handler in self._WRITES:
+            m = pat.match(stmt)
+            if m:
+                return handler(self, m)
+        raise SqlParseError(
+            f"unsupported statement (starts {head!r}): SELECT/WITH/"
+            "VALUES pass through; UPDATE / DELETE / INSERT / MERGE / "
+            "ALTER TABLE dispatch to warehouse verbs in their "
+            "canonical forms (see class docstring)"
+        )

@@ -2266,7 +2266,14 @@ class ManifestFormat(TableFormat):
             base = join_uri(self.path(name), dirname)
             paths = [self._entry_path(name, e) for e in dir_entries]
             reader = self.spark.read.option("mergeSchema", "true")
-            if m["partition_columns"]:
+            # basePath keys off THIS dir's own layout (entries with a
+            # rel are hive leaves), not the table's CURRENT spec —
+            # after partition-spec evolution (r14) old dirs keep their
+            # old layout, and reading their leaves without basePath
+            # would silently drop the partition-column values
+            if m["partition_columns"] or any(
+                e.get("rel") for e in dir_entries
+            ):
                 reader = reader.option("basePath", base)
             f = reader.parquet(*paths)
             if with_pos:
@@ -3640,6 +3647,77 @@ class ManifestFormat(TableFormat):
 
         self._commit_edit(name, drop_entries, resolve=False)
         return len(dropped_vals)
+
+    def set_partition_spec(
+        self, name: str, partition_by: tuple[str, ...]
+    ) -> int:
+        """PARTITION-SPEC EVOLUTION (round 14 — Iceberg's partition
+        evolution): change ``partition_by`` on an existing table in
+        ONE metadata-only commit, no data rewrite.  Existing entries
+        keep their recorded leaves (their dirs read through their own
+        basePath, so old partition-column values survive); new writes
+        land under the NEW spec.  Pruning stays sound across the
+        boundary by the keep-by-default invariant: an entry that does
+        not carry a queried partition value is kept, and a segment's
+        rolled-up partition range only records columns EVERY member
+        carries.  Partition edits refuse/keep honestly on
+        non-attributable old-spec entries (``dynamic_partition_
+        overwrite`` refuses loudly; ``drop_partitions_below`` keeps —
+        retention never over-drops).
+
+        Refusals: unknown columns (not live in the stored schema),
+        retired/dropped names, and a no-op spec (same columns).
+        Returns the new head version.  Concurrency: commits through
+        the rebaseable CAS; an append computed under the OLD spec that
+        rebases onto this commit hits the layout guard and re-runs
+        (the pair does not commute — its data dir has the wrong
+        layout), exactly like a replace-driven layout change."""
+        new = [str(c) for c in partition_by]
+        if len(set(new)) != len(new):
+            raise ValueError(
+                f"set_partition_spec on {name}: duplicate column in {new}"
+            )
+
+        def edit(head):
+            if head is None:
+                raise FileNotFoundError(
+                    f"no committed manifest for table {name}"
+                )
+            if list(head.get("partition_columns") or []) == new:
+                raise ValueError(
+                    f"set_partition_spec on {name}: spec already {new}"
+                )
+            schema = head.get("schema")
+            if schema is not None and new:
+                live = {
+                    f["name"]
+                    for f in schema["fields"]
+                    if not (f.get("metadata") or {}).get("dropped")
+                }
+                _, dropped, retired = self._schema_mapping(schema)
+                bad = [c for c in new if c in retired or c in dropped]
+                if bad:
+                    raise ValueError(
+                        f"set_partition_spec on {name}: column(s) {bad} "
+                        "were retired by a rename/drop — partition by "
+                        "the live name"
+                    )
+                missing = [c for c in new if c not in live]
+                if missing:
+                    raise ValueError(
+                        f"set_partition_spec on {name}: no live "
+                        f"column(s) {missing} (live: {sorted(live)})"
+                    )
+            # metadata-only: entries + segment refs carry verbatim
+            segs = head.get("segments")
+            return (head["entries"], new, None, None) + (
+                (None, list(segs)) if segs else ()
+            )
+
+        self._commit_edit(name, edit, resolve=False)
+        return self._manifest(name, resolve=False, expand_lists=False)[
+            "version"
+        ]
 
     def set_txn(self, name: str, txn: dict) -> bool:
         """Merge idempotent-writer watermarks into the head manifest —

@@ -326,8 +326,11 @@ def test_manifest_format_on_scheme_qualified_uri(spark, tmp_path):
     assert wh.fmt.vacuum("stage.t", writer_grace_s=0) == 1
     # log + current data dir really live under the local path
     log_local = os.path.join(str(tmp_path), "stage", "t", "_log")
-    visible = [f for f in os.listdir(log_local) if not f.startswith(".")]
-    assert visible == ["v000000000002.json"]  # (.crc sidecars excluded)
+    visible = sorted(
+        f for f in os.listdir(log_local) if not f.startswith(".")
+    )
+    # (.crc sidecars excluded; _head.json is the r14 advisory hint)
+    assert visible == ["_head.json", "v000000000002.json"]
 
 
 # ---------------------------------------------------------------------------

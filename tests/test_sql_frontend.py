@@ -1,0 +1,164 @@
+"""SQL DML/DDL front-end (round 14, VERDICT r13 task 6).
+
+Pins: each canonical statement dispatches to the SAME warehouse verb a
+Python caller uses (update_where / delete_where / merge / write /
+rename_column / drop_column / constraints), SELECT passes through
+Catalyst over committed-snapshot views, INSERT binds positionally
+(VALUES col1/col2 names must not silently evolve the schema), and the
+REFUSALS are the Python API's refusals verbatim — type change on
+append, retired-name reuse, constraint violation, unsupported shapes
+loudly named."""
+
+from __future__ import annotations
+
+import pytest
+
+from iot_elt_airflow_mongo_timescaledb_spark.plans.materialize import Warehouse
+from iot_elt_airflow_mongo_timescaledb_spark.plans.sql_frontend import (
+    SqlFrontend,
+    SqlParseError,
+)
+from iot_elt_airflow_mongo_timescaledb_spark.plans.table_format import (
+    CatalogManifestFormat,
+    ManifestFormat,
+)
+
+
+@pytest.fixture()
+def sq(spark, tmp_path):
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("k",)
+    )
+    wh = Warehouse(spark, str(tmp_path), table_format=fmt)
+    wh.fmt.write(
+        "s.t",
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, val string, x double",
+        ),
+        "overwrite",
+    )
+    return SqlFrontend(wh)
+
+
+def _state(sq, cols="k, val, x"):
+    return sorted(tuple(r) for r in sq.sql(f"SELECT {cols} FROM s.t").collect())
+
+
+def test_select_passthrough_reads_committed_snapshot(sq):
+    assert sq.sql("SELECT COUNT(*) AS n FROM s.t").first()["n"] == 3
+    # WITH + join against itself through the substitution
+    n = sq.sql(
+        "WITH a AS (SELECT k FROM s.t) "
+        "SELECT COUNT(*) AS n FROM a JOIN s.t USING (k)"
+    ).first()["n"]
+    assert n == 3
+
+
+def test_update_between_and_equality(sq):
+    assert sq.sql("UPDATE s.t SET val = 'zz' WHERE k BETWEEN 1 AND 2") == 2
+    assert sq.sql("UPDATE s.t SET x = x + 1 WHERE k = 3") == 1
+    assert _state(sq) == [
+        (1, "zz", 10.0),
+        (2, "zz", 20.0),
+        (3, "c", 31.0),
+    ]
+
+
+def test_delete_in_list_and_range(sq):
+    assert sq.sql("DELETE FROM s.t WHERE k IN (1, 3)") == 2
+    assert _state(sq) == [(2, "b", 20.0)]
+
+
+def test_insert_is_positional(sq):
+    sq.sql("INSERT INTO s.t SELECT * FROM VALUES (4, 'd', CAST(40.0 AS DOUBLE))")
+    assert (4, "d", 40.0) in _state(sq)
+    # a VALUES body must not add col1/col2/col3 columns
+    assert sq.sql("SELECT * FROM s.t").columns == ["k", "val", "x"]
+    # explicit column list reorders
+    sq.sql(
+        "INSERT INTO s.t (val, k, x) "
+        "SELECT 'e', CAST(5 AS LONG), CAST(50.0 AS DOUBLE)"
+    )
+    assert (5, "e", 50.0) in _state(sq)
+    with pytest.raises(SqlParseError, match="positional|takes"):
+        sq.sql("INSERT INTO s.t SELECT 1, 'x'")
+
+
+def test_merge_canonical_upsert(sq):
+    sq.sql(
+        "MERGE INTO s.t t USING (SELECT CAST(2 AS LONG) AS k, 'upd' AS val,"
+        " CAST(99.0 AS DOUBLE) AS x UNION ALL SELECT CAST(9 AS LONG),"
+        " 'new', CAST(9.0 AS DOUBLE)) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    st = _state(sq)
+    assert (2, "upd", 99.0) in st and (9, "new", 9.0) in st
+    assert len([r for r in st if r[0] == 2]) == 1
+
+
+def test_alter_rename_drop_and_refusal_parity(sq):
+    v = sq.sql("ALTER TABLE s.t RENAME COLUMN val TO label")
+    assert isinstance(v, int)
+    assert _state(sq, "k, label, x")[0] == (1, "a", 10.0)
+    # retired-name reuse: the Python verb's ValueError, through SQL
+    with pytest.raises(ValueError, match="retired|collides"):
+        sq.sql("ALTER TABLE s.t RENAME COLUMN x TO val")
+    # type change on append: the Python verb's TypeError, through SQL
+    with pytest.raises(TypeError, match="type"):
+        sq.sql(
+            "INSERT INTO s.t SELECT * FROM VALUES ('no', 'e', "
+            "CAST(1.0 AS DOUBLE))"
+        )
+    sq.sql("ALTER TABLE s.t DROP COLUMN x")
+    assert sq.sql("SELECT * FROM s.t").columns == ["k", "label"]
+
+
+def test_constraints_through_sql(sq):
+    sq.sql("ALTER TABLE s.t ADD CONSTRAINT pos CHECK (x > 0)")
+    with pytest.raises(Exception, match="pos|constraint"):
+        sq.sql(
+            "INSERT INTO s.t SELECT * FROM VALUES (8, 'h', "
+            "CAST(-1.0 AS DOUBLE))"
+        )
+    assert sq.sql("ALTER TABLE s.t DROP CONSTRAINT pos") is True
+    sq.sql(
+        "INSERT INTO s.t SELECT * FROM VALUES (8, 'h', CAST(-1.0 AS DOUBLE))"
+    )
+    assert (8, "h", -1.0) in _state(sq)
+
+
+def test_unsupported_shapes_refuse_loudly(sq):
+    with pytest.raises(SqlParseError, match="WHERE"):
+        sq.sql("DELETE FROM s.t WHERE k != 2")
+    with pytest.raises(SqlParseError, match="canonical upsert"):
+        sq.sql(
+            "MERGE INTO s.t t USING s.t s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(SqlParseError, match="same-named"):
+        sq.sql(
+            "MERGE INTO s.t t USING s.t s ON t.k = s.other "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(SqlParseError, match="unsupported statement"):
+        sq.sql("TRUNCATE TABLE s.t")
+
+
+def test_catalog_format_roundtrip(spark, tmp_path):
+    fmt = CatalogManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("k",)
+    )
+    wh = Warehouse(spark, str(tmp_path), table_format=fmt)
+    wh.fmt.write(
+        "s.t",
+        spark.createDataFrame([(1, "a")], "k long, val string"),
+        "overwrite",
+    )
+    sq = SqlFrontend(wh)
+    sq.sql("INSERT INTO s.t SELECT CAST(2 AS LONG), 'b'")
+    assert sq.sql("UPDATE s.t SET val = 'hit' WHERE k = 1") == 1
+    got = sorted(tuple(r) for r in sq.sql("SELECT k, val FROM s.t").collect())
+    assert got == [(1, "hit"), (2, "b")]
