@@ -440,7 +440,11 @@ def lsh_near_dup_pairs(
 
 
 def quantize_embeddings(
-    df: DataFrame, id_col: str, vec_col: str = "embedding", bits: int = 8
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-vector symmetric integer quantization — the storage tier for
     vectors at corpus scale: float32 embeddings ship as int8 + one
@@ -458,7 +462,14 @@ def quantize_embeddings(
     qmax = 2 ** (bits - 1) - 1
     e = as_double(F.col(vec_col))
     scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(float(qmax))
-    out = df.select(F.col(id_col), e.alias("__e"), scale.alias("scale"))
+    # ``keep`` passes extra columns through the projection (r14): the
+    # codebook-training path needs (id, cluster_label, q) and a
+    # post-hoc join back to the source would be a corpus-sized
+    # shuffle for a column the scan already had in hand
+    out = df.select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        e.alias("__e"), scale.alias("scale"),
+    )
     q = F.transform(
         F.col("__e"),
         lambda x: F.coalesce(
@@ -493,6 +504,7 @@ def quantize_embeddings(
     )
     return out.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.round(F.col("scale"), 9).alias("scale"),
         "q",
         F.round(rel_err, 6).alias("rel_err"),

@@ -94,9 +94,22 @@ class IncrementalANNSync:
         ``train_from_table`` anchors the change-feed cursor with no
         crash window between indexing and cursor recording."""
         cb = corpus if codebook_corpus is None else codebook_corpus
-        cbq = quantize_embeddings(cb, id_col, vec_col, self.bits).join(
-            cb.select(id_col, cluster_col), id_col
-        )
+        # ONE quantize scan feeds both the codebook aggregation and the
+        # indexing pass when they share the corpus (the default; FAISS'
+        # train-on-sample posture passes a filter and keeps two scans):
+        # `keep` threads the cluster label through the projection
+        # instead of the corpus-sized self-join the r13 shape paid,
+        # and the persisted codes are (id, label, q) — int8 arrays,
+        # ~1/4 the raw embeddings (r14, VERDICT task 3 cold path).
+        shared = codebook_corpus is None or codebook_corpus is corpus
+        cbq = quantize_embeddings(
+            cb, id_col, vec_col, self.bits, keep=(cluster_col,)
+        ).select(F.col(id_col).alias("vec_id"), cluster_col, "q")
+        if shared:
+            cbq = cbq.persist()
+        # positional integer sums via posexplode + map-side-combined
+        # groupBy — the scale-safe shape (a per-cluster collect_list
+        # would hold every member vector of a cluster in one task)
         cent = (
             cbq.select(cluster_col, F.posexplode("q").alias("i", "x"))
             .groupBy(cluster_col, "i")
@@ -110,9 +123,13 @@ class IncrementalANNSync:
         )
         import contextlib
 
-        codes = quantize_embeddings(
-            corpus, id_col, vec_col, self.bits
-        ).select(F.col(id_col).alias("vec_id"), "q")
+        codes = (
+            cbq.select("vec_id", "q")
+            if shared
+            else quantize_embeddings(
+                corpus, id_col, vec_col, self.bits
+            ).select(F.col(id_col).alias("vec_id"), "q")
+        )
         cent = cent.persist()
         # assign against the IN-FLIGHT codebook (one centroid write,
         # not write-assign-rewrite); baseline per-cluster quality
@@ -155,6 +172,8 @@ class IncrementalANNSync:
         if not use_obs:
             scored.unpersist()
         cent.unpersist()
+        if shared:
+            cbq.unpersist()
         # the codebook's cluster list is already on the driver — a
         # read+count of the just-written table would be one more job
         return len(clusters)
@@ -426,12 +445,14 @@ class IncrementalANNSync:
         live in, never the corpus); keys alive after the change
         re-quantize and re-assign against the FROZEN codebook and
         append.  Exactly-once: the source's manifest version is the
-        batch id; the delete-merge is idempotent (re-deleting absent
-        keys no-ops without a commit), the append rides the
-        idempotent-writer watermark, and on a catalog-format warehouse
-        both land under ONE flip (no reader window).  On a plain
-        manifest format a crash between the two commits leaves changed
-        keys briefly unindexed; the retried sync converges.  Requires
+        batch id.  On the default (non-MOR, drift-unarmed) path the
+        retraction, the re-index, AND the watermark advance are ONE
+        stats-bounded merge commit (r14 ``txn_update`` — no crash
+        window, half the rewrite cost); the MOR and drift-armed paths
+        keep the two-step form (delete-merge + watermark append, one
+        catalog flip on that format), whose crash window between the
+        commits leaves changed keys briefly unindexed until the
+        retried sync converges.  Requires
         a manifest-format index warehouse (the watermark IS the
         cursor).  A feed refusal (replace / vacuumed range) propagates
         loudly — rebuild via ``train_from_table``/``retrain``.
@@ -532,6 +553,44 @@ class IncrementalANNSync:
                 "cursor); got "
                 f"{type(self.wh.fmt).__name__}"
             )
+        if not mor and drift_band is None:
+            # the netted change set is re-scanned by the merge's
+            # min/max keys agg, its matched probe, and the landing
+            # write — persist it (bounded by DISTINCT changed keys,
+            # never change volume) so the CDF read + netting window
+            # run once, not three times (cache hits by plan equality,
+            # so changed_keys/adds/codes built above all benefit)
+            final.persist()
+            # FUSED form (r14, cold-path cut): one stats-bounded merge
+            # deletes every changed key AND inserts the re-assigned
+            # rows AND advances the per-app watermark inside a single
+            # commit (`txn_update`) — one candidate rewrite instead of
+            # the retract-rewrite + watermark-append pair.  Only on
+            # the probe-free shape: the drift-armed path keeps the
+            # two-step so its Observation never meets merge's
+            # isEmpty/limit probes, and the MOR path keeps the
+            # equality-delete form.  Exactly-once: the `cur <= applied`
+            # guard above skips replays before any write; the
+            # watermark rides this commit atomically.
+            self.wh.fmt.merge(
+                self.assign_table, assigned, "vec_id",
+                delete_keys=changed_keys, record_cdc=False,
+                txn_update={self._APP_ID: int(cur)},
+            )
+            # a change set that nets to NOTHING touching the index
+            # (keys inserted+deleted within the range, never indexed)
+            # makes the merge a no-op with no commit — advance the
+            # cursor metadata-only so the next sync reads a fresh
+            # delta instead of re-netting this one forever
+            if self._applied_batch_id() != int(cur):
+                self.wh.fmt.set_txn(
+                    self.assign_table, {self._APP_ID: int(cur)}
+                )
+            maybe_compact = getattr(self.wh.fmt, "maybe_compact", None)
+            if maybe_compact is not None:
+                maybe_compact(self.assign_table)
+            final.unpersist()
+            return True
         tx = getattr(self.wh.fmt, "transaction", None)
         with tx() if tx is not None else contextlib.nullcontext():
             # 1) retract: changed keys' old assignments drop via the

@@ -1825,6 +1825,21 @@ class ManifestFormat(TableFormat):
             f"conflict races — persistent contention; last: {last}"
         )
 
+    @staticmethod
+    def _overlay_txn(txn: dict | None, txn_update: dict | None):
+        """Overlay idempotent-writer watermark UPDATES onto a carried
+        txn map (r14): per app id the HIGHER batch id wins (watermarks
+        are monotone), and the overlay re-applies on every conflict
+        rebase so a DML that advances its own cursor never loses it to
+        a concurrent commit's carried map."""
+        if not txn_update:
+            return txn
+        out = dict(txn or {})
+        for k, v in txn_update.items():
+            old = out.get(k)
+            out[k] = max(int(old), int(v)) if old is not None else int(v)
+        return out
+
     def _commit(
         self,
         name: str,
@@ -1836,6 +1851,7 @@ class ManifestFormat(TableFormat):
         txn: dict | None = None,
         dv: list | None = None,
         conflict: dict | None = None,
+        txn_update: dict | None = None,
     ) -> None:
         """Non-rebaseable (full-replace) commit: one CAS attempt, loud
         abort on a lost race — a replace computed against a stale base
@@ -1879,7 +1895,8 @@ class ManifestFormat(TableFormat):
         segs, entries2 = self._resegment(name, prev, entries)
         nxt = base_version + 1
         if self._try_write_manifest(
-            name, nxt, entries2, partition_columns, txn, segments=segs,
+            name, nxt, entries2, partition_columns,
+            self._overlay_txn(txn, txn_update), segments=segs,
             schema=schema,
             constraints=(prev or {}).get("constraints"),
             cdc=cdc, dv=dv,
@@ -1915,7 +1932,8 @@ class ManifestFormat(TableFormat):
             cdc2 = {**cdc, "since": head["version"]} if cdc else cdc
             if self._try_write_manifest(
                 name, head["version"] + 1, ents2, partition_columns,
-                dict(head.get("txn") or {}), segments=segs2,
+                self._overlay_txn(dict(head.get("txn") or {}), txn_update),
+                segments=segs2,
                 schema=schema, constraints=head.get("constraints"),
                 cdc=cdc2, dv=dv,
             ):
@@ -5414,6 +5432,7 @@ class ManifestFormat(TableFormat):
         unique_key: str,
         delete_keys: DataFrame | None = None,
         record_cdc: bool = True,
+        txn_update: dict | None = None,
     ) -> None:
         """Public entry: :meth:`_merge_once` under the serializable
         conflict-retry loop.  A merge's READ SET is every entry that
@@ -5422,11 +5441,18 @@ class ManifestFormat(TableFormat):
         the serial schedule — committing anyway would leave the old row
         of an upserted key alive, Delta's ConcurrentAppendException)
         and the merge recomputes against the new head; stats-disjoint
-        concurrent commits rebase inside the commit."""
+        concurrent commits rebase inside the commit.
+
+        ``txn_update`` (r14) lands idempotent-writer watermark
+        advances INSIDE the merge's own commit (per app id the higher
+        batch id wins, re-applied across conflict rebases — see
+        ``_overlay_txn``): the single-commit form of retract-merge +
+        watermark-append that the ANN CDF sync previously paid two
+        commits and two table rewrites for."""
         return self._retry_conflicts(
             name,
             lambda: self._merge_once(
-                name, df, unique_key, delete_keys, record_cdc
+                name, df, unique_key, delete_keys, record_cdc, txn_update
             ),
         )
 
@@ -5437,6 +5463,7 @@ class ManifestFormat(TableFormat):
         unique_key: str,
         delete_keys: DataFrame | None = None,
         record_cdc: bool = True,
+        txn_update: dict | None = None,
     ) -> None:
         """MERGE (upsert by key) with STATS-BOUNDED copy-on-write — the
         Delta ``MERGE INTO`` plan shape, replacing the base class's
@@ -5480,7 +5507,7 @@ class ManifestFormat(TableFormat):
             not prev["entries"] and not prev.get("segments")
         ):
             # absent/empty target: the batch IS the table
-            self.replace_atomic(name, df, ())
+            self.replace_atomic(name, df, (), txn=txn_update)
             return
         keys = (
             delete_keys if delete_keys is not None else df
@@ -5557,7 +5584,7 @@ class ManifestFormat(TableFormat):
             self._commit(
                 name, m["entries"] + app_new, list(app_cols),
                 m["version"], schema=app_schema, txn=m.get("txn"),
-                dv=m.get("dv"),
+                dv=m.get("dv"), txn_update=txn_update,
                 conflict={
                     "base": m, "touched": set(), "removed": set(),
                     "produced": app_new, "reads": key_reads,
@@ -5597,6 +5624,7 @@ class ManifestFormat(TableFormat):
             dv=self._dv_without(
                 m.get("dv"), {self._dv_ident(e) for e in candidates}
             ),
+            txn_update=txn_update,
             conflict={
                 "base": m, "touched": cand_ids, "removed": cand_ids,
                 "produced": new, "reads": key_reads,
@@ -6316,6 +6344,7 @@ class CatalogManifestFormat(ManifestFormat):
         txn: dict | None = None,
         dv: list | None = None,
         conflict: dict | None = None,
+        txn_update: dict | None = None,
     ) -> None:
         """Non-rebaseable (replace) commit + catalog flip.  On this
         format the COMMIT POINT is the catalog flip, so the replace's
@@ -6346,7 +6375,8 @@ class CatalogManifestFormat(ManifestFormat):
 
         prev = self._manifest(name, base_version) if base_version else None
         base = (conflict or {}).get("base") or prev
-        cur_entries, cur_cdc, cur_txn = entries, cdc, txn
+        cur_entries, cur_cdc = entries, cdc
+        cur_txn = self._overlay_txn(txn, txn_update)
         cur_base_v, rebase_on = base_version, prev
         for attempt in range(self.COMMIT_ATTEMPTS):
             segs, ents = self._resegment(name, rebase_on, cur_entries)
@@ -6393,7 +6423,9 @@ class CatalogManifestFormat(ManifestFormat):
             cur_cdc = (
                 {**cdc, "since": head["version"]} if cdc else cdc
             )
-            cur_txn = dict(head.get("txn") or {})
+            cur_txn = self._overlay_txn(
+                dict(head.get("txn") or {}), txn_update
+            )
             cur_base_v, rebase_on = head["version"], head
         raise RuntimeError(
             f"commit on {name} lost the catalog race "

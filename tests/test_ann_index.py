@@ -471,11 +471,14 @@ def test_sync_from_cdf_mor_zero_rewrite_same_results(spark, tmp_path, clustered)
 
 
 def test_sync_from_cdf_crash_between_steps_converges(spark, tmp_path, clustered):
-    """Crash injected AFTER the retraction merge commits but BEFORE
-    the watermark append: the cursor has not advanced, so the retried
-    sync re-reads the identical delta, the delete-merge no-ops (keys
-    already gone), and the append lands exactly once — membership
-    converges with no duplicates and no lost vectors."""
+    """The TWO-STEP (drift-armed) path's crash window: injected AFTER
+    the retraction merge commits but BEFORE the watermark append — the
+    cursor has not advanced, so the retried sync re-reads the
+    identical delta, the delete-merge no-ops (keys already gone), and
+    the append lands exactly once — membership converges with no
+    duplicates and no lost vectors.  (The default path is the r14
+    FUSED single commit with no window between retraction and cursor —
+    pinned separately below.)"""
     fmt = ManifestFormat(
         spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",),
         cdf=True,
@@ -497,15 +500,15 @@ def test_sync_from_cdf_crash_between_steps_converges(spark, tmp_path, clustered)
     type(fmt).write_streaming_batch = dying_wsb
     try:
         with pytest.raises(RuntimeError, match="injected crash"):
-            idx.sync_from_cdf(fmt, "raw.vecs")
+            idx.sync_from_cdf(fmt, "raw.vecs", drift_band=0.1)
     finally:
         type(fmt).write_streaming_batch = real_wsb
     assert calls["n"] == 1
     # the retraction merge may have committed; the cursor did not move
     assert idx._applied_batch_id() is not None
-    # retry converges
-    assert idx.sync_from_cdf(fmt, "raw.vecs") is True
-    assert idx.sync_from_cdf(fmt, "raw.vecs") is False
+    # retry converges (drift-armed again: same path)
+    assert idx.sync_from_cdf(fmt, "raw.vecs", drift_band=0.1) is True
+    assert idx.sync_from_cdf(fmt, "raw.vecs", drift_band=0.1) is False
     final = fmt.read("raw.vecs")
     a = idx.wh.read(idx.assign_table)
     got = {r["vec_id"] for r in a.select("vec_id").collect()}
@@ -516,3 +519,56 @@ def test_sync_from_cdf_crash_between_steps_converges(spark, tmp_path, clustered)
     assert _rows(idx.topk(queries, k=3, n_probe=2)) == _rows(
         idx.recompute_topk(final, queries, k=3, n_probe=2)
     )
+
+
+def test_sync_from_cdf_fused_path_is_atomic(spark, tmp_path, clustered):
+    """The r14 default path: retraction + re-index + cursor are ONE
+    merge commit.  A crash anywhere before that commit leaves the
+    table AND the cursor at the pre-sync state (no partial
+    retraction), and the retry converges exactly-once."""
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("vec_id",),
+        cdf=True,
+    )
+    idx = IncrementalANNSync(spark, str(tmp_path), "agg.ann", table_format=fmt)
+    initial = clustered.filter(F.col("vec_id") < 290)
+    fmt.write("raw.vecs", initial, "overwrite")
+    idx.train_from_table(fmt, "raw.vecs")
+    cursor0 = idx._applied_batch_id()
+    pre = sorted(
+        r["vec_id"]
+        for r in idx.wh.read(idx.assign_table).select("vec_id").collect()
+    )
+    batch, keys = _dml_mix(clustered)
+    fmt.merge("raw.vecs", batch, "vec_id", delete_keys=keys)
+
+    real = type(fmt)._try_write_manifest
+    state = {"armed": True}
+
+    def dying(self, name, *a, **kw):
+        if state["armed"] and name == idx.assign_table:
+            state["armed"] = False
+            raise RuntimeError("injected crash at the commit point")
+        return real(self, name, *a, **kw)
+
+    type(fmt)._try_write_manifest = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            idx.sync_from_cdf(fmt, "raw.vecs")
+    finally:
+        type(fmt)._try_write_manifest = real
+    # NOTHING moved: no partial retraction, cursor unchanged
+    assert idx._applied_batch_id() == cursor0
+    a0 = sorted(
+        r["vec_id"]
+        for r in idx.wh.read(idx.assign_table).select("vec_id").collect()
+    )
+    assert a0 == pre
+    # retry converges exactly-once
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is True
+    assert idx.sync_from_cdf(fmt, "raw.vecs") is False
+    final = fmt.read("raw.vecs")
+    a = idx.wh.read(idx.assign_table)
+    got = {r["vec_id"] for r in a.select("vec_id").collect()}
+    assert got == {r["vec_id"] for r in final.select("vec_id").collect()}
+    assert a.count() == len(got)

@@ -615,3 +615,62 @@ def test_cdf_is_opt_in(spark, tmp_path, kind):
     # merged content is identical to the cdf=True path's
     got = {r["k"]: r["v"] for r in fmt.read("s.t").collect()}
     assert got[21] == -1 and got[99] == -2 and len(got) == 51
+
+
+@pytest.mark.parametrize("kind", ["manifest", "catalog"])
+def test_merge_txn_update_advances_watermark_atomically(
+    spark, tmp_path, kind
+):
+    """r14: ``txn_update`` lands the idempotent-writer watermark inside
+    the merge's own commit — higher-wins overlay, carried base map
+    preserved, and the degraded no-match append path records it too."""
+    fmt = _fmt(spark, str(tmp_path), kind)
+    fmt.write("s.t", _rows(spark, (1, "a"), (2, "b")), "overwrite")
+    fmt.set_txn("s.t", {"other-app": 7})
+    fmt.merge(
+        "s.t", _rows(spark, (2, "upd")), "k", txn_update={"sync": 5}
+    )
+    m = fmt._manifest("s.t", resolve=False, expand_lists=False)
+    assert m["txn"] == {"other-app": 7, "sync": 5}
+    # degraded append path (no matching key) also records
+    fmt.merge(
+        "s.t", _rows(spark, (99, "new")), "k", txn_update={"sync": 6}
+    )
+    m = fmt._manifest("s.t", resolve=False, expand_lists=False)
+    assert m["txn"]["sync"] == 6 and m["txn"]["other-app"] == 7
+    # higher-wins: a stale update never rolls the cursor back
+    fmt.merge(
+        "s.t", _rows(spark, (1, "again")), "k", txn_update={"sync": 2}
+    )
+    m = fmt._manifest("s.t", resolve=False, expand_lists=False)
+    assert m["txn"]["sync"] == 6
+    got = {r["k"]: r["v"] for r in fmt.read("s.t").collect()}
+    assert got == {1: "again", 2: "upd", 99: "new"}
+
+
+def test_merge_txn_update_survives_conflict_rebase(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent stats-disjoint append rebases inside the merge's
+    commit — the watermark advance must survive the rebase (the head's
+    carried txn would otherwise win wholesale)."""
+    fmt = _fmt(spark, str(tmp_path), "manifest")
+    other = fmt.writer_copy()
+    fmt.write("s.t", _rows(spark, (1, "a")), "overwrite")
+
+    orig = fmt._new_data_dir
+    state = {"injected": False}
+
+    def racing(name, df, partition_by):
+        out = orig(name, df, partition_by)
+        if not state["injected"]:
+            state["injected"] = True
+            other.write("s.t", _rows(spark, (900, "far")), "append")
+        return out
+
+    monkeypatch.setattr(fmt, "_new_data_dir", racing)
+    fmt.merge("s.t", _rows(spark, (1, "upd")), "k", txn_update={"sync": 9})
+    m = fmt._manifest("s.t", resolve=False, expand_lists=False)
+    assert m["txn"]["sync"] == 9
+    got = {r["k"]: r["v"] for r in fmt.read("s.t").collect()}
+    assert got == {1: "upd", 900: "far"}
