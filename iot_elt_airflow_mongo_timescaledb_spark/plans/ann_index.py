@@ -553,7 +553,7 @@ class IncrementalANNSync:
                 "cursor); got "
                 f"{type(self.wh.fmt).__name__}"
             )
-        if not mor and drift_band is None:
+        if drift_band is None:
             # the netted change set is re-scanned by the merge's
             # min/max keys agg, its matched probe, and the landing
             # write — persist it (bounded by DISTINCT changed keys,
@@ -561,18 +561,23 @@ class IncrementalANNSync:
             # run once, not three times (cache hits by plan equality,
             # so changed_keys/adds/codes built above all benefit)
             final.persist()
-            # FUSED form (r14, cold-path cut): one stats-bounded merge
-            # deletes every changed key AND inserts the re-assigned
-            # rows AND advances the per-app watermark inside a single
-            # commit (`txn_update`) — one candidate rewrite instead of
-            # the retract-rewrite + watermark-append pair.  Only on
-            # the probe-free shape: the drift-armed path keeps the
+            # FUSED form (r14, cold-path cut): one merge deletes every
+            # changed key AND inserts the re-assigned rows AND
+            # advances the per-app watermark inside a single commit
+            # (`txn_update`) — one candidate rewrite (COW) or one
+            # batch-append + key mask (MOR) instead of the
+            # retract + watermark-append pair.  Only on the
+            # probe-free shape: the drift-armed path keeps the
             # two-step so its Observation never meets merge's
-            # isEmpty/limit probes, and the MOR path keeps the
-            # equality-delete form.  Exactly-once: the `cur <= applied`
-            # guard above skips replays before any write; the
-            # watermark rides this commit atomically.
-            self.wh.fmt.merge(
+            # isEmpty/limit probes.  Exactly-once: the `cur <=
+            # applied` guard above skips replays before any write;
+            # the watermark rides this commit atomically.
+            verb = (
+                self.wh.fmt.merge_mor
+                if mor and hasattr(self.wh.fmt, "merge_mor")
+                else self.wh.fmt.merge
+            )
+            verb(
                 self.assign_table, assigned, "vec_id",
                 delete_keys=changed_keys, record_cdc=False,
                 txn_update={self._APP_ID: int(cur)},

@@ -987,6 +987,94 @@ class IncrementalAggSync(_RollupSyncBase):
             ).drop("_change_type", "_commit_version")
         return self.sync(delta, batch_id=cur)
 
+    def maintain_stream(
+        self,
+        fmt,
+        source_table: str,
+        checkpoint: str,
+        max_versions_per_batch: int = 0,
+        available_now: bool = True,
+        catalog: bool | None = None,
+    ):
+        """CONTINUOUS rollup maintenance (round 14 — the rollup twin
+        of ``IncrementalANNSync.maintain_stream``): ride the
+        ``warehouse_cdf`` readStream source instead of batch-polling
+        ``read_changes_cdf``.  Each micro-batch's change rows become
+        signed facts (retract-stream semantics, as in
+        :meth:`sync_from_cdf`) and merge under the batch's max
+        ``_commit_version`` as the batch id, so the polling and
+        streaming cadences share ONE cursor and an engine-checkpoint
+        loss replays harmlessly (``vmax <= applied`` skips).  A batch
+        that PARTIALLY overlaps the applied cursor (a checkpoint from
+        a different stream) refuses loudly — version-aligned batches
+        from this method's own checkpoints never produce one.
+
+        Requires a bootstrapped rollup (one ``sync_from_cdf`` /
+        ``sync_from_table`` first — the stream starts at the applied
+        cursor).  Returns the ``StreamingQuery``."""
+        from pyspark.sql import functions as F
+
+        from ..streaming.cdf_source import register_cdf_source
+
+        applied = self._applied_batch_id()
+        if applied is None:
+            raise ValueError(
+                "maintain_stream requires a bootstrapped rollup — run "
+                "sync_from_cdf once so the stream has a starting "
+                "version (the applied cursor)"
+            )
+        register_cdf_source(self.spark)
+        if catalog is None:
+            catalog = hasattr(fmt, "_catalog_path")
+        reader = (
+            self.spark.readStream.format("warehouse_cdf")
+            .option("root", fmt.root)
+            .option("table", source_table)
+            .option("catalog", str(bool(catalog)).lower())
+            .option("starting_version", str(int(applied)))
+        )
+        if max_versions_per_batch:
+            reader = reader.option(
+                "max_versions_per_batch", str(int(max_versions_per_batch))
+            )
+
+        def apply_batch(batch_df, _engine_batch_id):
+            agg = batch_df.agg(
+                F.max("_commit_version"), F.min("_commit_version")
+            ).first()
+            vmax, vmin = agg[0], agg[1]
+            if vmax is None:
+                return  # empty micro-batch
+            cur = self._applied_batch_id()
+            if cur is not None and int(vmax) <= int(cur):
+                return  # engine-checkpoint replay: already absorbed
+            if cur is not None and int(vmin) <= int(cur):
+                raise ValueError(
+                    f"micro-batch spans versions ({vmin}, {vmax}] but "
+                    f"the rollup cursor is at {cur} — a foreign/reset "
+                    "checkpoint would double-count; restart the stream "
+                    "with a fresh checkpoint (it resumes at the cursor)"
+                )
+            delta = batch_df.withColumn(
+                "__sign",
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ).drop("_change_type", "_commit_version")
+            self.sync(delta, batch_id=int(vmax))
+
+        writer = (
+            reader.load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def _merge_metric(self, m: str):
         from pyspark.sql import functions as F
 

@@ -5770,15 +5770,17 @@ class ManifestFormat(TableFormat):
         unique_key: str,
         delete_keys: DataFrame | None = None,
         record_cdc: bool = True,
+        txn_update: dict | None = None,
     ) -> None:
         """Public entry: :meth:`_merge_mor_once` under the serializable
         conflict-retry loop (read set = entries that may contain a
         batch key, same as :meth:`merge`; plus the MOR applies-scope
-        guard of :meth:`delete_where_mor`)."""
+        guard of :meth:`delete_where_mor`).  ``txn_update`` as on
+        :meth:`merge` (r14): watermark advances ride the commit."""
         return self._retry_conflicts(
             name,
             lambda: self._merge_mor_once(
-                name, df, unique_key, delete_keys, record_cdc
+                name, df, unique_key, delete_keys, record_cdc, txn_update
             ),
         )
 
@@ -5789,6 +5791,7 @@ class ManifestFormat(TableFormat):
         unique_key: str,
         delete_keys: DataFrame | None = None,
         record_cdc: bool = True,
+        txn_update: dict | None = None,
     ) -> None:
         """MERGE as MERGE-ON-READ (VERDICT r10 task 5 — Delta's
         DV-backed MERGE / Iceberg v2 equality deletes): the batch
@@ -5823,7 +5826,7 @@ class ManifestFormat(TableFormat):
         if prev is None or (
             not prev["entries"] and not prev.get("segments")
         ):
-            self.replace_atomic(name, df, ())
+            self.replace_atomic(name, df, (), txn=txn_update)
             return
         keys = (
             delete_keys if delete_keys is not None else df
@@ -5886,7 +5889,7 @@ class ManifestFormat(TableFormat):
             self._commit(
                 name, m["entries"] + app_new, list(app_cols),
                 m["version"], schema=app_schema, txn=m.get("txn"),
-                dv=m.get("dv"),
+                dv=m.get("dv"), txn_update=txn_update,
                 conflict={
                     "base": m, "touched": set(), "removed": set(),
                     "produced": app_new, "reads": key_reads,
@@ -5930,6 +5933,7 @@ class ManifestFormat(TableFormat):
         self._commit(
             name, m["entries"] + new, list(cols), m["version"],
             schema=merged_schema, cdc=cdc, txn=m.get("txn"), dv=dv,
+            txn_update=txn_update,
             conflict={
                 "base": m,
                 "touched": {self._entry_key(e) for e in candidates},

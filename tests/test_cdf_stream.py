@@ -349,3 +349,73 @@ def test_ann_maintain_stream_end_to_end(spark, tmp_path):
 
     # the polling path shares the cursor: nothing left to apply
     assert idx.sync_from_cdf(fmt, "raw.vecs") is False
+
+
+def test_rollup_maintain_stream_end_to_end(spark, tmp_path):
+    """The rollup family rides the stream too: maintain_stream's
+    signed-fact micro-batches converge the stored rollup to the exact
+    recompute, share the polling path's cursor, and a lost engine
+    checkpoint replays harmlessly."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalAggSync,
+    )
+
+    fmt = _fmt(spark, str(tmp_path), "manifest", stats_cols=("k",))
+    agg = IncrementalAggSync(
+        spark, str(tmp_path), "agg.daily_v", group_cols=("day",),
+        sum_cols=("v",), table_format=fmt,
+    )
+
+    def rows(*triples):
+        return spark.createDataFrame(
+            [Row(k=k, day=d, v=v) for k, d, v in triples]
+        )
+
+    fmt.write("raw.f", rows((1, "d1", 10.0), (2, "d1", 5.0), (3, "d2", 7.0)),
+              "overwrite")
+    agg.sync_from_cdf(fmt, "raw.f")  # bootstrap anchors the cursor
+
+    # two post-bootstrap commits: an upsert (update + delete + insert)
+    # and a plain append
+    fmt.merge(
+        "raw.f",
+        rows((2, "d1", 50.0), (4, "d3", 1.0)),
+        "k",
+        delete_keys=spark.createDataFrame([(3,), (2,), (4,)], "k long"),
+    )
+    fmt.write("raw.f", rows((5, "d2", 2.0)), "append")
+
+    q = agg.maintain_stream(
+        fmt, "raw.f", str(tmp_path / "ck"), max_versions_per_batch=1
+    )
+    q.awaitTermination(180)
+
+    recompute = {
+        (r["day"], r["sum_v"], r["n_rows"])
+        for r in fmt.read("raw.f")
+        .groupBy("day")
+        .agg(F.sum("v").alias("sum_v"), F.count("*").alias("n_rows"))
+        .collect()
+    }
+    rollup = {
+        (r["day"], r["sum_v"], r["n_rows"])
+        for r in agg.read().select("day", "sum_v", "n_rows").collect()
+    }
+    assert rollup == recompute
+
+    # lost ENGINE checkpoint: replay the whole feed — the shared
+    # cursor skips every absorbed batch, rollup unchanged
+    q2 = agg.maintain_stream(fmt, "raw.f", str(tmp_path / "ck2"))
+    q2.awaitTermination(180)
+    rollup2 = {
+        (r["day"], r["sum_v"], r["n_rows"])
+        for r in agg.read().select("day", "sum_v", "n_rows").collect()
+    }
+    assert rollup2 == recompute
+    # the polling path shares the cursor: nothing left to apply
+    before = agg._applied_batch_id()
+    agg.sync_from_cdf(fmt, "raw.f")
+    assert agg._applied_batch_id() == before
