@@ -150,6 +150,16 @@ class Warehouse:
         formats; see ``ManifestFormat.set_partition_spec``)."""
         return self._format_verb("set_partition_spec")(name, partition_by)
 
+    def widen_column(self, name: str, col: str, new_type: str) -> int:
+        """ALTER COLUMN TYPE for safe widenings, metadata-only
+        (commit-log formats; see ``ManifestFormat.widen_column``)."""
+        return self._format_verb("widen_column")(name, col, new_type)
+
+    def drop_table(self, name: str, purge: bool = True) -> bool:
+        """DROP TABLE (transactional pointer flip on the catalog
+        format; directory removal on plain manifest)."""
+        return self._format_verb("drop_table")(name, purge)
+
     def snapshot(self):
         """PINNED-SNAPSHOT read handle (commit-log formats; see
         ``TableSnapshot``): every read through the handle serves one

@@ -282,11 +282,39 @@ class SqlFrontend:
                 c.strip() for c in am.group(1).split(",") if c.strip()
             )
             return self.wh.set_partition_spec(table, cols)
+        am = re.fullmatch(
+            rf"ALTER\s+COLUMN\s+({_ID})\s+(?:SET\s+DATA\s+)?TYPE\s+(.+)",
+            action,
+            re.I,
+        )
+        if am:
+            return self.wh.widen_column(
+                table, am.group(1), am.group(2).strip()
+            )
         raise SqlParseError(
             f"unsupported ALTER TABLE action {action!r}: RENAME COLUMN "
             "a TO b | DROP COLUMN c | ADD CONSTRAINT n CHECK (expr) | "
-            "DROP CONSTRAINT n | PARTITION BY (cols…)"
+            "DROP CONSTRAINT n | PARTITION BY (cols…) | ALTER COLUMN c "
+            "TYPE t (safe widenings)"
         )
+
+    def _do_drop_table(self, m: re.Match):
+        if_exists, table = m.group(1) is not None, m.group(2)
+        dropped = self.wh.drop_table(table)
+        if not dropped and not if_exists:
+            raise ValueError(f"DROP TABLE {table}: no such table")
+        return dropped
+
+    def _do_ctas(self, m: re.Match):
+        table, body = m.group(1), m.group(2).strip()
+        if self.wh.exists(table):
+            raise ValueError(
+                f"CREATE TABLE {table}: already exists (INSERT OVERWRITE "
+                "replaces contents; DROP TABLE first to re-create)"
+            )
+        self.wh.fmt.write(table, self.spark.sql(self._substitute(body)),
+                          "overwrite")
+        return None
 
     # -- entry ------------------------------------------------------------
 
@@ -330,6 +358,18 @@ class SqlFrontend:
                 rf"^ALTER\s+TABLE\s+({_TBL})\s+(.+)$", re.I | re.S
             ),
             _do_alter,
+        ),
+        (
+            re.compile(
+                rf"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_TBL})$", re.I
+            ),
+            _do_drop_table,
+        ),
+        (
+            re.compile(
+                rf"^CREATE\s+TABLE\s+({_TBL})\s+AS\s+(.+)$", re.I | re.S
+            ),
+            _do_ctas,
         ),
     )
 

@@ -3666,6 +3666,85 @@ class ManifestFormat(TableFormat):
         self._commit_edit(name, drop_entries, resolve=False)
         return len(dropped_vals)
 
+    def widen_column(self, name: str, col: str, new_type: str) -> int:
+        """``ALTER TABLE … ALTER COLUMN c TYPE t`` for SAFE widenings
+        (round 14): a metadata-only commit rewrites the field's type in
+        the stored schema when ``new_type`` is reachable on the
+        promotion lattice (byte→short→int→long, float→double, decimal
+        precision at the same scale — :meth:`_promoted_type`); old
+        files keep the narrow physical type and reads cast up via the
+        existing ``_cast_to_stored`` path, exactly as after an
+        append-driven promotion.  Anything not provably lossless
+        refuses loudly (narrowing, string↔numeric, scale changes) —
+        those need an explicit full rewrite.  Returns the new head
+        version."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        target = _parse_datatype_string(new_type)
+
+        def edit(head):
+            if head is None:
+                raise FileNotFoundError(
+                    f"no committed manifest for table {name}"
+                )
+            schema = head.get("schema")
+            if schema is None:
+                schema = self.read(name, head["version"]).schema.jsonValue()
+            fields = []
+            hit = False
+            for fj in schema["fields"]:
+                f = StructField.fromJson(fj)
+                if f.name != col or (fj.get("metadata") or {}).get(
+                    "dropped"
+                ):
+                    fields.append(fj)
+                    continue
+                hit = True
+                cur = self._normalize_nullability(f.dataType)
+                new = self._normalize_nullability(target)
+                wide = self._promoted_type(cur, new)
+                if wide != new or wide is None:
+                    raise TypeError(
+                        f"widen_column on {name}: {col} is {cur} and "
+                        f"{new} is not a safe widening (lattice: "
+                        "byte→short→int→long, float→double, decimal "
+                        "precision at same scale); any other change "
+                        "needs an explicit full rewrite"
+                    )
+                fields.append(
+                    StructField(f.name, new, True, f.metadata).jsonValue()
+                )
+            if not hit:
+                raise ValueError(
+                    f"widen_column on {name}: no live column {col!r}"
+                )
+            segs = head.get("segments")
+            return (
+                head["entries"],
+                head["partition_columns"],
+                None,
+                {**schema, "fields": fields},
+            ) + ((None, list(segs)) if segs else ())
+
+        self._commit_edit(name, edit, resolve=False)
+        return self._manifest(name, resolve=False, expand_lists=False)[
+            "version"
+        ]
+
+    def drop_table(self, name: str, purge: bool = True) -> bool:
+        """DROP TABLE.  On this format the table IS its directory, so
+        the drop is the directory removal (non-transactional — a
+        concurrent reader mid-plan may error, the same contract as any
+        filesystem table).  The catalog subclass overrides with a
+        transactional pointer flip (readers stop resolving first) +
+        optional purge.  Returns False when the table did not exist."""
+        p = self.path(name)
+        if not self.fs.exists(p):
+            return False
+        if purge:
+            self.fs.delete(p)
+        return True
+
     def set_partition_spec(
         self, name: str, partition_by: tuple[str, ...]
     ) -> int:
@@ -6314,6 +6393,26 @@ class CatalogManifestFormat(ManifestFormat):
             f"{self.COMMIT_ATTEMPTS} times — persistent contention or a "
             "stuck IO error"
         )
+
+    def drop_table(self, name: str, purge: bool = True) -> bool:
+        """Transactional DROP TABLE (Iceberg's catalog drop): the
+        catalog pointer flips to 0 FIRST — every later read resolves
+        "no committed manifest" atomically — then ``purge`` removes
+        the directory (pre-drop catalog versions still name the old
+        manifests, so a purge also strands time travel into them; skip
+        it to keep the data for an out-of-band archive)."""
+        if self._pending is not None:
+            raise RuntimeError(
+                "drop_table cannot run inside an open transaction"
+            )
+        if self._resolved_version(name) == 0:
+            return False
+        self._flip_catalog({name: 0})
+        if purge:
+            p = self.path(name)
+            if self.fs.exists(p):
+                self.fs.delete(p)
+        return True
 
     def _resolved_version(self, name: str) -> int:
         if self._pending is not None and name in self._pending:

@@ -162,3 +162,52 @@ def test_catalog_format_roundtrip(spark, tmp_path):
     assert sq.sql("UPDATE s.t SET val = 'hit' WHERE k = 1") == 1
     got = sorted(tuple(r) for r in sq.sql("SELECT k, val FROM s.t").collect())
     assert got == [(1, "hit"), (2, "b")]
+
+
+def test_widen_column_and_ctas_drop(sq, spark):
+    """r14 extensions: safe type widening metadata-only, CTAS, DROP
+    TABLE — and the unsafe widening refuses through SQL with the
+    lattice refusal."""
+    sq.sql("ALTER TABLE s.t DROP COLUMN x")
+    sq.sql(
+        "CREATE TABLE s.t2 AS SELECT k, CAST(k AS INT) AS small, val "
+        "FROM s.t"
+    )
+    assert sq.sql("SELECT COUNT(*) AS n FROM s.t2").first()["n"] == 3
+    v = sq.sql("ALTER TABLE s.t2 ALTER COLUMN small TYPE long")
+    assert isinstance(v, int)
+    # the widened read serves longs; appending longs is clean
+    sq.sql("INSERT INTO s.t2 SELECT CAST(9 AS LONG), CAST(9 AS LONG), 'z'")
+    got = sq.sql("SELECT small FROM s.t2")
+    assert dict(got.dtypes)["small"] == "bigint"
+    assert sorted(r["small"] for r in got.collect()) == [1, 2, 3, 9]
+    # narrowing refuses with the Python verb's TypeError
+    with pytest.raises(TypeError, match="safe widening"):
+        sq.sql("ALTER TABLE s.t2 ALTER COLUMN small TYPE int")
+    # CTAS refuses on existing; DROP clears it; IF EXISTS tolerant
+    with pytest.raises(ValueError, match="already exists"):
+        sq.sql("CREATE TABLE s.t2 AS SELECT 1 AS a")
+    assert sq.sql("DROP TABLE s.t2") is True
+    with pytest.raises(ValueError, match="no such table"):
+        sq.sql("DROP TABLE s.t2")
+    assert sq.sql("DROP TABLE IF EXISTS s.t2") is False
+    with pytest.raises(Exception):
+        sq.sql("SELECT * FROM s.t2").collect()
+
+
+def test_catalog_drop_table_is_transactional(spark, tmp_path):
+    fmt = CatalogManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None
+    )
+    fmt.write(
+        "s.d", spark.createDataFrame([(1,)], "k long"), "overwrite"
+    )
+    assert fmt.exists("s.d")
+    assert fmt.drop_table("s.d") is True
+    assert not fmt.exists("s.d")
+    assert fmt.drop_table("s.d") is False
+    # re-create after drop works (pointer 0 -> fresh v1)
+    fmt.write(
+        "s.d", spark.createDataFrame([(2,)], "k long"), "overwrite"
+    )
+    assert [r["k"] for r in fmt.read("s.d").collect()] == [2]
