@@ -311,6 +311,45 @@ class _PlainLog:
                 )
         return new_entries
 
+    @staticmethod
+    def _dv_ident(e: dict) -> str:
+        return "|".join(
+            (
+                e["dir"],
+                e.get("rel") or "",
+                json.dumps(e["partitions"], sort_keys=True),
+            )
+        )
+
+    def _dv_specs(self, m: dict) -> dict:
+        """Per-entry-ident MOR delete specs for a SNAPSHOT step
+        (mirrors ``_read_with_dv``'s scoping): equality key files and
+        bounds predicates apply in Arrow; POSITIONAL masks refuse —
+        the stream reader does not reconstruct (file, row-index)
+        identity.  Returns {ident: [spec, ...]}."""
+        out: dict = {}
+        for d in m.get("dv") or []:
+            if "pos" in d:
+                raise ValueError(
+                    f"cdf stream({self.table}): the snapshot carries a "
+                    "POSITIONAL deletion mask the stream reader cannot "
+                    "apply; run materialize_deletes first (equality and "
+                    "bounds forms stream fine)"
+                )
+            if "keys" in d:
+                spec = {
+                    "kind": "keys",
+                    "col": d["keys"]["col"],
+                    "path": os.path.join(
+                        self.table_path, d["keys"]["dir"]
+                    ),
+                }
+            else:
+                spec = {"kind": "bounds", "bounds": d["bounds"]}
+            for ident in d.get("applies") or []:
+                out.setdefault(ident, []).append(spec)
+        return out
+
     def steps(self, since: int, to: int) -> list[dict]:
         """One dict per version step in (since, to]:
         ``{"version", "kind": "cdc"|"insert", "dirs":
@@ -344,6 +383,7 @@ class _PlainLog:
                                     self.table_path, raw["cdc"]["dir"]
                                 ),
                                 None,
+                                None,
                             )
                         ],
                         "change_type": None,  # recorded in the files
@@ -355,16 +395,10 @@ class _PlainLog:
             if prev == 0:
                 # feed from the beginning: full snapshot = all inserts.
                 # The batch reader serves this through read_version,
-                # which would also apply merge-on-read delete masks —
-                # a pure-Python reader cannot, so refuse loudly rather
-                # than serve deleted rows.
-                if m.get("dv"):
-                    raise ValueError(
-                        f"cdf stream({self.table}): the snapshot at "
-                        f"v{v} carries merge-on-read deletes; run "
-                        "materialize_deletes (or start the stream from "
-                        "an explicit starting_version) first"
-                    )
+                # which applies merge-on-read delete masks — equality
+                # and bounds forms apply in Arrow here (r14);
+                # positional masks refuse in _dv_specs.
+                dv_by_ident = self._dv_specs(m)
                 entries = m["entries"]
             else:
                 if prev_m is None:
@@ -380,7 +414,12 @@ class _PlainLog:
                 p = os.path.join(self.table_path, e["dir"])
                 if e.get("rel"):
                     p = os.path.join(p, e["rel"])
-                dirs.append((p, e.get("partitions") or None))
+                dv = (
+                    dv_by_ident.get(self._dv_ident(e))
+                    if prev == 0
+                    else None
+                )
+                dirs.append((p, e.get("partitions") or None, dv))
             out.append(
                 {"version": v, "dirs": dirs, "change_type": "insert"}
             )
@@ -409,6 +448,7 @@ class CdfPartition(InputPartition):
         change_type: str | None,
         rename: dict,
         schema_json: dict,
+        dv: list | None = None,
     ):
         self.path = path
         self.part_values = part_values
@@ -416,6 +456,7 @@ class CdfPartition(InputPartition):
         self.change_type = change_type
         self.rename = rename
         self.schema_json = schema_json
+        self.dv = dv
 
 
 def _arrow_schema(schema_json: dict):
@@ -431,6 +472,63 @@ def _arrow_schema(schema_json: dict):
     return pa.schema(
         [pa.field(f.name, to_arrow_type(f.dataType), True) for f in st.fields]
     )
+
+
+def _apply_dv_arrow(table, specs: list):
+    """Arrow-side MOR delete application for SNAPSHOT steps (mirrors
+    ``_read_with_dv`` semantics): equality key files anti-filter,
+    bounds predicates filter ``NOT(coalesce(cond, FALSE))`` — a NULL
+    predicate never deletes, exactly SQL DELETE.  A column the files
+    predate (absent from the snapshot schema) makes the predicate a
+    provable no-op, same as the batch reader."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    for spec in specs:
+        if spec["kind"] == "keys":
+            col = spec["col"]
+            if col not in table.column_names:
+                continue
+            keys = (
+                ds.dataset(spec["path"], format="parquet")
+                .to_table(columns=[col])
+                .column(col)
+            )
+            hit = pc.is_in(
+                table.column(col).cast(keys.type), value_set=keys
+            )
+            table = table.filter(
+                pc.invert(pc.fill_null(hit, False))
+            )
+            continue
+        # bounds: {col: {"range": [lo, hi]} | {"in": [...]}} AND-ed
+        cond = None
+        skip = False
+        for c, enc in spec["bounds"].items():
+            if c not in table.column_names:
+                skip = True
+                break
+            col_arr = table.column(c)
+            if "in" in enc:
+                import pyarrow as pa
+
+                t = pc.is_in(col_arr, value_set=pa.array(enc["in"]))
+            else:
+                lo, hi = enc["range"]
+                t = None
+                if lo is not None:
+                    t = pc.greater_equal(col_arr, lo)
+                if hi is not None:
+                    u = pc.less_equal(col_arr, hi)
+                    t = u if t is None else pc.and_kleene(t, u)
+                if t is None:
+                    skip = True
+                    break
+            cond = t if cond is None else pc.and_kleene(cond, t)
+        if skip or cond is None:
+            continue
+        table = table.filter(pc.invert(pc.fill_null(cond, False)))
+    return table
 
 
 class CdfStreamReader(DataSourceStreamReader):
@@ -506,7 +604,7 @@ class CdfStreamReader(DataSourceStreamReader):
         rename = {a: lv for lv, als in aliases.items() for a in als}
         parts = []
         for step in log.steps(a, b):
-            for path, pvals in step["dirs"]:
+            for path, pvals, dv in step["dirs"]:
                 parts.append(
                     CdfPartition(
                         path,
@@ -515,6 +613,7 @@ class CdfStreamReader(DataSourceStreamReader):
                         step["change_type"],
                         rename,
                         self._schema_json,
+                        dv=dv,
                     )
                 )
         return parts
@@ -555,6 +654,8 @@ class CdfStreamReader(DataSourceStreamReader):
                     col = pa.nulls(n, field.type)
                 cols.append(col)
             out = pa.table(cols, schema=target)
+            if partition.dv:
+                out = _apply_dv_arrow(out, partition.dv)
             n_out += n
             yield from out.to_batches()
         if n_out == 0:

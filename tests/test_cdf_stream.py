@@ -419,3 +419,70 @@ def test_rollup_maintain_stream_end_to_end(spark, tmp_path):
     before = agg._applied_batch_id()
     agg.sync_from_cdf(fmt, "raw.f")
     assert agg._applied_batch_id() == before
+
+
+def test_snapshot_with_mor_deletes_streams_masked(spark, tmp_path):
+    """r14: a snapshot step whose first travelable version carries MOR
+    delete predicates (equality key file AND bounds form) streams the
+    MASKED rows — equal to the batch CDF — instead of refusing;
+    positional masks still refuse loudly."""
+    root = str(tmp_path)
+    fmt = _fmt(spark, root, "manifest", stats_cols=("k",))
+    fmt.write(
+        "s.t",
+        _rows(spark, [(i, f"v{i}", float(i)) for i in range(10)]),
+        "overwrite",
+    )
+    # equality key-file mask (merge_mor delete) + bounds mask
+    fmt.merge_mor(
+        "s.t",
+        _rows(spark, []).limit(0),
+        "k",
+        delete_keys=spark.createDataFrame([(2,), (5,)], "k long"),
+    )
+    fmt.delete_where_mor("s.t", "k", 7, 8)
+    # a plain append as the head (a cdc-carrying head can never serve
+    # a from-0 feed — both readers refuse identically), then vacuum to
+    # it: the stream's first step is now a SNAPSHOT carrying both dv
+    # forms
+    fmt.write("s.t", _rows(spark, [(100, "new", 1.0)]), "append")
+    fmt.vacuum("s.t", keep_last=1, writer_grace_s=0)
+
+    batch = fmt.read_changes_cdf("s.t", 0).collect()
+    streamed, _ = _stream_all(spark, root, "s.t", str(tmp_path / "ck"))
+    assert sorted(map(_key, streamed)) == sorted(map(_key, batch))
+    assert sorted(r["k"] for r in streamed) == [0, 1, 3, 4, 6, 9, 100]
+
+
+def test_snapshot_with_positional_mask_refuses(spark, tmp_path):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    root = str(tmp_path)
+    fmt = _fmt(
+        spark, root, "manifest", stats_cols=("k",), dv_form="positional"
+    )
+    fmt.write(
+        "s.t",
+        _rows(spark, [(i, "a", float(i)) for i in range(6)]),
+        "overwrite",
+    )
+    fmt.delete_where_mor("s.t", "k", 2, 3)
+    fmt.write("s.t", _rows(spark, [(100, "new", 1.0)]), "append")
+    fmt.vacuum("s.t", keep_last=1, writer_grace_s=0)
+    register_cdf_source(spark)
+    q = (
+        spark.readStream.format("warehouse_cdf")
+        .option("root", root)
+        .option("table", "s.t")
+        .load()
+        .writeStream.trigger(availableNow=True)
+        .foreachBatch(lambda b, i: b.count())
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as err:
+        q.awaitTermination(120)
+    assert "POSITIONAL" in str(err.value) or "materialize_deletes" in str(
+        err.value
+    )
