@@ -323,19 +323,24 @@ class _PlainLog:
 
     def _dv_specs(self, m: dict) -> dict:
         """Per-entry-ident MOR delete specs for a SNAPSHOT step
-        (mirrors ``_read_with_dv``'s scoping): equality key files and
-        bounds predicates apply in Arrow; POSITIONAL masks refuse —
-        the stream reader does not reconstruct (file, row-index)
-        identity.  Returns {ident: [spec, ...]}."""
+        (mirrors ``_read_with_dv``'s scoping): equality key files,
+        bounds predicates, AND positional masks all apply in Arrow —
+        the positional form reconstructs (file, row-index) identity
+        per parquet fragment, matching Spark's
+        ``_metadata.row_index`` file order.  Returns
+        {ident: [spec, ...]}."""
         out: dict = {}
         for d in m.get("dv") or []:
             if "pos" in d:
-                raise ValueError(
-                    f"cdf stream({self.table}): the snapshot carries a "
-                    "POSITIONAL deletion mask the stream reader cannot "
-                    "apply; run materialize_deletes first (equality and "
-                    "bounds forms stream fine)"
-                )
+                spec = {
+                    "kind": "pos",
+                    "path": os.path.join(
+                        self.table_path, d["pos"]["dir"]
+                    ),
+                }
+                for ident in d.get("applies") or []:
+                    out.setdefault(ident, []).append(spec)
+                continue
             if "keys" in d:
                 spec = {
                     "kind": "keys",
@@ -449,6 +454,7 @@ class CdfPartition(InputPartition):
         rename: dict,
         schema_json: dict,
         dv: list | None = None,
+        table_path: str | None = None,
     ):
         self.path = path
         self.part_values = part_values
@@ -457,6 +463,7 @@ class CdfPartition(InputPartition):
         self.rename = rename
         self.schema_json = schema_json
         self.dv = dv
+        self.table_path = table_path
 
 
 def _arrow_schema(schema_json: dict):
@@ -614,6 +621,7 @@ class CdfStreamReader(DataSourceStreamReader):
                         rename,
                         self._schema_json,
                         dv=dv,
+                        table_path=log.table_path,
                     )
                 )
         return parts
@@ -621,43 +629,91 @@ class CdfStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         self._pos = max(self._pos or 0, int(end["version"]))
 
+    @staticmethod
+    def _project(tbl, partition, target):
+        """One Arrow table → the declared stream schema: physical→live
+        renames, partition-value constants, _change_type/_commit_version
+        literals, NULL-fill for evolved-away columns, casts."""
+        import pyarrow as pa
+
+        have = {
+            partition.rename.get(n, n): tbl.column(n)
+            for n in tbl.column_names
+        }
+        n = len(tbl)
+        cols = []
+        for field in target:
+            if field.name == "_commit_version":
+                col = pa.array([partition.version] * n, pa.int64())
+            elif field.name == "_change_type" and field.name not in have:
+                col = pa.array([partition.change_type] * n, pa.string())
+            elif field.name in have:
+                col = have[field.name].cast(field.type)
+            elif partition.part_values and field.name in partition.part_values:
+                col = pa.array(
+                    [partition.part_values[field.name]] * n
+                ).cast(field.type)
+            else:
+                col = pa.nulls(n, field.type)
+            cols.append(col)
+        return pa.table(cols, schema=target)
+
     def read(self, partition: CdfPartition):
         import pyarrow as pa
         import pyarrow.dataset as ds
 
         target = _arrow_schema(partition.schema_json)
         dataset = ds.dataset(_local(partition.path), format="parquet")
+        dv = partition.dv or []
+        pos_specs = [d for d in dv if d["kind"] == "pos"]
+        row_specs = [d for d in dv if d["kind"] != "pos"]
         n_out = 0
-        for batch in dataset.to_batches():
-            tbl = pa.Table.from_batches([batch])
-            have = {
-                partition.rename.get(n, n): tbl.column(n)
-                for n in tbl.column_names
-            }
-            n = len(tbl)
-            cols = []
-            for field in target:
-                if field.name == "_commit_version":
-                    col = pa.array([partition.version] * n, pa.int64())
-                elif (
-                    field.name == "_change_type"
-                    and field.name not in have
+        if pos_specs:
+            # positional masks address (table-root-relative file path,
+            # row index within the file) — Spark's
+            # _metadata.row_index identity.  Deletes are idempotent,
+            # so the union of applying masks filters once per file.
+            import pyarrow.compute as pc
+
+            masks: dict[str, set] = {}
+            for spec in pos_specs:
+                mt = ds.dataset(
+                    _local(spec["path"]), format="parquet"
+                ).to_table(columns=["file", "pos"])
+                for f, pos in zip(
+                    mt.column("file").to_pylist(),
+                    mt.column("pos").to_pylist(),
                 ):
-                    col = pa.array([partition.change_type] * n, pa.string())
-                elif field.name in have:
-                    col = have[field.name].cast(field.type)
-                elif partition.part_values and field.name in partition.part_values:
-                    col = pa.array(
-                        [partition.part_values[field.name]] * n
-                    ).cast(field.type)
-                else:
-                    col = pa.nulls(n, field.type)
-                cols.append(col)
-            out = pa.table(cols, schema=target)
-            if partition.dv:
-                out = _apply_dv_arrow(out, partition.dv)
-            n_out += n
-            yield from out.to_batches()
+                    masks.setdefault(f, set()).add(pos)
+            base = _local(partition.table_path or partition.path)
+            for frag in dataset.get_fragments():
+                tbl = frag.to_table()
+                file_id = os.path.relpath(frag.path, base)
+                drop = masks.get(file_id)
+                if drop:
+                    keep = pc.invert(
+                        pc.is_in(
+                            pa.array(range(len(tbl)), pa.int64()),
+                            value_set=pa.array(
+                                sorted(drop), pa.int64()
+                            ),
+                        )
+                    )
+                    tbl = tbl.filter(keep)
+                out = self._project(tbl, partition, target)
+                if row_specs:
+                    out = _apply_dv_arrow(out, row_specs)
+                n_out += len(out)
+                yield from out.to_batches()
+        else:
+            for batch in dataset.to_batches():
+                out = self._project(
+                    pa.Table.from_batches([batch]), partition, target
+                )
+                if row_specs:
+                    out = _apply_dv_arrow(out, row_specs)
+                n_out += len(out)
+                yield from out.to_batches()
         if n_out == 0:
             # an empty dir still contributes schema-stable emptiness
             yield from pa.table(

@@ -454,10 +454,10 @@ def test_snapshot_with_mor_deletes_streams_masked(spark, tmp_path):
     assert sorted(r["k"] for r in streamed) == [0, 1, 3, 4, 6, 9, 100]
 
 
-def test_snapshot_with_positional_mask_refuses(spark, tmp_path):
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import StreamingQueryException
-
+def test_snapshot_with_positional_mask_streams_masked(spark, tmp_path):
+    """r14: POSITIONAL deletion-vector masks apply in the stream too —
+    per parquet fragment, by (table-root-relative file path, row
+    index), the exact identity Spark's _metadata.row_index uses."""
     root = str(tmp_path)
     fmt = _fmt(
         spark, root, "manifest", stats_cols=("k",), dv_form="positional"
@@ -470,19 +470,8 @@ def test_snapshot_with_positional_mask_refuses(spark, tmp_path):
     fmt.delete_where_mor("s.t", "k", 2, 3)
     fmt.write("s.t", _rows(spark, [(100, "new", 1.0)]), "append")
     fmt.vacuum("s.t", keep_last=1, writer_grace_s=0)
-    register_cdf_source(spark)
-    q = (
-        spark.readStream.format("warehouse_cdf")
-        .option("root", root)
-        .option("table", "s.t")
-        .load()
-        .writeStream.trigger(availableNow=True)
-        .foreachBatch(lambda b, i: b.count())
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .start()
-    )
-    with pytest.raises((StreamingQueryException, Py4JJavaError)) as err:
-        q.awaitTermination(120)
-    assert "POSITIONAL" in str(err.value) or "materialize_deletes" in str(
-        err.value
-    )
+
+    batch = fmt.read_changes_cdf("s.t", 0).collect()
+    streamed, _ = _stream_all(spark, root, "s.t", str(tmp_path / "ck"))
+    assert sorted(map(_key, streamed)) == sorted(map(_key, batch))
+    assert sorted(r["k"] for r in streamed) == [0, 1, 4, 5, 100]
