@@ -316,6 +316,27 @@ class SqlFrontend:
                           "overwrite")
         return None
 
+    def _do_vacuum(self, m: re.Match):
+        table, hours = m.group(1), m.group(2)
+        if hours is not None:
+            return self.wh.vacuum(table, keep_hours=float(hours))
+        return self.wh.vacuum(table)
+
+    def _do_optimize(self, m: re.Match):
+        table, zcols = m.group(1), m.group(2)
+        if zcols:
+            cols = [c.strip() for c in zcols.split(",") if c.strip()]
+            if len(cols) == 1:
+                return self.wh.cluster(table, cols[0])
+            return self.wh.cluster_zorder(table, tuple(cols))
+        # plain OPTIMIZE = threshold compaction, forced (threshold 0)
+        fn = getattr(self.wh.fmt, "maybe_compact", None)
+        if fn is None:
+            raise SqlParseError(
+                "OPTIMIZE requires a commit-log format"
+            )
+        return fn(table)
+
     # -- entry ------------------------------------------------------------
 
     _WRITES = (
@@ -370,6 +391,22 @@ class SqlFrontend:
                 rf"^CREATE\s+TABLE\s+({_TBL})\s+AS\s+(.+)$", re.I | re.S
             ),
             _do_ctas,
+        ),
+        (
+            re.compile(
+                rf"^VACUUM\s+({_TBL})"
+                rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?$",
+                re.I,
+            ),
+            _do_vacuum,
+        ),
+        (
+            re.compile(
+                rf"^OPTIMIZE\s+({_TBL})"
+                rf"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?$",
+                re.I,
+            ),
+            _do_optimize,
         ),
     )
 

@@ -211,3 +211,22 @@ def test_catalog_drop_table_is_transactional(spark, tmp_path):
         "s.d", spark.createDataFrame([(2,)], "k long"), "overwrite"
     )
     assert [r["k"] for r in fmt.read("s.d").collect()] == [2]
+
+
+def test_vacuum_and_optimize_through_sql(sq):
+    """Maintenance verbs as SQL: OPTIMIZE ZORDER rewrites clustered
+    with per-file stats, VACUUM RETAIN reclaims old versions."""
+    sq.sql("INSERT INTO s.t SELECT * FROM VALUES (4, 'd', CAST(4.0 AS DOUBLE))")
+    n = sq.sql("OPTIMIZE s.t ZORDER BY (k)")
+    assert isinstance(n, int)
+    # history exists; vacuum with 0-hour retention reclaims old manifests
+    reclaimed = sq.sql("VACUUM s.t RETAIN 0 HOURS")
+    assert isinstance(reclaimed, int)
+    assert _state(sq) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+        (4, "d", 4.0),
+    ]
+    with pytest.raises(SqlParseError):
+        sq.sql("OPTIMIZE s.t ZORDER")  # malformed
