@@ -87,11 +87,49 @@ class SqlFrontend:
 
     def _substitute(self, text: str) -> str:
         """Rewrite warehouse ``schema.table`` references in a read-only
-        statement to their temp views.  Textual (word-boundary) — a
-        table name inside a string literal would also rewrite; the
-        full-parser surface is the Python API."""
-        tables = {t for t in re.findall(rf"\b({_TBL})\b", text)}
+        statement to their temp views — including TIME TRAVEL suffixes
+        (``t VERSION AS OF n`` / ``t TIMESTAMP AS OF 'ts'``, the
+        Delta/Iceberg SQL shape, resolved through the commit log).
+        Textual (word-boundary) — a table name inside a string literal
+        would also rewrite; the full-parser surface is the Python
+        API."""
         out = text
+
+        def tt_register(t: str, version: int) -> str:
+            vname = f"__wh_tt_{t.replace('.', '__')}_v{version}"
+            self.wh.fmt.read_version(t, version).createOrReplaceTempView(
+                vname
+            )
+            return vname
+
+        def sub_version(m):
+            t = m.group(1)
+            if not self.wh.exists(t):
+                return m.group(0)
+            return tt_register(t, int(m.group(2)))
+
+        def sub_timestamp(m):
+            t = m.group(1)
+            if not self.wh.exists(t):
+                return m.group(0)
+            import datetime as _dt
+
+            when = _dt.datetime.fromisoformat(m.group(2).strip("'"))
+            return tt_register(t, self.wh.fmt.version_at(t, when))
+
+        out = re.sub(
+            rf"\b({_TBL})\s+VERSION\s+AS\s+OF\s+(\d+)",
+            sub_version,
+            out,
+            flags=re.I,
+        )
+        out = re.sub(
+            rf"\b({_TBL})\s+TIMESTAMP\s+AS\s+OF\s+('[^']+')",
+            sub_timestamp,
+            out,
+            flags=re.I,
+        )
+        tables = {t for t in re.findall(rf"\b({_TBL})\b", out)}
         for t in sorted(tables, key=len, reverse=True):
             if self.wh.exists(t):
                 out = re.sub(
@@ -337,6 +375,42 @@ class SqlFrontend:
             )
         return fn(table)
 
+    def _describe_history(self, table: str) -> DataFrame:
+        """``DESCRIBE HISTORY`` (Delta's shape, from the commit log):
+        one row per RETAINED version — commit time, entry/segment
+        counts, whether the commit recorded row-level change data, the
+        live MOR-delete count, and the writer-watermark apps.  All
+        metadata reads; bounded by retained versions."""
+        import datetime as _dt
+
+        fmt = self.wh.fmt
+        rows = []
+        for v in sorted(fmt._travelable_versions(table), reverse=True):
+            m = fmt._manifest(
+                table, v, resolve=False, expand_lists=False
+            )
+            if m is None:
+                continue
+            rows.append(
+                (
+                    int(v),
+                    _dt.datetime.utcfromtimestamp(
+                        int(m.get("committed_at") or 0)
+                    ),
+                    len(m.get("entries") or []),
+                    len(m.get("segments") or []),
+                    bool(m.get("cdc")),
+                    len(m.get("dv") or []),
+                    sorted((m.get("txn") or {}).keys()),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, committed_at timestamp, entries long, "
+            "segments long, has_change_data boolean, mor_deletes long, "
+            "txn_apps array<string>",
+        )
+
     # -- entry ------------------------------------------------------------
 
     _WRITES = (
@@ -417,6 +491,16 @@ class SqlFrontend:
         head = stmt.split(None, 1)[0].upper() if stmt else ""
         if head in ("SELECT", "WITH", "VALUES"):
             return self.spark.sql(self._substitute(stmt))
+        m = re.fullmatch(
+            rf"DESCRIBE\s+HISTORY\s+({_TBL})", stmt, re.I
+        )
+        if m:
+            return self._describe_history(m.group(1))
+        if re.fullmatch(r"SHOW\s+TABLES", stmt, re.I):
+            return self.spark.createDataFrame(
+                [(t,) for t in sorted(self.wh.tables())] or [("",)],
+                "table string",
+            ).filter("table != ''")
         for pat, handler in self._WRITES:
             m = pat.match(stmt)
             if m:

@@ -230,3 +230,33 @@ def test_vacuum_and_optimize_through_sql(sq):
     ]
     with pytest.raises(SqlParseError):
         sq.sql("OPTIMIZE s.t ZORDER")  # malformed
+
+
+def test_time_travel_and_history_and_show_tables(sq):
+    """SQL time travel (`VERSION AS OF` / `TIMESTAMP AS OF`) resolves
+    through the commit log; DESCRIBE HISTORY serves commit metadata;
+    SHOW TABLES lists the warehouse."""
+    sq.sql("UPDATE s.t SET val = 'new' WHERE k = 1")
+    # v1 had 'a'; head has 'new'
+    old = sq.sql(
+        "SELECT val FROM s.t VERSION AS OF 1 WHERE k = 1"
+    ).first()["val"]
+    new = sq.sql("SELECT val FROM s.t WHERE k = 1").first()["val"]
+    assert (old, new) == ("a", "new")
+    # join a past version against the head through one statement
+    n = sq.sql(
+        "SELECT COUNT(*) AS n FROM s.t a JOIN s.t VERSION AS OF 1 b "
+        "ON a.k = b.k AND a.val <> b.val"
+    ).first()["n"]
+    assert n == 1
+    ts = sq.sql("DESCRIBE HISTORY s.t")
+    rows = ts.collect()
+    assert [r["version"] for r in rows] == [2, 1]
+    assert rows[0]["has_change_data"] in (True, False)
+    future = rows[0]["committed_at"].isoformat()
+    tt = sq.sql(
+        f"SELECT val FROM s.t TIMESTAMP AS OF '{future}' WHERE k = 1"
+    ).first()["val"]
+    assert tt == "new"
+    tables = [r["table"] for r in sq.sql("SHOW TABLES").collect()]
+    assert "s.t" in tables
