@@ -109,6 +109,9 @@ EXTENDED = [
     "manifest_check_constraints",  # pre-commit batch rejection
     "manifest_update_where",       # stats-bounded row-level UPDATE
     "manifest_cdf_feed",           # row-level change data feed
+    # round-14 additions
+    "streaming_cdf_source",        # warehouse_cdf readStream + idempotent sink
+    "sql_dml_roundtrip",           # SQL DML/DDL front-end end-to-end
     # round-10 additions
     "manifest_merge_bounded",      # stats-bounded MERGE + merge CDC classes
     "ann_maintained_topk",         # warehouse-maintained IVF index
