@@ -448,10 +448,11 @@ class IncrementalANNSync:
         batch id.  On the default (non-MOR, drift-unarmed) path the
         retraction, the re-index, AND the watermark advance are ONE
         stats-bounded merge commit (r14 ``txn_update`` — no crash
-        window, half the rewrite cost); the MOR and drift-armed paths
-        keep the two-step form (delete-merge + watermark append, one
-        catalog flip on that format), whose crash window between the
-        commits leaves changed keys briefly unindexed until the
+        window, half the rewrite cost); the MOR path fuses the same
+        way (``merge_mor`` with ``txn_update``); only the DRIFT-ARMED
+        path keeps the two-step form (delete-merge + watermark append,
+        one catalog flip on that format), whose crash window between
+        the commits leaves changed keys briefly unindexed until the
         retried sync converges.  Requires
         a manifest-format index warehouse (the watermark IS the
         cursor).  A feed refusal (replace / vacuumed range) propagates

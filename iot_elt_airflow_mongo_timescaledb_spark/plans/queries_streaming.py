@@ -302,7 +302,15 @@ def streaming_cdf_source(spark, sf_dir):
         .option("checkpointLocation", os.path.join(root, "_ckpt"))
         .start()
     )
-    q.awaitTermination(300)
+    # a hung/slow drain must surface as a NAMED timeout, not as a
+    # confusing oracle hash mismatch over a partially-mirrored table
+    # (ADVICE r14 #5)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_cdf_source: availableNow drain did not finish "
+            "within 300 s — cdf.mirror is partial; not reading it"
+        )
     return (
         sink.read("cdf.mirror")
         .groupBy("_change_type")

@@ -153,8 +153,26 @@ class SqlFrontend:
                     raise SqlParseError(
                         f"column {col} constrained twice in WHERE"
                     )
-                lo = old[0] if lo is None else lo
-                hi = old[1] if hi is None else hi
+                # INTERSECT repeated bounds (None-aware): ``k >= 7 AND
+                # k >= 5`` must yield lo=7, and ``k = 5 AND k = 6`` an
+                # empty range — overwriting widened the predicate and
+                # a bounded UPDATE/DELETE would touch excluded rows
+                # (ADVICE r14 #2).  Mixed-type bounds refuse loudly.
+                olo, ohi = old
+                try:
+                    if lo is None:
+                        lo = olo
+                    elif olo is not None:
+                        lo = max(olo, lo)
+                    if hi is None:
+                        hi = ohi
+                    elif ohi is not None:
+                        hi = min(ohi, hi)
+                except TypeError:
+                    raise SqlParseError(
+                        f"column {col} constrained twice in WHERE "
+                        "with incomparable bound types"
+                    ) from None
             spec[col] = (lo, hi)
 
         # shield BETWEEN's own AND from the conjunction split
@@ -367,13 +385,16 @@ class SqlFrontend:
             if len(cols) == 1:
                 return self.wh.cluster(table, cols[0])
             return self.wh.cluster_zorder(table, tuple(cols))
-        # plain OPTIMIZE = threshold compaction, forced (threshold 0)
+        # plain OPTIMIZE = unconditional compaction of the sub-target
+        # append tail (force=True bypasses the auto threshold, which
+        # would otherwise make the statement a silent no-op on a
+        # format built with auto_compact_dirs=None — ADVICE r14 #3)
         fn = getattr(self.wh.fmt, "maybe_compact", None)
         if fn is None:
             raise SqlParseError(
                 "OPTIMIZE requires a commit-log format"
             )
-        return fn(table)
+        return fn(table, force=True)
 
     def _describe_history(self, table: str) -> DataFrame:
         """``DESCRIBE HISTORY`` (Delta's shape, from the commit log):

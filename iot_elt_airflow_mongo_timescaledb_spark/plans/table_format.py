@@ -1550,6 +1550,19 @@ class ManifestFormat(TableFormat):
             self.fs.delete(path + ".torn")
             self.fs.rename(path, path + ".torn")
             repaired += 1
+        if repaired:
+            # drop the advisory head hint: quarantining can open an
+            # INTERIOR gap above a stale hint (writer died between
+            # put_if_absent and hint write, then a torn commit above
+            # it was repaired) — the hint's forward probe would stop
+            # below a still-valid higher version and the next CAS
+            # would reuse its number, silently losing that commit
+            # (ADVICE r14 #1).  Deleting the hint forces the glob
+            # fallback, which returns the true max; the next commit
+            # rewrites the hint.
+            self.fs.delete(
+                join_uri(self._log_path(name), self.HEAD_HINT)
+            )
         return repaired
 
     #: bounded CAS retries for rebaseable commits before giving up
@@ -3917,7 +3930,10 @@ class ManifestFormat(TableFormat):
         return self._commit_edit(name, add)
 
     def maybe_compact(
-        self, name: str, target_file_bytes: int = 128 * 1024 * 1024
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        force: bool = False,
     ) -> int:
         """Threshold auto-compaction for the append-heavy read path.
 
@@ -3939,13 +3955,18 @@ class ManifestFormat(TableFormat):
         no-ops and vacuum reclaims the abandoned rewrite.  Returns the
         number of data dirs collapsed (0 = below threshold / no-op).
         """
-        if self.auto_compact_dirs is None:
+        # ``force=True`` (SQL ``OPTIMIZE t``, ADVICE r14 #3): bypass
+        # the auto threshold so the statement always compacts the
+        # sub-target append tail — Delta's unconditional-compaction
+        # shape — even on a format built with auto_compact_dirs=None
+        if not force and self.auto_compact_dirs is None:
             return 0
         m = self._manifest(name)
         if m is None:
             return 0
         dirs = {e["dir"] for e in m["entries"]}
-        if len(dirs) <= self.auto_compact_dirs:
+        threshold = 1 if force else self.auto_compact_dirs
+        if len(dirs) <= threshold:
             return 0
         sizes = {
             d: self.fs.tree_bytes(join_uri(self.path(name), d)) for d in dirs
@@ -6332,6 +6353,13 @@ class CatalogManifestFormat(ManifestFormat):
             self.fs.delete(path + ".torn")
             self.fs.rename(path, path + ".torn")
             repaired += 1
+        if repaired:
+            # same interior-gap guard as repair_log (ADVICE r14 #1):
+            # a stale flip hint above a quarantined pointer must not
+            # cap the forward probe below a valid higher flip
+            self.fs.delete(
+                join_uri(self._catalog_path(), self.HEAD_HINT)
+            )
         return repaired
 
     def _flip_catalog(self, updates: dict[str, int]) -> None:

@@ -105,3 +105,58 @@ def test_stream_resolver_uses_hint_and_survives_its_absence(
     assert log.head_version() == 2
     os.remove(os.path.join(log.log_path, "_head.json"))
     assert log.head_version() == 2
+
+
+def test_repair_log_drops_hint_closing_interior_gap(spark, tmp_path):
+    """ADVICE r14 #1 (the lost-commit window): a stale hint BELOW a
+    quarantined interior version must not cap resolution — v1,v2
+    valid, v3 torn, v4 valid, hint stale at 2 (its writer died before
+    the hint write).  Pre-fix: repair_log left the hint, the forward
+    probe stopped at 2 (v3 gone), and the committed v4 was silently
+    lost.  Post-fix: repair deletes the hint, the glob fallback
+    returns 4."""
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    fmt.write("s.t", _rows(spark, [(1, "a")]), "overwrite")
+    fmt.write("s.t", _rows(spark, [(2, "b")]), "append")
+    fmt.write("s.t", _rows(spark, [(3, "c")]), "append")
+    fmt.write("s.t", _rows(spark, [(4, "d")]), "append")
+    log = fmt._log_path("s.t")
+    # tear v3 in place (writer died mid-body; v4's writer had already
+    # probed past the present-but-unreadable file) and stale the hint
+    # at 2 (v4's writer died before its hint write)
+    fmt.fs.write_text(
+        join_uri(log, "v000000000003.json"), "{torn", overwrite=True
+    )
+    fmt.fs.write_text(
+        join_uri(log, fmt.HEAD_HINT),
+        json.dumps({"version": 2}),
+        overwrite=True,
+    )
+    assert fmt.repair_log("s.t", grace_s=0.0) == 1
+    assert not fmt.fs.exists(join_uri(log, fmt.HEAD_HINT))
+    assert fmt._latest_version("s.t") == 4  # v4 NOT lost
+    assert sorted(r["k"] for r in fmt.read("s.t").collect()) == [1, 2, 3, 4]
+    # the next commit re-seeds the hint above the gap
+    fmt.write("s.t", _rows(spark, [(5, "e")]), "append")
+    assert (
+        json.loads(
+            fmt.fs.read_text(join_uri(log, fmt.HEAD_HINT))
+        )["version"]
+        == 5
+    )
+
+
+def test_repair_catalog_drops_hint(spark, tmp_path):
+    """Catalog twin of the interior-gap guard: quarantining a torn
+    pointer deletes the flip hint so resolution re-globs."""
+    fmt = CatalogManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    fmt.write("s.t", _rows(spark, [(1, "a")]), "overwrite")
+    fmt.write("s.t", _rows(spark, [(2, "b")]), "append")
+    cdir = fmt._catalog_path()
+    head = fmt._catalog_version()
+    torn = join_uri(cdir, f"c{head + 1:012d}.json")
+    fmt.fs.write_text(torn, "{torn", overwrite=True)
+    assert fmt.repair_catalog(grace_s=0.0) == 1
+    assert not fmt.fs.exists(join_uri(cdir, fmt.HEAD_HINT))
+    assert fmt._catalog_version() == head
+    assert sorted(r["k"] for r in fmt.read("s.t").collect()) == [1, 2]

@@ -260,3 +260,40 @@ def test_time_travel_and_history_and_show_tables(sq):
     assert tt == "new"
     tables = [r["table"] for r in sq.sql("SHOW TABLES").collect()]
     assert "s.t" in tables
+
+
+def test_repeated_bounds_intersect_not_overwrite(sq):
+    """ADVICE r14 #2: repeated bounds on one column must INTERSECT —
+    ``k >= 7 AND k >= 5`` is lo=7 (overwriting gave lo=5, wider than
+    the SQL predicate, so a bounded UPDATE touched excluded rows)."""
+    assert sq._where_spec("k >= 2 AND k >= 1") == {"k": (2, None)}
+    assert sq._where_spec("k <= 2 AND k <= 3") == {"k": (None, 2)}
+    assert sq._where_spec("k >= 1 AND k <= 3 AND k >= 2") == {"k": (2, 3)}
+    # contradictory equalities -> empty range, zero rows touched
+    assert sq.sql("UPDATE s.t SET val = 'no' WHERE k = 1 AND k = 2") == 0
+    assert _state(sq) == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+    # the narrowing case end-to-end: only k>=2 rows update
+    assert sq.sql("UPDATE s.t SET val = 'zz' WHERE k >= 2 AND k >= 1") == 2
+    assert _state(sq) == [(1, "a", 10.0), (2, "zz", 20.0), (3, "zz", 30.0)]
+
+
+def test_plain_optimize_forces_compaction(spark, tmp_path):
+    """ADVICE r14 #3: plain ``OPTIMIZE t`` must compact the append
+    tail even on a format built with auto_compact_dirs=None (it was a
+    silent no-op); a second OPTIMIZE on the compacted table is 0."""
+    fmt = ManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    wh = Warehouse(spark, str(tmp_path), table_format=fmt)
+    df = spark.createDataFrame([(1, "a")], "k long, val string")
+    wh.fmt.write("s.t", df, "overwrite")
+    for i in range(2, 6):
+        wh.fmt.write(
+            "s.t",
+            spark.createDataFrame([(i, "x")], "k long, val string"),
+            "append",
+        )
+    sq = SqlFrontend(wh)
+    assert sq.sql("OPTIMIZE s.t") == 5  # all 5 small dirs collapse
+    assert sq.sql("OPTIMIZE s.t") == 0  # already one dir
+    assert sorted(
+        r["k"] for r in sq.sql("SELECT k FROM s.t").collect()
+    ) == [1, 2, 3, 4, 5]
