@@ -704,6 +704,12 @@ class IncrementalANNSync:
         if max_versions_per_batch:
             reader = reader.option(
                 "max_versions_per_batch", str(int(max_versions_per_batch))
+            ).option(
+                # restart backpressure (r15): the reader's own planned-
+                # version hint, paired with this stream's checkpoint,
+                # keeps a post-restart backlog paged in capped batches
+                "progress_dir",
+                checkpoint.rstrip("/") + "_cdf_progress",
             )
 
         def apply_batch(batch_df, _engine_batch_id):
