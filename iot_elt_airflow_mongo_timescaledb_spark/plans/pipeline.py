@@ -686,6 +686,135 @@ class _RollupSyncBase:
             delta = fmt.read_changes(source_table, int(applied), cur)
         return self.sync(delta, batch_id=cur)
 
+    #: whether this rollup's state forms a GROUP (retractable): the
+    #: stream can then absorb update/delete change rows as signed
+    #: facts.  Sketch states (HLL registers, bin counts, CMS cells)
+    #: are semigroups only — a retraction is impossible, so their
+    #: streams accept INSERT-only feeds and refuse anything else.
+    _STREAM_RETRACTS = False
+
+    def maintain_stream(
+        self,
+        fmt,
+        source_table: str,
+        checkpoint: str,
+        max_versions_per_batch: int = 0,
+        available_now: bool = True,
+        catalog: bool | None = None,
+    ):
+        """CONTINUOUS rollup maintenance for the WHOLE family (r15,
+        VERDICT r14 task 4 — previously only ``IncrementalAggSync``
+        had a streaming twin): ride the ``warehouse_cdf`` readStream
+        source instead of batch-polling.  Each micro-batch merges
+        under the batch's max ``_commit_version`` as the batch id, so
+        the polling and streaming cadences share ONE cursor and an
+        engine-checkpoint loss replays harmlessly (``vmax <= applied``
+        skips).  A batch that PARTIALLY overlaps the applied cursor
+        (a checkpoint from a different stream) refuses loudly —
+        version-aligned batches from this method's own checkpoints
+        never produce one.
+
+        Retractable rollups (``_STREAM_RETRACTS``, the additive
+        ``IncrementalAggSync``) turn change rows into SIGNED facts
+        (retract-stream semantics, as in ``sync_from_cdf``) and so
+        absorb upserting sources.  Sketch rollups (HLL/histogram/CMS
+        state is a semigroup — union/addition only, no inverse)
+        accept INSERT-only feeds and refuse on the first
+        delete/update change row, exactly where their batch path
+        ``sync_from_changes`` refuses on a rewrite — rebuild from a
+        full read rather than silently under-counting.
+
+        Requires a bootstrapped rollup (one ``sync_from_changes`` /
+        ``sync_from_cdf`` first — the stream starts at the applied
+        cursor).  Returns the ``StreamingQuery``."""
+        from pyspark.sql import functions as F
+
+        from ..streaming.cdf_source import register_cdf_source
+
+        applied = self._applied_batch_id()
+        if applied is None:
+            raise ValueError(
+                "maintain_stream requires a bootstrapped rollup — run "
+                "sync_from_changes / sync_from_cdf once so the stream "
+                "has a starting version (the applied cursor)"
+            )
+        register_cdf_source(self.spark)
+        if catalog is None:
+            catalog = hasattr(fmt, "_catalog_path")
+        reader = (
+            self.spark.readStream.format("warehouse_cdf")
+            .option("root", fmt.root)
+            .option("table", source_table)
+            .option("catalog", str(bool(catalog)).lower())
+            .option("starting_version", str(int(applied)))
+        )
+        if max_versions_per_batch:
+            reader = reader.option(
+                "max_versions_per_batch", str(int(max_versions_per_batch))
+            ).option(
+                # restart backpressure (r15): the reader's own planned-
+                # version hint, paired with this stream's checkpoint,
+                # keeps a post-restart backlog paged in capped batches
+                "progress_dir",
+                checkpoint.rstrip("/") + "_cdf_progress",
+            )
+
+        def apply_batch(batch_df, _engine_batch_id):
+            agg = batch_df.agg(
+                F.max("_commit_version"), F.min("_commit_version")
+            ).first()
+            vmax, vmin = agg[0], agg[1]
+            if vmax is None:
+                return  # empty micro-batch
+            cur = self._applied_batch_id()
+            if cur is not None and int(vmax) <= int(cur):
+                return  # engine-checkpoint replay: already absorbed
+            if cur is not None and int(vmin) <= int(cur):
+                raise ValueError(
+                    f"micro-batch spans versions ({vmin}, {vmax}] but "
+                    f"the rollup cursor is at {cur} — a foreign/reset "
+                    "checkpoint would double-count; restart the stream "
+                    "with a fresh checkpoint (it resumes at the cursor)"
+                )
+            if self._STREAM_RETRACTS:
+                delta = batch_df.withColumn(
+                    "__sign",
+                    F.when(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        ),
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                ).drop("_change_type", "_commit_version")
+            else:
+                # bounded collect: at most 4 distinct change classes
+                kinds = {
+                    r[0]
+                    for r in batch_df.select("_change_type")
+                    .distinct()
+                    .collect()
+                }
+                if kinds - {"insert"}:
+                    raise ValueError(
+                        f"{type(self).__name__}({self.table_name}): "
+                        f"source {source_table} produced "
+                        f"{sorted(kinds - {'insert'})} change rows, but "
+                        "sketch state cannot retract (semigroup, no "
+                        "inverse) — keep the source append-only, or "
+                        "rebuild the rollup from a full read"
+                    )
+                delta = batch_df.drop("_change_type", "_commit_version")
+            self.sync(delta, batch_id=int(vmax))
+
+        writer = (
+            reader.load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def sync(self, batch: DataFrame, batch_id: int | None = None) -> DataFrame:
         """Merge one fact batch into the stored rollup; returns the
         post-merge rollup.  With ``batch_id`` (monotone), a replayed
@@ -878,6 +1007,8 @@ class IncrementalAggSync(_RollupSyncBase):
     key: see ``_RollupSyncBase``.
     """
 
+    _STREAM_RETRACTS = True  # SUM/COUNT form a group
+
     def __init__(
         self,
         spark: SparkSession,
@@ -986,100 +1117,6 @@ class IncrementalAggSync(_RollupSyncBase):
                 ).otherwise(F.lit(-1)),
             ).drop("_change_type", "_commit_version")
         return self.sync(delta, batch_id=cur)
-
-    def maintain_stream(
-        self,
-        fmt,
-        source_table: str,
-        checkpoint: str,
-        max_versions_per_batch: int = 0,
-        available_now: bool = True,
-        catalog: bool | None = None,
-    ):
-        """CONTINUOUS rollup maintenance (round 14 — the rollup twin
-        of ``IncrementalANNSync.maintain_stream``): ride the
-        ``warehouse_cdf`` readStream source instead of batch-polling
-        ``read_changes_cdf``.  Each micro-batch's change rows become
-        signed facts (retract-stream semantics, as in
-        :meth:`sync_from_cdf`) and merge under the batch's max
-        ``_commit_version`` as the batch id, so the polling and
-        streaming cadences share ONE cursor and an engine-checkpoint
-        loss replays harmlessly (``vmax <= applied`` skips).  A batch
-        that PARTIALLY overlaps the applied cursor (a checkpoint from
-        a different stream) refuses loudly — version-aligned batches
-        from this method's own checkpoints never produce one.
-
-        Requires a bootstrapped rollup (one ``sync_from_cdf`` /
-        ``sync_from_table`` first — the stream starts at the applied
-        cursor).  Returns the ``StreamingQuery``."""
-        from pyspark.sql import functions as F
-
-        from ..streaming.cdf_source import register_cdf_source
-
-        applied = self._applied_batch_id()
-        if applied is None:
-            raise ValueError(
-                "maintain_stream requires a bootstrapped rollup — run "
-                "sync_from_cdf once so the stream has a starting "
-                "version (the applied cursor)"
-            )
-        register_cdf_source(self.spark)
-        if catalog is None:
-            catalog = hasattr(fmt, "_catalog_path")
-        reader = (
-            self.spark.readStream.format("warehouse_cdf")
-            .option("root", fmt.root)
-            .option("table", source_table)
-            .option("catalog", str(bool(catalog)).lower())
-            .option("starting_version", str(int(applied)))
-        )
-        if max_versions_per_batch:
-            reader = reader.option(
-                "max_versions_per_batch", str(int(max_versions_per_batch))
-            ).option(
-                # restart backpressure (r15): the reader's own planned-
-                # version hint, paired with this stream's checkpoint,
-                # keeps a post-restart backlog paged in capped batches
-                "progress_dir",
-                checkpoint.rstrip("/") + "_cdf_progress",
-            )
-
-        def apply_batch(batch_df, _engine_batch_id):
-            agg = batch_df.agg(
-                F.max("_commit_version"), F.min("_commit_version")
-            ).first()
-            vmax, vmin = agg[0], agg[1]
-            if vmax is None:
-                return  # empty micro-batch
-            cur = self._applied_batch_id()
-            if cur is not None and int(vmax) <= int(cur):
-                return  # engine-checkpoint replay: already absorbed
-            if cur is not None and int(vmin) <= int(cur):
-                raise ValueError(
-                    f"micro-batch spans versions ({vmin}, {vmax}] but "
-                    f"the rollup cursor is at {cur} — a foreign/reset "
-                    "checkpoint would double-count; restart the stream "
-                    "with a fresh checkpoint (it resumes at the cursor)"
-                )
-            delta = batch_df.withColumn(
-                "__sign",
-                F.when(
-                    F.col("_change_type").isin(
-                        "insert", "update_postimage"
-                    ),
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
-            ).drop("_change_type", "_commit_version")
-            self.sync(delta, batch_id=int(vmax))
-
-        writer = (
-            reader.load()
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", checkpoint)
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
 
     def _merge_metric(self, m: str):
         from pyspark.sql import functions as F

@@ -613,3 +613,114 @@ def test_progress_clamp_bounds_restart_backlog(spark, tmp_path):
     got = sorted(v for vs in served for v in vs)
     assert got == list(range(2, 22))  # full backlog, exactly once
     assert len(served) == 4  # 20 versions / cap 5
+
+
+def test_sketch_rollups_maintain_stream_end_to_end(spark, tmp_path):
+    """r15 (VERDICT r14 task 4): the SKETCH rollup family rides the
+    stream too — HLL-distinct and histogram twins converge to the
+    one-shot recompute over an append-only source, kill+replay across
+    a stream restart stays exactly-once (union/addition absorb
+    nothing twice: replayed vmax <= cursor skips)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalDistinctSync,
+        IncrementalHistSync,
+    )
+
+    fmt = _fmt(spark, str(tmp_path), "manifest")
+
+    def rows(*triples):
+        return spark.createDataFrame(
+            [Row(day=d, user=u, v=float(v)) for d, u, v in triples]
+        )
+
+    fmt.write(
+        "raw.ev",
+        rows(("d1", "u1", 1.0), ("d1", "u2", 5.0), ("d2", "u1", 9.0)),
+        "overwrite",
+    )
+    dist = IncrementalDistinctSync(
+        spark, str(tmp_path), "agg.dist_v", group_cols=("day",),
+        distinct_col="user", table_format=fmt,
+    )
+    hist = IncrementalHistSync(
+        spark, str(tmp_path), "agg.hist_v", group_cols=("day",),
+        value_col="v", lo=0.0, hi=10.0, n_bins=10, table_format=fmt,
+    )
+    dist.sync_from_changes(fmt, "raw.ev")  # bootstrap anchors cursors
+    hist.sync_from_changes(fmt, "raw.ev")
+
+    # first life: two appends, drained per-version
+    fmt.write("raw.ev", rows(("d1", "u3", 3.0), ("d2", "u2", 7.0)), "append")
+    fmt.write("raw.ev", rows(("d3", "u1", 2.0)), "append")
+    for roll in (dist, hist):
+        q = roll.maintain_stream(
+            fmt, "raw.ev", str(tmp_path / f"ck_{roll.table_name[4:]}"),
+            max_versions_per_batch=1,
+        )
+        assert q.awaitTermination(180)
+
+    # second life: another append, SAME checkpoints (kill+replay)
+    fmt.write("raw.ev", rows(("d1", "u1", 4.0), ("d3", "u9", 6.0)), "append")
+    for roll in (dist, hist):
+        q = roll.maintain_stream(
+            fmt, "raw.ev", str(tmp_path / f"ck_{roll.table_name[4:]}"),
+            max_versions_per_batch=1,
+        )
+        assert q.awaitTermination(180)
+
+    facts = fmt.read("raw.ev")
+    dist_expect = {
+        (r["day"], r["n"])
+        for r in facts.groupBy("day")
+        .agg(F.countDistinct("user").alias("n"))
+        .collect()
+    }
+    # lgk=12 HLL is exact at these cardinalities
+    assert {
+        (r["day"], int(r["distinct_est"]))
+        for r in dist.read().collect()
+    } == dist_expect
+    import math
+
+    by_day: dict = {}
+    for r in facts.collect():
+        by_day.setdefault(r["day"], []).append(r["v"])
+    # the contract: p50 within one bin width (1.0) of the
+    # ceil(p*n)-th ORDER STATISTIC (rank-based, not interpolated)
+    exp = {
+        d: sorted(vs)[math.ceil(0.5 * len(vs)) - 1]
+        for d, vs in by_day.items()
+    }
+    got_med = {(r["day"], r["p50"]) for r in hist.read().collect()}
+    assert {d for d, _ in got_med} == set(exp)
+    assert all(abs(m - exp[d]) <= 1.0 for d, m in got_med)
+
+
+def test_sketch_stream_refuses_retraction(spark, tmp_path):
+    """A delete on the source must fail a sketch stream loudly (no
+    inverse on semigroup state), exactly where sync_from_changes
+    refuses a rewrite."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    from iot_elt_airflow_mongo_timescaledb_spark.plans.pipeline import (
+        IncrementalDistinctSync,
+    )
+
+    fmt = _fmt(spark, str(tmp_path), "manifest", stats_cols=("k",))
+    fmt.write("raw.e", _rows(spark, [(1, "u1", 1.0), (2, "u2", 2.0)]),
+              "overwrite")
+    dist = IncrementalDistinctSync(
+        spark, str(tmp_path), "agg.d", group_cols=("val",),
+        distinct_col="k", table_format=fmt,
+    )
+    dist.sync_from_changes(fmt, "raw.e")
+    fmt.delete_where("raw.e", "k", 1, 1)
+    q = dist.maintain_stream(fmt, "raw.e", str(tmp_path / "ck"))
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as ei:
+        q.awaitTermination(120)
+        raise AssertionError("stream absorbed a retraction silently")
+    assert "cannot retract" in str(ei.value)
