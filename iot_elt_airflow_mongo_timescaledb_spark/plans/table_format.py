@@ -6362,14 +6362,20 @@ class CatalogManifestFormat(ManifestFormat):
             )
         return repaired
 
-    def _flip_catalog(self, updates: dict[str, int]) -> None:
+    def _flip_catalog(
+        self,
+        updates: dict[str, int],
+        view_updates: dict[str, str | None] | None = None,
+    ) -> None:
         """Unconditional pointer flip (first writes, replaces,
         transaction exits): CAS on the catalog version with bounded
         retries — flips of DIFFERENT tables commute, so a lost race
         just re-reads and merges onto the new head.  Same-table
         conflicts are excluded upstream (the manifest-version CAS for
         replaces; ``_flip_if_base`` for rebaseable edits; transactions
-        keep the single-writer-per-warehouse contract)."""
+        keep the single-writer-per-warehouse contract).
+        ``view_updates`` (r15) lands persisted-view text in the same
+        flip — ``None`` value drops the view."""
         import json
         import random
         import time
@@ -6378,8 +6384,18 @@ class CatalogManifestFormat(ManifestFormat):
             cat = self._catalog()
             nxt = cat["version"] + 1
             final = join_uri(self._catalog_path(), f"c{nxt:012d}.json")
+            views = dict(cat.get("views") or {})
+            for vn, vs in (view_updates or {}).items():
+                if vs is None:
+                    views.pop(vn, None)
+                else:
+                    views[vn] = vs
             body = json.dumps(
-                {"version": nxt, "tables": {**cat["tables"], **updates}}
+                {
+                    "version": nxt,
+                    "tables": {**cat["tables"], **updates},
+                    "views": views,
+                }
             )
             if self.log_store.put_if_absent(self.fs, final, body):
                 self._write_cat_hint(nxt)
@@ -6409,7 +6425,12 @@ class CatalogManifestFormat(ManifestFormat):
             nxt = cat["version"] + 1
             final = join_uri(self._catalog_path(), f"c{nxt:012d}.json")
             body = json.dumps(
-                {"version": nxt, "tables": {**cat["tables"], name: version}}
+                {
+                    "version": nxt,
+                    "tables": {**cat["tables"], name: version},
+                    # persisted views ride every flip unchanged
+                    "views": dict(cat.get("views") or {}),
+                }
             )
             if self.log_store.put_if_absent(self.fs, final, body):
                 self._write_cat_hint(nxt)
@@ -6636,17 +6657,92 @@ class CatalogManifestFormat(ManifestFormat):
 
         @contextlib.contextmanager
         def _txn():
-            if self._pending is not None:
-                raise RuntimeError("transactions do not nest")
-            self._pending = {}
+            self.begin()
             try:
                 yield
-                if self._pending:
-                    self._flip_catalog(self._pending)
-            finally:
-                self._pending = None
+            except BaseException:
+                self.abort_txn()
+                raise
+            else:
+                self.commit_txn()
 
         return _txn()
+
+    # explicit BEGIN/COMMIT/ROLLBACK verbs (r15, VERDICT r14 task 2):
+    # the statement-at-a-time SQL front-end cannot hold a context
+    # manager open across calls, so the transaction protocol is also
+    # exposed as three plain verbs the ``with`` form composes from.
+
+    def begin(self) -> None:
+        """Open a transaction: subsequent commits on ANY table defer
+        their catalog flips into one pending set (read-your-writes via
+        ``_resolved_version``)."""
+        if self._pending is not None:
+            raise RuntimeError("transactions do not nest")
+        self._pending = {}
+
+    def commit_txn(self) -> None:
+        """One catalog flip publishes every table committed since
+        ``begin`` — a reader sees all of them or none."""
+        if self._pending is None:
+            raise RuntimeError("no open transaction to commit")
+        try:
+            if self._pending:
+                self._flip_catalog(self._pending)
+        finally:
+            self._pending = None
+
+    def abort_txn(self) -> None:
+        """Discard the pending set: the manifests written inside the
+        transaction stay in ``_log`` as orphans (never catalog-visible,
+        not even via time travel) until vacuum reclaims them."""
+        if self._pending is None:
+            raise RuntimeError("no open transaction to roll back")
+        self._pending = None
+
+    # -- persisted views (r15, VERDICT r14 task 7) ---------------------
+    # The reference's ``examples`` layer is exactly CREATE VIEW over
+    # warehouse tables (reference dbt_project.yml:40-42: the examples
+    # models materialize as views).  View TEXT lives in the catalog
+    # log — transactional like table pointers, surviving restarts —
+    # and resolves against the CURRENT commit at read time, so a view
+    # tracks base-table commits with no refresh step.
+
+    def views(self) -> dict[str, str]:
+        """Persisted views: ``{name: sql_text}`` from the current
+        catalog version."""
+        return dict(self._catalog().get("views") or {})
+
+    def create_view(
+        self, name: str, sql_text: str, replace: bool = False
+    ) -> None:
+        if self._pending is not None:
+            raise RuntimeError(
+                "view DDL inside an open transaction is not supported — "
+                "COMMIT/ROLLBACK first (views flip the catalog directly)"
+            )
+        cat = self._catalog()
+        if cat["tables"].get(name):
+            raise ValueError(
+                f"CREATE VIEW {name}: a TABLE of that name exists"
+            )
+        if not replace and name in (cat.get("views") or {}):
+            raise ValueError(
+                f"view {name} already exists (CREATE OR REPLACE VIEW "
+                "to redefine)"
+            )
+        self._flip_catalog({}, view_updates={name: str(sql_text)})
+
+    def drop_view(self, name: str) -> bool:
+        if self._pending is not None:
+            raise RuntimeError(
+                "view DDL inside an open transaction is not supported — "
+                "COMMIT/ROLLBACK first (views flip the catalog directly)"
+            )
+        if name not in self.views():
+            return False
+        self._flip_catalog({}, view_updates={name: None})
+        return True
 
     def list_tables(self) -> list[str]:
         """The catalog IS the table listing — no directory walk."""

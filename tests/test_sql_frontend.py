@@ -297,3 +297,133 @@ def test_plain_optimize_forces_compaction(spark, tmp_path):
     assert sorted(
         r["k"] for r in sq.sql("SELECT k FROM s.t").collect()
     ) == [1, 2, 3, 4, 5]
+
+
+# -- r15: SQL transactions (VERDICT r14 task 2) -------------------------
+
+
+@pytest.fixture()
+def csq(spark, tmp_path):
+    fmt = CatalogManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("k",)
+    )
+    wh = Warehouse(spark, str(tmp_path), table_format=fmt)
+    wh.fmt.write(
+        "s.parent",
+        spark.createDataFrame([(1, "a")], "k long, val string"),
+        "overwrite",
+    )
+    wh.fmt.write(
+        "s.child",
+        spark.createDataFrame([(1, 10.0)], "k long, x double"),
+        "overwrite",
+    )
+    return SqlFrontend(wh)
+
+
+def test_sql_transaction_atomic_two_table_dml(csq, spark, tmp_path):
+    """BEGIN; parent+child DML; COMMIT — both visible at ONE catalog
+    flip; a mid-txn reader (fresh format instance, the crash shape)
+    sees zero skew; read-your-writes inside the txn."""
+    fmt2 = CatalogManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    csq.sql("BEGIN")
+    csq.sql("INSERT INTO s.parent SELECT * FROM VALUES (2, 'b')")
+    # read-your-writes: this session sees the uncommitted insert
+    assert csq.sql("SELECT COUNT(*) AS n FROM s.parent").first()["n"] == 2
+    # ...but an independent reader does NOT (and sees no parent/child skew)
+    assert fmt2.read("s.parent").count() == 1
+    csq.sql("INSERT INTO s.child SELECT * FROM VALUES (2, CAST(20.0 AS DOUBLE))")
+    assert fmt2.read("s.child").count() == 1
+    flips_before = fmt2._catalog_version()
+    csq.sql("COMMIT")
+    assert fmt2._catalog_version() == flips_before + 1  # ONE flip
+    assert fmt2.read("s.parent").count() == 2
+    assert fmt2.read("s.child").count() == 2
+
+
+def test_sql_rollback_and_crash_leave_no_skew(csq, spark, tmp_path):
+    csq.sql("START TRANSACTION")
+    csq.sql("INSERT INTO s.parent SELECT * FROM VALUES (9, 'z')")
+    csq.sql("ROLLBACK")
+    assert csq.sql("SELECT COUNT(*) AS n FROM s.parent").first()["n"] == 1
+    # crash shape: txn opened, writes landed, session dies (pending is
+    # in-memory) — a fresh reader resolves the pre-txn state, and the
+    # orphan manifest is not even time-travelable
+    csq.sql("BEGIN")
+    csq.sql("INSERT INTO s.child SELECT * FROM VALUES (9, CAST(9.0 AS DOUBLE))")
+    fresh = CatalogManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    assert fresh.read("s.child").count() == 1
+    assert max(h["version"] for h in fresh.history("s.child")) == 1
+    csq.sql("ROLLBACK")  # cleanup for the fixture session
+
+
+def test_sql_txn_refusals(csq, sq):
+    # plain ManifestFormat: no multi-table atomic flip
+    with pytest.raises(SqlParseError, match="catalog commit-log format"):
+        sq.sql("BEGIN")
+    # no open txn
+    with pytest.raises(RuntimeError, match="no open transaction"):
+        csq.sql("COMMIT")
+    with pytest.raises(RuntimeError, match="no open transaction"):
+        csq.sql("ROLLBACK")
+    csq.sql("BEGIN")
+    with pytest.raises(RuntimeError, match="do not nest"):
+        csq.sql("BEGIN")
+    csq.sql("ROLLBACK")
+
+
+# -- r15: persisted views (VERDICT r14 task 7) --------------------------
+
+
+def test_create_view_persists_and_tracks_commits(csq, spark, tmp_path):
+    csq.sql(
+        "CREATE VIEW examples.recent AS "
+        "SELECT k, val FROM s.parent WHERE k >= 1"
+    )
+    assert csq.sql("SELECT COUNT(*) AS n FROM examples.recent").first()["n"] == 1
+    # tracks base commits with no refresh
+    csq.sql("INSERT INTO s.parent SELECT * FROM VALUES (5, 'e')")
+    assert csq.sql("SELECT COUNT(*) AS n FROM examples.recent").first()["n"] == 2
+    # survives restart: fresh format + frontend resolve from the catalog
+    fmt2 = CatalogManifestFormat(spark, str(tmp_path), auto_compact_dirs=None)
+    sq2 = SqlFrontend(Warehouse(spark, str(tmp_path), table_format=fmt2))
+    assert sq2.sql("SELECT COUNT(*) AS n FROM examples.recent").first()["n"] == 2
+    assert "examples.recent" in {
+        r["view"] for r in sq2.sql("SHOW VIEWS").collect()
+    }
+    # view over view
+    sq2.sql(
+        "CREATE VIEW examples.top AS "
+        "SELECT MAX(k) AS mk FROM examples.recent"
+    )
+    assert sq2.sql("SELECT mk FROM examples.top").first()["mk"] == 5
+
+
+def test_view_refusals(csq, sq):
+    csq.sql("CREATE VIEW examples.v AS SELECT k FROM s.parent")
+    with pytest.raises(ValueError, match="already exists"):
+        csq.sql("CREATE VIEW examples.v AS SELECT val FROM s.parent")
+    csq.sql("CREATE OR REPLACE VIEW examples.v AS SELECT val FROM s.parent")
+    assert csq.sql("SELECT * FROM examples.v").columns == ["val"]
+    # a view name cannot shadow a table and vice versa
+    with pytest.raises(ValueError, match="TABLE of that name"):
+        csq.sql("CREATE VIEW s.parent AS SELECT 1 AS one")
+    with pytest.raises(ValueError, match="VIEW of that name"):
+        csq.sql("CREATE TABLE examples.v AS SELECT 1 AS one")
+    # dropped base column: SELECT refuses naming the view
+    csq.sql("ALTER TABLE s.parent DROP COLUMN val")
+    with pytest.raises(ValueError, match="examples.v no longer resolves"):
+        csq.sql("SELECT * FROM examples.v")
+    # a view that would never resolve refuses at CREATE time
+    with pytest.raises(Exception):
+        csq.sql("CREATE VIEW examples.bad AS SELECT nope FROM s.parent")
+    assert "examples.bad" not in {
+        r["view"] for r in csq.sql("SHOW VIEWS").collect()
+    }
+    assert csq.sql("DROP VIEW examples.v") is True
+    with pytest.raises(ValueError, match="no such view"):
+        csq.sql("DROP VIEW examples.v")
+    csq.sql("DROP VIEW IF EXISTS examples.v")  # no raise
+    # plain format refusal
+    with pytest.raises(SqlParseError, match="catalog commit-log format"):
+        sq.sql("CREATE VIEW examples.x AS SELECT 1 AS one")
