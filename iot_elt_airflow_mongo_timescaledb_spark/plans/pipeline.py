@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.flatten import flatten_document_table
-from ..sources.ingest import IncrementalCursor, dedup_by_pk, read_documents
+from ..sources.ingest import (
+    IncrementalCursor,
+    dedup_by_pk,
+    read_documents,
+    reconcile_schema_drift,
+)
 from .materialize import Warehouse
 from .models import AGG_MODELS, EXAMPLE_VIEWS, STAGE_MODELS
 
@@ -71,6 +76,10 @@ def root_key_merge(wh: Warehouse, collection: str, tables: dict) -> None:
     tx = getattr(wh.fmt, "transaction", None)
     with tx() if tx is not None else contextlib.nullcontext():
         for name, df in tables.items():
+            # dlt's inferred-schema evolution (r15): a drifted batch
+            # widens/variants instead of refusing; parent and children
+            # reconcile with the same rules so they evolve together
+            df = reconcile_schema_drift(wh, f"raw.{name}", df)
             if name == collection:
                 wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
             else:
