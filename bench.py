@@ -131,6 +131,10 @@ EXTENDED = [
     "manifest_concurrent_upserts",  # multi-writer optimistic concurrency
     "manifest_snapshot_pinned",     # pinned-snapshot read handle
     "rag_context_assembly",         # two-stage retrieval + budgeted context
+    # round-15 additions
+    "rollup_stream_hist",           # streaming sketch-rollup maintenance
+    "sql_txn_views",                # SQL BEGIN/COMMIT + persisted views
+    "ingest_schema_drift",          # auto-evolving drifted document sync
 ]
 
 
@@ -138,6 +142,34 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # load gate (r15, VERDICT r14 task 5): two rounds running, the
+    # committed BENCH record was taken under co-tenant load and needed
+    # judge re-adjudication.  Wait out a busy host with bounded
+    # retries; if it never quiets, proceed but mark the record
+    # ``degraded: true`` so the verdict can discount it without a
+    # re-run.  Per-query loadavg samples below make a contaminated ROW
+    # machine-identifiable too.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRIES", "3"))
+    backoff = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_BACKOFF_S", "300"))
+    degraded = True
+    for attempt in range(retries):
+        if os.getloadavg()[0] <= max_load:
+            degraded = False
+            break
+        if attempt < retries - 1:
+            print(
+                json.dumps(
+                    {
+                        "bench_load_wait": round(os.getloadavg()[0], 2),
+                        "backoff_s": backoff,
+                        "attempt": attempt + 1,
+                    }
+                ),
+                file=sys.stderr,
+            )
+            time.sleep(backoff)
     loadavg_start = round(os.getloadavg()[0], 2)
 
     spark = get_spark("bench")
@@ -165,8 +197,10 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     best: dict[str, float] = {}
     median: dict[str, float] = {}
+    loadavg_q: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        loadavg_q[name] = round(os.getloadavg()[0], 2)
         attempts = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -179,6 +213,7 @@ def main() -> None:
     # total so "value" stays comparable across rounds
     extended: dict[str, float] = {}
     for name in EXTENDED:
+        loadavg_q[name] = round(os.getloadavg()[0], 2)
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
         extended[name] = round(time.perf_counter() - t0, 3)
@@ -263,6 +298,8 @@ def main() -> None:
                 "sf": sf,
                 "loadavg_start": loadavg_start,
                 "loadavg_end": round(os.getloadavg()[0], 2),
+                "loadavg_queries": loadavg_q,
+                "degraded": degraded,
             }
         )
     )
@@ -283,6 +320,8 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "loadavg_start": loadavg_start,
                 "loadavg_end": round(os.getloadavg()[0], 2),
+                "loadavg_max_query": max(loadavg_q.values() or [0.0]),
+                "degraded": degraded,
             }
         )
     )

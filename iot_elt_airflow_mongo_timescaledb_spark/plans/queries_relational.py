@@ -559,6 +559,123 @@ def parent_child_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "ingest_schema_drift",
+    oracle="""
+    WITH lim AS (
+        SELECT LEAST(MAX(c_custkey), 600) AS L, LEAST(MAX(c_custkey), 600) // 2 AS H
+        FROM customer
+    ),
+    b1 AS (  -- first batch: score inferred as long
+        SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS score,
+               CAST(NULL AS DOUBLE) AS score__v_double,
+               CAST(NULL AS BIGINT) AS level
+        FROM customer, lim WHERE c_custkey <= H
+    ),
+    b2 AS (  -- drifted batch: score double -> row-wise variant split,
+             -- additive level column
+        SELECT c_custkey AS k,
+               CASE WHEN c_acctbal = FLOOR(c_acctbal)
+                    THEN CAST(c_acctbal AS BIGINT) END AS score,
+               CASE WHEN c_acctbal <> FLOOR(c_acctbal)
+                    THEN c_acctbal END AS score__v_double,
+               CAST(c_nationkey AS BIGINT) AS level
+        FROM customer, lim WHERE c_custkey > H AND c_custkey <= L
+    ),
+    landed AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT COUNT(*) AS n_rows,
+           COUNT(score) AS n_base,
+           COUNT(score__v_double) AS n_variant,
+           CAST(SUM(score) AS BIGINT) AS base_sum,
+           ROUND(SUM(score__v_double), 2) AS variant_sum,
+           COUNT(level) AS n_level,
+           CAST(SUM(level) AS BIGINT) AS level_sum
+    FROM landed
+    """,
+    # r15 rotation (VERDICT r14 tasks 3+8): dlt's headline behavior —
+    # inferred + EVOLVED raw schemas (reference README.md:11) — takes a
+    # gate row; stats_summary demoted (plain fused aggregate family,
+    # covered by value_percentiles/value_statistics + the pytest oracle
+    # suite).
+)
+def ingest_schema_drift(spark, sf_dir):
+    """Ingest-side schema evolution end-to-end (r15,
+    ``reconcile_schema_drift`` in sources/ingest.py): two document
+    batches derived from ``customer`` sync through
+    ``HealthPipeline.sync`` — the first stores ``score`` as a JSON
+    integer (inferred long), the second DRIFTS: ``score`` arrives as a
+    double (Spark infers the whole column double once any value is
+    fractional) and a brand-new ``level`` field appears.  The drifted
+    batch LANDS instead of refusing: integral doubles demote row-wise
+    into the stored long column, genuinely fractional values take
+    dlt's variant column ``score__v_double``, and ``level`` evolves
+    additively (null for batch-1 rows).  The oracle reproduces the
+    landing rule in SQL over the same parquet.  Bounded scratch: the
+    doc set is capped at 600 absolute keys regardless of scale
+    factor."""
+    import json
+    import os
+
+    from ..fs import scratch_dir
+    from .pipeline import HealthPipeline
+    from .table_format import ManifestFormat
+
+    c = table(spark, sf_dir, "customer")
+    m = int(c.agg(F.max("c_custkey")).first()[0])
+    L = min(m, 600)
+    H = L // 2
+    # bounded driver materialization: <= 600 rows by construction
+    rows = (
+        c.filter(F.col("c_custkey") <= L)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .collect()
+    )
+    b1 = [
+        {
+            "_id": str(r["c_custkey"]),
+            "created_at": int(r["c_custkey"]),
+            "score": int(r["c_nationkey"]),
+        }
+        for r in rows
+        if r["c_custkey"] <= H
+    ]
+    b2 = [
+        {
+            "_id": str(r["c_custkey"]),
+            "created_at": int(r["c_custkey"]),
+            "score": float(r["c_acctbal"]),
+            "level": int(r["c_nationkey"]),
+        }
+        for r in rows
+        if r["c_custkey"] > H
+    ]
+    root = scratch_dir(spark, "drift_", cleanup_atexit=True)
+    p1, p2 = os.path.join(root, "b1.json"), os.path.join(root, "b2.json")
+    with open(p1, "w") as f:
+        json.dump(b1, f)
+    with open(p2, "w") as f:
+        json.dump(b2, f)
+    fmt = ManifestFormat(spark, root, auto_compact_dirs=None)
+    pipe = HealthPipeline(spark, root, table_format=fmt)
+    pipe.sync({"cust": p1})
+    pipe.sync({"cust": p2})
+    landed = fmt.read("raw.cust")
+    variant = (
+        F.col("score__v_double")
+        if "score__v_double" in landed.columns
+        else F.lit(None).cast("double")
+    )
+    return landed.agg(
+        F.count("*").alias("n_rows"),
+        F.count("score").alias("n_base"),
+        F.count(variant).alias("n_variant"),
+        F.sum("score").alias("base_sum"),
+        F.round(F.sum(variant), 2).alias("variant_sum"),
+        F.count("level").alias("n_level"),
+        F.sum("level").alias("level_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # M1/A4/P4/P8 — incremental watermark protocol as a query.
 # --------------------------------------------------------------------------

@@ -320,3 +320,90 @@ def streaming_cdf_source(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
         )
     )
+
+
+@query(
+    "rollup_stream_hist",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_values, TRUE AS p50_ok, TRUE AS p99_ok
+    FROM events WHERE value BETWEEN 0 AND 500 GROUP BY 1
+    """,
+    # r15 rotation (VERDICT r14 tasks 4+8): the STREAMING twin of
+    # hist_rollup_quantiles carries the gate — the sketch-rollup family
+    # now rides maintain_stream (warehouse_cdf readStream + the shared
+    # source-version cursor), so this row covers the semigroup
+    # histogram merge AND the streaming maintenance path in one
+    # oracle-checked pass; the batch row demoted to gate=False stays
+    # covered by the pytest oracle suite.
+)
+def rollup_stream_hist(spark, sf_dir):
+    """CONTINUOUS percentile maintenance at 100 TB shape (r15): an
+    events-derived fact table takes one bootstrap commit plus three
+    appends; ``IncrementalHistSync`` bootstraps its cursor with the
+    batch ``sync_from_changes``, then drains the remaining commits
+    through ``maintain_stream`` (``warehouse_cdf`` readStream, one
+    version per micro-batch).  The streamed fixed-bin histogram's
+    p50/p99 must land within one bin width of ``percentile_disc`` —
+    the exact ceil(p*n)-th order statistic, the estimator's contract
+    (same deterministic-verdict pattern as the batch row).
+    TimescaleDB twin: uddsketch continuous aggregate under the
+    15-minute ingest cadence (reference dags/iot_master_dag.py:42-71)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..fs import scratch_dir
+    from .pipeline import IncrementalHistSync
+    from .registry import table
+    from .table_format import ManifestFormat
+
+    lo, hi, n_bins = 0.0, 500.0, 50
+    width = (hi - lo) / n_bins
+    root = scratch_dir(spark, "histstream_", cleanup_atexit=True)
+    fmt = ManifestFormat(spark, root, auto_compact_dirs=None, cdf=True)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("value") >= lo) & (F.col("value") <= hi))
+        .select("event_type", "value", "user_id")
+    )
+    fmt.write("raw.ev", e.filter(F.col("user_id") % 4 == 0), "overwrite")
+    sync = IncrementalHistSync(
+        spark,
+        root,
+        "agg.value_hist",
+        group_cols=("event_type",),
+        value_col="value",
+        lo=lo,
+        hi=hi,
+        n_bins=n_bins,
+        table_format=fmt,
+    )
+    sync.sync_from_changes(fmt, "raw.ev")  # bootstrap anchors the cursor
+    for r in (1, 2, 3):
+        fmt.write("raw.ev", e.filter(F.col("user_id") % 4 == r), "append")
+    q = sync.maintain_stream(
+        fmt,
+        "raw.ev",
+        os.path.join(root, "_ck_hist"),
+        max_versions_per_batch=1,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "rollup_stream_hist: availableNow drain did not finish "
+            "within 300 s — agg.value_hist is partial; not reading it"
+        )
+    exact = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "x50"
+        ),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias(
+            "x99"
+        ),
+    )
+    return sync.read().join(exact, "event_type").select(
+        "event_type",
+        "n_values",
+        (F.abs(F.col("p50") - F.col("x50")) <= width).alias("p50_ok"),
+        (F.abs(F.col("p99") - F.col("x99")) <= width).alias("p99_ok"),
+    )
