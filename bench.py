@@ -135,6 +135,7 @@ EXTENDED = [
     "rollup_stream_hist",           # streaming sketch-rollup maintenance
     "sql_txn_views",                # SQL BEGIN/COMMIT + persisted views
     "ingest_schema_drift",          # auto-evolving drifted document sync
+    "sql_matview_refresh",          # SQL materialized view + incremental refresh
 ]
 
 

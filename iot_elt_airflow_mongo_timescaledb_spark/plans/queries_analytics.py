@@ -1697,3 +1697,78 @@ def sql_txn_views(spark, sf_dir):
         "SELECT seg, COUNT(*) AS n, ROUND(SUM(price), 2) AS price_sum "
         "FROM examples.cust_ord GROUP BY seg"
     )
+
+
+@query(
+    "sql_matview_refresh",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    final AS (
+        SELECT o_orderstatus AS status,
+               CAST(DATE_TRUNC('day', o_orderdate) AS TIMESTAMP) AS day,
+               o_totalprice AS price
+        FROM orders, mx
+        WHERE NOT (o_orderkey BETWEEN m // 4 AND m // 3)
+    )
+    SELECT status, day, ROUND(SUM(price), 2) AS total, COUNT(*) AS n
+    FROM final GROUP BY status, day
+    """,
+    gate=False,  # r15 tail; covered by the pytest oracle suite +
+    # tests/test_matview.py; family row: sql_txn_views carries the
+    # SQL-frontend gate
+)
+def sql_matview_refresh(spark, sf_dir):
+    """TimescaleDB continuous aggregates as SQL (r15 tail,
+    ``plans/matview.py``): a warehouse fact table seeds half of
+    ``orders``; ``CREATE MATERIALIZED VIEW`` bootstraps a
+    day-bucketed additive rollup (DATE_TRUNC key + SUM/COUNT state,
+    ``IncrementalAggSync`` underneath); an INSERT of the second half
+    and a range DELETE each land as source commits that ``REFRESH
+    MATERIALIZED VIEW`` merges incrementally — the append feed for
+    the insert, signed CDF facts for the delete — never a recompute
+    from history.  The final read comes through the mv name's derived
+    presentation; the oracle recomputes from the parquet."""
+    from ..fs import scratch_dir
+    from ..session import register_views
+    from .materialize import Warehouse
+    from .registry import table
+    from .sql_frontend import SqlFrontend
+    from .table_format import CatalogManifestFormat
+
+    register_views(spark, sf_dir)
+    root = scratch_dir(spark, "sqlmv_", cleanup_atexit=True)
+    fmt = CatalogManifestFormat(
+        spark, root, auto_compact_dirs=None, stats_cols=("ok",), cdf=True
+    )
+    wh = Warehouse(spark, root, table_format=fmt)
+    sq = SqlFrontend(wh)
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    m = int(o.agg(F.max("o_orderkey")).first()[0])
+
+    wh.fmt.write(
+        "ex.ord",
+        spark.sql(
+            "SELECT o_orderkey AS ok, o_orderstatus AS status, "
+            "o_totalprice AS price, o_orderdate AS odate FROM orders "
+            f"WHERE o_orderkey <= {m // 2}"
+        ),
+        "overwrite",
+    )
+    sq.sql(
+        "CREATE MATERIALIZED VIEW agg.ord_daily AS "
+        "SELECT status, DATE_TRUNC('day', odate) AS day, "
+        "SUM(price) AS total, COUNT(*) AS n "
+        "FROM ex.ord GROUP BY status, day"
+    )
+    sq.sql(
+        "INSERT INTO ex.ord SELECT o_orderkey, o_orderstatus, "
+        f"o_totalprice, o_orderdate FROM orders WHERE o_orderkey > {m // 2}"
+    )
+    sq.sql("REFRESH MATERIALIZED VIEW agg.ord_daily")
+    sq.sql(f"DELETE FROM ex.ord WHERE ok BETWEEN {m // 4} AND {m // 3}")
+    sq.sql("REFRESH MATERIALIZED VIEW agg.ord_daily")
+    return sq.sql(
+        "SELECT status, day, ROUND(total, 2) AS total, n "
+        "FROM agg.ord_daily"
+    )

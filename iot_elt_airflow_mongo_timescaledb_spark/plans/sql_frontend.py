@@ -89,6 +89,26 @@ class SqlFrontend:
         fn = getattr(self.wh.fmt, "views", None)
         return fn() if fn is not None else {}
 
+    def _matviews(self) -> dict:
+        fn = getattr(self.wh.fmt, "matviews", None)
+        return fn() if fn is not None else {}
+
+    def _view_for_matview(self, name: str, defn: dict) -> str:
+        """Materialized view read: the rollup state's DERIVED
+        presentation under the definition's aliases; REALTIME
+        definitions union the not-yet-refreshed source tail
+        (Timescale real-time continuous aggregates)."""
+        from .matview import matview_sync
+
+        vname = "__whm_" + name.replace(".", "__")
+        sync = matview_sync(self.wh, name, defn)
+        if defn.get("realtime"):
+            df = sync.read_realtime(self.wh.fmt, defn["source"])
+        else:
+            df = sync.read()
+        df.createOrReplaceTempView(vname)
+        return vname
+
     def _view_for_persisted(
         self, name: str, sql_text: str, stack: frozenset
     ) -> str:
@@ -154,6 +174,7 @@ class SqlFrontend:
         )
         tables = {t for t in re.findall(rf"\b({_TBL})\b", out)}
         views = self._persisted_views()
+        matviews = self._matviews()
         for t in sorted(tables, key=len, reverse=True):
             if self.wh.exists(t):
                 out = re.sub(
@@ -169,6 +190,12 @@ class SqlFrontend:
                 out = re.sub(
                     rf"\b{re.escape(t)}\b",
                     self._view_for_persisted(t, views[t], _stack),
+                    out,
+                )
+            elif t in matviews:
+                out = re.sub(
+                    rf"\b{re.escape(t)}\b",
+                    self._view_for_matview(t, matviews[t]),
                     out,
                 )
         return out
@@ -259,6 +286,7 @@ class SqlFrontend:
 
     def _do_update(self, m: re.Match):
         table, set_clause, where = m.group(1), m.group(2), m.group(3)
+        self._refuse_matview_target(table, "UPDATE")
         sets: dict[str, str] = {}
         # split on commas not inside parens/quotes (expressions may
         # carry function calls)
@@ -282,6 +310,7 @@ class SqlFrontend:
         return self.wh.update_where(table, self._where_spec(where), sets)
 
     def _do_delete(self, m: re.Match):
+        self._refuse_matview_target(m.group(1), "DELETE FROM")
         return self.wh.delete_where(m.group(1), self._where_spec(m.group(2)))
 
     def _do_insert(self, m: re.Match):
@@ -291,6 +320,7 @@ class SqlFrontend:
             m.group("cols"),
             m.group("body").strip(),
         )
+        self._refuse_matview_target(table, "INSERT")
         df = self.spark.sql(self._substitute(body))
         if cols:
             names = [c.strip() for c in cols.split(",")]
@@ -314,6 +344,7 @@ class SqlFrontend:
 
     def _do_merge(self, m: re.Match):
         table, t_alias = m.group("table"), m.group("talias")
+        self._refuse_matview_target(table, "MERGE INTO")
         src, s_alias = m.group("src").strip(), m.group("salias")
         on = m.group("on").strip()
         clauses = m.group("clauses").strip()
@@ -392,6 +423,19 @@ class SqlFrontend:
 
     def _do_drop_table(self, m: re.Match):
         if_exists, table = m.group(1) is not None, m.group(2)
+        if table in self._matviews():
+            raise SqlParseError(
+                f"DROP TABLE {table}: target is a MATERIALIZED VIEW — "
+                f"use DROP MATERIALIZED VIEW {table}"
+            )
+        from .matview import STATE_SUFFIX
+
+        if table.endswith(STATE_SUFFIX):
+            raise SqlParseError(
+                f"DROP TABLE {table}: materialized-view STATE tables "
+                "are engine-internal; DROP MATERIALIZED VIEW removes "
+                "definition and state together"
+            )
         dropped = self.wh.drop_table(table)
         if not dropped and not if_exists:
             raise ValueError(f"DROP TABLE {table}: no such table")
@@ -408,6 +452,11 @@ class SqlFrontend:
             raise ValueError(
                 f"CREATE TABLE {table}: a VIEW of that name exists "
                 "(DROP VIEW first)"
+            )
+        if table in self._matviews():
+            raise ValueError(
+                f"CREATE TABLE {table}: a MATERIALIZED VIEW of that "
+                "name exists (DROP MATERIALIZED VIEW first)"
             )
         self.wh.fmt.write(table, self.spark.sql(self._substitute(body)),
                           "overwrite")
@@ -470,6 +519,112 @@ class SqlFrontend:
         if not dropped and not if_exists:
             raise ValueError(f"DROP VIEW {name}: no such view")
         return dropped
+
+    # -- materialized views (r15 tail) -----------------------------------
+
+    def _matview_verb(self, verb: str):
+        fn = getattr(self.wh.fmt, verb, None)
+        if fn is None:
+            raise SqlParseError(
+                "MATERIALIZED VIEW DDL requires the catalog commit-log "
+                "format (CatalogManifestFormat) — definitions live in "
+                "the catalog log"
+            )
+        return fn
+
+    def _refuse_matview_target(self, table: str, action: str) -> None:
+        from .matview import STATE_SUFFIX
+
+        if table in self._matviews():
+            raise SqlParseError(
+                f"{action} {table}: target is a MATERIALIZED VIEW — "
+                "it is maintained from its source table; write to "
+                f"{self._matviews()[table]['source']} and REFRESH "
+                f"MATERIALIZED VIEW {table}"
+            )
+        if table.endswith(STATE_SUFFIX):
+            raise SqlParseError(
+                f"{action} {table}: materialized-view STATE tables "
+                "are engine-internal (partial sums + exactly-once "
+                "cursor); DML through them would corrupt the rollup"
+            )
+
+    def _do_create_matview(self, m: re.Match):
+        from .matview import (
+            STATE_SUFFIX,
+            matview_sync,
+            parse_matview_body,
+            validate_defn,
+        )
+
+        replace, name, opts, body = (
+            m.group("rep") is not None,
+            m.group("name"),
+            (m.group("opts") or "").strip().lower(),
+            m.group("body").strip(),
+        )
+        create = self._matview_verb("create_matview")
+        defn = parse_matview_body(body)
+        if opts:
+            if opts != "realtime":
+                raise SqlParseError(
+                    f"unsupported WITH option {opts!r}: WITH (REALTIME) "
+                    "serves reads as stored-rollup ∪ unsynced source "
+                    "tail (Timescale real-time continuous aggregates)"
+                )
+            defn["realtime"] = True
+        if not self.wh.exists(defn["source"]):
+            raise ValueError(
+                f"CREATE MATERIALIZED VIEW {name}: source table "
+                f"{defn['source']} does not exist"
+            )
+        # refuse BEFORE committing anything: bad column/type surfaces
+        # at CREATE (the persisted-view posture), and a name collision
+        # must not touch an existing mv's state table
+        validate_defn(defn, self.wh.read(defn["source"]).schema)
+        if not replace and name in self._matviews():
+            raise ValueError(
+                f"materialized view {name} already exists (CREATE OR "
+                "REPLACE MATERIALIZED VIEW to redefine)"
+            )
+        if replace and name in self._matviews():
+            # a redefinition's state is a different rollup — rebuild
+            self.wh.drop_table(name + STATE_SUFFIX)
+        sync = matview_sync(self.wh, name, defn)
+        create(name, defn, replace=replace)
+        # bootstrap NOW from the source's current snapshot, so the
+        # committed definition always has a consistent state table
+        sync.refresh(self.wh.fmt, defn["source"])
+        return None
+
+    def _do_drop_matview(self, m: re.Match):
+        from .matview import STATE_SUFFIX
+
+        if_exists, name = m.group(1) is not None, m.group(2)
+        drop = self._matview_verb("drop_matview")
+        dropped = drop(name)
+        if not dropped and not if_exists:
+            raise ValueError(
+                f"DROP MATERIALIZED VIEW {name}: no such materialized "
+                "view"
+            )
+        if dropped:
+            self.wh.drop_table(name + STATE_SUFFIX)
+        return dropped
+
+    def _do_refresh_matview(self, m: re.Match):
+        from .matview import matview_sync
+
+        name = m.group(1)
+        defn = self._matviews().get(name)
+        if defn is None:
+            raise ValueError(
+                f"REFRESH MATERIALIZED VIEW {name}: no such "
+                "materialized view"
+            )
+        sync = matview_sync(self.wh, name, defn)
+        sync.refresh(self.wh.fmt, defn["source"])
+        return None
 
     def _do_vacuum(self, m: re.Match):
         table, hours = m.group(1), m.group(2)
@@ -588,6 +743,29 @@ class SqlFrontend:
         ),
         (
             re.compile(
+                rf"^CREATE\s+(?:(?P<rep>OR\s+REPLACE)\s+)?MATERIALIZED\s+"
+                rf"VIEW\s+(?P<name>{_TBL})\s*"
+                rf"(?:WITH\s*\((?P<opts>[^)]*)\)\s*)?AS\s+(?P<body>.+)$",
+                re.I | re.S,
+            ),
+            _do_create_matview,
+        ),
+        (
+            re.compile(
+                rf"^DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
+                rf"({_TBL})$",
+                re.I,
+            ),
+            _do_drop_matview,
+        ),
+        (
+            re.compile(
+                rf"^REFRESH\s+MATERIALIZED\s+VIEW\s+({_TBL})$", re.I
+            ),
+            _do_refresh_matview,
+        ),
+        (
+            re.compile(
                 rf"^CREATE\s+(?:(?P<rep>OR\s+REPLACE)\s+)?VIEW\s+"
                 rf"(?P<name>{_TBL})\s+AS\s+(?P<body>.+)$",
                 re.I | re.S,
@@ -641,6 +819,23 @@ class SqlFrontend:
                 [(t,) for t in sorted(self.wh.tables())] or [("",)],
                 "table string",
             ).filter("table != ''")
+        if re.fullmatch(r"SHOW\s+MATERIALIZED\s+VIEWS", stmt, re.I):
+            import json as _json
+
+            return self.spark.createDataFrame(
+                [
+                    (
+                        n,
+                        d.get("source", ""),
+                        bool(d.get("realtime")),
+                        _json.dumps(d.get("aggs", [])),
+                    )
+                    for n, d in sorted(self._matviews().items())
+                ]
+                or [("", "", False, "")],
+                "matview string, source string, realtime boolean, "
+                "aggs string",
+            ).filter("matview != ''")
         if re.fullmatch(r"SHOW\s+VIEWS", stmt, re.I):
             return self.spark.createDataFrame(
                 [
@@ -657,7 +852,8 @@ class SqlFrontend:
         raise SqlParseError(
             f"unsupported statement (starts {head!r}): SELECT/WITH/"
             "VALUES pass through; UPDATE / DELETE / INSERT / MERGE / "
-            "ALTER TABLE / CREATE [OR REPLACE] VIEW / DROP VIEW / "
+            "ALTER TABLE / CREATE [OR REPLACE] [MATERIALIZED] VIEW / "
+            "DROP [MATERIALIZED] VIEW / REFRESH MATERIALIZED VIEW / "
             "BEGIN / COMMIT / ROLLBACK dispatch to warehouse verbs in "
             "their canonical forms (see class docstring)"
         )

@@ -6366,6 +6366,7 @@ class CatalogManifestFormat(ManifestFormat):
         self,
         updates: dict[str, int],
         view_updates: dict[str, str | None] | None = None,
+        matview_updates: dict[str, dict | None] | None = None,
     ) -> None:
         """Unconditional pointer flip (first writes, replaces,
         transaction exits): CAS on the catalog version with bounded
@@ -6375,7 +6376,8 @@ class CatalogManifestFormat(ManifestFormat):
         replaces; ``_flip_if_base`` for rebaseable edits; transactions
         keep the single-writer-per-warehouse contract).
         ``view_updates`` (r15) lands persisted-view text in the same
-        flip — ``None`` value drops the view."""
+        flip — ``None`` value drops the view; ``matview_updates``
+        (r15 tail) does the same for materialized-view definitions."""
         import json
         import random
         import time
@@ -6390,11 +6392,18 @@ class CatalogManifestFormat(ManifestFormat):
                     views.pop(vn, None)
                 else:
                     views[vn] = vs
+            mvs = dict(cat.get("matviews") or {})
+            for vn, vs in (matview_updates or {}).items():
+                if vs is None:
+                    mvs.pop(vn, None)
+                else:
+                    mvs[vn] = vs
             body = json.dumps(
                 {
                     "version": nxt,
                     "tables": {**cat["tables"], **updates},
                     "views": views,
+                    "matviews": mvs,
                 }
             )
             if self.log_store.put_if_absent(self.fs, final, body):
@@ -6428,8 +6437,9 @@ class CatalogManifestFormat(ManifestFormat):
                 {
                     "version": nxt,
                     "tables": {**cat["tables"], name: version},
-                    # persisted views ride every flip unchanged
+                    # persisted (mat)views ride every flip unchanged
                     "views": dict(cat.get("views") or {}),
+                    "matviews": dict(cat.get("matviews") or {}),
                 }
             )
             if self.log_store.put_if_absent(self.fs, final, body):
@@ -6726,6 +6736,11 @@ class CatalogManifestFormat(ManifestFormat):
             raise ValueError(
                 f"CREATE VIEW {name}: a TABLE of that name exists"
             )
+        if name in (cat.get("matviews") or {}):
+            raise ValueError(
+                f"CREATE VIEW {name}: a MATERIALIZED VIEW of that "
+                "name exists (DROP MATERIALIZED VIEW first)"
+            )
         if not replace and name in (cat.get("views") or {}):
             raise ValueError(
                 f"view {name} already exists (CREATE OR REPLACE VIEW "
@@ -6742,6 +6757,61 @@ class CatalogManifestFormat(ManifestFormat):
         if name not in self.views():
             return False
         self._flip_catalog({}, view_updates={name: None})
+        return True
+
+    # -- materialized views (r15 tail) ---------------------------------
+    # TimescaleDB continuous aggregates as SQL: the DEFINITION (source
+    # table, group-key expressions, additive aggregates) lives in the
+    # catalog log like persisted-view text; the STATE is an
+    # ``IncrementalAggSync`` rollup table (``<name>__mvstate``)
+    # maintained from the source's commit-log change feed — never a
+    # recompute from history.  Parsing/refresh live in
+    # ``plans/matview.py``; this layer only stores definitions
+    # transactionally.
+
+    def matviews(self) -> dict[str, dict]:
+        """Materialized-view definitions ``{name: defn_dict}`` from the
+        current catalog version."""
+        return {
+            k: dict(v)
+            for k, v in (self._catalog().get("matviews") or {}).items()
+        }
+
+    def create_matview(
+        self, name: str, defn: dict, replace: bool = False
+    ) -> None:
+        if self._pending is not None:
+            raise RuntimeError(
+                "materialized-view DDL inside an open transaction is "
+                "not supported — COMMIT/ROLLBACK first"
+            )
+        cat = self._catalog()
+        if cat["tables"].get(name):
+            raise ValueError(
+                f"CREATE MATERIALIZED VIEW {name}: a TABLE of that "
+                "name exists"
+            )
+        if name in (cat.get("views") or {}):
+            raise ValueError(
+                f"CREATE MATERIALIZED VIEW {name}: a VIEW of that "
+                "name exists (DROP VIEW first)"
+            )
+        if not replace and name in (cat.get("matviews") or {}):
+            raise ValueError(
+                f"materialized view {name} already exists (CREATE OR "
+                "REPLACE MATERIALIZED VIEW to redefine)"
+            )
+        self._flip_catalog({}, matview_updates={name: dict(defn)})
+
+    def drop_matview(self, name: str) -> bool:
+        if self._pending is not None:
+            raise RuntimeError(
+                "materialized-view DDL inside an open transaction is "
+                "not supported — COMMIT/ROLLBACK first"
+            )
+        if name not in self.matviews():
+            return False
+        self._flip_catalog({}, matview_updates={name: None})
         return True
 
     def list_tables(self) -> list[str]:
