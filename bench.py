@@ -152,7 +152,10 @@ def main() -> None:
     # re-run.  Per-query loadavg samples below make a contaminated ROW
     # machine-identifiable too.
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    retries = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRIES", "3"))
+    # min 1: the load is always CHECKED at least once — retries only
+    # bound the waiting, and retries=0 must not mark a quiet host
+    # degraded without ever sampling it
+    retries = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRIES", "3")))
     backoff = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_BACKOFF_S", "300"))
     degraded = True
     for attempt in range(retries):

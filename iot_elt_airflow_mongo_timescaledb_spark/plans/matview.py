@@ -59,6 +59,29 @@ _TRUNC_UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute")
 
 STATE_SUFFIX = "__mvstate"
 
+#: state tables are ``<name>__mvstate`` (first definition) or
+#: ``<name>__mvstateN`` (Nth redefinition — OR REPLACE bootstraps the
+#: new state FIRST and repoints the definition in one catalog flip,
+#: so readers always resolve a consistent defn+state pair)
+_STATE_RE = re.compile(r"__mvstate\d*$")
+
+
+def is_state_table(name: str) -> bool:
+    return _STATE_RE.search(name) is not None
+
+
+def state_table_for(name: str, defn: dict) -> str:
+    return defn.get("state") or name + STATE_SUFFIX
+
+
+def next_state_table(name: str, old_defn: dict | None) -> str:
+    if old_defn is None:
+        return name + STATE_SUFFIX
+    old = state_table_for(name, old_defn)
+    m = re.search(r"__mvstate(\d*)$", old)
+    n = int(m.group(1) or 0) + 1
+    return f"{name}{STATE_SUFFIX}{n}"
+
 
 class MatviewParseError(ValueError):
     pass
@@ -194,6 +217,11 @@ def parse_matview_body(body: str) -> dict:
     ok_names = {k["alias"].lower() for k in keys} | {
         k["spec"]["col"].lower() for k in keys if k["spec"]["kind"] == "col"
     }
+    trunc_keys = {
+        (k["spec"]["unit"], k["spec"]["col"].lower())
+        for k in keys
+        if k["spec"]["kind"] == "date_trunc"
+    }
     # positional GROUP BY 1, 2 ... resolves against the key positions
     for i, g in enumerate(gb):
         if g.isdigit():
@@ -202,14 +230,28 @@ def parse_matview_body(body: str) -> dict:
                     "positional GROUP BY must list the leading key "
                     "items in order (GROUP BY 1, 2, ...)"
                 )
-        elif g.lower() not in ok_names and not re.fullmatch(
-            r"DATE_TRUNC\s*\(.*\)", g, re.I | re.S
-        ):
-            raise MatviewParseError(
-                f"GROUP BY entry {g!r} does not match a select-list "
-                "key (group keys and select keys must agree — that is "
-                "what makes the rollup mergeable)"
-            )
+            continue
+        if g.lower() in ok_names:
+            continue
+        tm = re.fullmatch(
+            rf"DATE_TRUNC\s*\(\s*'(?P<unit>{_ID})'\s*,\s*"
+            rf"(?P<col>{_ID})\s*\)",
+            g,
+            re.I,
+        )
+        # a DATE_TRUNC entry must name the SAME unit+column as a
+        # select-list key — accepting any trunc text would silently
+        # maintain the rollup at a different grain than the SQL states
+        if tm and (
+            tm.group("unit").lower(),
+            tm.group("col").lower(),
+        ) in trunc_keys:
+            continue
+        raise MatviewParseError(
+            f"GROUP BY entry {g!r} does not match a select-list "
+            "key (group keys and select keys must agree — that is "
+            "what makes the rollup mergeable)"
+        )
     if len(gb) != len(keys):
         raise MatviewParseError(
             f"GROUP BY lists {len(gb)} entries but the select list "
@@ -388,4 +430,17 @@ class _MatviewAggSync:
 
 
 def matview_sync(wh, name: str, defn: dict) -> _MatviewAggSync:
-    return _MatviewAggSync(wh, defn, name + STATE_SUFFIX)
+    state = state_table_for(name, defn)
+    if not wh.exists(state):
+        raise ValueError(
+            f"materialized view {name} has no state table ({state}) — "
+            "its bootstrap did not complete; REFRESH MATERIALIZED VIEW "
+            f"{name} rebuilds it, or DROP MATERIALIZED VIEW {name}"
+        )
+    return _MatviewAggSync(wh, defn, state)
+
+
+def matview_sync_unchecked(wh, name: str, defn: dict) -> _MatviewAggSync:
+    """CREATE/REFRESH path: the state table may not exist yet (the
+    rollup bootstraps it on first sync)."""
+    return _MatviewAggSync(wh, defn, state_table_for(name, defn))

@@ -73,13 +73,22 @@ def root_key_merge(wh: Warehouse, collection: str, tables: dict) -> None:
     parent_keys = (
         tables[collection].select(F.col("_dlt_id").alias("_dlt_root_id")).distinct()
     )
+    # dlt's inferred-schema evolution (r15): a drifted batch
+    # widens/variants instead of refusing; parent and children
+    # reconcile with the same rules so they evolve together.
+    # Reconcile ALL tables BEFORE the first upsert: an incompatible
+    # child drift refuses on every retry (unlike a crash), so a
+    # mid-loop refusal on a non-transactional format would leave the
+    # parent upserted and the child PERMANENTLY stale — validating
+    # up front keeps the refusal all-or-nothing on both formats
+    # (review r15).
+    tables = {
+        name: reconcile_schema_drift(wh, f"raw.{name}", df)
+        for name, df in tables.items()
+    }
     tx = getattr(wh.fmt, "transaction", None)
     with tx() if tx is not None else contextlib.nullcontext():
         for name, df in tables.items():
-            # dlt's inferred-schema evolution (r15): a drifted batch
-            # widens/variants instead of refusing; parent and children
-            # reconcile with the same rules so they evolve together
-            df = reconcile_schema_drift(wh, f"raw.{name}", df)
             if name == collection:
                 wh.materialize_upsert(f"raw.{name}", df, "_dlt_id")
             else:
@@ -769,10 +778,16 @@ class _RollupSyncBase:
             )
 
         def apply_batch(batch_df, _engine_batch_id):
+            # ONE evaluation for all per-batch metadata: version span
+            # plus (sketch path) the distinct change classes — a
+            # separate distinct().collect() would re-run the Arrow
+            # scan a third time per trigger (review r15)
             agg = batch_df.agg(
-                F.max("_commit_version"), F.min("_commit_version")
+                F.max("_commit_version"),
+                F.min("_commit_version"),
+                F.collect_set("_change_type"),
             ).first()
-            vmax, vmin = agg[0], agg[1]
+            vmax, vmin, kinds = agg[0], agg[1], set(agg[2] or [])
             if vmax is None:
                 return  # empty micro-batch
             cur = self._applied_batch_id()
@@ -796,13 +811,6 @@ class _RollupSyncBase:
                     ).otherwise(F.lit(-1)),
                 ).drop("_change_type", "_commit_version")
             else:
-                # bounded collect: at most 4 distinct change classes
-                kinds = {
-                    r[0]
-                    for r in batch_df.select("_change_type")
-                    .distinct()
-                    .collect()
-                }
                 if kinds - {"insert"}:
                     raise ValueError(
                         f"{type(self).__name__}({self.table_name}): "

@@ -285,24 +285,15 @@ class SqlFrontend:
     # -- statement handlers ---------------------------------------------
 
     def _do_update(self, m: re.Match):
+        # shared paren/quote-aware comma splitter (expressions carry
+        # function calls) — one implementation, matview.py's parser
+        # uses the same one
+        from .matview import _split_top
+
         table, set_clause, where = m.group(1), m.group(2), m.group(3)
         self._refuse_matview_target(table, "UPDATE")
         sets: dict[str, str] = {}
-        # split on commas not inside parens/quotes (expressions may
-        # carry function calls)
-        depth, q, start, parts = 0, False, 0, []
-        for i, ch in enumerate(set_clause):
-            if ch == "'":
-                q = not q
-            elif not q and ch in "(":
-                depth += 1
-            elif not q and ch == ")":
-                depth -= 1
-            elif not q and ch == "," and depth == 0:
-                parts.append(set_clause[start:i])
-                start = i + 1
-        parts.append(set_clause[start:])
-        for p in parts:
+        for p in _split_top(set_clause):
             mm = re.fullmatch(rf"\s*({_ID})\s*=\s*(.+?)\s*", p, re.S)
             if not mm:
                 raise SqlParseError(f"unsupported SET item {p!r}")
@@ -428,9 +419,9 @@ class SqlFrontend:
                 f"DROP TABLE {table}: target is a MATERIALIZED VIEW — "
                 f"use DROP MATERIALIZED VIEW {table}"
             )
-        from .matview import STATE_SUFFIX
+        from .matview import is_state_table
 
-        if table.endswith(STATE_SUFFIX):
+        if is_state_table(table):
             raise SqlParseError(
                 f"DROP TABLE {table}: materialized-view STATE tables "
                 "are engine-internal; DROP MATERIALIZED VIEW removes "
@@ -533,7 +524,7 @@ class SqlFrontend:
         return fn
 
     def _refuse_matview_target(self, table: str, action: str) -> None:
-        from .matview import STATE_SUFFIX
+        from .matview import is_state_table
 
         if table in self._matviews():
             raise SqlParseError(
@@ -542,18 +533,30 @@ class SqlFrontend:
                 f"{self._matviews()[table]['source']} and REFRESH "
                 f"MATERIALIZED VIEW {table}"
             )
-        if table.endswith(STATE_SUFFIX):
+        if is_state_table(table):
             raise SqlParseError(
                 f"{action} {table}: materialized-view STATE tables "
                 "are engine-internal (partial sums + exactly-once "
                 "cursor); DML through them would corrupt the rollup"
             )
+        # a persisted VIEW name must never become a DML target either:
+        # INSERT/MERGE auto-create their target, which would land a
+        # SHADOW TABLE under the view's name — and the read path
+        # resolves tables before views, so every later SELECT would
+        # silently read the shadow instead of the view (review r15)
+        if table in self._persisted_views():
+            raise SqlParseError(
+                f"{action} {table}: target is a VIEW — DML against a "
+                "view would shadow it with a real table; write to its "
+                "base tables instead"
+            )
 
     def _do_create_matview(self, m: re.Match):
         from .matview import (
-            STATE_SUFFIX,
-            matview_sync,
+            matview_sync_unchecked,
+            next_state_table,
             parse_matview_body,
+            state_table_for,
             validate_defn,
         )
 
@@ -582,26 +585,36 @@ class SqlFrontend:
         # at CREATE (the persisted-view posture), and a name collision
         # must not touch an existing mv's state table
         validate_defn(defn, self.wh.read(defn["source"]).schema)
-        if not replace and name in self._matviews():
+        old = self._matviews().get(name)
+        if old is not None and not replace:
             raise ValueError(
                 f"materialized view {name} already exists (CREATE OR "
                 "REPLACE MATERIALIZED VIEW to redefine)"
             )
-        if replace and name in self._matviews():
-            # a redefinition's state is a different rollup — rebuild
-            self.wh.drop_table(name + STATE_SUFFIX)
-        sync = matview_sync(self.wh, name, defn)
-        create(name, defn, replace=replace)
-        # bootstrap NOW from the source's current snapshot, so the
-        # committed definition always has a consistent state table
+        # bootstrap the state FIRST, under a state name the current
+        # definition (if any) does not point to, then commit the
+        # definition in ONE catalog flip: readers always resolve a
+        # consistent defn+state pair — a crash before the flip leaves
+        # the old mv intact plus a harmless orphan state table
+        # (review r15; the old create-then-bootstrap order exposed a
+        # definition whose reads raised raw missing-table errors)
+        defn["state"] = next_state_table(name, old)
+        if self.wh.exists(defn["state"]):  # orphan from a crashed CREATE
+            self.wh.drop_table(defn["state"])
+        sync = matview_sync_unchecked(self.wh, name, defn)
         sync.refresh(self.wh.fmt, defn["source"])
+        create(name, defn, replace=replace)
+        if old is not None:
+            # old state is unreachable after the flip; reclaim it
+            self.wh.drop_table(state_table_for(name, old))
         return None
 
     def _do_drop_matview(self, m: re.Match):
-        from .matview import STATE_SUFFIX
+        from .matview import state_table_for
 
         if_exists, name = m.group(1) is not None, m.group(2)
         drop = self._matview_verb("drop_matview")
+        defn = self._matviews().get(name)
         dropped = drop(name)
         if not dropped and not if_exists:
             raise ValueError(
@@ -609,11 +622,14 @@ class SqlFrontend:
                 "view"
             )
         if dropped:
-            self.wh.drop_table(name + STATE_SUFFIX)
+            self.wh.drop_table(state_table_for(name, defn))
         return dropped
 
     def _do_refresh_matview(self, m: re.Match):
-        from .matview import matview_sync
+        # unchecked: REFRESH doubles as the recovery path for a
+        # bootstrap that never completed (sync_from_* bootstraps from
+        # a full read when the state table is absent)
+        from .matview import matview_sync_unchecked
 
         name = m.group(1)
         defn = self._matviews().get(name)
@@ -622,7 +638,7 @@ class SqlFrontend:
                 f"REFRESH MATERIALIZED VIEW {name}: no such "
                 "materialized view"
             )
-        sync = matview_sync(self.wh, name, defn)
+        sync = matview_sync_unchecked(self.wh, name, defn)
         sync.refresh(self.wh.fmt, defn["source"])
         return None
 

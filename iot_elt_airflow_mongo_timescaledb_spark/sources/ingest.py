@@ -144,9 +144,20 @@ def reconcile_schema_drift(wh, table_name: str, df: DataFrame) -> DataFrame:
 
     def split_numeric(frame: DataFrame, col: str, narrow_t) -> DataFrame:
         """Row-wise variant split: integral doubles demote to the
-        long column, the rest lands in ``<col>__v_double``."""
+        long column, the rest lands in ``<col>__v_double``.  The
+        roundtrip check alone is fooled at the 2^63 boundary — Spark's
+        ``cast('long')`` SATURATES, and saturate-then-round lands back
+        on the original double (2^63 → Long.MaxValue → 2^63), so a
+        value the long column cannot hold would demote silently OFF BY
+        ONE; the explicit range guard keeps those in the variant
+        column (review r15)."""
         c = F.col(col)
-        demotable = c.eqNullSafe(c.cast("long").cast("double"))
+        in_long_range = (c >= F.lit(float(-(2**63)))) & (
+            c < F.lit(float(2**63))
+        )
+        demotable = c.eqNullSafe(c.cast("long").cast("double")) & (
+            in_long_range | c.isNull()
+        )
         return frame.withColumn(
             f"{col}__v_double", F.when(~demotable, c)
         ).withColumn(
@@ -171,9 +182,15 @@ def reconcile_schema_drift(wh, table_name: str, df: DataFrame) -> DataFrame:
             # (dlt's bigint→double); the precision-losing tail (>2^53)
             # keeps its exact value in a variant bigint column.  The
             # exactness check runs on the ORIGINAL long — checking
-            # after the cast could never see the loss.
+            # after the cast could never see the loss.  Long.MaxValue
+            # needs the extra bound: its double rounds UP to 2^63 and
+            # the saturating cast-back lands on Long.MaxValue again, so
+            # the roundtrip alone would declare the lossy coercion
+            # "exact" (review r15).
             c = F.col(f.name)
-            exact = c.eqNullSafe(c.cast("double").cast("long"))
+            exact = c.eqNullSafe(c.cast("double").cast("long")) & (
+                (c.cast("double") < F.lit(float(2**63))) | c.isNull()
+            )
             df = df.withColumn(
                 f"{f.name}__v_bigint", F.when(~exact, c)
             ).withColumn(f.name, F.when(exact, c.cast("double")))

@@ -619,6 +619,7 @@ class CdfStreamReader(DataSourceStreamReader):
         self._progress_dir = options.get("progress_dir") or None
         self._pos: int | None = None  # last planned/committed end
         self._log_inst: _PlainLog | None = None
+        self._progress_fs = None  # memoized (fs, path) for the hint
 
     def _log(self) -> _PlainLog:
         if self._log_inst is None:
@@ -642,28 +643,45 @@ class CdfStreamReader(DataSourceStreamReader):
     # or missing file just means smaller/larger first batches, and
     # feed content is batching-independent (hash parity pinned).
 
-    def _progress_path(self) -> str | None:
+    def _progress(self):
+        """Memoized ``(fs, path)`` for the hint file — resolved ONCE
+        per reader (latestOffset runs every trigger and partitions()
+        every batch; a real fs factory constructs an object-store
+        client, which must not recur on the metadata hot path).  The
+        hint is read and written through this SAME filesystem: the
+        warehouse log's fs may be rooted elsewhere (e.g. a subtree
+        factory), and a read resolved against the wrong root would
+        silently never see the hint — the restart clamp would quietly
+        not engage exactly on the object-store deployments it exists
+        for."""
         if not self._progress_dir:
             return None
-        _, root = _resolve_fs(self._progress_dir, self._fs_factory)
-        return posixpath.join(root, "_cdf_progress.json")
+        if self._progress_fs is None:
+            fs, root = _resolve_fs(self._progress_dir, self._fs_factory)
+            self._progress_fs = (
+                fs,
+                posixpath.join(root, "_cdf_progress.json"),
+            )
+        return self._progress_fs
 
     def _read_progress(self) -> int | None:
-        path = self._progress_path()
-        if path is None:
+        pr = self._progress()
+        if pr is None:
             return None
-        p = self._log()._load_json(path)
+        fs, path = pr
         try:
-            return int((p or {})["version"])
-        except (KeyError, TypeError, ValueError):
-            return None
+            with fs.open_input_stream(path) as f:
+                p = json.loads(f.read().decode("utf-8"))
+            return int(p["version"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None  # advisory: absent/torn -> no clamp
 
     def _write_progress(self, version: int) -> None:
-        path = self._progress_path()
-        if path is None:
+        pr = self._progress()
+        if pr is None:
             return
+        fs, path = pr
         try:
-            fs = _resolve_fs(self._progress_dir, self._fs_factory)[0]
             fs.create_dir(posixpath.dirname(path), recursive=True)
             with fs.open_output_stream(path) as f:
                 f.write(

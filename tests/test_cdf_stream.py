@@ -615,6 +615,56 @@ def test_progress_clamp_bounds_restart_backlog(spark, tmp_path):
     assert len(served) == 4  # 20 versions / cap 5
 
 
+def test_progress_clamp_through_nonlocal_fs(spark, tmp_path):
+    """The restart clamp must engage on NON-local filesystems too: the
+    hint is read and written through the progress dir's OWN resolved
+    fs (review r15 — reading it through the warehouse log's fs
+    resolved a different file under a subtree factory, so the clamp
+    silently never engaged on exactly the object-store deployments the
+    seam targets)."""
+    root = str(tmp_path)
+    fmt = _fmt(spark, root, "manifest")
+    fmt.write("s.t", _rows(spark, [(0, "a", 0.0)]), "overwrite")
+    ckpt = str(tmp_path / "ckpt")
+    pdir = str(tmp_path / "ckpt_progress")
+    register_cdf_source(spark)
+
+    def run_once():
+        vs: set = set()
+        q = (
+            spark.readStream.format("warehouse_cdf")
+            .option("root", root)
+            .option("table", "s.t")
+            .option("max_versions_per_batch", "5")
+            .option("progress_dir", pdir)
+            .option("fs_factory", _SUBTREE)
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .foreachBatch(
+                lambda b, i: vs.update(
+                    r["_commit_version"] for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return vs
+
+    assert run_once() == {1}  # seeds the progress hint
+    for i in range(1, 11):
+        fmt.write("s.t", _rows(spark, [(i, "x", float(i))]), "append")
+    served = []
+    for _ in range(6):
+        vs = run_once()
+        if not vs:
+            break
+        assert max(vs) - min(vs) + 1 <= 5 and len(vs) <= 5
+        served.append(vs)
+    assert sorted(v for vs in served for v in vs) == list(range(2, 12))
+    assert len(served) == 2  # 10 versions / cap 5 — clamp engaged
+
+
 def test_sketch_rollups_maintain_stream_end_to_end(spark, tmp_path):
     """r15 (VERDICT r14 task 4): the SKETCH rollup family rides the
     stream too — HLL-distinct and histogram twins converge to the

@@ -101,6 +101,62 @@ def test_numeric_split_rowwise_both_directions(spark, tmp_path, kind):
     assert got == {"a": (61.5, None), "b": (70.0, None), "c": (None, big)}
 
 
+def test_numeric_split_saturating_cast_boundary(spark, tmp_path):
+    """Spark's cast('long') SATURATES: 2^63 → Long.MaxValue → (back to
+    double) 2^63, so the roundtrip check alone would demote a double
+    the long column cannot hold, silently off by one; symmetrically
+    Long.MaxValue's double rounds up to 2^63 and the saturating
+    cast-back makes the lossy coercion look exact.  Both boundary
+    values must take the VARIANT column with their exact payloads
+    (review r15)."""
+    pipe, fmt = _pipe(spark, tmp_path, "manifest")
+    # stored long, incoming double == 2^63 exactly
+    pipe.sync({"a": _dump(tmp_path, "a1.json", [
+        {"_id": "x", "created_at": 100, "score": 1},
+    ])})
+    pipe.sync({"a": _dump(tmp_path, "a2.json", [
+        {"_id": "y", "created_at": 200, "score": float(2**63)},
+    ])})
+    got = {
+        r["_id"]: (r["score"], r["score__v_double"])
+        for r in fmt.read("raw.a").collect()
+    }
+    assert got == {"x": (1, None), "y": (None, float(2**63))}
+    # stored double, incoming long == Long.MaxValue
+    big = (1 << 63) - 1
+    pipe.sync({"b": _dump(tmp_path, "b1.json", [
+        {"_id": "x", "created_at": 100, "bpm": 61.5},
+    ])})
+    pipe.sync({"b": _dump(tmp_path, "b2.json", [
+        {"_id": "y", "created_at": 200, "bpm": big},
+    ])})
+    got = {
+        r["_id"]: (r["bpm"], r["bpm__v_bigint"])
+        for r in fmt.read("raw.b").collect()
+    }
+    assert got == {"x": (61.5, None), "y": (None, big)}
+
+
+def test_child_drift_refusal_is_all_or_nothing(spark, tmp_path):
+    """An incompatible CHILD drift must land NOTHING — including the
+    (compatible) parent — on the non-transactional format too.  Unlike
+    a crash, a refusing batch refuses on every retry, so a mid-loop
+    refusal would otherwise leave parent/child skew PERMANENTLY
+    (review r15: all tables reconcile before the first upsert)."""
+    pipe, fmt = _pipe(spark, tmp_path, "manifest")
+    pipe.sync({"users": _dump(tmp_path, "b1.json", [
+        {"_id": "a", "created_at": 100, "name": "x",
+         "tags": [{"w": 1}]},
+    ])})
+    with pytest.raises(ValueError, match="'w' from bigint to string"):
+        pipe.sync({"users": _dump(tmp_path, "b2.json", [
+            {"_id": "b", "created_at": 200, "name": "y",
+             "tags": [{"w": "wide"}]},
+        ])})
+    assert fmt.read("raw.users").count() == 1  # parent did NOT land
+    assert fmt.read("raw.users__tags").count() == 1
+
+
 def test_incompatible_drift_refuses_naming_column(spark, tmp_path):
     pipe, fmt = _pipe(spark, tmp_path, "manifest")
     pipe.sync({"users": _dump(tmp_path, "b1.json", [
