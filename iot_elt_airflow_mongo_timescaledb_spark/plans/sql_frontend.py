@@ -103,11 +103,32 @@ class SqlFrontend:
         vname = "__whm_" + name.replace(".", "__")
         sync = matview_sync(self.wh, name, defn)
         if defn.get("realtime"):
+            # the realtime union re-aggregates the source tail — a
+            # source whose columns drifted from the definition must
+            # refuse naming the mv, like a view over a dropped column
+            self._check_matview_source(name, defn)
             df = sync.read_realtime(self.wh.fmt, defn["source"])
         else:
             df = sync.read()
         df.createOrReplaceTempView(vname)
         return vname
+
+    def _check_matview_source(self, name: str, defn: dict) -> None:
+        from .matview import validate_defn
+
+        if not self.wh.exists(defn["source"]):
+            raise ValueError(
+                f"materialized view {name}: source table "
+                f"{defn['source']} no longer exists — DROP MATERIALIZED "
+                f"VIEW {name}, or recreate the source"
+            )
+        try:
+            validate_defn(defn, self.wh.read(defn["source"]).schema)
+        except ValueError as e:
+            raise ValueError(
+                f"materialized view {name} no longer matches its "
+                f"source {defn['source']} (renamed/dropped column?): {e}"
+            ) from None
 
     def _view_for_persisted(
         self, name: str, sql_text: str, stack: frozenset
@@ -638,6 +659,9 @@ class SqlFrontend:
                 f"REFRESH MATERIALIZED VIEW {name}: no such "
                 "materialized view"
             )
+        # a source whose columns drifted from the definition refuses
+        # NAMING the mv instead of surfacing a raw analysis error
+        self._check_matview_source(name, defn)
         sync = matview_sync_unchecked(self.wh, name, defn)
         sync.refresh(self.wh.fmt, defn["source"])
         return None

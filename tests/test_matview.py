@@ -312,7 +312,13 @@ def test_guards_and_collisions(spark, tmp_path):
             "CREATE MATERIALIZED VIEW agg.x AS "
             "SELECT dev, COUNT(*) AS n FROM s.facts GROUP BY dev"
         )
-    # drop removes definition AND state; IF EXISTS tolerates absence
+    # a source whose columns drifted refuses NAMING the mv (not a raw
+    # analysis error): rename the summed column, then refresh
+    sq.sql("ALTER TABLE s.facts RENAME COLUMN v TO val")
+    with pytest.raises(ValueError, match="no longer matches its source"):
+        sq.sql("REFRESH MATERIALIZED VIEW agg.mv")
+    # drop still works on a drifted mv (it never reads the source);
+    # removes definition AND state; IF EXISTS tolerates absence
     assert sq.sql("DROP MATERIALIZED VIEW agg.mv") is True
     assert not wh.exists("agg.mv__mvstate")
     with pytest.raises(ValueError, match="no such"):
