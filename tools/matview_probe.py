@@ -74,10 +74,16 @@ def main() -> None:
         sq.sql("REFRESH MATERIALIZED VIEW agg.daily")
         dt_refresh = time.perf_counter() - t0
         t0 = time.perf_counter()
-        # the reference shape: re-aggregate the WHOLE source
-        fmt.read("s.facts").groupBy(
-            "dev", F.date_trunc("day", "ts").alias("day")
-        ).agg(F.sum("v"), F.count("*")).collect()
+        # the reference shape: re-aggregate the WHOLE source and
+        # REWRITE the aggregate table (dbt table materialization —
+        # the recompute is a write job too, not a bare read)
+        fmt.write(
+            "agg.recompute",
+            fmt.read("s.facts")
+            .groupBy("dev", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.sum("v").alias("total"), F.count("*").alias("n")),
+            "overwrite",
+        )
         dt_recompute = time.perf_counter() - t0
         refresh_s.append(round(dt_refresh, 3))
         recompute_s.append(round(dt_recompute, 3))
