@@ -726,6 +726,61 @@ class SqlFrontend:
             "txn_apps array<string>",
         )
 
+    def _describe_detail(self, table: str) -> DataFrame:
+        """``DESCRIBE DETAIL`` (Delta's shape): one row of current-
+        version table metadata — entry/byte counts, partition spec,
+        constraint names, MOR-delete count, CDF flag.  Metadata reads
+        plus one tree-size walk; no data scan."""
+        import datetime as _dt
+
+        fmt = self.wh.fmt
+        m = fmt._manifest(table)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed manifest for table {table}"
+            )
+        return self.spark.createDataFrame(
+            [
+                (
+                    table,
+                    int(m["version"]),
+                    _dt.datetime.utcfromtimestamp(
+                        int(m.get("committed_at") or 0)
+                    ),
+                    len(m["entries"]),
+                    int(fmt.table_bytes(table)),
+                    list(m.get("partition_columns") or []),
+                    sorted((m.get("constraints") or {}).keys()),
+                    len(m.get("dv") or []),
+                    bool(getattr(fmt, "cdf", False)),
+                )
+            ],
+            "table string, version long, committed_at timestamp, "
+            "num_entries long, size_bytes long, "
+            "partition_columns array<string>, constraints array<string>, "
+            "mor_deletes long, cdf boolean",
+        )
+
+    def _fsck(self, table: str) -> DataFrame:
+        fn = getattr(self.wh.fmt, "fsck", None)
+        if fn is None:
+            raise SqlParseError("FSCK TABLE requires a commit-log format")
+        r = fn(table)
+        return self.spark.createDataFrame(
+            [
+                (
+                    r["table"],
+                    r["version"],
+                    r["entries"],
+                    r["missing"],
+                    r["orphan_dirs"],
+                    r["ok"],
+                )
+            ],
+            "table string, version long, entries long, "
+            "missing array<string>, orphan_dirs array<string>, ok boolean",
+        )
+
     # -- entry ------------------------------------------------------------
 
     _WRITES = (
@@ -854,6 +909,14 @@ class SqlFrontend:
         )
         if m:
             return self._describe_history(m.group(1))
+        m = re.fullmatch(
+            rf"DESCRIBE\s+DETAIL\s+({_TBL})", stmt, re.I
+        )
+        if m:
+            return self._describe_detail(m.group(1))
+        m = re.fullmatch(rf"FSCK\s+TABLE\s+({_TBL})", stmt, re.I)
+        if m:
+            return self._fsck(m.group(1))
         if re.fullmatch(r"SHOW\s+TABLES", stmt, re.I):
             return self.spark.createDataFrame(
                 [(t,) for t in sorted(self.wh.tables())] or [("",)],

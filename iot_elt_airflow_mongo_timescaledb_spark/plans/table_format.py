@@ -1515,6 +1515,71 @@ class ManifestFormat(TableFormat):
             out[c] = st
         return out
 
+    def fsck(self, name: str) -> dict:
+        """Data-integrity audit (Delta's ``FSCK`` shape, READ-ONLY):
+        verify every storage path the CURRENT manifest references
+        actually exists — entry dirs/files, MOR delete-vector sidecar
+        dirs (equality keys and positional masks), the retained CDF
+        dir — and census the table's data dirs into live (referenced
+        by SOME retained version) vs orphan (what vacuum would
+        reclaim).  Metadata reads + one existence probe per reference;
+        no data scan, no mutation.  A non-empty ``missing`` list means
+        the manifest references deleted storage (manual deletion, or a
+        vacuum raced an external retention assumption): recover by
+        ``read_version``/restore from an intact older version or
+        re-ingest — fsck never "repairs" by silently dropping entries,
+        because a dropped entry is silently missing rows."""
+        m = self._manifest(name)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed manifest for table {name}"
+            )
+        missing: list[str] = []
+
+        def probe(path: str, kind: str) -> None:
+            if not self.fs.exists(path):
+                missing.append(f"{kind}:{path}")
+
+        for e in m["entries"]:
+            probe(self._entry_path(name, e), "entry")
+        for d in m.get("dv") or []:
+            if d.get("keys"):
+                probe(
+                    join_uri(self.path(name), d["keys"]["dir"]), "dv-keys"
+                )
+            if d.get("pos"):
+                probe(
+                    join_uri(self.path(name), d["pos"]["dir"]), "dv-pos"
+                )
+        if m.get("cdc"):
+            probe(join_uri(self.path(name), m["cdc"]["dir"]), "cdc")
+        live: set[str] = set()
+        for v in self._travelable_versions(name):
+            mv = self._manifest(name, v)
+            if mv is None:
+                continue
+            live |= {e["dir"] for e in mv["entries"]}
+            if mv.get("cdc"):
+                live.add(mv["cdc"]["dir"])
+            for d in mv.get("dv") or []:
+                if d.get("keys"):
+                    live.add(d["keys"]["dir"])
+                if d.get("pos"):
+                    live.add(d["pos"]["dir"])
+        on_disk = {
+            d
+            for d in self.fs.list_subdirs(self.path(name))
+            if d.startswith(("d-", "cdc-", "dvk-", "dvp-"))
+        }
+        return {
+            "table": name,
+            "version": int(m["version"]),
+            "entries": len(m["entries"]),
+            "missing": sorted(missing),
+            "orphan_dirs": sorted(on_disk - live),
+            "ok": not missing,
+        }
+
     def repair_log(self, name: str, grace_s: float | None = None) -> int:
         """Quarantine TORN version files — the recovery verb for a
         writer that died between its create-exclusive and its body

@@ -427,3 +427,73 @@ def test_view_refusals(csq, sq):
     # plain format refusal
     with pytest.raises(SqlParseError, match="catalog commit-log format"):
         sq.sql("CREATE VIEW examples.x AS SELECT 1 AS one")
+
+
+# -- r15 tail: DESCRIBE DETAIL + FSCK TABLE -----------------------------
+
+
+def test_describe_detail(sq):
+    sq.sql("ALTER TABLE s.t ADD CONSTRAINT pos CHECK (x >= 0)")
+    sq.sql(
+        "INSERT INTO s.t SELECT * FROM VALUES "
+        "(4, 'd', CAST(40.0 AS DOUBLE))"
+    )
+    r = sq.sql("DESCRIBE DETAIL s.t").first()
+    assert r["table"] == "s.t" and r["version"] >= 2
+    assert r["num_entries"] >= 2 and r["size_bytes"] > 0
+    assert r["constraints"] == ["pos"] and r["cdf"] is False
+    assert r["mor_deletes"] == 0 and r["partition_columns"] == []
+
+
+def test_fsck_clean_missing_and_orphan(sq, spark, tmp_path):
+    import os
+    import shutil
+
+    assert sq.sql("FSCK TABLE s.t").first()["ok"] is True
+    # an orphan d-* dir (in-flight/abandoned writer) is reported, not
+    # flagged as corruption
+    tdir = sq.wh.path("s.t")
+    os.makedirs(os.path.join(tdir, "d-deadbeef"))
+    r = sq.sql("FSCK TABLE s.t").first()
+    assert r["ok"] is True and r["orphan_dirs"] == ["d-deadbeef"]
+    # deleting a referenced data dir IS corruption: fsck names it
+    m = sq.wh.fmt._manifest("s.t")
+    shutil.rmtree(os.path.join(tdir, m["entries"][0]["dir"]))
+    r = sq.sql("FSCK TABLE s.t").first()
+    assert r["ok"] is False
+    assert len(r["missing"]) >= 1 and r["missing"][0].startswith("entry:")
+
+
+def test_fsck_sees_dv_and_cdc_dirs(spark, tmp_path):
+    import shutil
+
+    fmt = ManifestFormat(
+        spark, str(tmp_path), auto_compact_dirs=None, stats_cols=("k",),
+        cdf=True,
+    )
+    wh = Warehouse(spark, str(tmp_path), table_format=fmt)
+    fmt.write(
+        "s.d",
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, x double"
+        ),
+        "overwrite",
+    )
+    # an equality-keys sidecar (MOR merge with delete_keys lands one)
+    fmt.merge_mor(
+        "s.d",
+        spark.createDataFrame([(20, 20.0)], "k long, x double"),
+        "k",
+        delete_keys=spark.createDataFrame([(2,), (3,)], "k long"),
+    )
+    sq2 = SqlFrontend(wh)
+    assert sq2.sql("FSCK TABLE s.d").first()["ok"] is True
+    # delete the equality-keys sidecar dir -> named as dv corruption
+    m = fmt._manifest("s.d")
+    d = next(d for d in m["dv"] if d.get("keys"))
+    import os as _os
+
+    shutil.rmtree(_os.path.join(wh.path("s.d"), d["keys"]["dir"]))
+    r = sq2.sql("FSCK TABLE s.d").first()
+    assert r["ok"] is False
+    assert any(x.startswith("dv-keys:") for x in r["missing"])
