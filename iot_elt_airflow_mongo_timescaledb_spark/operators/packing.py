@@ -179,8 +179,10 @@ def token_budget_cut(
         ).limit(0)
     if boundary is None:  # everything fits
         boundary = offsets[-1][0]
+    from ..session import local_rows
+
     off = F.broadcast(
-        spark.createDataFrame(offsets, ["__bucket", "__offset"])
+        local_rows(spark, offsets, ["__bucket", "__offset"])
         .withColumn("__bucket", F.col("__bucket").cast("long"))
         .withColumn("__offset", F.col("__offset").cast("long"))
     )

@@ -652,7 +652,9 @@ def bpe_train(
             StructField("n", LongType()),
         ]
     )
-    return spark.createDataFrame(merges, schema)
+    from ..session import local_rows
+
+    return local_rows(spark, merges, schema)
 
 
 def bpe_encode(

@@ -317,8 +317,10 @@ class IncrementalANNSync:
                 rows.append(
                     (str(c), float(s) / n if s is not None else None, n)
                 )
-        return self.spark.createDataFrame(
-            rows, "__cluster string, __q double, __n long"
+        from ..session import local_rows
+
+        return local_rows(
+            self.spark, rows, "__cluster string, __q double, __n long"
         )
 
     # -- maintain ----------------------------------------------------------

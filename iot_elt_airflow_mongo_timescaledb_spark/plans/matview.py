@@ -350,8 +350,10 @@ class _MatviewAggSync:
         # sync_from_changes/sync_from_cdf bootstrap AND delta paths
         inner_sync = self.sync_impl.sync
 
-        def projected_sync(batch: DataFrame, batch_id=None):
-            return inner_sync(self._project(batch), batch_id=batch_id)
+        def projected_sync(batch: DataFrame, batch_id=None, _meta=None):
+            return inner_sync(
+                self._project(batch), batch_id=batch_id, _meta=_meta
+            )
 
         self.sync_impl.sync = projected_sync
 

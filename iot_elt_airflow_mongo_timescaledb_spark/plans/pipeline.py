@@ -216,11 +216,21 @@ class HealthPipeline:
     ) -> None:
         if self.run_log is not None:
             with self.run_log.step(run_id, f"extract.{coll}") as info:
-                info["rows_out"] = self._sync_one(coll, path, wh)
+                info["rows_out"] = self._sync_one(
+                    coll, path, wh, want_count=True
+                )
         else:
+            # row counting costs one job per collection; skip it when
+            # no run log records it (r15 optimization round)
             self._sync_one(coll, path, wh)
 
-    def _sync_one(self, coll: str, path: str, wh: Warehouse | None = None) -> int:
+    def _sync_one(
+        self,
+        coll: str,
+        path: str,
+        wh: Warehouse | None = None,
+        want_count: bool = False,
+    ) -> int | None:
         wh = wh or self.wh
         docs = read_documents(self.spark, path)
         cursor = IncrementalCursor(
@@ -243,7 +253,7 @@ class HealthPipeline:
             # sentinel makes the re-merge a no-op (see _sync_steps_rollup)
             self._sync_steps_rollup(tables, lv)
         cursor.commit(fresh)
-        return fresh.count()
+        return fresh.count() if want_count else None
 
     def _sync_steps_rollup(self, tables: dict, lv) -> None:
         """Continuous-aggregate refresh riding the sync cadence: the
@@ -274,7 +284,8 @@ class HealthPipeline:
             return
         if lv is not None:
             parent = parent.filter(F.col("created_at") > F.lit(lv))
-        applied = self.steps_rollup._applied_batch_id()
+        meta = self.steps_rollup._meta_state()
+        applied = meta[0]
         if applied is not None:
             parent = parent.filter(F.col("created_at") > F.lit(applied))
         batch_id = parent.agg(F.max("created_at").alias("m")).first()["m"]
@@ -283,7 +294,7 @@ class HealthPipeline:
         delta = STAGE_MODELS["stage.steps"][0](
             {"steps": parent, "steps__metrics": child}
         )
-        self.steps_rollup.sync(delta, batch_id=int(batch_id))
+        self.steps_rollup.sync(delta, batch_id=int(batch_id), _meta=meta)
 
     def daily_steps_rollup(self) -> DataFrame:
         """``agg.daily_steps`` served from the MAINTAINED rollup — same
@@ -661,20 +672,43 @@ class _RollupSyncBase:
         stored side), aliased back to ``m``."""
         raise NotImplementedError
 
-    def _applied_batch_id(self):
+    def _meta_state(self):
+        """``(applied_batch_id, stored_watermark)`` in ONE bounded job.
+
+        The cursor and the materialized watermark live on the same
+        ``__meta__`` sentinel row; fetching them separately cost two
+        read+filter+first jobs per sync (r15 optimization round)."""
         from pyspark.sql import functions as F
 
         if not self.wh.exists(self.table_name):
-            return None
+            return None, None
         stored = self.wh.read(self.table_name)
-        if "__last_batch_id" not in stored.columns:  # batch-only history
-            return None
+        has_id = "__last_batch_id" in stored.columns
+        has_wm = "__watermark" in stored.columns
+        if not has_id and not has_wm:  # batch-only history
+            return None, None
         row = (
             stored.filter(F.col("__agg_key") == self._META_KEY)
-            .select("__last_batch_id")
+            .select(
+                (
+                    F.col("__last_batch_id")
+                    if has_id
+                    else F.lit(None).cast("long")
+                ).alias("__last_batch_id"),
+                (
+                    F.col("__watermark")
+                    if has_wm
+                    else F.lit(None).cast("string")
+                ).alias("__watermark"),
+            )
             .first()
         )
-        return None if row is None else row["__last_batch_id"]
+        if row is None:
+            return None, None
+        return row["__last_batch_id"], row["__watermark"]
+
+    def _applied_batch_id(self):
+        return self._meta_state()[0]
 
     def sync_from_changes(self, fmt, source_table: str) -> DataFrame:
         """Maintain this rollup FROM a commit-log table's change feed
@@ -695,14 +729,15 @@ class _RollupSyncBase:
                 f"no committed manifest for table {source_table}"
             )
         cur = int(m["version"])
-        applied = self._applied_batch_id()
+        meta = self._meta_state()
+        applied = meta[0]
         if applied is not None and cur == int(applied):
             return self.read()  # nothing committed since the last sync
         if applied is None:
             delta = fmt.read(source_table)  # bootstrap
         else:
             delta = fmt.read_changes(source_table, int(applied), cur)
-        return self.sync(delta, batch_id=cur)
+        return self.sync(delta, batch_id=cur, _meta=meta)
 
     #: whether this rollup's state forms a GROUP (retractable): the
     #: stream can then absorb update/delete change rows as signed
@@ -790,7 +825,8 @@ class _RollupSyncBase:
             vmax, vmin, kinds = agg[0], agg[1], set(agg[2] or [])
             if vmax is None:
                 return  # empty micro-batch
-            cur = self._applied_batch_id()
+            meta = self._meta_state()
+            cur = meta[0]
             if cur is not None and int(vmax) <= int(cur):
                 return  # engine-checkpoint replay: already absorbed
             if cur is not None and int(vmin) <= int(cur):
@@ -821,7 +857,7 @@ class _RollupSyncBase:
                         "rebuild the rollup from a full read"
                     )
                 delta = batch_df.drop("_change_type", "_commit_version")
-            self.sync(delta, batch_id=int(vmax))
+            self.sync(delta, batch_id=int(vmax), _meta=meta)
 
         writer = (
             reader.load()
@@ -832,14 +868,27 @@ class _RollupSyncBase:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def sync(self, batch: DataFrame, batch_id: int | None = None) -> DataFrame:
+    def sync(
+        self,
+        batch: DataFrame,
+        batch_id: int | None = None,
+        _meta: tuple | None = None,
+    ) -> DataFrame:
         """Merge one fact batch into the stored rollup; returns the
         post-merge rollup.  With ``batch_id`` (monotone), a replayed
-        batch (id == the last committed id) is a no-op."""
+        batch (id == the last committed id) is a no-op.  ``_meta`` is
+        an internal caller hint — the ``(applied, watermark)`` pair a
+        caller already fetched this cycle (``sync_from_changes`` /
+        ``maintain_stream``), saving the re-fetch job; callers must
+        only pass a pair read AFTER their last state write."""
         from pyspark.sql import functions as F
 
+        if _meta is None and (
+            batch_id is not None or self.watermark_col is not None
+        ):
+            _meta = self._meta_state()
         if batch_id is not None:
-            applied = self._applied_batch_id()
+            applied = _meta[0]
             if applied is not None and batch_id == applied:
                 return self.read()  # foreachBatch replay of the last batch
             if applied is not None and batch_id < applied:
@@ -888,7 +937,7 @@ class _RollupSyncBase:
             batch_wm = batch.agg(
                 F.max(F.col(self.watermark_col).cast("string"))
             ).first()[0]
-            stored_wm = self.materialized_watermark()
+            stored_wm = _meta[1] if _meta is not None else None
             wm_new = max((w for w in (batch_wm, stored_wm) if w is not None),
                          default=None)
         if batch_id is not None or wm_new is not None:
@@ -896,7 +945,10 @@ class _RollupSyncBase:
             # data — committed together or not at all, which is what
             # makes the replay check above exactly-once and the
             # materialized watermark trustworthy on plain parquet
-            meta = self.spark.createDataFrame(
+            from ..session import local_rows
+
+            meta = local_rows(
+                self.spark,
                 [(
                     self._META_KEY,
                     None if batch_id is None else int(batch_id),
@@ -926,19 +978,7 @@ class _RollupSyncBase:
     def materialized_watermark(self) -> str | None:
         """The max ``watermark_col`` value covered by the stored rollup
         (cast-string form), or None before the first tracked sync."""
-        from pyspark.sql import functions as F
-
-        if not self.wh.exists(self.table_name):
-            return None
-        stored = self.wh.read(self.table_name)
-        if "__watermark" not in stored.columns:
-            return None
-        row = (
-            stored.filter(F.col("__agg_key") == self._META_KEY)
-            .select("__watermark")
-            .first()
-        )
-        return None if row is None else row["__watermark"]
+        return self._meta_state()[1]
 
     def read_realtime_auto(self, facts: DataFrame) -> DataFrame:
         """``read_realtime`` with the tail derived from the MATERIALIZED
@@ -1115,7 +1155,8 @@ class IncrementalAggSync(_RollupSyncBase):
                 f"no committed manifest for table {source_table}"
             )
         cur = int(m["version"])
-        applied = self._applied_batch_id()
+        meta = self._meta_state()
+        applied = meta[0]
         if applied is not None and cur == int(applied):
             return self.read()
         if applied is None:
@@ -1133,7 +1174,7 @@ class IncrementalAggSync(_RollupSyncBase):
                     F.lit(1),
                 ).otherwise(F.lit(-1)),
             ).drop("_change_type", "_commit_version")
-        return self.sync(delta, batch_id=cur)
+        return self.sync(delta, batch_id=cur, _meta=meta)
 
     def _merge_metric(self, m: str):
         from pyspark.sql import functions as F

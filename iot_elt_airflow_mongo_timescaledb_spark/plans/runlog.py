@@ -45,7 +45,10 @@ class RunLog:
         rows_out: int | None = None,
         error: str | None = None,
     ) -> None:
-        row = self.wh.spark.createDataFrame(
+        from ..session import local_rows
+
+        row = local_rows(
+            self.wh.spark,
             [(run_id, step, status, float(wall_s), rows_out, error)],
             "run_id string, step string, status string, wall_s double, "
             "rows_out long, error string",

@@ -34,6 +34,8 @@ import re
 
 from pyspark.sql import DataFrame
 
+from ..session import local_rows
+
 __all__ = ["SqlFrontend", "SqlParseError"]
 
 
@@ -719,7 +721,8 @@ class SqlFrontend:
                     sorted((m.get("txn") or {}).keys()),
                 )
             )
-        return self.spark.createDataFrame(
+        return local_rows(
+            self.spark,
             rows,
             "version long, committed_at timestamp, entries long, "
             "segments long, has_change_data boolean, mor_deletes long, "
@@ -739,7 +742,8 @@ class SqlFrontend:
             raise FileNotFoundError(
                 f"no committed manifest for table {table}"
             )
-        return self.spark.createDataFrame(
+        return local_rows(
+            self.spark,
             [
                 (
                     table,
@@ -766,7 +770,8 @@ class SqlFrontend:
         if fn is None:
             raise SqlParseError("FSCK TABLE requires a commit-log format")
         r = fn(table)
-        return self.spark.createDataFrame(
+        return local_rows(
+            self.spark,
             [
                 (
                     r["table"],
@@ -918,14 +923,16 @@ class SqlFrontend:
         if m:
             return self._fsck(m.group(1))
         if re.fullmatch(r"SHOW\s+TABLES", stmt, re.I):
-            return self.spark.createDataFrame(
+            return local_rows(
+                self.spark,
                 [(t,) for t in sorted(self.wh.tables())] or [("",)],
                 "table string",
             ).filter("table != ''")
         if re.fullmatch(r"SHOW\s+MATERIALIZED\s+VIEWS", stmt, re.I):
             import json as _json
 
-            return self.spark.createDataFrame(
+            return local_rows(
+                self.spark,
                 [
                     (
                         n,
@@ -940,7 +947,8 @@ class SqlFrontend:
                 "aggs string",
             ).filter("matview != ''")
         if re.fullmatch(r"SHOW\s+VIEWS", stmt, re.I):
-            return self.spark.createDataFrame(
+            return local_rows(
+                self.spark,
                 [
                     (n, s)
                     for n, s in sorted(self._persisted_views().items())

@@ -52,6 +52,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..fs import HadoopFS, join_uri
 
+# committed data dirs are IMMUTABLE (uuid-named, written exactly once,
+# never appended to — vacuum deletes whole dirs), so the physical
+# parquet schema inferred for a (basePath, paths) read is a pure
+# function of the key and can be memoized process-wide: every re-read
+# of the same dir then passes an explicit schema and skips the
+# mergeSchema footer-inference job Spark otherwise runs per read
+# (~10-18 such jobs per storage lifecycle; r15 optimization round).
+# This caches SCHEMAS (metadata), never row data — each query still
+# computes from the parquet inputs.
+_DIR_SCHEMA_CACHE: dict[tuple, object] = {}
+_DIR_SCHEMA_CACHE_CAP = 4096
+
 
 def _enc_stat(v):
     """Encode one min/max stat for JSON manifest storage, with an
@@ -2361,7 +2373,16 @@ class ManifestFormat(TableFormat):
         for dirname, dir_entries in sorted(by_dir.items()):
             base = join_uri(self.path(name), dirname)
             paths = [self._entry_path(name, e) for e in dir_entries]
-            reader = self.spark.read.option("mergeSchema", "true")
+            # immutable-dir schema memo: first read of a path set infers
+            # (mergeSchema, exactly the old behavior); re-reads pass the
+            # cached physical schema and skip the footer job
+            cache_key = (base, tuple(sorted(paths)))
+            cached = _DIR_SCHEMA_CACHE.get(cache_key)
+            reader = self.spark.read
+            if cached is not None:
+                reader = reader.schema(cached)
+            else:
+                reader = reader.option("mergeSchema", "true")
             # basePath keys off THIS dir's own layout (entries with a
             # rel are hive leaves), not the table's CURRENT spec —
             # after partition-spec evolution (r14) old dirs keep their
@@ -2372,6 +2393,10 @@ class ManifestFormat(TableFormat):
             ):
                 reader = reader.option("basePath", base)
             f = reader.parquet(*paths)
+            if cached is None:
+                if len(_DIR_SCHEMA_CACHE) >= _DIR_SCHEMA_CACHE_CAP:
+                    _DIR_SCHEMA_CACHE.clear()
+                _DIR_SCHEMA_CACHE[cache_key] = f.schema
             if with_pos:
                 # substring_index, not a per-row regex (measured 35%
                 # scan overhead vs ~0): the dir name is a uuid hex so

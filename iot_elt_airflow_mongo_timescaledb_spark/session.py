@@ -29,6 +29,22 @@ TABLES = (
 SCHEMAS = ("raw", "stage", "agg", "examples")
 
 
+def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
+    """Tiny driver-side relation as a SINGLE-partition DataFrame.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes the list into
+    ``defaultParallelism`` Python partitions; every evaluation of the
+    frame then pays one Python-worker round trip PER partition — and a
+    ``coalesce(1)`` (the 1-row cursor/meta write pattern) serializes
+    all of them into one task: ~5 s per write at local[32], measured
+    (OPTIMIZATION_r15.md §cursor-commit).  One slice = one round trip
+    (~0.3 s), and downstream unions/joins stop dragging 32 empty
+    Python partitions into every plan that embeds the frame."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def get_spark(app_name: str = "iot-elt-spark", cpus: int | str | None = None) -> SparkSession:
     """Build (or fetch) the session.
 

@@ -93,12 +93,17 @@ class IncrementalCursor:
         return df.filter(F.col(self.cursor_field) >= F.lit(lv))
 
     def commit(self, df: DataFrame) -> None:
+        from ..session import local_rows
+
         row = df.agg(F.max(self.cursor_field).alias("last_value")).first()
         if row["last_value"] is None:
             return
-        self.spark.createDataFrame(
-            [(row["last_value"],)], [f"last_value"]
-        ).coalesce(1).write.mode("overwrite").parquet(self.state_path)
+        # single-slice local frame: the coalesce(1) form serialized 32
+        # empty Python partitions into one task (~5 s per sync at
+        # local[32]; r15 optimization round)
+        local_rows(self.spark, [(row["last_value"],)], ["last_value"]).write.mode(
+            "overwrite"
+        ).parquet(self.state_path)
 
 
 def reconcile_schema_drift(wh, table_name: str, df: DataFrame) -> DataFrame:
