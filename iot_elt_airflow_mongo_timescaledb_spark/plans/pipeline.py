@@ -913,6 +913,11 @@ class _RollupSyncBase:
                 *self.group_cols,
                 *[self._merge_metric(m) for m in self._metrics],
             )
+        # the stats-bounded merge evaluates its source ~3x (key-range
+        # agg, match probe, final write); delta is a derived agg+join
+        # bounded by TOUCHED GROUPS, so one materialization beats three
+        # recomputes at any scale (r15 optimization round)
+        cached = delta = delta.persist()
         wm_new = None
         if self.watermark_col is not None:
             # one bounded driver scalar per sync — the same cost class
@@ -957,10 +962,13 @@ class _RollupSyncBase:
                 "__agg_key string, __last_batch_id long, __watermark string",
             )
             delta = delta.unionByName(meta, allowMissingColumns=True)
-        self.wh.materialize_upsert(
-            self.table_name, delta, unique_key="__agg_key",
-            record_cdc=False,  # internal state: nobody tails it
-        )
+        try:
+            self.wh.materialize_upsert(
+                self.table_name, delta, unique_key="__agg_key",
+                record_cdc=False,  # internal state: nobody tails it
+            )
+        finally:
+            cached.unpersist()
         return self.read()
 
     def _stored(self) -> DataFrame:

@@ -5699,10 +5699,11 @@ class ManifestFormat(TableFormat):
             # absent/empty target: the batch IS the table
             self.replace_atomic(name, df, (), txn=txn_update)
             return
-        keys = (
-            delete_keys if delete_keys is not None else df
-        ).select(unique_key).distinct()
-        row = keys.agg(
+        key_src = delete_keys if delete_keys is not None else df
+        keys = key_src.select(unique_key).distinct()
+        # min/max are distinct-insensitive: aggregate the raw key column
+        # so the range probe skips the dedup exchange (r15 optimization)
+        row = key_src.select(unique_key).agg(
             F.min(unique_key).alias("mn"), F.max(unique_key).alias("mx")
         ).first()
         lo, hi = row["mn"], row["mx"]
@@ -6018,10 +6019,11 @@ class ManifestFormat(TableFormat):
         ):
             self.replace_atomic(name, df, (), txn=txn_update)
             return
-        keys = (
-            delete_keys if delete_keys is not None else df
-        ).select(unique_key).distinct()
-        row = keys.agg(
+        key_src = delete_keys if delete_keys is not None else df
+        keys = key_src.select(unique_key).distinct()
+        # min/max are distinct-insensitive: aggregate the raw key column
+        # so the range probe skips the dedup exchange (r15 optimization)
+        row = key_src.select(unique_key).agg(
             F.min(unique_key).alias("mn"), F.max(unique_key).alias("mx")
         ).first()
         lo, hi = row["mn"], row["mx"]

@@ -87,6 +87,25 @@ def main() -> None:
     except Exception:
         pass
     try:
+        from iot_elt_airflow_mongo_timescaledb_spark.plans import ann_index
+
+        for meth in (
+            "train",
+            "train_from_table",
+            "sync",
+            "sync_from_changes",
+            "sync_from_cdf",
+            "_apply_net_cdf",
+            "topk",
+            "topk_realtime",
+            "retrain",
+            "check_drift",
+        ):
+            if hasattr(ann_index.IncrementalANNSync, meth):
+                _wrap(ann_index.IncrementalANNSync, meth, f"Ann.{meth}")
+    except Exception:
+        pass
+    try:
         from iot_elt_airflow_mongo_timescaledb_spark.plans import matview
 
         for meth in ("create", "refresh"):
