@@ -715,19 +715,26 @@ class IncrementalANNSync:
             )
 
         def apply_batch(batch_df, _engine_batch_id):
-            agg = batch_df.agg(F.max("_commit_version")).first()
-            vmax = agg[0]
-            if vmax is None:
-                return  # empty micro-batch
-            self._apply_net_cdf(
-                self._net_cdf(batch_df, id_col),
-                int(vmax),
-                id_col,
-                vec_col,
-                mor,
-                drift_band,
-                drift_min_n,
-            )
+            # pin the micro-batch: the watermark probe and the netted
+            # apply each re-drive the Arrow CDF read otherwise (r15
+            # optimization round)
+            batch_df = batch_df.persist()
+            try:
+                agg = batch_df.agg(F.max("_commit_version")).first()
+                vmax = agg[0]
+                if vmax is None:
+                    return  # empty micro-batch
+                self._apply_net_cdf(
+                    self._net_cdf(batch_df, id_col),
+                    int(vmax),
+                    id_col,
+                    vec_col,
+                    mor,
+                    drift_band,
+                    drift_min_n,
+                )
+            finally:
+                batch_df.unpersist()
 
         writer = (
             reader.load()

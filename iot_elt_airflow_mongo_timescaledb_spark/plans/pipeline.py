@@ -813,51 +813,15 @@ class _RollupSyncBase:
             )
 
         def apply_batch(batch_df, _engine_batch_id):
-            # ONE evaluation for all per-batch metadata: version span
-            # plus (sketch path) the distinct change classes — a
-            # separate distinct().collect() would re-run the Arrow
-            # scan a third time per trigger (review r15)
-            agg = batch_df.agg(
-                F.max("_commit_version"),
-                F.min("_commit_version"),
-                F.collect_set("_change_type"),
-            ).first()
-            vmax, vmin, kinds = agg[0], agg[1], set(agg[2] or [])
-            if vmax is None:
-                return  # empty micro-batch
-            meta = self._meta_state()
-            cur = meta[0]
-            if cur is not None and int(vmax) <= int(cur):
-                return  # engine-checkpoint replay: already absorbed
-            if cur is not None and int(vmin) <= int(cur):
-                raise ValueError(
-                    f"micro-batch spans versions ({vmin}, {vmax}] but "
-                    f"the rollup cursor is at {cur} — a foreign/reset "
-                    "checkpoint would double-count; restart the stream "
-                    "with a fresh checkpoint (it resumes at the cursor)"
-                )
-            if self._STREAM_RETRACTS:
-                delta = batch_df.withColumn(
-                    "__sign",
-                    F.when(
-                        F.col("_change_type").isin(
-                            "insert", "update_postimage"
-                        ),
-                        F.lit(1),
-                    ).otherwise(F.lit(-1)),
-                ).drop("_change_type", "_commit_version")
-            else:
-                if kinds - {"insert"}:
-                    raise ValueError(
-                        f"{type(self).__name__}({self.table_name}): "
-                        f"source {source_table} produced "
-                        f"{sorted(kinds - {'insert'})} change rows, but "
-                        "sketch state cannot retract (semigroup, no "
-                        "inverse) — keep the source append-only, or "
-                        "rebuild the rollup from a full read"
-                    )
-                delta = batch_df.drop("_change_type", "_commit_version")
-            self.sync(delta, batch_id=int(vmax), _meta=meta)
+            # pin the micro-batch: the metadata aggregate and the
+            # delta's merge evaluations each re-drive the Arrow CDF
+            # read otherwise (one python-worker parquet pass per
+            # evaluation; r15 optimization round)
+            batch_df = batch_df.persist()
+            try:
+                self._apply_stream_batch(batch_df, source_table)
+            finally:
+                batch_df.unpersist()
 
         writer = (
             reader.load()
@@ -867,6 +831,57 @@ class _RollupSyncBase:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def _apply_stream_batch(self, batch_df, source_table: str) -> None:
+        """One ``maintain_stream`` micro-batch against the rollup —
+        ``batch_df`` arrives persisted (the caller unpersists)."""
+        from pyspark.sql import functions as F
+
+        # ONE evaluation for all per-batch metadata: version span
+        # plus (sketch path) the distinct change classes — a
+        # separate distinct().collect() would re-run the Arrow
+        # scan a third time per trigger (review r15)
+        agg = batch_df.agg(
+            F.max("_commit_version"),
+            F.min("_commit_version"),
+            F.collect_set("_change_type"),
+        ).first()
+        vmax, vmin, kinds = agg[0], agg[1], set(agg[2] or [])
+        if vmax is None:
+            return  # empty micro-batch
+        meta = self._meta_state()
+        cur = meta[0]
+        if cur is not None and int(vmax) <= int(cur):
+            return  # engine-checkpoint replay: already absorbed
+        if cur is not None and int(vmin) <= int(cur):
+            raise ValueError(
+                f"micro-batch spans versions ({vmin}, {vmax}] but "
+                f"the rollup cursor is at {cur} — a foreign/reset "
+                "checkpoint would double-count; restart the stream "
+                "with a fresh checkpoint (it resumes at the cursor)"
+            )
+        if self._STREAM_RETRACTS:
+            delta = batch_df.withColumn(
+                "__sign",
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ).drop("_change_type", "_commit_version")
+        else:
+            if kinds - {"insert"}:
+                raise ValueError(
+                    f"{type(self).__name__}({self.table_name}): "
+                    f"source {source_table} produced "
+                    f"{sorted(kinds - {'insert'})} change rows, but "
+                    "sketch state cannot retract (semigroup, no "
+                    "inverse) — keep the source append-only, or "
+                    "rebuild the rollup from a full read"
+                )
+            delta = batch_df.drop("_change_type", "_commit_version")
+        self.sync(delta, batch_id=int(vmax), _meta=meta)
 
     def sync(
         self,
