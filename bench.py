@@ -307,6 +307,45 @@ def main() -> None:
             }
         )
     )
+    # per-query best seconds as compact line(s) (r16, VERDICT r15 task
+    # 1): the full line above outgrows the driver's ~2,000-char stdout
+    # tail, so PERF per_query/geomean/scaling were empty two rounds
+    # running.  These lines carry name->sec for every row, 2dp, in
+    # ASCENDING cost order split across two lines so the most
+    # expensive rows sit LAST — if the tail clips anything, it clips
+    # the cheapest rows first.  Values are the same numbers as the
+    # full line (headline best-of-N; extended single-shot) — a second
+    # view of the same measurement, not a re-measurement.
+    per_query = {**best, **extended}
+    items = sorted(per_query.items(), key=lambda kv: kv[1])
+    entries = [
+        (name, json.dumps({name: round(v, 2)}, separators=(",", ":"))[1:-1])
+        for name, v in items
+    ]
+    # pack the LAST line with as many of the most expensive rows as
+    # fit beside the headline_compact line inside the ~2,000-char tail
+    tail_cap = 1500
+    wrap = len('{"metric":"per_query_best","part":2,"parts":2,"q":{}}') + 1
+    size, split = wrap, len(entries)
+    for i in range(len(entries) - 1, -1, -1):
+        size += len(entries[i][1]) + 1
+        if size > tail_cap:
+            break
+        split = i
+    for part, chunk in ((1, items[:split]), (2, items[split:])):
+        if not chunk:
+            continue
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_best",
+                    "part": part,
+                    "parts": 2,
+                    "q": {n: round(v, 2) for n, v in chunk},
+                },
+                separators=(",", ":"),
+            )
+        )
     # compact record LAST (r13, VERDICT task 3): the driver keeps a
     # 2,000-char stdout TAIL, and the full line above outgrew it (the
     # r12 record lost its headline totals and began mid-extended).

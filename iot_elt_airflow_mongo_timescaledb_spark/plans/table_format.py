@@ -61,8 +61,35 @@ from ..fs import HadoopFS, join_uri
 # (~10-18 such jobs per storage lifecycle; r15 optimization round).
 # This caches SCHEMAS (metadata), never row data — each query still
 # computes from the parquet inputs.
-_DIR_SCHEMA_CACHE: dict[tuple, object] = {}
+#
+# SAFETY INVARIANT: a key must only ever map to one physical schema —
+# true for write-once dirs, and for the mutable staging-swap format's
+# keys because they embed the commit marker's mtime (a new committed
+# write = a new key).  Any future verb that rewrites a data dir IN
+# PLACE must invalidate (or re-key) its entries here.  Eviction is LRU
+# one entry at a time (r16; the r15 wholesale clear() re-paid footer
+# inference for every live dir at once when the cap was hit).  Stale
+# keys of vacuumed/dropped dirs are never re-read (uuid dir names are
+# never reused) and age out of the LRU.
+from collections import OrderedDict
+
+_DIR_SCHEMA_CACHE: OrderedDict[tuple, object] = OrderedDict()
 _DIR_SCHEMA_CACHE_CAP = 4096
+
+
+def _dir_schema_get(key: tuple):
+    schema = _DIR_SCHEMA_CACHE.get(key)
+    if schema is not None:
+        _DIR_SCHEMA_CACHE.move_to_end(key)
+    return schema
+
+
+def _dir_schema_put(key: tuple, schema) -> None:
+    if key in _DIR_SCHEMA_CACHE:
+        _DIR_SCHEMA_CACHE.move_to_end(key)
+    elif len(_DIR_SCHEMA_CACHE) >= _DIR_SCHEMA_CACHE_CAP:
+        _DIR_SCHEMA_CACHE.popitem(last=False)
+    _DIR_SCHEMA_CACHE[key] = schema
 
 
 def _enc_stat(v):
@@ -523,11 +550,40 @@ class ParquetFormat(TableFormat):
         # two-phase rewrite, whichever verb ran it) is restored before
         # reading — never hand out a half-written table.
         # mergeSchema: batches may have evolved (documents grow fields);
-        # appended files with new columns must still read as one table
+        # appended files with new columns must still read as one table.
+        #
+        # Schema memo (r16, VERDICT r15 task 3): unlike manifest data
+        # dirs this table dir is MUTABLE (staging swap, appends), so
+        # the memo key embeds the commit marker's mtime — every
+        # committed Spark write (append, overwrite, swapped-in staging
+        # dir) lands a fresh ``_SUCCESS``, so any committed change
+        # mints a NEW key and re-infers; only byte-identical committed
+        # states reuse a cached schema.  The root mtime additionally
+        # covers direct child add/remove (the two-phase rename).
         self.recover(name)
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            self.path(name)
-        )
+        path = self.path(name)
+        key = self._schema_memo_key(path)
+        if key is not None:
+            cached = _dir_schema_get(key)
+            if cached is not None:
+                return self.spark.read.schema(cached).parquet(path)
+        df = self.spark.read.option("mergeSchema", "true").parquet(path)
+        if key is not None:
+            _dir_schema_put(key, df.schema)
+        return df
+
+    def _schema_memo_key(self, path: str) -> tuple | None:
+        """Memo key for this table's CURRENT committed state, or None
+        when the state is not attributable (no commit marker — e.g. a
+        raw dir not written by Spark): then every read re-infers,
+        exactly the pre-memo behavior."""
+        try:
+            marker = join_uri(path, "_SUCCESS")
+            if not self.fs.exists(marker):
+                return None
+            return (path, self.fs.mtime(marker), self.fs.mtime(path))
+        except Exception:
+            return None
 
     def recover(self, name: str) -> None:
         for suf in self.STAGING_SUFFIXES:
@@ -2155,6 +2211,17 @@ class ManifestFormat(TableFormat):
                 self._stats_attach(entries[0], obs.get, present, bloomable)
             else:
                 self._attach_stats(name, dirname, entries, ())
+            # write-time schema memo (r16): the dir just landed is
+            # immutable and parquet round-trips both type and
+            # nullability (nullable field -> optional -> inferred
+            # nullable, required -> non-null), so the frame's schema IS
+            # what mergeSchema inference would return — memoize it now
+            # and the FIRST read of the dir skips the footer-inference
+            # job too (r15's memo only covered re-reads).  Partitioned
+            # dirs are excluded: their read-back schema appends
+            # partition columns whose types depend on layout/inference
+            # settings, not on ``df.schema``.
+            _dir_schema_put((target, (target,)), df.schema)
             return entries, []
         entries = []
 
@@ -2377,7 +2444,7 @@ class ManifestFormat(TableFormat):
             # (mergeSchema, exactly the old behavior); re-reads pass the
             # cached physical schema and skip the footer job
             cache_key = (base, tuple(sorted(paths)))
-            cached = _DIR_SCHEMA_CACHE.get(cache_key)
+            cached = _dir_schema_get(cache_key)
             reader = self.spark.read
             if cached is not None:
                 reader = reader.schema(cached)
@@ -2394,9 +2461,7 @@ class ManifestFormat(TableFormat):
                 reader = reader.option("basePath", base)
             f = reader.parquet(*paths)
             if cached is None:
-                if len(_DIR_SCHEMA_CACHE) >= _DIR_SCHEMA_CACHE_CAP:
-                    _DIR_SCHEMA_CACHE.clear()
-                _DIR_SCHEMA_CACHE[cache_key] = f.schema
+                _dir_schema_put(cache_key, f.schema)
             if with_pos:
                 # substring_index, not a per-row regex (measured 35%
                 # scan overhead vs ~0): the dir name is a uuid hex so
