@@ -554,12 +554,27 @@ def connected_components(
             joined = joined.join(grand, "label", "left")
             candidates.append(F.coalesce("grand_label", F.col("label")))
             changed = changed | (F.col("grand_label") < F.col("label"))
-        updated = joined.select(
-            "node",
-            F.least(*candidates).alias("label"),
-            changed.alias("__changed"),
-        ).localCheckpoint()
-        n_changed = updated.filter(F.col("__changed")).count()
+        # the change count rides the checkpoint itself (Observation):
+        # one job per round instead of checkpoint + count — the rounds
+        # are scheduling-bound locally, and at cluster scale the count
+        # was a second full pass over the labels (r16 optimization
+        # round).  NULL __changed (no neighbour / no grand label)
+        # counts as unchanged, exactly like the filter().count() form.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        updated = (
+            joined.select(
+                "node",
+                F.least(*candidates).alias("label"),
+                changed.alias("__changed"),
+            )
+            .observe(obs, F.sum(F.col("__changed").cast("long")).alias("n"))
+            .localCheckpoint()
+        )
+        # non-blocking in practice: the eager checkpoint above already
+        # ran the observed plan to completion
+        n_changed = obs.get["n"] or 0
         labels = updated.drop("__changed")
         if n_changed == 0:
             converged = True

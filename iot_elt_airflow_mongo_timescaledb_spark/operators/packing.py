@@ -181,10 +181,15 @@ def token_budget_cut(
         boundary = offsets[-1][0]
     from ..session import local_rows
 
+    # explicit schema: the column-name form ran an extra rdd sampling
+    # job to infer the (known) int types (ADVICE r15 #3), and the DDL
+    # form rides local_rows' all-JVM literal fast path
     off = F.broadcast(
-        local_rows(spark, offsets, ["__bucket", "__offset"])
-        .withColumn("__bucket", F.col("__bucket").cast("long"))
-        .withColumn("__offset", F.col("__offset").cast("long"))
+        local_rows(
+            spark,
+            [(int(b), int(o)) for b, o in offsets],
+            "__bucket long, __offset long",
+        )
     )
     w = (
         Window.partitionBy("__bucket")

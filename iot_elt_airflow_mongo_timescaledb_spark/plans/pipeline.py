@@ -244,7 +244,9 @@ class HealthPipeline:
         # cursor protocol, the committed watermark is derived from
         # the rows actually loaded, so a source file rewritten
         # mid-sync cannot advance the cursor past unloaded documents.
-        fresh = dedup_by_pk(cursor.filter(docs), pk="_id").localCheckpoint()
+        fresh = dedup_by_pk(
+            cursor.filter(docs, lv=lv), pk="_id"
+        ).localCheckpoint()
         tables = flatten_document_table(fresh, coll, primary_key="_id")
         root_key_merge(wh, coll, tables)
         if self.steps_rollup is not None and coll == "steps":
@@ -615,6 +617,15 @@ def agg_group_key(group_cols: list[str]):
     return row_fingerprint(group_cols)
 
 
+# (warehouse_root, table) -> (state_fingerprint, (applied, watermark)).
+# Entries are only served while the state table's commit version still
+# equals the fingerprint (checked per call, driver metadata, zero
+# jobs) — see _RollupSyncBase._meta_state.  Caches a 2-tuple of
+# scalars per table, never rows.
+_META_FP_CACHE: dict[tuple, tuple] = {}
+_META_FP_CACHE_CAP = 4096
+
+
 class _RollupSyncBase:
     """Shared machinery for incremental rollup maintenance: a stored
     per-group state table that fact batches MERGE into — never a
@@ -681,7 +692,33 @@ class _RollupSyncBase:
 
         The cursor and the materialized watermark live on the same
         ``__meta__`` sentinel row; fetching them separately cost two
-        read+filter+first jobs per sync (r15 optimization round)."""
+        read+filter+first jobs per sync (r15 optimization round).
+
+        Process-wide fingerprint-guarded memo (r16): on manifest-backed
+        state tables the pair is cached under the table's COMMIT
+        VERSION — a zero-job driver-metadata check.  Any committed
+        change (ours or a foreign writer's) mints a new version, so a
+        hit can only serve the meta of the exact committed state
+        currently at the head; misses read exactly as before.  Plain
+        staging-swap tables are excluded (their mtime fingerprints are
+        coarser than a commit), keeping their reads fresh."""
+        from pyspark.sql import functions as F
+
+        fp = self._state_fingerprint()
+        cache_key = (self.wh.root, self.table_name)
+        if fp is not None and fp[0] == "v":
+            hit = _META_FP_CACHE.get(cache_key)
+            if hit is not None and hit[0] == fp:
+                return hit[1]
+        meta = self._meta_state_read()
+        if fp is not None and fp[0] == "v":
+            if len(_META_FP_CACHE) >= _META_FP_CACHE_CAP:
+                _META_FP_CACHE.pop(next(iter(_META_FP_CACHE)))
+            _META_FP_CACHE[cache_key] = (fp, meta)
+        return meta
+
+    def _meta_state_read(self):
+        """The uncached read behind :meth:`_meta_state`."""
         from pyspark.sql import functions as F
 
         if not self.wh.exists(self.table_name):
@@ -729,7 +766,13 @@ class _RollupSyncBase:
             man = getattr(fmt, "_manifest", None)
             if man is not None:
                 m = man(self.table_name)
-                return None if m is None else ("v", int(m["version"]))
+                if m is None:
+                    return None
+                # version alone could collide across a DROP+recreate of
+                # the same table name; the head entry's uuid dir name
+                # cannot (fresh uuid per write)
+                e0 = m["entries"][0]["dir"] if m["entries"] else None
+                return ("v", int(m["version"]), e0, len(m["entries"]))
             key_fn = getattr(fmt, "_schema_memo_key", None)
             if key_fn is not None:
                 return ("m", key_fn(fmt.path(self.table_name)))
@@ -1073,6 +1116,7 @@ class _RollupSyncBase:
             self.table_name, delta, unique_key="__agg_key",
             record_cdc=False,  # internal state: nobody tails it
         )
+        cache_key = (self.wh.root, self.table_name)
         if batch_id is not None or wm_new is not None:
             # read-your-writes meta for the streaming carry (r16):
             # exactly the pair the sentinel row just committed
@@ -1080,6 +1124,16 @@ class _RollupSyncBase:
                 None if batch_id is None else int(batch_id),
                 wm_new,
             )
+            fp2 = self._state_fingerprint()
+            if fp2 is not None and fp2[0] == "v":
+                _META_FP_CACHE[cache_key] = (fp2, self._committed_meta)
+            else:
+                _META_FP_CACHE.pop(cache_key, None)
+        else:
+            # no meta row in this commit: the merge preserved whatever
+            # sentinel the table held, but OUR commit changed the
+            # fingerprint — drop the entry, the next read refreshes
+            _META_FP_CACHE.pop(cache_key, None)
         return self.read()
 
     def _stored(self) -> DataFrame:

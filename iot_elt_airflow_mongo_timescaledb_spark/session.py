@@ -39,10 +39,90 @@ def local_rows(spark: SparkSession, rows, schema) -> DataFrame:
     all of them into one task: ~5 s per write at local[32], measured
     (OPTIMIZATION_r15.md §cursor-commit).  One slice = one round trip
     (~0.3 s), and downstream unions/joins stop dragging 32 empty
-    Python partitions into every plan that embeds the frame."""
+    Python partitions into every plan that embeds the frame.
+
+    r16: when the schema is explicit and the values are plain scalars
+    (or arrays of them), the frame is built from LITERALS over a
+    1-partition ``range(1)`` instead — an all-JVM plan that pays ZERO
+    Python-worker round trips, at creation and (the part that
+    compounds) at every downstream re-evaluation of a plan embedding
+    it (the stats-bounded merge evaluates its source ~3x).  Measured:
+    0.20 s vs 0.29 s per 1-row write at local[8].  Anything the fast
+    path cannot express falls back to the single-slice RDD form."""
+    rows = [tuple(r) for r in rows]
+    df = _local_rows_jvm(spark, rows, schema)
+    if df is not None:
+        return df
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema
     )
+
+
+#: fast-path size cap — beyond this the literal expression tree costs
+#: more to plan than one Python round trip costs to run
+_LOCAL_ROWS_LIT_CAP = 512
+
+
+def _local_rows_jvm(spark: SparkSession, rows: list, schema):
+    """All-JVM literal relation for :func:`local_rows`, or ``None``
+    when the rows/schema need the generic RDD path (no explicit field
+    types, exotic value types, empty input, or very many rows)."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if not rows or len(rows) > _LOCAL_ROWS_LIT_CAP:
+        return None
+    if isinstance(schema, T.StructType):
+        st = schema
+    elif isinstance(schema, str):
+        try:
+            st = T._parse_datatype_string(schema)
+        except Exception:
+            return None
+        if not isinstance(st, T.StructType):
+            return None
+    else:
+        return None
+    scalar = (
+        bool, int, float, str, bytes, bytearray,
+        datetime.date, datetime.datetime, decimal.Decimal,
+    )
+
+    def expr(v, f):
+        if v is None:
+            return F.lit(None).cast(f.dataType)
+        if isinstance(f.dataType, T.ArrayType) and isinstance(
+            v, (list, tuple)
+        ):
+            if not all(x is None or isinstance(x, scalar) for x in v):
+                raise TypeError(f"array element in {f.name}")
+            if not v:
+                return F.array().cast(f.dataType)  # empty, NOT null
+            return F.array(*[F.lit(x) for x in v]).cast(f.dataType)
+        if isinstance(v, scalar):
+            return F.lit(v).cast(f.dataType)
+        raise TypeError(f"non-literal value in {f.name}")
+
+    try:
+        structs = [
+            F.struct(
+                *[expr(v, f).alias(f.name) for v, f in zip(r, st.fields)]
+            )
+            for r in rows
+            if len(r) == len(st.fields) or _raise_width(r, st)
+        ]
+        return spark.range(1, numPartitions=1).select(
+            F.inline(F.array(*structs))
+        )
+    except TypeError:
+        return None
+
+
+def _raise_width(r, st):
+    raise TypeError(f"row width {len(r)} != {len(st.fields)} fields")
 
 
 def get_spark(app_name: str = "iot-elt-spark", cpus: int | str | None = None) -> SparkSession:

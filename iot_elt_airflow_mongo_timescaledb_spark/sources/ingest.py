@@ -86,13 +86,22 @@ class IncrementalCursor:
         rows = self.spark.read.parquet(self.state_path).collect()
         return rows[0]["last_value"] if rows else None
 
-    def filter(self, df: DataFrame) -> DataFrame:
-        lv = self.last_value()
+    _UNSET = object()
+
+    def filter(self, df: DataFrame, lv=_UNSET) -> DataFrame:
+        """``lv`` lets a caller that already fetched :meth:`last_value`
+        this batch skip the re-read (one cursor-state job per sync;
+        r16 optimization round).  ``None`` is a meaningful value
+        (first run), hence the sentinel default."""
+        if lv is self._UNSET:
+            lv = self.last_value()
         if lv is None:
             return df
         return df.filter(F.col(self.cursor_field) >= F.lit(lv))
 
     def commit(self, df: DataFrame) -> None:
+        from pyspark.sql import types as T
+
         from ..session import local_rows
 
         row = df.agg(F.max(self.cursor_field).alias("last_value")).first()
@@ -100,8 +109,13 @@ class IncrementalCursor:
             return
         # single-slice local frame: the coalesce(1) form serialized 32
         # empty Python partitions into one task (~5 s per sync at
-        # local[32]; r15 optimization round)
-        local_rows(self.spark, [(row["last_value"],)], ["last_value"]).write.mode(
+        # local[32]; r15 optimization round).  Explicit schema from the
+        # source frame's own cursor type: the column-name form ran an
+        # extra rdd sampling job per commit to infer it (ADVICE r15 #3)
+        schema = T.StructType(
+            [T.StructField("last_value", df.schema[self.cursor_field].dataType)]
+        )
+        local_rows(self.spark, [(row["last_value"],)], schema).write.mode(
             "overwrite"
         ).parquet(self.state_path)
 
