@@ -283,7 +283,18 @@ def main() -> None:
                 t0 = time.perf_counter()
                 queries[name](spark, sf1_dir).collect()
                 sf1[name] = round(time.perf_counter() - t0, 3)
+            # "_total" stays the ORIGINAL 7-query sum (round-over-round
+            # comparable); the lifecycle row below reports separately
             sf1["_total"] = round(sum(sf1.values()), 3)
+            # r16 (VERDICT r15 task 8): one WAREHOUSE-LIFECYCLE row at
+            # sf1 — sf0.1 is fixed-overhead-saturated for these rows
+            # (8 cores ≥ 32), so a parallelism regression in the
+            # merge/commit paths was invisible to the scale probe
+            t0 = time.perf_counter()
+            queries["manifest_merge_bounded"](spark, sf1_dir).collect()
+            sf1["manifest_merge_bounded"] = round(
+                time.perf_counter() - t0, 3
+            )
         except Exception as exc:  # never fail the bench for the probe
             sf1 = {"_error": str(exc)[:200]}
 
